@@ -1,0 +1,462 @@
+"""Minimal HTML5-ish DOM tree built on the stdlib ``html.parser``.
+
+The reference engine (rnb3ds/html) parses with Go's ``golang.org/x/net/html``,
+a WHATWG HTML5 tree builder.  This container has no lxml/html5lib, so we build
+a compact tree builder on :class:`html.parser.HTMLParser` that reproduces the
+HTML5 behaviors the extraction semantics depend on (see SURVEY.md §7.4):
+
+* lowercased tag/attribute names (``extract.go:439``; x/net/html lowercases)
+* implied ``<html>``/``<head>``/``<body>`` structure
+* head-content placement (``<title>``/``<meta>``/... before body go to head)
+* void elements never take children
+* implied end tags: ``<p>`` closed by block starts, ``li``/``dt``/``dd``/
+  ``tr``/``td``/``th``/``option`` sibling closing
+* ``<tbody>`` insertion for ``<tr>`` directly inside ``<table>``
+* character references decoded into text (HTML5 semantics, matching Go's
+  parser; Python's ``convert_charrefs`` implements the same WHATWG algorithm)
+* adjacent text coalesced into a single text node
+* first newline after ``<pre>``/``<textarea>``/``<listing>`` dropped
+
+Node layout mirrors ``x/net/html.Node`` (doubly linked child list) so the
+ported traversal code (helpers.go:398-465) translates directly.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# Node types (mirror x/net/html NodeType)
+DOCUMENT = 0
+ELEMENT = 1
+TEXT = 2
+COMMENT = 3
+
+
+class Node:
+    """One DOM node; layout mirrors x/net/html.Node (types.go:21-46)."""
+
+    __slots__ = (
+        "type",
+        "data",
+        "attrs",
+        "parent",
+        "first_child",
+        "last_child",
+        "prev_sibling",
+        "next_sibling",
+    )
+
+    def __init__(self, type_: int, data: str = "", attrs=None):
+        self.type = type_
+        self.data = data
+        self.attrs = attrs if attrs is not None else []
+        self.parent = None
+        self.first_child = None
+        self.last_child = None
+        self.prev_sibling = None
+        self.next_sibling = None
+
+    # -- tree surgery -----------------------------------------------------
+    def append_child(self, child: "Node") -> None:
+        child.parent = self
+        child.next_sibling = None
+        last = self.last_child
+        if last is None:
+            self.first_child = child
+            child.prev_sibling = None
+        else:
+            last.next_sibling = child
+            child.prev_sibling = last
+        self.last_child = child
+
+    def insert_before(self, new: "Node", ref: "Node") -> None:
+        """Insert ``new`` as a child of self immediately before ``ref``."""
+        new.parent = self
+        new.next_sibling = ref
+        new.prev_sibling = ref.prev_sibling
+        if ref.prev_sibling is None:
+            self.first_child = new
+        else:
+            ref.prev_sibling.next_sibling = new
+        ref.prev_sibling = new
+
+    def remove_child(self, child: "Node") -> None:
+        if child.prev_sibling is None:
+            self.first_child = child.next_sibling
+        else:
+            child.prev_sibling.next_sibling = child.next_sibling
+        if child.next_sibling is None:
+            self.last_child = child.prev_sibling
+        else:
+            child.next_sibling.prev_sibling = child.prev_sibling
+        child.parent = None
+        child.prev_sibling = None
+        child.next_sibling = None
+
+    def attr(self, key: str) -> str | None:
+        for k, v in self.attrs:
+            if k == key:
+                return v
+        return None
+
+    def iter_children(self):
+        c = self.first_child
+        while c is not None:
+            yield c
+            c = c.next_sibling
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        kind = {DOCUMENT: "doc", ELEMENT: "elem", TEXT: "text", COMMENT: "comment"}[self.type]
+        return f"<Node {kind} {self.data[:30]!r}>"
+
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen link meta param source track wbr".split()
+)
+
+# Elements that belong in <head> before body content starts (HTML5 "in head").
+HEAD_CONTENT = frozenset(
+    "base basefont bgsound link meta title noframes style script template".split()
+)
+
+# Start tags that implicitly close an open <p> (HTML5 "in body" insertion mode).
+P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup "
+        "hr listing main menu nav ol p plaintext pre section summary table ul"
+    ).split()
+)
+
+# Elements that terminate button scope for the <p>-closing search.
+BUTTON_SCOPE_BARRIERS = frozenset(
+    "html table td th caption applet marquee object template button".split()
+)
+
+TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.doc = Node(DOCUMENT)
+        self.html = None
+        self.head = None
+        self.body = None
+        self.body_started = False
+        self.head_explicit_open = False
+        self.stack: list[Node] = []  # open user elements (below html/head/body)
+
+    # -- structure helpers -------------------------------------------------
+    def _ensure_html(self, attrs=None):
+        if self.html is None:
+            self.html = Node(ELEMENT, "html", [])
+            self.doc.append_child(self.html)
+        if attrs:
+            self._merge_attrs(self.html, attrs)
+        return self.html
+
+    def _ensure_head(self, attrs=None):
+        self._ensure_html()
+        if self.head is None:
+            self.head = Node(ELEMENT, "head", [])
+            self.html.append_child(self.head)
+        if attrs:
+            self._merge_attrs(self.head, attrs)
+        return self.head
+
+    def _ensure_body(self, attrs=None):
+        self._ensure_html()
+        self._ensure_head()
+        if self.body is None:
+            self.body = Node(ELEMENT, "body", [])
+            self.html.append_child(self.body)
+        if attrs:
+            self._merge_attrs(self.body, attrs)
+        self.body_started = True
+        self.head_explicit_open = False
+        return self.body
+
+    @staticmethod
+    def _merge_attrs(node: Node, attrs):
+        seen = {k for k, _ in node.attrs}
+        for k, v in attrs:
+            if k not in seen:
+                node.attrs.append((k, v))
+                seen.add(k)
+
+    def _current_parent(self) -> Node:
+        if self.stack:
+            return self.stack[-1]
+        if self.body_started:
+            return self._ensure_body()
+        if self.head_explicit_open:
+            return self._ensure_head()
+        # head-limbo: decided per token type by callers
+        return self._ensure_body()
+
+    # -- implied end tags --------------------------------------------------
+    def _close_p_in_button_scope(self):
+        for i in range(len(self.stack) - 1, -1, -1):
+            d = self.stack[i].data
+            if d == "p":
+                del self.stack[i:]
+                return
+            if d in BUTTON_SCOPE_BARRIERS:
+                return
+
+    def _close_siblings(self, closers: frozenset, stop: frozenset):
+        """Pop open elements matching ``closers`` below the nearest ``stop``."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            d = self.stack[i].data
+            if d in closers:
+                del self.stack[i:]
+                return
+            if d in stop:
+                return
+
+    # -- token handlers ----------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        attrs = _dedup_attrs(attrs)
+
+        if tag == "html":
+            self._ensure_html(attrs)
+            return
+        if tag == "head":
+            self._ensure_head(attrs)
+            self.head_explicit_open = not self.body_started
+            return
+        if tag == "body":
+            self._ensure_body(attrs)
+            self.stack = []
+            return
+
+        # decide parent region
+        if not self.body_started and tag in HEAD_CONTENT and not self.stack:
+            parent = self._ensure_head()
+        elif not self.stack:
+            parent = self._ensure_body()
+        else:
+            parent = None  # computed below after implied end tags
+
+        # implied end tags
+        if tag in P_CLOSERS:
+            self._close_p_in_button_scope()
+        if tag == "li":
+            self._close_siblings(frozenset(("li",)), frozenset(("ul", "ol")))
+        elif tag in ("dt", "dd"):
+            self._close_siblings(frozenset(("dt", "dd")), frozenset(("dl",)))
+        elif tag == "tr":
+            self._close_siblings(frozenset(("tr",)), frozenset(("table",)) | TABLE_SECTIONS)
+        elif tag in ("td", "th"):
+            self._close_siblings(frozenset(("td", "th")), frozenset(("tr",)))
+        elif tag == "option":
+            self._close_siblings(frozenset(("option",)), frozenset(("select",)))
+        elif tag in TABLE_SECTIONS or tag in ("caption", "colgroup"):
+            self._close_siblings(TABLE_SECTIONS | frozenset(("caption", "colgroup")), frozenset(("table",)))
+
+        if parent is None or tag in P_CLOSERS or self.stack:
+            parent = self.stack[-1] if self.stack else (
+                self._ensure_body() if self.body_started or tag not in HEAD_CONTENT else self._ensure_head()
+            )
+
+        # table fixups: implied tbody/tr (HTML5 "in table"/"in table body")
+        if tag == "tr" and parent.type == ELEMENT and parent.data == "table":
+            tbody = Node(ELEMENT, "tbody", [])
+            parent.append_child(tbody)
+            self.stack.append(tbody)
+            parent = tbody
+        elif tag in ("td", "th") and parent.type == ELEMENT and (
+            parent.data == "table" or parent.data in TABLE_SECTIONS
+        ):
+            if parent.data == "table":
+                tbody = Node(ELEMENT, "tbody", [])
+                parent.append_child(tbody)
+                self.stack.append(tbody)
+                parent = tbody
+            tr = Node(ELEMENT, "tr", [])
+            parent.append_child(tr)
+            self.stack.append(tr)
+            parent = tr
+
+        node = Node(ELEMENT, tag, attrs)
+        parent.append_child(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        # HTML5 ignores the trailing slash: <div/> opens a div. Void elements
+        # behave identically either way.
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        if tag == "body" or tag == "html":
+            self.stack = []
+            self.body_started = True
+            return
+        if tag == "head":
+            self.head_explicit_open = False
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].data == tag:
+                del self.stack[i:]
+                return
+        # no matching open element: ignore (HTML5 parse error recovery)
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self.stack:
+            parent = self.stack[-1]
+        elif self.body_started:
+            parent = self._ensure_body()
+        else:
+            if data.strip("\t\n\r\f ") == "":
+                return  # whitespace in head limbo is dropped
+            parent = self._ensure_body()
+
+        # table foster-parenting (approximate): character data directly inside
+        # table structure elements moves before the table in HTML5.
+        if parent.type == ELEMENT and (
+            parent.data == "table" or parent.data in TABLE_SECTIONS or parent.data == "tr"
+        ):
+            if data.strip("\t\n\r\f ") == "":
+                return
+            table = parent
+            while table is not None and table.data != "table":
+                table = table.parent
+            if table is not None and table.parent is not None:
+                tp = table.parent
+                prev = table.prev_sibling
+                if prev is not None and prev.type == TEXT:
+                    prev.data += data
+                else:
+                    tn = Node(TEXT, data)
+                    tp.insert_before(tn, table)
+                return
+
+        # drop first newline after pre/textarea/listing (HTML5)
+        if (
+            parent.type == ELEMENT
+            and parent.data in ("pre", "textarea", "listing")
+            and parent.first_child is None
+            and data.startswith("\n")
+        ):
+            data = data[1:]
+            if not data:
+                return
+
+        last = parent.last_child
+        if last is not None and last.type == TEXT:
+            last.data += data
+        else:
+            parent.append_child(Node(TEXT, data))
+
+    def handle_comment(self, data):
+        if self.stack:
+            self.stack[-1].append_child(Node(COMMENT, data))
+        elif self.body_started:
+            self._ensure_body().append_child(Node(COMMENT, data))
+        elif self.html is not None:
+            self._ensure_head().append_child(Node(COMMENT, data))
+        else:
+            self.doc.append_child(Node(COMMENT, data))
+
+    def handle_decl(self, decl):
+        pass  # doctype: not material to extraction
+
+    def unknown_decl(self, data):
+        pass
+
+
+def _dedup_attrs(attrs):
+    """Keep the first occurrence of each attribute name (HTML5), None -> ''. """
+    out = []
+    seen = set()
+    for k, v in attrs:
+        if k in seen:
+            continue
+        seen.add(k)
+        out.append((k, v if v is not None else ""))
+    return out
+
+
+def parse(html_text: str) -> Node:
+    """Parse HTML text into a document Node (HTML5-lite tree construction)."""
+    tb = _TreeBuilder()
+    try:
+        tb.feed(html_text)
+        tb.close()
+    except Exception:
+        # html.parser is tolerant; any residual error means grossly invalid
+        # markup — keep whatever tree was built (x/net/html never errors).
+        pass
+    # ensure the implied skeleton exists even for empty input
+    tb._ensure_body()
+    return tb.doc
+
+
+# ---------------------------------------------------------------------------
+# Traversal (port of WalkNodesWithTruncation, internal/helpers.go:415-465)
+# ---------------------------------------------------------------------------
+
+MAX_WALK_NODES = 50000  # helpers.go:386 maxWalkDepth — output-affecting cap
+
+
+def walk_nodes(node: Node, fn) -> tuple[bool, int]:
+    """Iterative pre-order walk; fn(node)->False skips that node's children.
+
+    Visits at most MAX_WALK_NODES nodes (truncation is output-affecting on
+    adversarial docs and must match the reference, helpers.go:434-438).
+    Returns (truncated, visited).
+    """
+    if node is None or fn is None:
+        return False, 0
+    stack = [node]
+    visited = 0
+    while stack:
+        visited += 1
+        if visited > MAX_WALK_NODES:
+            return True, visited - 1
+        n = stack.pop()
+        if not fn(n):
+            continue
+        # push children so first child is processed next (document order)
+        seg = len(stack)
+        c = n.first_child
+        while c is not None:
+            stack.append(c)
+            c = c.next_sibling
+        stack[seg:] = stack[seg:][::-1]
+    return False, visited
+
+
+def find_element_by_tag(doc: Node, tag: str) -> Node | None:
+    """Port of FindElementByTag (helpers.go:467-477)."""
+    found: list[Node] = []
+
+    def fn(n: Node) -> bool:
+        if n.type == ELEMENT and n.data == tag:
+            found.append(n)
+            return False
+        return True
+
+    walk_nodes(doc, fn)
+    return found[0] if found else None
+
+
+def tree_depth_exceeds(root: Node, max_depth: int) -> bool:
+    """Port of validateDepthTraversal (extract.go:702-730): True when any
+    node sits deeper than ``max_depth`` levels below ``root``."""
+    stack = [(root, 0)]
+    while stack:
+        node, depth = stack.pop()
+        if depth > max_depth:
+            return True
+        c = node.first_child
+        while c is not None:
+            stack.append((c, depth + 1))
+            c = c.next_sibling
+    return False
