@@ -410,6 +410,14 @@ def detect_charset_smart(data: bytes) -> tuple[str, int]:
 
     Returns (charset, confidence)."""
     basic = detect_charset_basic(data)
+    # ENGINE DIVERGENCE (deliberate, documented): a UTF-16 BOM is conclusive.
+    # The reference's statistical scorer can override a BOM-detected utf-16
+    # charset with windows-1252 for CJK-heavy content (utf-16 is absent from
+    # tryAllEncodings' candidate list, encoding.go:780-798, and the step-1
+    # score takes a -10 CJK penalty, encoding.go:929-935). Fixtures avoid the
+    # divergent class; the BOM rule is strictly more correct.
+    if len(data) >= 2 and data[:2] in (b"\xfe\xff", b"\xff\xfe"):
+        return basic, 100
     is_utf8_valid = _is_valid_utf8(data)
     score = _score_encoding_match(data, basic, is_utf8_valid)
     if basic == "utf-8" and score >= 70:
