@@ -69,6 +69,17 @@ class Config:
     processing_timeout_s: float = 30.0  # per-document wall-clock guard
     audit_enabled: bool = False
     scorer: DefaultScorer | None = None
+    # link-extraction mode (config.go:125-134)
+    resolve_relative_urls: bool = True
+    base_url: str = ""
+    include_images: bool = True
+    include_videos: bool = True
+    include_audios: bool = True
+    include_css: bool = True
+    include_js: bool = True
+    include_content_links: bool = True
+    include_external_links: bool = True
+    include_icons: bool = True
 
     def normalized(self) -> "Config":
         """normalizeInlineFormat (processor.go:245-251) + validation."""

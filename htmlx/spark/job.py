@@ -1,0 +1,202 @@
+"""The extraction job: salted repartition + vectorized mapInPandas stage.
+
+Spark-first design (SURVEY.md §3.3, §4.3):
+  spark.read...  -> select(url, html)            [Catalyst prunes columns]
+  -> repartition(N, xxhash64(url, salt))         [defeat host-domain skew]
+  -> mapInPandas(extract_batch, RESULT_SCHEMA)   [Arrow-vectorized transport;
+                                                  per-document tree work runs
+                                                  inside the batch function]
+  -> append to results + metrics tables
+
+The per-row error column replaces the reference's BatchResult.Errors
+(batch.go:10-23); Spark's task scheduler replaces its worker pool
+(batch.go:205-314); metrics rows replace Statistics (processor.go:254-271).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.extract import Config, Extractor
+from .schemas import ALL_LINKS_SCHEMA, METRICS_SCHEMA, RESULT_SCHEMA
+
+
+def _partition_id() -> int:
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        return ctx.partitionId() if ctx is not None else -1
+    except Exception:
+        return -1
+
+
+def _result_row(url: str, r, run_id: str, pid: int) -> dict:
+    return {
+        "url": url,
+        "title": r.title,
+        "text": r.text,
+        "images": r.images,
+        "links": r.links,
+        "videos": r.videos,
+        "audios": r.audios,
+        "word_count": r.word_count,
+        "reading_time_ms": r.reading_time_ms,
+        "processing_time_ms": r.processing_time_ms,
+        "error": r.error,
+        "run_id": run_id,
+        "partition_id": pid,
+    }
+
+
+def make_extract_batch(config: Config, run_id: str = ""):
+    """Build the mapInPandas batch function for the main extraction stage.
+
+    The Extractor is constructed once per Python worker (module-level
+    amortization replaces the reference's processor pool,
+    processor_pool.go:21-89)."""
+
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractor = Extractor(config)
+        pid = _partition_id()
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            rows = []
+            for url, html in zip(urls, htmls):
+                if html is None:
+                    html = b""
+                elif isinstance(html, (bytearray, memoryview)):
+                    html = bytes(html)
+                r = extractor.extract(html)
+                rows.append(_result_row(url, r, run_id, pid))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+
+    return extract_batch
+
+
+def make_metrics_batch(config: Config, run_id: str = ""):
+    """Batch function computing per-partition metric rows alongside results.
+
+    Used by run_extraction_with_metrics; emits one metrics row per Arrow
+    batch tagged (run_id, partition_id) for lineage."""
+
+    def metrics_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractor = Extractor(config)
+        pid = _partition_id()
+        for pdf in batches:
+            t0 = time.monotonic()
+            docs_in = len(pdf)
+            docs_err = 0
+            bytes_in = 0
+            audit_events = 0
+            for html in pdf["html"]:
+                b = bytes(html) if html is not None else b""
+                bytes_in += len(b)
+                r = extractor.extract(b)
+                if r.error:
+                    docs_err += 1
+                audit_events += len(r.audit)
+            yield pd.DataFrame(
+                [
+                    {
+                        "run_id": run_id,
+                        "partition_id": pid,
+                        "docs_in": docs_in,
+                        "docs_ok": docs_in - docs_err,
+                        "docs_error": docs_err,
+                        "bytes_in": bytes_in,
+                        "extract_ms": int((time.monotonic() - t0) * 1000),
+                        "audit_events": audit_events,
+                    }
+                ]
+            )
+
+    return metrics_batch
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: str = "htmlx") -> DataFrame:
+    """Explicit skew-defeating shuffle on url-hash (north_rule requirement).
+
+    Host-domain skew (many pages per domain) concentrates work when data is
+    partitioned by crawl order or host; hashing the full url with a salt
+    spreads rows uniformly. xxhash64 stays JVM-side (no Python roundtrip)."""
+    return df.repartition(num_partitions, F.xxhash64(F.col("url"), F.lit(salt)))
+
+
+def run_extraction(
+    df: DataFrame,
+    config: Config | None = None,
+    run_id: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Main entry: pages DataFrame (url, html, ...) -> results DataFrame.
+
+    Selects only (url, html) so Catalyst prunes every other column down to
+    the parquet scan — `html` is the fat column; never read `text` here."""
+    config = config or Config()
+    projected = df.select("url", "html")
+    if num_partitions:
+        projected = salted_repartition(projected, num_partitions)
+    return projected.mapInPandas(make_extract_batch(config, run_id), RESULT_SCHEMA)
+
+
+def run_metrics(
+    df: DataFrame,
+    config: Config | None = None,
+    run_id: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-partition metrics stage (audit-table rows with lineage)."""
+    config = config or Config()
+    projected = df.select("url", "html")
+    if num_partitions:
+        projected = salted_repartition(projected, num_partitions)
+    return projected.mapInPandas(make_metrics_batch(config, run_id), METRICS_SCHEMA)
+
+
+def make_all_links_batch(config: Config, run_id: str = ""):
+    """mapInPandas batch function for the ExtractAllLinks mode
+    (links.go:24-61: resource enumeration, no sanitization)."""
+    from ..core.links import extract_all_links
+
+    def links_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = _partition_id()
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                b = bytes(html) if html is not None else b""
+                try:
+                    resources = extract_all_links(b, config)
+                    err = ""
+                except Exception as exc:
+                    resources, err = [], f"internal_panic: {type(exc).__name__}"
+                rows.append(
+                    {
+                        "url": url,
+                        "link_resources": resources,
+                        "error": err,
+                        "run_id": run_id,
+                        "partition_id": pid,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ALL_LINKS_SCHEMA.fields])
+
+    return links_batch
+
+
+def run_all_links(
+    df: DataFrame,
+    config: Config | None = None,
+    run_id: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    config = config or Config()
+    projected = df.select("url", "html")
+    if num_partitions:
+        projected = salted_repartition(projected, num_partitions)
+    return projected.mapInPandas(make_all_links_batch(config, run_id), ALL_LINKS_SCHEMA)

@@ -1,0 +1,124 @@
+"""Spark schemas for the extraction engine (SURVEY.md §1.3).
+
+Width/height/duration stay STRINGS (unparsed, config.go:319-368) to preserve
+byte-identical JSON parity with the reference; durations are millisecond
+longs (output.go:270-302).
+"""
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Input: Common-Crawl-style pages table (BASELINE.json input_hint)
+INPUT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+IMAGE_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("alt", StringType()),
+        StructField("title", StringType()),
+        StructField("width", StringType()),
+        StructField("height", StringType()),
+        StructField("is_decorative", BooleanType()),
+        StructField("position", IntegerType()),
+    ]
+)
+
+LINK_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("title", StringType()),
+        StructField("is_external", BooleanType()),
+        StructField("is_nofollow", BooleanType()),
+        StructField("position", IntegerType()),
+    ]
+)
+
+VIDEO_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("type", StringType()),
+        StructField("poster", StringType()),
+        StructField("width", StringType()),
+        StructField("height", StringType()),
+        StructField("duration", StringType()),
+    ]
+)
+
+AUDIO_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("type", StringType()),
+        StructField("duration", StringType()),
+    ]
+)
+
+# Result of the main extraction stage (config.go:288-309 + engine additions)
+RESULT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("text", StringType()),
+        StructField("images", ArrayType(IMAGE_TYPE)),
+        StructField("links", ArrayType(LINK_TYPE)),
+        StructField("videos", ArrayType(VIDEO_TYPE)),
+        StructField("audios", ArrayType(AUDIO_TYPE)),
+        StructField("word_count", IntegerType()),
+        StructField("reading_time_ms", LongType()),
+        StructField("processing_time_ms", LongType()),
+        StructField("error", StringType()),
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+# ExtractAllLinks mode (config.go:372-379)
+LINK_RESOURCE_TYPE = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("type", StringType()),
+    ]
+)
+
+ALL_LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("link_resources", ArrayType(LINK_RESOURCE_TYPE)),
+        StructField("error", StringType()),
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+# Per-partition metrics rows -> audit table (north_rule lineage requirement;
+# Spark-native replacement for Statistics, processor.go:254-271)
+METRICS_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("docs_in", LongType()),
+        StructField("docs_ok", LongType()),
+        StructField("docs_error", LongType()),
+        StructField("bytes_in", LongType()),
+        StructField("extract_ms", LongType()),
+        StructField("audit_events", LongType()),
+    ]
+)
