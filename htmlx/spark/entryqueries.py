@@ -1,0 +1,389 @@
+"""Query registry for the driver contract (__spark_entry__.py).
+
+Each entry pairs a Spark callable (spark, sf_dir) -> DataFrame with a DuckDB
+oracle SQL string computing the SAME result directly from the parquet tables.
+The extraction queries synthesize pages from `documents` (see pages.py — the
+template algebra is shared), run the REAL engine (mapInPandas), and flatten
+to scalar columns; the oracle reconstructs the expected extraction output
+symbolically. Column names and types are aligned on both sides (BIGINT/long).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.extract import Config, markdown_config
+from . import analytics
+from .job import run_all_links, run_extraction
+from .pages import PAGE_TEMPLATES, URL_SQL, pages_from_documents
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extract(spark, sf_dir, template: str, config: Config | None = None) -> DataFrame:
+    pages = pages_from_documents(_docs(spark, sf_dir), template)
+    return run_extraction(pages, config or Config())
+
+
+_ORACLE_URL = URL_SQL
+_DOCTITLE = "'Doc ' || CAST(doc_id AS VARCHAR)"
+_NL2 = "chr(10) || chr(10)"
+_WC = "(2 + len(string_split(text, ' ')))"
+
+
+# ---------------------------------------------------------------------------
+# extraction queries
+# ---------------------------------------------------------------------------
+
+def q_extract_text(spark, sf_dir):
+    return _extract(spark, sf_dir, "text").select(
+        "url",
+        "title",
+        "text",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("reading_time_ms").cast("long").alias("reading_time_ms"),
+        "error",
+    )
+
+
+O_EXTRACT_TEXT = f"""
+SELECT {_ORACLE_URL} AS url,
+       {_DOCTITLE} AS title,
+       {_DOCTITLE} || {_NL2} || text AS text,
+       CAST({_WC} AS BIGINT) AS word_count,
+       CAST(floor({_WC} / 200.0 * 60000) AS BIGINT) AS reading_time_ms,
+       '' AS error
+FROM documents
+"""
+
+
+def q_extract_links(spark, sf_dir):
+    r = _extract(spark, sf_dir, "links")
+    return r.select("url", F.explode("links").alias("l")).select(
+        "url",
+        F.col("l.url").alias("link_url"),
+        F.col("l.text").alias("link_text"),
+        F.col("l.title").alias("link_title"),
+        F.col("l.is_external").alias("is_external"),
+        F.col("l.is_nofollow").alias("is_nofollow"),
+        F.col("l.position").cast("long").alias("position"),
+    )
+
+
+O_EXTRACT_LINKS = f"""
+SELECT {_ORACLE_URL} AS url,
+       'https://ref.example.org/p/' || CAST(doc_id AS VARCHAR) AS link_url,
+       'reference' AS link_text, 'ref' AS link_title,
+       TRUE AS is_external, FALSE AS is_nofollow, CAST(1 AS BIGINT) AS position
+FROM documents
+UNION ALL
+SELECT {_ORACLE_URL}, '/local/' || CAST(doc_id AS VARCHAR), 'local docs', '',
+       FALSE, FALSE, CAST(2 AS BIGINT)
+FROM documents
+"""
+
+
+def q_extract_images(spark, sf_dir):
+    r = _extract(spark, sf_dir, "images")
+    return r.select("url", F.explode("images").alias("i")).select(
+        "url",
+        F.col("i.url").alias("img_url"),
+        F.col("i.alt").alias("img_alt"),
+        F.col("i.width").alias("img_width"),
+        F.col("i.height").alias("img_height"),
+        F.col("i.is_decorative").alias("is_decorative"),
+        F.col("i.position").cast("long").alias("position"),
+    )
+
+
+O_EXTRACT_IMAGES = f"""
+SELECT {_ORACLE_URL} AS url,
+       'https://img.example.com/' || CAST(doc_id AS VARCHAR) || '.jpg' AS img_url,
+       'Figure ' || CAST(doc_id AS VARCHAR) AS img_alt,
+       '640' AS img_width, '480' AS img_height,
+       FALSE AS is_decorative, CAST(1 AS BIGINT) AS position
+FROM documents
+UNION ALL
+SELECT {_ORACLE_URL}, 'https://img.example.com/deco.png', '', '', '',
+       TRUE, CAST(2 AS BIGINT)
+FROM documents
+"""
+
+
+def q_extract_media(spark, sf_dir):
+    r = _extract(spark, sf_dir, "media")
+    return r.select(
+        "url",
+        F.element_at("videos", 1)["url"].alias("video_url"),
+        F.element_at("videos", 1)["poster"].alias("video_poster"),
+        F.element_at("videos", 1)["width"].alias("video_width"),
+        F.size("videos").cast("long").alias("n_videos"),
+        F.element_at("audios", 1)["url"].alias("audio_url"),
+        F.size("audios").cast("long").alias("n_audios"),
+    )
+
+
+O_EXTRACT_MEDIA = f"""
+SELECT {_ORACLE_URL} AS url,
+       'https://cdn.example.com/v/' || CAST(doc_id AS VARCHAR) || '.mp4' AS video_url,
+       'https://cdn.example.com/p/' || CAST(doc_id AS VARCHAR) || '.jpg' AS video_poster,
+       '640' AS video_width, CAST(1 AS BIGINT) AS n_videos,
+       'https://cdn.example.com/a/' || CAST(doc_id AS VARCHAR) || '.mp3' AS audio_url,
+       CAST(1 AS BIGINT) AS n_audios
+FROM documents
+"""
+
+
+def q_extract_boilerplate(spark, sf_dir):
+    return _extract(spark, sf_dir, "boilerplate").select("url", "title", "text")
+
+
+O_EXTRACT_BOILERPLATE = f"""
+SELECT {_ORACLE_URL} AS url, {_DOCTITLE} AS title,
+       {_DOCTITLE} || {_NL2} || text AS text
+FROM documents
+"""
+
+
+def q_extract_tables(spark, sf_dir):
+    return _extract(spark, sf_dir, "table").select("url", "text")
+
+
+O_EXTRACT_TABLES = f"""
+SELECT {_ORACLE_URL} AS url,
+       {_DOCTITLE} || {_NL2} || text || {_NL2} ||
+       '| K | V |' || chr(10) || '| --- | --- |' || chr(10) ||
+       '| id | ' || CAST(doc_id AS VARCHAR) || ' |' || chr(10) ||
+       '| lang | ' || lang || ' |' AS text
+FROM documents
+"""
+
+
+def q_extract_markdown(spark, sf_dir):
+    return _extract(spark, sf_dir, "links", markdown_config()).select("url", "text")
+
+
+O_EXTRACT_MARKDOWN = f"""
+SELECT {_ORACLE_URL} AS url,
+       {_DOCTITLE} || {_NL2} || text || {_NL2} ||
+       'See [reference](https://ref.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+       ') and [local docs](/local/' || CAST(doc_id AS VARCHAR) || ') now' AS text
+FROM documents
+"""
+
+
+def q_extract_all_links(spark, sf_dir):
+    pages = pages_from_documents(_docs(spark, sf_dir), "links")
+    r = run_all_links(pages)
+    return r.select("url", F.posexplode("link_resources").alias("idx", "res")).select(
+        "url",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("res.url").alias("res_url"),
+        F.col("res.title").alias("res_title"),
+        F.col("res.type").alias("res_type"),
+    )
+
+
+O_EXTRACT_ALL_LINKS = f"""
+SELECT {_ORACLE_URL} AS url, CAST(0 AS BIGINT) AS idx,
+       'https://ref.example.org/about' AS res_url, 'About' AS res_title, 'link' AS res_type
+FROM documents
+UNION ALL
+SELECT {_ORACLE_URL}, CAST(1 AS BIGINT), 'https://ref.example.org/home', 'Home', 'link' FROM documents
+UNION ALL
+SELECT {_ORACLE_URL}, CAST(2 AS BIGINT),
+       'https://ref.example.org/local/' || CAST(doc_id AS VARCHAR), 'local docs', 'link' FROM documents
+UNION ALL
+SELECT {_ORACLE_URL}, CAST(3 AS BIGINT),
+       'https://ref.example.org/p/' || CAST(doc_id AS VARCHAR), 'ref', 'link' FROM documents
+"""
+
+
+# encoding round-trip: html bytes in gbk / windows-1252 / utf-8 by lang
+_ENC_MARKERS = {"zh": ("中文标记 ", "gbk"), "en": ("", "utf-8")}
+_ENC_DEFAULT = ("café naïve ", "windows-1252")
+
+
+def q_extract_encoding(spark, sf_dir):
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang, source in zip(pdf.doc_id, pdf.text, pdf.lang, pdf.source):
+                marker, charset = _ENC_MARKERS.get(lang, _ENC_DEFAULT)
+                meta = "" if charset == "utf-8" else f'<meta charset="{charset}">'
+                page = (
+                    f"<html><head>{meta}<title>Doc {doc_id}</title></head><body>"
+                    f'<nav class="nav">Home About</nav>'
+                    f"<article><h1>Doc {doc_id}</h1><p>{marker}{text}</p></article>"
+                    f"<footer>Copyright</footer></body></html>"
+                )
+                rows.append(
+                    {
+                        "url": f"https://{source}.example.com/doc/{doc_id}",
+                        "html": page.encode(charset),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(build, "url string, html binary")
+    return run_extraction(pages).select("url", "title", "text", "error")
+
+
+O_EXTRACT_ENCODING = f"""
+SELECT {_ORACLE_URL} AS url, {_DOCTITLE} AS title,
+       {_DOCTITLE} || {_NL2} ||
+       (CASE WHEN lang = 'zh' THEN '中文标记 ' WHEN lang = 'en' THEN '' ELSE 'café naïve ' END) || text AS text,
+       '' AS error
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return analytics.dedup_exact(_docs(spark, sf_dir))
+
+
+O_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    return analytics.token_stats(_docs(spark, sf_dir))
+
+
+O_TOKEN_STATS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    return analytics.quality_scores(_docs(spark, sf_dir))
+
+
+O_QUALITY_SCORES = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(floor(len(list_distinct(string_split(text, ' '))) * 100 / len(string_split(text, ' '))) AS BIGINT) AS ttr_pct,
+       CAST(floor(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in'))) * 100 / len(string_split(text, ' '))) AS BIGINT) AS stopword_pct,
+       CAST(floor(length(text) * 10 / len(string_split(text, ' '))) AS BIGINT) AS mean_token_len_x10,
+       length(text) >= 100 AS len_ok
+FROM documents
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    return analytics.doc_fingerprints(_docs(spark, sf_dir))
+
+
+O_DOC_FINGERPRINTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    return analytics.lang_distribution(_docs(spark, sf_dir))
+
+
+O_LANG_DISTRIBUTION = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    return analytics.ann_topk(_emb(spark, sf_dir), num_queries=5, k=5)
+
+
+O_ANN_TOPK = """
+SELECT CAST(q.vec_id AS BIGINT) AS query_id, CAST(e.vec_id AS BIGINT) AS neighbor_id,
+       CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+       ) AS BIGINT) AS rank
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+QUALIFY rank <= 5
+"""
+
+
+# rows-only ops (non-SQL-expressible; driver records weaker check)
+def q_minhash_lsh(spark, sf_dir):
+    return analytics.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return analytics.simhash_docs(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return analytics.lang_id_docs(_docs(spark, sf_dir))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return analytics.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "extract_links": q_extract_links,
+    "extract_images": q_extract_images,
+    "extract_media": q_extract_media,
+    "extract_boilerplate": q_extract_boilerplate,
+    "extract_tables": q_extract_tables,
+    "extract_markdown": q_extract_markdown,
+    "extract_all_links": q_extract_all_links,
+    "extract_encoding": q_extract_encoding,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "doc_fingerprints": q_doc_fingerprints,
+    "lang_distribution": q_lang_distribution,
+    "ann_cosine_topk": q_ann_topk,
+    "minhash_lsh_candidates": q_minhash_lsh,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLES = {
+    "extract_text": O_EXTRACT_TEXT,
+    "extract_links": O_EXTRACT_LINKS,
+    "extract_images": O_EXTRACT_IMAGES,
+    "extract_media": O_EXTRACT_MEDIA,
+    "extract_boilerplate": O_EXTRACT_BOILERPLATE,
+    "extract_tables": O_EXTRACT_TABLES,
+    "extract_markdown": O_EXTRACT_MARKDOWN,
+    "extract_all_links": O_EXTRACT_ALL_LINKS,
+    "extract_encoding": O_EXTRACT_ENCODING,
+    "dedup_exact": O_DEDUP_EXACT,
+    "token_stats": O_TOKEN_STATS,
+    "quality_scores": O_QUALITY_SCORES,
+    "doc_fingerprints": O_DOC_FINGERPRINTS,
+    "lang_distribution": O_LANG_DISTRIBUTION,
+    "ann_cosine_topk": O_ANN_TOPK,
+    # minhash_lsh_candidates / simhash / lang_id / embedding_near_dup:
+    # hash-seeded / heuristic ops with no ANSI-SQL equivalent -> rows-only
+}
