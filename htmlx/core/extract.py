@@ -23,7 +23,7 @@ from .extraction import (
     extract_text_with_structure_and_images,
 )
 from .sanitize import AuditRecorder, sanitize_dom
-from .scorer import DefaultScorer, get_default_scorer, select_best_candidate
+from .scorer import DefaultScorer, get_default_scorer, score_all_nodes, select_best_candidate
 from .tables import TrackedBuilder
 from .textnorm import clean_text, get_text_content
 from .urlutil import is_external_url, is_valid_url
@@ -280,17 +280,10 @@ class Extractor:
     def _extract_article_node(self, doc: Node) -> Node | None:
         """Port of extractArticleNode (extract.go:842-861). Candidates are
         collected in document order, so tie-break is deterministic
-        (first-in-document-order; see SURVEY.md §7.4)."""
-        candidates: dict[Node, int] = {}
-
-        def visit(n: Node) -> bool:
-            if n.type == ELEMENT:
-                score = self.scorer.score(n)
-                if score > 0:
-                    candidates[n] = score
-            return True
-
-        walk_nodes(doc, visit)
+        (first-in-document-order; see SURVEY.md §7.4). Scoring uses the
+        O(n) bottom-up pass (score_all_nodes) — semantically identical to
+        the reference's per-node subtree walks but linear, not O(n·depth)."""
+        candidates = score_all_nodes(doc, self.scorer)
         best = select_best_candidate(candidates)
         if best is not None:
             return best

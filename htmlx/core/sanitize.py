@@ -148,33 +148,32 @@ def _is_dangerous_scheme(lower_uri: str, scheme: str) -> bool:
 
 
 def _is_safe_uri(uri: str, audit: AuditRecorder) -> bool:
-    """Port of isSafeURIWithAudit (sanitize.go:388-452)."""
+    """Port of isSafeURIWithAudit (sanitize.go:388-452). The fullwidth
+    normalization is hoisted out of the per-scheme checks (pure perf; the
+    reference recomputes it per scheme, sanitize.go:475-476)."""
     if uri == "":
         return True
     normalized = unicodedata.normalize("NFC", uri)
     trimmed = normalized.strip()
     lower_uri = trimmed.lower()
+    fw = _normalize_fullwidth_to_ascii(lower_uri)
 
-    if _is_dangerous_scheme(lower_uri, "javascript:"):
-        audit.record_blocked_url(uri, "javascript scheme")
-        return False
-    if _is_dangerous_scheme(lower_uri, "vbscript:"):
-        audit.record_blocked_url(uri, "vbscript scheme")
-        return False
-    if _is_dangerous_scheme(lower_uri, "file:"):
-        audit.record_blocked_url(uri, "file scheme")
-        return False
+    for scheme, reason in (
+        ("javascript:", "javascript scheme"),
+        ("vbscript:", "vbscript scheme"),
+        ("file:", "file scheme"),
+    ):
+        if lower_uri.startswith(scheme) or fw.startswith(scheme):
+            audit.record_blocked_url(uri, reason)
+            return False
 
     if trimmed.startswith("//"):
         rest_lower = trimmed[2:].lstrip(" \t\n\r").lower()
-        if (
-            _is_dangerous_scheme(rest_lower, "javascript:")
-            or _is_dangerous_scheme(rest_lower, "vbscript:")
-            or _is_dangerous_scheme(rest_lower, "data:")
-            or _is_dangerous_scheme(rest_lower, "file:")
-        ):
-            audit.record_blocked_url(uri, "dangerous protocol-relative URL")
-            return False
+        rest_fw = _normalize_fullwidth_to_ascii(rest_lower)
+        for scheme in ("javascript:", "vbscript:", "data:", "file:"):
+            if rest_lower.startswith(scheme) or rest_fw.startswith(scheme):
+                audit.record_blocked_url(uri, "dangerous protocol-relative URL")
+                return False
 
     if lower_uri.startswith("data:"):
         if "image/svg+xml" in lower_uri:

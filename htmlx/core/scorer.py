@@ -278,6 +278,137 @@ def is_primary_content_container(node: Node) -> bool:
     return False
 
 
+def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
+    """Score every element under ``root`` in O(n) with ONE bottom-up pass.
+
+    Semantically identical to calling ``scorer.score(node)`` per element
+    (which re-walks each subtree, O(n·depth) — the reference's shape,
+    extract.go:842-861): metrics compose additively over the tree, so a
+    post-order accumulation yields the same per-node ContentMetrics. The
+    link-text determination follows the reference exactly: a text node
+    counts as link text if ANY ancestor (up to the document root, not just
+    the subtree root) is an <a> (scoring.go:83-89).
+
+    Returns {node: score} for scores > 0, insertion-ordered by document
+    position (deterministic tie-break in select_best_candidate)."""
+    scorer = scorer or _DEFAULT_SCORER
+    if root is None:
+        return {}
+
+    # iterative post-order: first pass collects nodes in pre-order
+    preorder: list[Node] = []
+    stack = [root]
+    in_link_flags: list[bool] = []
+    link_stack: list[tuple[Node, bool]] = [(root, _has_a_ancestor_or_self_chain(root))]
+    # simpler: compute in pre-order with an explicit (node, in_link) stack
+    preorder = []
+    visited = 0
+    work = [(root, _has_a_ancestor(root) or (root.type == ELEMENT and root.data == "a"))]
+    while work:
+        node, in_link = work.pop()
+        visited += 1
+        if visited > 50000:  # MAX_WALK_NODES cap (helpers.go:386)
+            break
+        preorder.append((node, in_link))
+        seg = len(work)
+        c = node.first_child
+        while c is not None:
+            work.append((c, in_link or (c.type == ELEMENT and c.data == "a")))
+            c = c.next_sibling
+        work[seg:] = work[seg:][::-1]
+
+    # post-order accumulation (reverse pre-order works for these sums)
+    metrics: dict[int, list] = {}
+    # per-node accumulator: [tag_count, para, heading, text_len, link_text, commas]
+    acc = {id(node): [0, 0, 0, 0, 0, 0] for node, _ in preorder}
+    for node, in_link in reversed(preorder):
+        a = acc[id(node)]
+        if node.type == ELEMENT:
+            a[0] += 1
+            d = node.data
+            if d == "p":
+                a[1] += 1
+            elif d in _HEADINGS:
+                a[2] += 1
+        elif node.type == TEXT:
+            text = normalize_nbsp(node.data).strip()
+            if text:
+                blen = len(text.encode("utf-8"))
+                a[3] += blen
+                a[5] += text.count(",") + text.count("，")
+                if in_link:
+                    a[4] += blen
+        p = node.parent
+        if p is not None and id(p) in acc:
+            pa = acc[id(p)]
+            for i in range(6):
+                pa[i] += a[i]
+
+    candidates: dict = {}
+    for node, _ in preorder:
+        if node.type != ELEMENT or is_non_content_element(node.data) or node.data == "p":
+            continue
+        a = acc[id(node)]
+        m = ContentMetrics()
+        m.tag_count, m.paragraph_count, m.heading_count = a[0], a[1], a[2]
+        m.text_length = m.total_text_length = a[3]
+        m.link_text_length = a[4]
+        m.comma_count = a[5]
+        score = _score_from_metrics(scorer, node, m)
+        if score > 0:
+            candidates[node] = score
+    return candidates
+
+
+def _has_a_ancestor(node: Node) -> bool:
+    p = node.parent
+    while p is not None:
+        if p.type == ELEMENT and p.data == "a":
+            return True
+        p = p.parent
+    return False
+
+
+def _has_a_ancestor_or_self_chain(node: Node) -> bool:  # pragma: no cover
+    return _has_a_ancestor(node)
+
+
+def _score_from_metrics(scorer: "DefaultScorer", node: Node, m: ContentMetrics) -> int:
+    """The scoring formula from DefaultScorer.score given precomputed
+    metrics (scorer.go:189-242 verbatim)."""
+    score = TAG_SCORES.get(node.data, 0) + scorer.score_attributes(node)
+    if m.paragraph_count >= MIN_PARAGRAPHS_FOR_BONUS:
+        score += m.paragraph_count * MANY_PARAGRAPHS_MULTIPLIER
+    elif m.paragraph_count > 0:
+        score += m.paragraph_count * FEW_PARAGRAPHS_MULTIPLIER
+    if m.heading_count > 0:
+        score += m.heading_count * HEADING_MULTIPLIER
+    tl = m.text_length
+    if tl > VERY_LONG_TEXT_THRESHOLD:
+        score += VERY_LONG_TEXT_THRESHOLD + (tl - VERY_LONG_TEXT_THRESHOLD) // VERY_LONG_TEXT_BONUS_MULTIPLIER
+    elif tl > LONG_TEXT_THRESHOLD:
+        score += tl // LONG_TEXT_BONUS_DIVIDER
+    elif tl > MEDIUM_TEXT_THRESHOLD:
+        score += tl // MEDIUM_TEXT_BONUS_DIVIDER
+    elif tl < SHORT_TEXT_THRESHOLD:
+        score += SHORT_TEXT_PENALTY
+    density = density_from_metrics(m)
+    if density > HIGH_CONTENT_DENSITY_THRESHOLD:
+        score = int(score * HIGH_DENSITY_MULTIPLIER)
+    elif density < LOW_CONTENT_DENSITY_THRESHOLD:
+        score = int(score * LOW_DENSITY_MULTIPLIER)
+    link_density = link_density_from_metrics(m)
+    if link_density > HIGH_LINK_DENSITY_THRESHOLD:
+        score = int(score * HIGH_LINK_DENSITY_PENALTY)
+    elif link_density > MEDIUM_LINK_DENSITY_THRESHOLD:
+        score = int(score * MEDIUM_LINK_DENSITY_PENALTY)
+    elif link_density > LOW_LINK_DENSITY_THRESHOLD:
+        score = int(score * LOW_LINK_DENSITY_PENALTY)
+    if m.comma_count > COMMA_BONUS_THRESHOLD:
+        score += m.comma_count * COMMA_BONUS_MULTIPLIER
+    return score
+
+
 _DEFAULT_SCORER = DefaultScorer()
 
 
