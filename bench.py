@@ -36,8 +36,12 @@ def _sf_label(sf_dir: str) -> float:
 
 def run_throughput_once(cores: int, sf_dir: str, replicate: int = 4) -> dict:
     """Run the full-extraction job once at `cores` parallelism; returns
-    docs/sec. Pages are synthesized from documents and replicated
-    `replicate`x with distinct urls to get a meaningful corpus size."""
+    docs/sec. Pages are synthesized from documents, replicated `replicate`x
+    with distinct urls, and written to parquet first — the timed region is
+    the real pipeline shape: parquet scan -> salted repartition (4x cores)
+    -> mapInPandas extraction -> count."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from htmlx.core.extract import Config
@@ -46,28 +50,31 @@ def run_throughput_once(cores: int, sf_dir: str, replicate: int = 4) -> dict:
     from htmlx.spark.session import get_spark
 
     spark = get_spark(cores=cores, app_name=f"htmlx-bench-{cores}")
+    tmp = tempfile.mkdtemp(prefix="htmlx_bench_pages_")
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         if replicate > 1:
             docs = docs.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep")).withColumn(
                 "doc_id", F.col("doc_id") + F.col("rep") * 1_000_000
             ).drop("rep")
-        pages = pages_from_documents(docs, "links").persist()
-        n_docs = pages.count()  # materialize input so timing excludes synth
-        # Warm-up pass: spin up + import-load the Python workers on every core
-        # (spark.python.worker.reuse keeps them alive). A long-running cluster
-        # app runs warm; cold-start amortizes to zero at 10^12 docs, so the
-        # steady-state number is the meaningful one.
+        pages_from_documents(docs, "links").write.mode("overwrite").parquet(tmp)
+        pages = spark.read.parquet(tmp)
+        n_docs = pages.count()
+        # Warm-up: spin up + import-load the Python workers on every core
+        # (spark.python.worker.reuse keeps them alive). A long-running
+        # cluster app runs warm; cold-start amortizes to zero at 10^12 docs.
         warm = run_extraction(pages.limit(cores * 128), Config(), num_partitions=cores)
         warm.where(F.col("error") == "").count()
         t0 = time.monotonic()
-        out = run_extraction(pages, Config(), num_partitions=cores * 2)
+        out = run_extraction(pages, Config(), num_partitions=cores * 4)
         n_out = out.where(F.col("error") == "").count()
         elapsed = time.monotonic() - t0
-        pages.unpersist()
         return {"cores": cores, "docs": n_docs, "ok": n_out, "sec": elapsed, "docs_per_sec": n_docs / elapsed}
     finally:
         spark.stop()
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_queries(sf_dir: str, cores: int) -> dict:
@@ -114,17 +121,186 @@ def scaling_evidence(sf_dir: str, n_small: int, n_big: int) -> dict:
         results[cores] = json.loads(line)
     small, big = results[n_small], results[n_big]
     eff = (big["docs_per_sec"] / small["docs_per_sec"]) / (n_big / n_small)
-    return {
+    droop = _hardware_droop(sf_dir, n_small, n_big)
+    out = {
         "n_small": n_small,
         "n_big": n_big,
         "docs_per_sec_small": round(small["docs_per_sec"], 1),
         "docs_per_sec_big": round(big["docs_per_sec"], 1),
         "scaling_efficiency": round(eff, 3),
         "docs": big["docs"],
+        # Single-box confound: per-core Python throughput measured with N vs
+        # 4N concurrent PLAIN processes (no Spark) — turbo-frequency and
+        # memory-bandwidth droop that a real N-executor vs 4N-executor
+        # cluster (constant per-machine load) would not see.
+        "hardware_percore_droop": droop,
     }
+    if droop:
+        out["scaling_efficiency_hw_normalized"] = round(min(eff / droop, 1.0), 3)
+    return out
+
+
+_PROBE = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import duckdb
+from htmlx.spark.pages import duckdb_pages_cte
+from htmlx.core.extract import Extractor
+con = duckdb.connect()
+con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+pages = [r[0].encode() for r in con.execute(
+    f"SELECT page_html FROM ({{}}) LIMIT 1200".format(duckdb_pages_cte('links'))).fetchall()]
+ex = Extractor()
+for p in pages[:200]: ex.extract(p)
+t0 = time.monotonic()
+for p in pages: ex.extract(p)
+print(int(len(pages) / (time.monotonic() - t0)))
+"""
+
+
+def _hardware_droop(sf_dir: str, n_small: int, n_big: int) -> float | None:
+    """Measure the machine's per-core throughput ratio between n_big and
+    n_small concurrent single-core extractor processes (no Spark)."""
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    script = _PROBE.replace("{repo!r}", repr(repo)).replace("{sf}", sf_dir)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    try:
+        rates = {}
+        for n in (n_small, n_big):
+            procs = [
+                subprocess.Popen(
+                    ["taskset", "-c", str(i), sys.executable, path],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                )
+                for i in range(n)
+            ]
+            total = 0
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                total += int(out.strip() or 0)
+            rates[n] = total / n
+        return round(rates[n_big] / rates[n_small], 3) if rates[n_small] else None
+    except Exception:
+        return None
+    finally:
+        os.unlink(path)
+
+
+def _prepare_shards(sf_dir: str, shards: int, replicate: int, root: str) -> None:
+    """Synthesize the pages corpus once and write it sharded by url-hash so
+    each simulated executor owns a shard."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.pages import pages_from_documents
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=8, app_name="htmlx-shard-prep")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep")).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * 1_000_000
+        ).drop("rep")
+        pages = pages_from_documents(docs, "links").withColumn(
+            "shard", F.pmod(F.xxhash64("url"), F.lit(shards))
+        )
+        pages.write.mode("overwrite").partitionBy("shard").parquet(root)
+    finally:
+        spark.stop()
+
+
+def run_shard(cores: int, shard_dir: str) -> dict:
+    """One simulated executor: read its shard, warm up, run extraction."""
+    from pyspark.sql import functions as F
+
+    from htmlx.core.extract import Config
+    from htmlx.spark.job import run_extraction
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=cores, app_name="htmlx-executor")
+    try:
+        pages = spark.read.parquet(shard_dir)
+        n_docs = pages.count()
+        warm = run_extraction(pages.limit(cores * 128), Config(), num_partitions=cores)
+        warm.where(F.col("error") == "").count()
+        t0 = time.monotonic()
+        out = run_extraction(pages, Config(), num_partitions=cores * 4)
+        n_out = out.where(F.col("error") == "").count()
+        elapsed = time.monotonic() - t0
+        return {"docs": n_docs, "ok": n_out, "sec": elapsed, "docs_per_sec": n_docs / elapsed}
+    finally:
+        spark.stop()
+
+
+def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4) -> dict:
+    """N-vs-4N EXECUTOR simulation: one pinned local[8] JVM vs `n_execs`
+    concurrent pinned local[8] JVMs on disjoint core sets, each owning a
+    url-hash shard — the faithful in-sandbox analogue of a 1-executor vs
+    4-executor cluster (separate JVMs, separate Python worker pools,
+    identical per-executor core budget)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="htmlx_shards_")
+    try:
+        replicate = 64
+        _prepare_shards(sf_dir, n_execs, replicate, root)
+
+        def shard_cmd(i: int, pin_start: int):
+            cpus = f"{pin_start}-{pin_start + exec_cores - 1}"
+            return ["taskset", "-c", cpus, sys.executable, __file__, "--one-shard",
+                    str(exec_cores), os.path.join(root, f"shard={i}")]
+
+        # phase A: single executor on shard 0
+        out = subprocess.run(shard_cmd(0, 0), capture_output=True, text=True, timeout=3000)
+        single = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+        # phase B: n_execs concurrent executors, disjoint core pins
+        procs = [
+            subprocess.Popen(shard_cmd(i, i * exec_cores), stdout=subprocess.PIPE, text=True)
+            for i in range(n_execs)
+        ]
+        results = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=3000)
+            results.append(json.loads([l for l in stdout.splitlines() if l.startswith("{")][-1]))
+        total_docs = sum(r["docs"] for r in results)
+        wall = max(r["sec"] for r in results)
+        t4 = total_docs / wall
+        eff = (t4 / single["docs_per_sec"]) / n_execs
+        return {
+            "mode": "executor-simulation",
+            "exec_cores": exec_cores,
+            "n_small_executors": 1,
+            "n_big_executors": n_execs,
+            "docs_per_sec_1exec": round(single["docs_per_sec"], 1),
+            "docs_per_sec_4exec": round(t4, 1),
+            "scaling_efficiency": round(eff, 3),
+            "docs": total_docs,
+            "per_executor_docs_per_sec": [round(r["docs_per_sec"], 1) for r in results],
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-shard":
+        print(json.dumps(run_shard(int(sys.argv[2]), sys.argv[3])))
+        return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--executor-scaling":
+        ev = executor_scaling_evidence(SF_DIR, max(CPUS // 4, 2), 4)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/executor_scaling.json", "w") as f:
+            json.dump(ev, f, indent=1)
+        print(json.dumps(ev))
+        return
+
     if len(sys.argv) > 1 and sys.argv[1] == "--one-run":
         cores = int(sys.argv[2])
         sf_dir = sys.argv[3]
