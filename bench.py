@@ -208,7 +208,9 @@ def _prepare_shards(sf_dir: str, shards: int, replicate: int, root: str) -> None
         pages = pages_from_documents(docs, "links").withColumn(
             "shard", F.pmod(F.xxhash64("url"), F.lit(shards))
         )
-        pages.write.mode("overwrite").partitionBy("shard").parquet(root)
+        # spread each shard over many files: a single fat file would serialize
+        # the executor's scan (1 input split) and starve the shuffle map side
+        pages.repartition(shards * 16, "url").write.mode("overwrite").partitionBy("shard").parquet(root)
     finally:
         spark.stop()
 

@@ -1,0 +1,72 @@
+"""Boundary/limit behavior — ported from boundary_test.go and
+panic_protection_test.go (error rows instead of exceptions)."""
+
+from htmlx.core.extract import Config, Extractor, extract
+from htmlx.core.links import extract_all_links
+
+
+def test_empty_inputs():
+    assert extract(b"").error == ""
+    assert extract(b"").text == ""
+    assert extract_all_links(b"") == []
+
+
+def test_whitespace_only():
+    r = extract(b" \t\r\n  ")
+    assert r.text == "" and r.error == ""
+
+
+def test_max_input_size_boundary():
+    cfg = Config(max_input_size=100)
+    assert Extractor(cfg).extract(b"x" * 100).error == ""
+    assert Extractor(cfg).extract(b"x" * 101).error == "input_too_large"
+
+
+def test_depth_boundary():
+    cfg = Config(max_depth=50)
+    ok = b"<div>" * 25 + b"x" + b"</div>" * 25
+    too_deep = b"<div>" * 60 + b"x" + b"</div>" * 60
+    assert Extractor(cfg).extract(ok).error == ""
+    assert Extractor(cfg).extract(too_deep).error == "max_depth_exceeded"
+
+
+def test_unclosed_tags():
+    r = extract(b"<div><p>Unclosed content")
+    assert r.error == ""
+    assert "Unclosed content" in r.text
+
+
+def test_garbage_bytes_no_exception():
+    for blob in (b"\x00\x01\x02\xff\xfe", b"<" * 1000, b"&#" * 500, b"<a href=" * 100):
+        r = extract(blob)
+        assert isinstance(r.text, str)  # never raises
+
+
+def test_broken_entities():
+    r = extract(b"<p>&amp &#x; &#999999999999; &notarealentity; &lt;ok&gt;</p>")
+    assert r.error == ""
+    assert "<ok>" in r.text
+
+
+def test_url_length_cap():
+    # 2000-char URL cap (constants.go:6) — longer hrefs dropped
+    long_url = "https://x.com/" + "a" * 2000
+    html = f'<article><p>Real paragraph content sits right here now.</p><a href="{long_url}">L</a><a href="/ok">O</a></article>'.encode()
+    r = extract(html)
+    assert [l["url"] for l in r.links] == ["/ok"]
+    # the dropped link still consumed position 1
+    assert r.links[0]["position"] == 2
+
+
+def test_attribute_edge_cases():
+    r = extract(b'<article><p>Paragraph content for scoring goes here now.</p>'
+                b'<img src="a.jpg" alt width height><a href>x</a></article>')
+    assert r.error == ""
+    assert r.images[0]["alt"] == "" and r.images[0]["is_decorative"] is True
+
+
+def test_deeply_nested_lists():
+    html = b"<ul>" + b"<li>x<ul>" * 10 + b"<li>deep</li>" + b"</ul></li>" * 10 + b"</ul>"
+    r = extract(html)
+    assert r.error == ""
+    assert "deep" in r.text
