@@ -280,10 +280,24 @@ class Extractor:
     def _extract_article_node(self, doc: Node) -> Node | None:
         """Port of extractArticleNode (extract.go:842-861). Candidates are
         collected in document order, so tie-break is deterministic
-        (first-in-document-order; see SURVEY.md §7.4). Scoring uses the
-        O(n) bottom-up pass (score_all_nodes) — semantically identical to
-        the reference's per-node subtree walks but linear, not O(n·depth)."""
-        candidates = score_all_nodes(doc, self.scorer)
+        (first-in-document-order; see SURVEY.md §7.4). The default scorer
+        uses the O(n) bottom-up pass (score_all_nodes) — semantically
+        identical to the reference's per-node subtree walks but linear, not
+        O(n·depth). A custom scorer (opaque score()) takes the generic
+        per-node walk, mirroring extract.go:849-856."""
+        if isinstance(self.scorer, DefaultScorer):
+            candidates = score_all_nodes(doc, self.scorer)
+        else:
+            candidates = {}
+
+            def visit(n: Node) -> bool:
+                if n.type == ELEMENT:
+                    s = self.scorer.score(n)
+                    if s > 0:
+                        candidates[n] = s
+                return True
+
+            walk_nodes(doc, visit)
         best = select_best_candidate(candidates)
         if best is not None:
             return best
