@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.extract import Config, Extractor
-from .schemas import ALL_LINKS_SCHEMA, METRICS_SCHEMA, RESULT_SCHEMA
+from .schemas import ALL_LINKS_SCHEMA, AUDIT_SCHEMA, METRICS_SCHEMA, RESULT_SCHEMA
 
 
 def _partition_id() -> int:
@@ -117,6 +117,87 @@ def make_metrics_batch(config: Config, run_id: str = ""):
             )
 
     return metrics_batch
+
+
+def make_audit_batch(config: Config, run_id: str = ""):
+    """Batch function emitting one row per security/audit event (blocked
+    tags/attrs/URLs during sanitization) tagged with (run_id, partition_id)
+    lineage — the Spark-native replacement for the reference's audit sink
+    zoo (audit.go:157-640): audit events are DATA appended to a table."""
+    audit_config = Config(**{**config.__dict__, "audit_enabled": True})
+
+    def audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        extractor = Extractor(audit_config)
+        pid = _partition_id()
+        cols = [f.name for f in AUDIT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                b = bytes(html) if html is not None else b""
+                r = extractor.extract(b)
+                for ev in r.audit:
+                    rows.append(
+                        {
+                            "run_id": run_id,
+                            "partition_id": pid,
+                            "url": url,
+                            "event_type": ev.get("event_type", ""),
+                            "tag": ev.get("tag", ""),
+                            "attribute": ev.get("attribute", ""),
+                            "blocked_url": ev.get("blocked_url", ""),
+                            "message": ev.get("message", ""),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return audit_batch
+
+
+def run_audit(
+    df: DataFrame,
+    config: Config | None = None,
+    run_id: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Audit-event stage: one output row per blocked tag/attr/URL."""
+    config = config or Config()
+    projected = df.select("url", "html")
+    if num_partitions:
+        projected = salted_repartition(projected, num_partitions)
+    return projected.mapInPandas(make_audit_batch(config, run_id), AUDIT_SCHEMA)
+
+
+def dedup_pages_by_content(df: DataFrame) -> DataFrame:
+    """Content-hash dedup BEFORE extraction — the Spark-idiomatic
+    replacement for the reference's result cache (SURVEY.md §4.1): at
+    10^12 docs an LRU is pointless, but crawls repeat pages; extracting
+    each distinct html once and joining results back is the scalable
+    equivalent. Returns one representative row per distinct html
+    (keeps the min url for determinism)."""
+    hashed = df.withColumn("__h", F.sha2(F.col("html"), 256))
+    w_min = hashed.groupBy("__h").agg(F.min("url").alias("url"))
+    return (
+        hashed.join(w_min, on=["__h", "url"], how="inner")
+        .drop("__h")
+    )
+
+
+def to_json_results(results: DataFrame) -> DataFrame:
+    """JSON serialization of results — ExtractToJSON analogue
+    (output.go:44-66) via the built-in `to_json` (ms durations, same field
+    names as the reference's MarshalJSON, output.go:270-302)."""
+    payload = F.struct(
+        F.col("text"),
+        F.col("title"),
+        F.col("images"),
+        F.col("links"),
+        F.col("videos"),
+        F.col("audios"),
+        F.col("word_count"),
+        F.col("reading_time_ms"),
+        F.col("processing_time_ms"),
+    )
+    return results.select("url", F.to_json(payload).alias("json"))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt: str = "htmlx") -> DataFrame:

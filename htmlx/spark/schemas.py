@@ -108,6 +108,20 @@ ALL_LINKS_SCHEMA = StructType(
     ]
 )
 
+# Per-document audit/security events (audit.go:52-67) with lineage
+AUDIT_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("url", StringType()),
+        StructField("event_type", StringType()),
+        StructField("tag", StringType()),
+        StructField("attribute", StringType()),
+        StructField("blocked_url", StringType()),
+        StructField("message", StringType()),
+    ]
+)
+
 # Per-partition metrics rows -> audit table (north_rule lineage requirement;
 # Spark-native replacement for Statistics, processor.go:254-271)
 METRICS_SCHEMA = StructType(
