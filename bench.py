@@ -251,7 +251,7 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
 
     root = tempfile.mkdtemp(prefix="htmlx_shards_")
     try:
-        replicate = 64
+        replicate = 256  # ~1.28M docs: ~60s timed region per executor
         _prepare_shards(sf_dir, n_execs, replicate, root)
 
         worker_slots = max(exec_cores - 2, 2)
@@ -265,7 +265,7 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
         # command varies ~3x run-to-run at full machine load), so each phase
         # runs `rounds` times and the BEST round is reported — standard
         # throughput-benchmark practice for filtering external interference.
-        rounds = 3
+        rounds = 2
 
         single = None
         for _ in range(rounds):

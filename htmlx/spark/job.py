@@ -66,15 +66,53 @@ def make_extract_batch(config: Config, run_id: str = ""):
         for pdf in batches:
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
-            rows = []
-            for url, html in zip(urls, htmls):
+            n = len(urls)
+            # columnar result build (dict-of-lists): cheaper pandas/Arrow
+            # conversion than a list of per-row dicts
+            titles = [None] * n
+            texts = [None] * n
+            images = [None] * n
+            links = [None] * n
+            videos = [None] * n
+            audios = [None] * n
+            word_counts = [0] * n
+            reading = [0] * n
+            proc_ms = [0] * n
+            errors = [""] * n
+            for i in range(n):
+                html = htmls[i]
                 if html is None:
                     html = b""
                 elif isinstance(html, (bytearray, memoryview)):
                     html = bytes(html)
                 r = extractor.extract(html)
-                rows.append(_result_row(url, r, run_id, pid))
-            yield pd.DataFrame(rows, columns=[f.name for f in RESULT_SCHEMA.fields])
+                titles[i] = r.title
+                texts[i] = r.text
+                images[i] = r.images
+                links[i] = r.links
+                videos[i] = r.videos
+                audios[i] = r.audios
+                word_counts[i] = r.word_count
+                reading[i] = r.reading_time_ms
+                proc_ms[i] = r.processing_time_ms
+                errors[i] = r.error
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "title": titles,
+                    "text": texts,
+                    "images": images,
+                    "links": links,
+                    "videos": videos,
+                    "audios": audios,
+                    "word_count": word_counts,
+                    "reading_time_ms": reading,
+                    "processing_time_ms": proc_ms,
+                    "error": errors,
+                    "run_id": run_id,
+                    "partition_id": pid,
+                }
+            )
 
     return extract_batch
 

@@ -11,7 +11,7 @@ def get_spark(
     cores: int | None = None,
     app_name: str = "htmlx",
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 1024,
+    arrow_batch_rows: int = 256,
 ) -> SparkSession:
     """Build a local SparkSession with the engine's standard config.
 
