@@ -95,6 +95,11 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     spark = get_spark(cores=cores, app_name="htmlx-bench-queries")
     times = {}
     try:
+        # warm the Python workers so the first timed query isn't charged
+        # the one-time worker spawn/import cost
+        QUERIES["extract_text"](spark, sf_dir).limit(cores * 64).write.format("noop").mode(
+            "overwrite"
+        ).save()
         for name in headline:
             t0 = time.monotonic()
             df = QUERIES[name](spark, sf_dir)

@@ -50,8 +50,17 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: in
     """MinHash signatures: sig[j] = min over shingles of xxhash64(shingle, j).
 
     All JVM-side (xxhash64 + array_min inside transform); the signature is
-    computed in the scan stage with zero shuffles."""
-    sh = shingles_col("text", shingle_k)
+    computed in the scan stage with zero shuffles. Tokenization and shingle
+    materialization are staged as separate projections so the split/shingle
+    arrays are computed once per row, not once per hash function (Catalyst
+    does not CSE across the per-hash lambdas)."""
+    k = shingle_k
+    tokens = F.split(F.col("text"), " ")
+    sh = F.expr(
+        f"CASE WHEN size(__tokens) < {k} THEN array(text) "
+        f"ELSE transform(sequence(1, size(__tokens) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(__tokens, i, {k}))) END"
+    )
     sig = F.array(
         *[
             F.array_min(F.expr(f"transform(__shingles, s -> xxhash64(s, {j})) "))
@@ -59,9 +68,10 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: in
         ]
     )
     return (
-        documents.withColumn("__shingles", sh)
+        documents.withColumn("__tokens", tokens)
+        .withColumn("__shingles", sh)
         .withColumn("minhash_sig", sig)
-        .drop("__shingles")
+        .drop("__tokens", "__shingles")
     )
 
 
