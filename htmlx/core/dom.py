@@ -415,21 +415,22 @@ def walk_nodes(node: Node, fn) -> tuple[bool, int]:
     if node is None or fn is None:
         return False, 0
     stack = [node]
+    push = stack.append
+    pop = stack.pop
     visited = 0
     while stack:
         visited += 1
         if visited > MAX_WALK_NODES:
             return True, visited - 1
-        n = stack.pop()
+        n = pop()
         if not fn(n):
             continue
-        # push children so first child is processed next (document order)
-        seg = len(stack)
-        c = n.first_child
+        # push children in reverse document order (via prev_sibling chain)
+        # so the first child pops next — no intermediate reversal needed
+        c = n.last_child
         while c is not None:
-            stack.append(c)
-            c = c.next_sibling
-        stack[seg:] = stack[seg:][::-1]
+            push(c)
+            c = c.prev_sibling
     return False, visited
 
 

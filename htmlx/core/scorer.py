@@ -295,42 +295,37 @@ def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
     if root is None:
         return {}
 
-    # iterative post-order: first pass collects nodes in pre-order
-    preorder: list[Node] = []
-    stack = [root]
-    in_link_flags: list[bool] = []
-    link_stack: list[tuple[Node, bool]] = [(root, _has_a_ancestor_or_self_chain(root))]
-    # simpler: compute in pre-order with an explicit (node, in_link) stack
-    preorder = []
+    # pre-order collection with an explicit (node, in_link) stack
+    preorder: list[tuple[Node, bool]] = []
     visited = 0
     work = [(root, _has_a_ancestor(root) or (root.type == ELEMENT and root.data == "a"))]
+    pop = work.pop
+    push = work.append
     while work:
-        node, in_link = work.pop()
+        node, in_link = pop()
         visited += 1
         if visited > 50000:  # MAX_WALK_NODES cap (helpers.go:386)
             break
         preorder.append((node, in_link))
-        seg = len(work)
-        c = node.first_child
+        c = node.last_child
         while c is not None:
-            work.append((c, in_link or (c.type == ELEMENT and c.data == "a")))
-            c = c.next_sibling
-        work[seg:] = work[seg:][::-1]
+            push((c, in_link or (c.type == ELEMENT and c.data == "a")))
+            c = c.prev_sibling
 
-    # post-order accumulation (reverse pre-order works for these sums)
-    metrics: dict[int, list] = {}
+    # post-order accumulation (reverse pre-order works for these sums);
     # per-node accumulator: [tag_count, para, heading, text_len, link_text, commas]
     acc = {id(node): [0, 0, 0, 0, 0, 0] for node, _ in preorder}
     for node, in_link in reversed(preorder):
         a = acc[id(node)]
-        if node.type == ELEMENT:
+        t = node.type
+        if t == ELEMENT:
             a[0] += 1
             d = node.data
             if d == "p":
                 a[1] += 1
             elif d in _HEADINGS:
                 a[2] += 1
-        elif node.type == TEXT:
+        elif t == TEXT:
             text = normalize_nbsp(node.data).strip()
             if text:
                 blen = len(text.encode("utf-8"))
@@ -339,10 +334,15 @@ def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
                 if in_link:
                     a[4] += blen
         p = node.parent
-        if p is not None and id(p) in acc:
-            pa = acc[id(p)]
-            for i in range(6):
-                pa[i] += a[i]
+        if p is not None:
+            pa = acc.get(id(p))
+            if pa is not None:
+                pa[0] += a[0]
+                pa[1] += a[1]
+                pa[2] += a[2]
+                pa[3] += a[3]
+                pa[4] += a[4]
+                pa[5] += a[5]
 
     candidates: dict = {}
     for node, _ in preorder:
