@@ -329,9 +329,43 @@ QUALIFY rank <= 5
 """
 
 
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window event rollup (the batch analogue of the streaming
+    windowed aggregation surface)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").cast("double").alias("sum_value"),
+        )
+        .select("hour", "event_type", "n_events", F.round("sum_value", 4).alias("sum_value"))
+    )
+
+
+O_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # rows-only ops (non-SQL-expressible; driver records weaker check)
 def q_minhash_lsh(spark, sf_dir):
     return analytics.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """LSH candidates -> exact n-gram Jaccard verification (the
+    candidate-then-verify near-dup chain)."""
+    docs = _docs(spark, sf_dir)
+    cands = analytics.minhash_lsh_candidates(docs)
+    return analytics.ngram_jaccard_pairs(docs, cands).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -362,7 +396,9 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_topk,
+    "events_hourly_rollup": q_events_hourly,
     "minhash_lsh_candidates": q_minhash_lsh,
+    "ngram_jaccard_verify": q_ngram_jaccard,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "embedding_near_dup": q_embedding_near_dup,
@@ -384,6 +420,8 @@ ORACLES = {
     "doc_fingerprints": O_DOC_FINGERPRINTS,
     "lang_distribution": O_LANG_DISTRIBUTION,
     "ann_cosine_topk": O_ANN_TOPK,
-    # minhash_lsh_candidates / simhash / lang_id / embedding_near_dup:
-    # hash-seeded / heuristic ops with no ANSI-SQL equivalent -> rows-only
+    "events_hourly_rollup": O_EVENTS_HOURLY,
+    # minhash_lsh_candidates / ngram_jaccard_verify / simhash / lang_id /
+    # embedding_near_dup: hash-seeded / heuristic ops with no ANSI-SQL
+    # equivalent -> rows-only
 }
