@@ -12,12 +12,20 @@ def get_spark(
     app_name: str = "htmlx",
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 256,
+    adaptive: bool = False,
 ) -> SparkSession:
     """Build a local SparkSession with the engine's standard config.
 
-    - AQE on (runtime re-planning, skew-join handling)
-    - Arrow transport on; small maxRecordsPerBatch because rows carry
-      multi-KB html payloads (SURVEY.md §4.3: bound Python-worker memory)
+    - AQE OFF by default (measured: AQE's query-stage materialization
+      barrier + runtime re-planning cost ~40% aggregate throughput at
+      4-executor load on this pipeline — per-executor 6k -> 10-11k docs/s
+      without it; see BENCH/BASELINE.md). The pipeline's skew risk is
+      handled EXPLICITLY by the salted url-hash repartition, so AQE's
+      skew-join mitigation adds nothing here. Pass adaptive=True for
+      join-heavy analytics where runtime re-planning can pay for itself.
+    - Arrow transport on; small maxRecordsPerBatch (256) because rows carry
+      multi-KB html payloads: bounds Python-worker memory AND L3 footprint
+      (measured +31% fleet throughput vs 1024-row batches)
     - shuffle partitions ~ 2x cores so the salted repartition spreads work
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -25,7 +33,7 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
