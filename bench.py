@@ -252,12 +252,18 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
     exec_cores CPUs — standard cluster practice leaving headroom for JVM
     service threads (shuffle/Arrow/GC), which measurably beats fully
     subscribed slots here."""
-    import tempfile
-
-    root = tempfile.mkdtemp(prefix="htmlx_shards_")
+    replicate = 256  # ~1.28M docs: ~60s timed region per executor
+    # cache the prepared shards: shard prep is several minutes of full-load
+    # work, and on this burstable VM heavy work right before measurement
+    # depresses the measurement itself (credit/thermal throttle) — prepare
+    # once, reuse, and cool down before measuring
+    root = f"/tmp/htmlx_shards_cache_{os.path.basename(sf_dir.rstrip('/'))}_{n_execs}x{replicate}"
     try:
-        replicate = 256  # ~1.28M docs: ~60s timed region per executor
-        _prepare_shards(sf_dir, n_execs, replicate, root)
+        if not all(
+            os.path.isdir(os.path.join(root, f"shard={i}")) for i in range(n_execs)
+        ):
+            _prepare_shards(sf_dir, n_execs, replicate, root)
+            time.sleep(60)  # cool-down after the heavy prep phase
 
         worker_slots = max(exec_cores - 2, 2)
 
@@ -274,6 +280,7 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
 
         single = None
         for _ in range(rounds):
+            time.sleep(30)  # credit/thermal cool-down between rounds
             out = subprocess.run(shard_cmd(0, 0), capture_output=True, text=True, timeout=3000)
             r = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
             if single is None or r["docs_per_sec"] > single["docs_per_sec"]:
@@ -282,6 +289,7 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
         best_t4 = 0.0
         best_round = None
         for _ in range(rounds):
+            time.sleep(45)  # cool-down: fleet rounds deplete burst credits
             procs = [
                 subprocess.Popen(shard_cmd(i, i * exec_cores), stdout=subprocess.PIPE, text=True)
                 for i in range(n_execs)
@@ -322,9 +330,7 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
             out["scaling_efficiency_vs_machine_ceiling"] = round(min(eff / ceiling, 1.0), 3)
         return out
     finally:
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
+        pass  # cached shards are reused across runs
 
 
 def main():
