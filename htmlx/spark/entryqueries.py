@@ -329,6 +329,96 @@ QUALIFY rank <= 5
 """
 
 
+def q_media_sniff(spark, sf_dir):
+    """Multimodal metadata plumbing: synthesize PNG payloads (dimensions
+    derived from doc_id), run the binary sniff + header-dimension stage."""
+    import struct
+
+    import pandas as pd
+
+    from .multimodal import extract_media_metadata
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.doc_id:
+                w = 100 + int(doc_id) % 500
+                h = 50 + int(doc_id) % 300
+                payload = (
+                    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x08"
+                )
+                rows.append({"media_id": int(doc_id), "kind": "image", "payload": payload,
+                             "mime": "", "source_url": ""})
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime", "source_url"])
+
+    media = docs.mapInPandas(
+        build, "media_id long, kind string, payload binary, mime string, source_url string"
+    )
+    return extract_media_metadata(media).select(
+        "media_id",
+        "mime_sniffed",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "error",
+    )
+
+
+O_MEDIA_SNIFF = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/png' AS mime_sniffed,
+       CAST(100 + doc_id % 500 AS BIGINT) AS width,
+       CAST(50 + doc_id % 300 AS BIGINT) AS height,
+       '' AS error
+FROM documents
+"""
+
+
+def q_pdf_metadata(spark, sf_dir):
+    """PDF structural-parse plumbing: synthesize minimal PDFs (page count
+    derived from doc_id), run the codec-free structural stage."""
+    import pandas as pd
+
+    from .pdf import extract_pdf_metadata
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf.doc_id, pdf.source):
+                pages = 1 + int(doc_id) % 5
+                body = b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+                for i in range(pages):
+                    body += b"%d 0 obj\n<< /Type /Page >>\nendobj\n" % (2 + i)
+                body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n%%%%EOF\n" % int(doc_id)
+                rows.append(
+                    {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
+                )
+            yield pd.DataFrame(rows, columns=["url", "payload"])
+
+    pdfs = docs.mapInPandas(build, "url string, payload binary")
+    return extract_pdf_metadata(pdfs).select(
+        "url",
+        "pdf_version",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_objects").cast("long").alias("n_objects"),
+        "title",
+        "error",
+    )
+
+
+O_PDF_METADATA = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+       '1.7' AS pdf_version,
+       CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
+       CAST(3 + doc_id % 5 AS BIGINT) AS n_objects,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'decoder_unavailable' AS error
+FROM documents
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window event rollup (the batch analogue of the streaming
     windowed aggregation surface)."""
@@ -397,6 +487,8 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_topk,
     "events_hourly_rollup": q_events_hourly,
+    "media_sniff_metadata": q_media_sniff,
+    "pdf_structural_parse": q_pdf_metadata,
     "minhash_lsh_candidates": q_minhash_lsh,
     "ngram_jaccard_verify": q_ngram_jaccard,
     "simhash": q_simhash,
@@ -421,6 +513,8 @@ ORACLES = {
     "lang_distribution": O_LANG_DISTRIBUTION,
     "ann_cosine_topk": O_ANN_TOPK,
     "events_hourly_rollup": O_EVENTS_HOURLY,
+    "media_sniff_metadata": O_MEDIA_SNIFF,
+    "pdf_structural_parse": O_PDF_METADATA,
     # minhash_lsh_candidates / ngram_jaccard_verify / simhash / lang_id /
     # embedding_near_dup: hash-seeded / heuristic ops with no ANSI-SQL
     # equivalent -> rows-only
