@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the plans we want, not just plans that pass.
+
+Pins the scale-critical properties: broadcast ANN join, map-side partial
+aggregation for dedup, pruned scans, bounded shuffle counts (SURVEY.md §4).
+"""
+
+import pytest
+
+from htmlx.spark.analytics import ann_topk, dedup_exact, minhash_lsh_candidates, token_stats
+from htmlx.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-plan-test")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ann_broadcasts_queries(emb):
+    p = plan_of(ann_topk(emb))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    # only the top-k window ranking shuffles
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_dedup_partial_aggregation(docs):
+    p = plan_of(dedup_exact(docs))
+    assert "partial_" in p  # map-side combine before the shuffle
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_scan_pruned(docs):
+    p = plan_of(dedup_exact(docs))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_token_stats_no_shuffle(docs):
+    # pure per-row projection: zero exchanges
+    p = plan_of(token_stats(docs))
+    assert "Exchange" not in p
+
+
+def test_lsh_single_shuffle(docs):
+    # signature computation is scan-side; only the band self-join shuffles
+    p = plan_of(minhash_lsh_candidates(docs))
+    assert p.count("Exchange hashpartitioning") <= 2
