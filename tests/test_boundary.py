@@ -70,3 +70,14 @@ def test_deeply_nested_lists():
     r = extract(html)
     assert r.error == ""
     assert "deep" in r.text
+
+
+def test_processing_timeout_guard():
+    # wall-clock guard: with a zero-ish budget, post-sanitize stages abort
+    # and the row degrades to error='timeout' (extract.go:603-665 analogue)
+    cfg = Config(processing_timeout_s=0.000001)
+    r = Extractor(cfg).extract(b"<article><p>some content here</p></article>")
+    assert r.error == "timeout"
+    # timeout disabled -> normal result
+    cfg2 = Config(processing_timeout_s=0)
+    assert Extractor(cfg2).extract(b"<p>ok</p>").error == ""
