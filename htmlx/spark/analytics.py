@@ -213,6 +213,105 @@ def _dot(a: str, b: str):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
+def ivf_assign(embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1) -> tuple:
+    """IVF bucketing: deterministic seed centroids (smallest xxhash64 of
+    vec_id — no RNG, reproducible across runs/parallelism) refined with
+    `lloyd_iters` Lloyd iterations (groupBy-mean — one shuffle each), then
+    every vector assigned to its nearest centroid.
+
+    Returns (assigned_df with bucket column, centroids_df). At 100 TB scale
+    this replaces the ANN cross join: queries probe nprobe buckets and the
+    candidate join keys on bucket id, so the pairwise work shrinks by
+    ~num_centroids/nprobe."""
+    norm = _normalized(embeddings)
+    seeds = (
+        norm.withColumn("__h", F.xxhash64(F.col("vec_id")))
+        .orderBy("__h")
+        .limit(num_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("nvec").alias("cvec"))
+    )
+    centroids = seeds.withColumn(
+        "centroid_id", F.row_number().over(Window.orderBy("centroid_id")) - 1
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "nvec", "centroid_id", _dot("nvec", "cvec").alias("sim")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("vec_id", "nvec", F.col("centroid_id").alias("bucket"))
+        )
+
+    assigned = assign(norm, centroids)
+    for _ in range(lloyd_iters):
+        # recompute centroids as bucket means (renormalized), one shuffle
+        dim = len(embeddings.select("embedding").first()[0])
+        mean_cols = [
+            F.avg(F.col("nvec")[i]).alias(f"c{i}") for i in range(dim)
+        ]
+        means = assigned.groupBy("bucket").agg(*mean_cols)
+        means = means.select(
+            F.col("bucket").alias("centroid_id"),
+            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("raw"),
+        ).select(
+            "centroid_id",
+            F.expr(
+                "transform(raw, x -> x / sqrt(aggregate(transform(raw, y -> y * y), "
+                "CAST(0.0 AS DOUBLE), (a, y) -> a + y)))"
+            ).alias("cvec"),
+        )
+        assigned = assign(norm, means)
+        centroids = means
+    return assigned, centroids
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    num_queries: int = 5,
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: probe only the nprobe buckets whose
+    centroids are nearest each query. Same output contract as ann_topk
+    (query_id, neighbor_id, rank); approximate recall traded for a
+    bucket-join instead of a full cross product — the 100 TB path."""
+    assigned, centroids = ivf_assign(embeddings, num_centroids)
+    queries = assigned.where(F.col("vec_id") < num_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("nvec").alias("qvec")
+    )
+    qprobe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qvec", "centroid_id", _dot("qvec", "cvec").alias("csim"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
+    probes = (
+        qprobe.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= nprobe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("bucket"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), _dot("qvec", "nvec").alias("cosine")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
 def ann_topk(embeddings: DataFrame, num_queries: int = 5, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: the query set (vec_id < num_queries) is tiny
     and broadcast; ranks tie-break on neighbor id for determinism.

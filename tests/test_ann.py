@@ -1,0 +1,67 @@
+"""ANN: brute-force exactness (vs numpy) + IVF scale-path recall."""
+
+import numpy as np
+import pytest
+
+from htmlx.spark.analytics import ann_topk, ann_topk_ivf, ivf_assign
+from htmlx.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-ann-test")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def numpy_topk(emb_df, num_queries=5, k=5):
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    out = set()
+    for q in range(num_queries):
+        qi = int(np.where(ids == q)[0][0])
+        sims = En @ En[qi]
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+        order = [j for j in order if ids[j] != q][:k]
+        for rank, j in enumerate(order, 1):
+            out.add((q, int(ids[j]), rank))
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in ann_topk(emb).collect()}
+    assert got == numpy_topk(emb)
+
+
+def test_ivf_assignment_partitions_all(spark, emb):
+    assigned, centroids = ivf_assign(emb, num_centroids=8)
+    n = emb.count()
+    assert assigned.count() == n  # every vector in exactly one bucket
+    buckets = {r.bucket for r in assigned.select("bucket").distinct().collect()}
+    assert len(buckets) >= 4  # non-degenerate bucketing
+
+
+def test_ivf_recall(spark, emb):
+    exact = numpy_topk(emb, num_queries=5, k=5)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_ivf(emb, num_queries=5, k=5, num_centroids=8, nprobe=3).collect()
+    }
+    exact_pairs = {(q, n) for q, n, _ in exact}
+    recall = len(approx & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
+
+
+def test_ivf_deterministic(spark, emb):
+    a = sorted(tuple(r) for r in ann_topk_ivf(emb).collect())
+    b = sorted(tuple(r) for r in ann_topk_ivf(emb).collect())
+    assert a == b
