@@ -27,6 +27,43 @@ def read_pages_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     )
 
 
+HOST_STATS_SCHEMA = "host string, docs long, bytes long"
+_HOST_STATE_SCHEMA = "docs long, bytes long"
+
+
+def host_stats_stream(pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-host document/byte counters over the page stream — the kind of
+    crawl-accounting state a 10^12-doc ingest needs (e.g. per-host quotas).
+
+    State = (docs, bytes) per host key; GroupStateTimeout disabled (counters
+    live for the stream's lifetime). Emits one updated row per host per
+    micro-batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        docs, nbytes = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            nbytes += int(pdf["html"].map(lambda b: len(b) if b is not None else 0).sum())
+        state.update((docs, nbytes))
+        yield pd.DataFrame([{"host": key[0], "docs": docs, "bytes": nbytes}])
+
+    hosts = pages_stream.withColumn(
+        "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    ).select("host", "url", "html")
+    return hosts.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_STATS_SCHEMA,
+        stateStructType=_HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_extraction_stream(
     pages_stream: DataFrame,
     output_path: str,

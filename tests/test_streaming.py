@@ -42,3 +42,48 @@ def test_streaming_matches_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert len(got) == 50
+
+
+def test_stateful_host_stats(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.streaming import host_stats_stream
+
+    root = str(tmp_path_factory.mktemp("hostcustomers"))
+    pages_dir = os.path.join(root, "pages")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    pages_from_documents(docs, "text").repartition(4).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    stats = host_stats_stream(stream)
+    # memory sink: parquet doesn't support update mode
+    q = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hoststats")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # final state per host = totals from the batch table
+    got = {
+        r.host: (r.docs, r.bytes)
+        for r in spark.sql(
+            "SELECT host, max(docs) AS docs, max(bytes) AS bytes FROM hoststats GROUP BY host"
+        ).collect()
+    }
+    pages = spark.read.parquet(pages_dir)
+    want = {
+        r.host: (r.docs, r.bytes)
+        for r in pages.withColumn("host", F.regexp_extract("url", r"^https?://([^/]+)", 1))
+        .groupBy("host")
+        .agg(F.count("*").alias("docs"), F.sum(F.length("html")).alias("bytes"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 2
