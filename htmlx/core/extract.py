@@ -222,8 +222,7 @@ class Extractor:
         link_format = self.config.inline_link_format
 
         if image_format != "none" or link_format != "none":
-            images = self._extract_images_with_position(content_node)
-            links = self._extract_links_with_position(content_node)
+            images, links = self._extract_images_and_links(content_node)
             if self.config.preserve_images:
                 result.images = images
             if self.config.preserve_links:
@@ -236,10 +235,12 @@ class Extractor:
         else:
             raw = extract_text_with_structure_and_images(content_node, None, self.config.table_format)
             result.text = clean_text(raw)
-            if self.config.preserve_images:
-                result.images = self._extract_images_with_position(content_node)
-            if self.config.preserve_links:
-                result.links = self._extract_links_with_position(content_node)
+            if self.config.preserve_images or self.config.preserve_links:
+                images, links = self._extract_images_and_links(content_node)
+                if self.config.preserve_images:
+                    result.images = images
+                if self.config.preserve_links:
+                    result.links = links
 
         result.word_count = count_words(result.text)
         result.reading_time_ms = self._reading_time_ms(result.word_count)
@@ -304,6 +305,34 @@ class Extractor:
         return find_element_by_tag(doc, "body")
 
     # -- images / links ----------------------------------------------------
+    def _extract_images_and_links(self, node: Node) -> tuple[list[dict], list[dict]]:
+        """Fused single walk for image + link extraction (same traversal,
+        same position semantics as the separate walks — pure perf fusion,
+        SURVEY.md §4.1 'single-traversal fusion')."""
+        images: list[dict] = []
+        links: list[dict] = []
+        img_pos = 0
+        link_pos = 0
+
+        def visit(n: Node) -> bool:
+            nonlocal img_pos, link_pos
+            if n.type == ELEMENT:
+                d = n.data
+                if d == "img":
+                    img_pos += 1
+                    img = self._parse_image_node(n, img_pos)
+                    if img is not None:
+                        images.append(img)
+                elif d == "a":
+                    link_pos += 1
+                    link = self._parse_link_node(n, link_pos)
+                    if link is not None:
+                        links.append(link)
+            return True
+
+        walk_nodes(node, visit)
+        return images, links
+
     def _extract_images_with_position(self, node: Node) -> list[dict]:
         """extract.go:1044-1089. Position is the 1-based ordinal of ALL <img>
         encountered — invalid images consume a position but are dropped."""
