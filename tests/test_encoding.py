@@ -117,3 +117,34 @@ def test_nfc_normalization():
 
 def test_to_utf8_unknown_charset_passthrough():
     assert to_utf8(b"hello", "x-unknown-charset") == "hello"
+
+
+def test_eucjp_roundtrip():
+    text = "日本語のテキストです。長めの文章で検証します。"
+    raw = ('<html><head><meta charset="euc-jp"></head><body>' + text + "</body></html>").encode("euc_jp")
+    converted, charset = detect_and_convert_to_utf8(raw)
+    assert text in converted
+    assert charset == "euc-jp"
+
+
+def test_big5_roundtrip():
+    text = "繁體中文測試頁面，包含足夠長度的內容。"
+    raw = ('<html><head><meta charset="big5"></head><body>' + text + "</body></html>").encode("big5")
+    converted, charset = detect_and_convert_to_utf8(raw)
+    assert text in converted
+    assert charset == "big5"
+
+
+def test_euckr_roundtrip():
+    text = "한국어 텍스트 테스트 페이지입니다. 충분히 긴 내용입니다."
+    raw = ('<html><head><meta charset="euc-kr"></head><body>' + text + "</body></html>").encode("euc_kr")
+    converted, charset = detect_and_convert_to_utf8(raw)
+    assert text in converted
+    assert charset == "euc-kr"
+
+
+def test_iso8859_7_greek():
+    text = "Ελληνικό κείμενο δοκιμής με αρκετό μήκος."
+    raw = ('<html><head><meta charset="iso-8859-7"></head><body>' + text + "</body></html>").encode("iso8859-7")
+    converted, charset = detect_and_convert_to_utf8(raw)
+    assert text in converted
