@@ -61,3 +61,48 @@ def test_tag_soup_roundtrip(parts):
     html = "".join(parts).encode()
     r = _ex.extract(html)
     assert r.error == "" or r.error.startswith("internal_panic") is False
+
+
+TAG_SOUP = st.lists(
+    st.sampled_from(
+        ["<p>", "</p>", "<div class='a b'>", "</div>", "text & more ", "&amp;", "&#65;",
+         "<br>", "<br/>", "<img src='x.jpg' alt=\"A&B\">", "<a href=/x title=T>", "</a>",
+         "<script>var a='</div>';</script>", "<style>p{}</style>", "<!-- comment -->",
+         "<!doctype html>", "<?pi?>", "< notatag", "<table><tr><td>c", "</td></tr></table>",
+         "<ul><li>i", "</ul>", "&unknown;", "&lt;", "\n  ", "<em>e</em>", "<SPAN ID=Q>",
+         "</span>", "<input value=3>", "<sec-doc>", "</sec-doc>",
+         "<ix:nonnumeric>7</ix:nonnumeric>", "<title>T</title>", "<td colspan=2>"]
+    ),
+    max_size=30,
+)
+
+
+def _tree_sig(node):
+    from htmlx.core.dom import COMMENT, ELEMENT, TEXT
+
+    parts = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.type == ELEMENT:
+            parts.append(("E", n.data, tuple(sorted(n.attrs))))
+        elif n.type == TEXT:
+            parts.append(("T", n.data))
+        elif n.type == COMMENT:
+            parts.append(("C", n.data))
+        c = n.last_child
+        while c is not None:
+            stack.append(c)
+            c = c.prev_sibling
+    return parts
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(TAG_SOUP)
+def test_fast_tokenizer_matches_stdlib(parts):
+    """The fast tokenizer must build the identical tree to the stdlib-driven
+    parser on arbitrary tag soup (differential regression guard)."""
+    from htmlx.core.dom import parse, parse_stdlib
+
+    doc = "".join(parts)
+    assert _tree_sig(parse(doc)) == _tree_sig(parse_stdlib(doc))
