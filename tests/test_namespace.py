@@ -118,3 +118,41 @@ def test_padding_left_indent():
     assert out.startswith("  - level one")
     assert "    - level two" in out
     assert "      - level three" in out
+
+
+def test_sec_full_document():
+    """extraction_custom_tags_test.go:12-84 — full SEC Form-4 structure:
+    block-classified custom tags create >=3 paragraph separations and all
+    key content survives."""
+    html = """<SEC-DOCUMENT>0002022111-26-000002.txt : 20260130
+<SEC-HEADER>0002022111-26-000002.hdr.sgml : 20260130
+<ACCEPTANCE-DATETIME>20260130180232
+ACCESSION NUMBER:\t\t0002022111-26-000002
+CONFORMED SUBMISSION TYPE:\t4
+PUBLIC DOCUMENT COUNT:\t1
+</SEC-HEADER>
+<DOCUMENT>
+<TYPE>4
+<SEQUENCE>1
+<FILENAME>wk-form4_1769814146.xml
+<DESCRIPTION>FORM 4
+<TEXT>
+<ownershipDocument>
+    <schemaVersion>X0508</schemaVersion>
+    <documentType>4</documentType>
+    <periodOfReport>2026-01-29</periodOfReport>
+    <issuer>
+        <issuerCik>0001463101</issuerCik>
+        <issuerName>Enphase Energy, Inc.</issuerName>
+        <issuerTradingSymbol>ENPH</issuerTradingSymbol>
+    </issuer>
+</ownershipDocument>
+</TEXT>
+</DOCUMENT>
+</SEC-DOCUMENT>"""
+    out = extract_text_with_structure_and_images(parse(html), None, "markdown")
+    lines = out.split("\n")
+    paras = sum(1 for i in range(len(lines) - 1) if not lines[i].strip() and not lines[i + 1].strip())
+    assert paras >= 3
+    for c in ["0002022111-26-000002", "2026-01-29", "Enphase Energy, Inc.", "ENPH"]:
+        assert c in out
