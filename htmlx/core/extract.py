@@ -246,8 +246,18 @@ class Extractor:
         result.reading_time_ms = self._reading_time_ms(result.word_count)
 
         if self.config.preserve_videos or self.config.preserve_audios:
+            # The 1 MB raw-scan gate is a UTF-8 BYTE cap (Go len(),
+            # extract.go:789-791). chars <= bytes always, so a doc over the
+            # cap in characters is over it in bytes too; only docs that pass
+            # the char check AND are non-ASCII need the (<=1 MB) encode.
+            n_chars = len(html_content)
             can_contain_media = (
-                0 < len(html_content) <= MAX_HTML_FOR_REGEX and has_media_reference(html_content)
+                0 < n_chars <= MAX_HTML_FOR_REGEX
+                and (
+                    html_content.isascii()
+                    or len(html_content.encode("utf-8")) <= MAX_HTML_FOR_REGEX
+                )
+                and has_media_reference(html_content)
             )
             if self.config.preserve_videos:
                 result.videos = extract_videos(doc, html_content, can_contain_media)

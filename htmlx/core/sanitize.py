@@ -68,9 +68,17 @@ NOOP_AUDIT = AuditRecorder()  # events list shared but unused when discarded
 
 
 def _truncate_audit_url(url: str) -> str:
-    if len(url) <= MAX_AUDIT_URL_LENGTH:
+    """Byte-based truncation (Go len()/slice, sanitize.go:51-56). A slice
+    that splits a multibyte char yields U+FFFD per stray byte — the same
+    thing Go's JSON encoder emits for the invalid tail bytes."""
+    if url.isascii():
+        if len(url) <= MAX_AUDIT_URL_LENGTH:
+            return url
+        return url[:MAX_AUDIT_URL_LENGTH] + "...[truncated]"
+    b = url.encode("utf-8")
+    if len(b) <= MAX_AUDIT_URL_LENGTH:
         return url
-    return url[:MAX_AUDIT_URL_LENGTH] + "...[truncated]"
+    return b[:MAX_AUDIT_URL_LENGTH].decode("utf-8", "replace") + "...[truncated]"
 
 
 def _sanitize_style_value(style: str) -> str:
@@ -211,7 +219,11 @@ def _is_valid_data_url(url: str, audit: AuditRecorder) -> bool:
         return False
     media_part = url[5:comma]
     data_part = url[comma + 1 :]
-    if len(url) > MAX_DATA_URI_LENGTH:
+    # UTF-8 byte cap (Go len(), sanitize.go:522); chars <= bytes so the
+    # encode only runs for non-ASCII URLs not already over in chars.
+    if len(url) > MAX_DATA_URI_LENGTH or (
+        not url.isascii() and len(url.encode("utf-8")) > MAX_DATA_URI_LENGTH
+    ):
         audit.record_blocked_url(url, "data URL exceeds size limit")
         return False
     if media_part:

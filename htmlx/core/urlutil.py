@@ -12,9 +12,15 @@ MAX_DATA_URI_LENGTH = 100000  # constants.go:7
 
 
 def is_valid_url(url: str) -> bool:
-    """Port of IsValidURL (helpers.go:997-1075)."""
-    n = len(url)
-    if n == 0 or n > MAX_URL_LENGTH:
+    """Port of IsValidURL (helpers.go:997-1075).
+
+    Length caps are UTF-8 BYTE lengths (Go len()), not characters — a
+    non-ASCII URL between 2000 bytes and 2000 chars must be rejected just
+    like the reference rejects it."""
+    if not url:
+        return False
+    n = len(url) if url.isascii() else len(url.encode("utf-8"))
+    if n > MAX_URL_LENGTH:
         return False
 
     if url.startswith("data:"):

@@ -81,3 +81,40 @@ def test_processing_timeout_guard():
     # timeout disabled -> normal result
     cfg2 = Config(processing_timeout_s=0)
     assert Extractor(cfg2).extract(b"<p>ok</p>").error == ""
+
+
+def test_media_scan_gate_is_utf8_bytes():
+    """The 1 MB raw-scan gate is a UTF-8 BYTE cap (extract.go:790, Go len()).
+
+    A CJK page of 600k chars = 1.8 MB bytes must SKIP the raw scan (no
+    regex-found media), while the same structure under 1 MB bytes finds it.
+    """
+    from htmlx.core.extract import Extractor
+
+    media_url = "https://cdn.example.com/clip.mp4"
+    # plain-text mention only (no <video> tag) => only the raw regex scan can find it
+    pad_small = "汉" * 1000          # 3 KB of CJK text
+    pad_big = "汉" * 600_000         # 600k chars = 1.8 MB UTF-8
+    tmpl = "<html><body><p>see {url} and {pad}</p></body></html>"
+
+    small = tmpl.format(url=media_url, pad=pad_small).encode("utf-8")
+    big = tmpl.format(url=media_url, pad=pad_big).encode("utf-8")
+    assert len(big) > 1_000_000 and len(tmpl.format(url=media_url, pad=pad_big)) < 1_000_000
+
+    ex = Extractor()
+    assert any(v["url"] == media_url for v in ex.extract(small).videos)
+    assert ex.extract(big).videos == []  # reference skips the scan: byte cap
+
+
+def test_url_length_cap_is_utf8_bytes():
+    """MAX_URL_LENGTH=2000 counts UTF-8 bytes (helpers.go:1000, Go len())."""
+    from htmlx.core.urlutil import is_valid_url
+
+    # 700 CJK chars = 2100 bytes > 2000, but only 712 chars
+    non_ascii = "https://x.cn/" + "汉" * 700
+    assert len(non_ascii) < 2000 and len(non_ascii.encode("utf-8")) > 2000
+    assert is_valid_url(non_ascii) is False
+
+    ok = "https://x.cn/" + "汉" * 600  # 1813 bytes
+    assert len(ok.encode("utf-8")) <= 2000
+    assert is_valid_url(ok) is True
