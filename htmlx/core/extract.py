@@ -22,7 +22,7 @@ from .extraction import (
     clean_content_node,
     extract_text_with_structure_and_images,
 )
-from .sanitize import AuditRecorder, sanitize_dom
+from .sanitize import NOOP_AUDIT, AuditRecorder, sanitize_dom
 from .scorer import DefaultScorer, get_default_scorer, score_all_nodes, select_best_candidate
 from .tables import TrackedBuilder
 from .textnorm import clean_text, get_text_content
@@ -57,6 +57,9 @@ class Config:
     max_input_size: int = DEFAULT_MAX_INPUT_SIZE
     max_depth: int = DEFAULT_MAX_DEPTH
     enable_sanitization: bool = True
+    # AuditConfig (audit.go:119-139): defaults mirror DefaultAuditConfig
+    audit_include_raw_values: bool = False
+    audit_max_raw_value_length: int = 200
     extract_article: bool = True
     preserve_images: bool = True
     preserve_links: bool = True
@@ -163,12 +166,22 @@ class Extractor:
     # -- public API --------------------------------------------------------
     def extract(self, html_bytes: bytes) -> Result:
         start = time.monotonic()
+        cfg = self.config
+        audit = (
+            AuditRecorder(cfg.audit_include_raw_values, cfg.audit_max_raw_value_length)
+            if cfg.audit_enabled
+            else NOOP_AUDIT
+        )
         try:
-            result = self._extract_core(html_bytes, start)
+            result = self._extract_core(html_bytes, start, audit)
         except RecursionError:
+            # unbounded-recursion guard maps to the depth contract
+            audit.record_depth_violation(cfg.max_depth + 1, cfg.max_depth)
             result = Result(error=ERR_MAX_DEPTH_EXCEEDED)
         except Exception as exc:  # panic recovery (extract.go:81-96)
             result = Result(error=f"{ERR_INTERNAL_PANIC}: {type(exc).__name__}")
+        if cfg.audit_enabled:
+            result.audit = audit.events
         result.processing_time_ms = int((time.monotonic() - start) * 1000)
         return result
 
@@ -176,35 +189,54 @@ class Extractor:
         return self.extract(html_bytes).text
 
     # -- pipeline ----------------------------------------------------------
-    def _extract_core(self, html_bytes: bytes, start: float) -> Result:
-        if len(html_bytes) > self.config.max_input_size:
+    def _extract_core(self, html_bytes: bytes, start: float, audit) -> Result:
+        """Stage sequence with cooperative deadline checks between stages,
+        mirroring processContentWithContext (extract.go:417-477): at start,
+        before parse, before depth validation, and before document
+        extraction — a pathological document can no longer blow past the
+        budget inside a single unchecked stage."""
+        cfg = self.config
+        if len(html_bytes) > cfg.max_input_size:
+            # processor.go:333-345: oversize input emits a critical event
+            audit.record_input_violation(len(html_bytes), cfg.max_input_size, "input_too_large")
             return Result(error=ERR_INPUT_TOO_LARGE)
 
-        utf8_text, _charset = detect_and_convert_to_utf8(html_bytes, self.config.encoding)
+        utf8_text, _charset = detect_and_convert_to_utf8(html_bytes, cfg.encoding)
+
+        if self._deadline_exceeded(start):
+            return self._timeout_result(audit)
 
         if _is_blank_content(utf8_text):
             return Result()
 
+        if self._deadline_exceeded(start):  # before parse (extract.go:434)
+            return self._timeout_result(audit)
+
         doc = parse(utf8_text)
 
-        if tree_depth_exceeds(doc, self.config.max_depth):
+        if self._deadline_exceeded(start):  # before depth check (extract.go:445)
+            return self._timeout_result(audit)
+
+        if tree_depth_exceeds(doc, cfg.max_depth):
+            # extract.go:389-391: depth violation emits an audit event
+            audit.record_depth_violation(cfg.max_depth + 1, cfg.max_depth)
             return Result(error=ERR_MAX_DEPTH_EXCEEDED)
 
-        audit = AuditRecorder()
-        if self.config.enable_sanitization:
+        if cfg.enable_sanitization:
             sanitize_dom(doc, audit)
 
-        if self._deadline_exceeded(start):
-            return Result(error=ERR_TIMEOUT)
+        if self._deadline_exceeded(start):  # before extraction (extract.go:470)
+            return self._timeout_result(audit)
 
-        result = self._extract_from_document(doc, utf8_text)
-        if self.config.audit_enabled:
-            result.audit = audit.events
-        return result
+        return self._extract_from_document(doc, utf8_text)
 
     def _deadline_exceeded(self, start: float) -> bool:
         t = self.config.processing_timeout_s
         return t > 0 and (time.monotonic() - start) > t
+
+    def _timeout_result(self, audit) -> Result:
+        audit.record_timeout(self.config.processing_timeout_s)
+        return Result(error=ERR_TIMEOUT)
 
     def _extract_from_document(self, doc: Node, html_content: str) -> Result:
         """Port of extractFromDocument (extract.go:732-800)."""

@@ -8,6 +8,7 @@ variants, unsafe data: URLs). Each removal emits an audit event.
 
 from __future__ import annotations
 
+import time
 import unicodedata
 
 from .dom import ELEMENT, Node
@@ -42,43 +43,197 @@ SAFE_MEDIA_TYPES = frozenset(
 )
 
 
+def _truncate_bytes(s: str, max_len: int, suffix: str) -> str:
+    """Byte-based truncation (Go len()/slice, sanitize.go:51-56, audit.go:192).
+    A slice that splits a multibyte char yields U+FFFD per stray byte — the
+    same thing Go's JSON encoder emits for the invalid tail bytes."""
+    if s.isascii():
+        if len(s) <= max_len:
+            return s
+        return s[:max_len] + suffix
+    b = s.encode("utf-8")
+    if len(b) <= max_len:
+        return s
+    return b[:max_len].decode("utf-8", "replace") + suffix
+
+
+def _sanitize_raw_value(s: str) -> str:
+    """sanitizeRawValue (audit.go:631-640): HTML-escape raw values so audit
+    rows are safe to render in HTML contexts (order matters: & first)."""
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )
+
+
+def _audit_event(
+    event_type: str,
+    level: str,
+    message: str,
+    *,
+    tag: str = "",
+    attribute: str = "",
+    blocked_url: str = "",
+    input_size: int = 0,
+    max_size: int = 0,
+    depth: int = 0,
+    max_depth: int = 0,
+    raw_value: str = "",
+) -> dict:
+    return {
+        "ts": 0.0,  # stamped by AuditRecorder.record
+        "level": level,
+        "event_type": event_type,
+        "message": message,
+        "tag": tag,
+        "attribute": attribute,
+        "blocked_url": blocked_url,
+        "input_size": input_size,
+        "max_size": max_size,
+        "depth": depth,
+        "max_depth": max_depth,
+        "raw_value": raw_value,
+    }
+
+
 class AuditRecorder:
     """Collects audit events as plain dict rows (SURVEY.md §2.2: audit rows
     are data appended to the audit table, replacing the reference's sink
-    zoo, audit.go:157-640)."""
+    zoo, audit.go:157-640). Field/level/message parity with AuditEntry
+    (audit.go:52-67, 243-346); the sink interface is N/A by design — rows
+    ARE the sink."""
 
-    __slots__ = ("events",)
+    __slots__ = ("events", "include_raw_values", "max_raw_value_length")
 
-    def __init__(self):
+    def __init__(self, include_raw_values: bool = False, max_raw_value_length: int = 200):
         self.events: list[dict] = []
+        self.include_raw_values = include_raw_values
+        self.max_raw_value_length = max_raw_value_length
+
+    def record(self, event: dict) -> None:
+        """Record (audit.go:184-206): stamp time, truncate raw value, drop it
+        unless configured in, then HTML-escape what remains."""
+        event["ts"] = time.time()
+        raw = event["raw_value"]
+        if raw:
+            if self.max_raw_value_length > 0:
+                raw = _truncate_bytes(raw, self.max_raw_value_length, "...")
+            if not self.include_raw_values:
+                raw = ""
+            event["raw_value"] = _sanitize_raw_value(raw) if raw else ""
+        self.events.append(event)
 
     def record_blocked_tag(self, tag: str) -> None:
-        self.events.append({"event_type": "blocked_tag", "tag": tag})
-
-    def record_blocked_attr(self, attr: str, value: str) -> None:
-        self.events.append({"event_type": "blocked_attr", "attribute": attr})
-
-    def record_blocked_url(self, url: str, reason: str) -> None:
-        self.events.append(
-            {"event_type": "blocked_url", "blocked_url": _truncate_audit_url(url), "message": reason}
+        self.record(
+            _audit_event(
+                "blocked_tag", "warning", f"Blocked dangerous HTML tag: {tag}", tag=tag
+            )
         )
 
+    def record_blocked_attr(self, attr: str, value: str) -> None:
+        self.record(
+            _audit_event(
+                "blocked_attr",
+                "warning",
+                f"Blocked dangerous attribute: {attr}",
+                attribute=attr,
+                raw_value=value,
+            )
+        )
 
-NOOP_AUDIT = AuditRecorder()  # events list shared but unused when discarded
+    def record_blocked_url(self, url: str, reason: str) -> None:
+        self.record(
+            _audit_event(
+                "blocked_url",
+                "warning",
+                f"Blocked dangerous URL: {reason}",
+                blocked_url=url,
+                raw_value=url,
+            )
+        )
+
+    def record_input_violation(self, size: int, max_size: int, violation_type: str) -> None:
+        """audit.go:285-298 + processor.go:333-345."""
+        self.record(
+            _audit_event(
+                "input_violation",
+                "critical",
+                f"Input validation violation: {violation_type}",
+                input_size=size,
+                max_size=max_size,
+            )
+        )
+
+    def record_depth_violation(self, depth: int, max_depth: int) -> None:
+        self.record(
+            _audit_event(
+                "depth_violation",
+                "warning",
+                f"Depth limit exceeded: {depth} > {max_depth}",
+                depth=depth,
+                max_depth=max_depth,
+            )
+        )
+
+    def record_timeout(self, timeout_s: float) -> None:
+        self.record(
+            _audit_event(
+                "timeout",
+                "warning",
+                f"Processing timeout exceeded: {_go_duration(timeout_s)}",
+            )
+        )
+
+    def record_encoding_issue(self, encoding: str, message: str) -> None:
+        # Reference carries the encoding in a metadata map (audit.go:333);
+        # this flat schema reuses `attribute` for it.
+        self.record(_audit_event("encoding_issue", "info", message, attribute=encoding))
+
+
+def _go_duration(seconds: float) -> str:
+    """Render a duration the way Go fmt's %v prints time.Duration for the
+    common cases ("30s", "1m30s", "500ms")."""
+    if seconds <= 0:
+        return "0s"
+    if seconds < 1:
+        return f"{seconds * 1000:g}ms"
+    if seconds < 60:
+        return f"{seconds:g}s"
+    mins, secs = divmod(seconds, 60)
+    hours, mins = divmod(int(mins), 60)
+    if hours:
+        return f"{hours}h{mins}m{secs:g}s"
+    return f"{mins}m{secs:g}s"
+
+
+class NoopAuditRecorder:
+    """NoOpAuditRecorder (internal/audit.go:17-27): recording disabled —
+    every hook is a no-op, so adversarial documents with thousands of
+    blocked attributes pay nothing when audit is off."""
+
+    __slots__ = ()
+    events: tuple = ()
+
+    def record(self, event: dict) -> None: ...
+    def record_blocked_tag(self, tag: str) -> None: ...
+    def record_blocked_attr(self, attr: str, value: str) -> None: ...
+    def record_blocked_url(self, url: str, reason: str) -> None: ...
+    def record_input_violation(self, size: int, max_size: int, violation_type: str) -> None: ...
+    def record_depth_violation(self, depth: int, max_depth: int) -> None: ...
+    def record_timeout(self, timeout_s: float) -> None: ...
+    def record_encoding_issue(self, encoding: str, message: str) -> None: ...
+
+
+NOOP_AUDIT = NoopAuditRecorder()
 
 
 def _truncate_audit_url(url: str) -> str:
-    """Byte-based truncation (Go len()/slice, sanitize.go:51-56). A slice
-    that splits a multibyte char yields U+FFFD per stray byte — the same
-    thing Go's JSON encoder emits for the invalid tail bytes."""
-    if url.isascii():
-        if len(url) <= MAX_AUDIT_URL_LENGTH:
-            return url
-        return url[:MAX_AUDIT_URL_LENGTH] + "...[truncated]"
-    b = url.encode("utf-8")
-    if len(b) <= MAX_AUDIT_URL_LENGTH:
-        return url
-    return b[:MAX_AUDIT_URL_LENGTH].decode("utf-8", "replace") + "...[truncated]"
+    """truncateAuditURL (sanitize.go:51-56) — applied by the DATA-URL call
+    sites only (sanitize.go:513-562); scheme blocks keep the full URL."""
+    return _truncate_bytes(url, MAX_AUDIT_URL_LENGTH, "...[truncated]")
 
 
 def _sanitize_style_value(style: str) -> str:
@@ -215,7 +370,7 @@ def _is_valid_data_url(url: str, audit: AuditRecorder) -> bool:
         return False
     comma = url.find(",")
     if comma == -1 or comma == 5:
-        audit.record_blocked_url(url, "malformed data URL")
+        audit.record_blocked_url(_truncate_audit_url(url), "malformed data URL")
         return False
     media_part = url[5:comma]
     data_part = url[comma + 1 :]
@@ -224,7 +379,7 @@ def _is_valid_data_url(url: str, audit: AuditRecorder) -> bool:
     if len(url) > MAX_DATA_URI_LENGTH or (
         not url.isascii() and len(url.encode("utf-8")) > MAX_DATA_URI_LENGTH
     ):
-        audit.record_blocked_url(url, "data URL exceeds size limit")
+        audit.record_blocked_url(_truncate_audit_url(url), "data URL exceeds size limit")
         return False
     if media_part:
         if media_part.endswith(";base64"):
@@ -235,20 +390,20 @@ def _is_valid_data_url(url: str, audit: AuditRecorder) -> bool:
         else:
             media_type = media_part
         if media_type and not _is_valid_media_type(media_type):
-            audit.record_blocked_url(url, "invalid media type in data URL")
+            audit.record_blocked_url(_truncate_audit_url(url), "invalid media type in data URL")
             return False
         if media_type and media_type.lower().strip() not in SAFE_MEDIA_TYPES:
-            audit.record_blocked_url(url, "unsafe media type in data URL: " + media_type)
+            audit.record_blocked_url(_truncate_audit_url(url), "unsafe media type in data URL: " + media_type)
             return False
     is_base64 = ";base64" in media_part
     for ch in data_part:
         b = ord(ch)
         if is_base64:
             if not _is_base64_char(ch) and ch not in "=\r\n":
-                audit.record_blocked_url(url, "invalid base64 in data URL")
+                audit.record_blocked_url(_truncate_audit_url(url), "invalid base64 in data URL")
                 return False
         else:
             if b < 9 or (11 <= b <= 12) or (14 <= b < 32) or b == 127:
-                audit.record_blocked_url(url, "invalid character in data URL")
+                audit.record_blocked_url(_truncate_audit_url(url), "invalid character in data URL")
                 return False
     return True

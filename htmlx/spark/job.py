@@ -15,14 +15,13 @@ The per-row error column replaces the reference's BatchResult.Errors
 
 from __future__ import annotations
 
-import time
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.extract import Config, Extractor
-from .schemas import ALL_LINKS_SCHEMA, AUDIT_SCHEMA, METRICS_SCHEMA, RESULT_SCHEMA
+from .schemas import ALL_LINKS_SCHEMA, RESULT_SCHEMA
 
 
 def _partition_id() -> int:
@@ -35,34 +34,25 @@ def _partition_id() -> int:
         return -1
 
 
-def _result_row(url: str, r, run_id: str, pid: int) -> dict:
-    return {
-        "url": url,
-        "title": r.title,
-        "text": r.text,
-        "images": r.images,
-        "links": r.links,
-        "videos": r.videos,
-        "audios": r.audios,
-        "word_count": r.word_count,
-        "reading_time_ms": r.reading_time_ms,
-        "processing_time_ms": r.processing_time_ms,
-        "error": r.error,
-        "run_id": run_id,
-        "partition_id": pid,
-    }
-
-
-def make_extract_batch(config: Config, run_id: str = ""):
+def make_extract_batch(config: Config, run_id: str = "", doc_counter=None):
     """Build the mapInPandas batch function for the main extraction stage.
 
     The Extractor is constructed once per Python worker (module-level
     amortization replaces the reference's processor pool,
-    processor_pool.go:21-89)."""
+    processor_pool.go:21-89). One pass computes everything downstream
+    stages need: result fields, the per-event audit array (when
+    config.audit_enabled) and input_bytes — metrics and the audit table
+    are then pure JVM derivations (derive_metrics / derive_audit), so a
+    results+metrics+audit run extracts each document exactly ONCE.
+
+    doc_counter: optional Spark accumulator incremented once per document
+    extracted — the hard signal tests use to prove single-pass behavior."""
 
     def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         extractor = Extractor(config)
         pid = _partition_id()
+        collect_audit = config.audit_enabled
+        empty_audit: list = []
         for pdf in batches:
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
@@ -79,6 +69,8 @@ def make_extract_batch(config: Config, run_id: str = ""):
             reading = [0] * n
             proc_ms = [0] * n
             errors = [""] * n
+            in_bytes = [0] * n
+            audits = [empty_audit] * n if not collect_audit else [None] * n
             for i in range(n):
                 html = htmls[i]
                 if html is None:
@@ -96,6 +88,11 @@ def make_extract_batch(config: Config, run_id: str = ""):
                 reading[i] = r.reading_time_ms
                 proc_ms[i] = r.processing_time_ms
                 errors[i] = r.error
+                in_bytes[i] = len(html)
+                if collect_audit:
+                    audits[i] = r.audit
+            if doc_counter is not None:
+                doc_counter.add(n)
             yield pd.DataFrame(
                 {
                     "url": urls,
@@ -109,6 +106,8 @@ def make_extract_batch(config: Config, run_id: str = ""):
                     "reading_time_ms": reading,
                     "processing_time_ms": proc_ms,
                     "error": errors,
+                    "input_bytes": in_bytes,
+                    "audit": audits,
                     "run_id": run_id,
                     "partition_id": pid,
                 }
@@ -117,78 +116,49 @@ def make_extract_batch(config: Config, run_id: str = ""):
     return extract_batch
 
 
-def make_metrics_batch(config: Config, run_id: str = ""):
-    """Batch function computing per-partition metric rows alongside results.
+def derive_metrics(results: DataFrame, extra_keys: tuple = ()) -> DataFrame:
+    """Per-partition metrics rollup derived from the results table — a pure
+    JVM groupBy over already-extracted rows (no second extraction pass;
+    Spark-native replacement for Statistics, processor.go:254-271).
 
-    Used by run_extraction_with_metrics; emits one metrics row per Arrow
-    batch tagged (run_id, partition_id) for lineage."""
-
-    def metrics_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        extractor = Extractor(config)
-        pid = _partition_id()
-        for pdf in batches:
-            t0 = time.monotonic()
-            docs_in = len(pdf)
-            docs_err = 0
-            bytes_in = 0
-            audit_events = 0
-            for html in pdf["html"]:
-                b = bytes(html) if html is not None else b""
-                bytes_in += len(b)
-                r = extractor.extract(b)
-                if r.error:
-                    docs_err += 1
-                audit_events += len(r.audit)
-            yield pd.DataFrame(
-                [
-                    {
-                        "run_id": run_id,
-                        "partition_id": pid,
-                        "docs_in": docs_in,
-                        "docs_ok": docs_in - docs_err,
-                        "docs_error": docs_err,
-                        "bytes_in": bytes_in,
-                        "extract_ms": int((time.monotonic() - t0) * 1000),
-                        "audit_events": audit_events,
-                    }
-                ]
-            )
-
-    return metrics_batch
+    extract_ms is the sum of per-document processing times (the wall clock
+    the extraction actually consumed in that partition). extra_keys adds
+    grouping columns (e.g. the resume url-group) for finer lineage."""
+    return results.groupBy("run_id", "partition_id", *extra_keys).agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.when(F.col("error") == "", 1).otherwise(0)).alias("docs_ok"),
+        F.sum(F.when(F.col("error") != "", 1).otherwise(0)).alias("docs_error"),
+        F.sum("input_bytes").alias("bytes_in"),
+        F.sum("processing_time_ms").alias("extract_ms"),
+        F.sum(F.size("audit")).alias("audit_events"),
+    )
 
 
-def make_audit_batch(config: Config, run_id: str = ""):
-    """Batch function emitting one row per security/audit event (blocked
-    tags/attrs/URLs during sanitization) tagged with (run_id, partition_id)
-    lineage — the Spark-native replacement for the reference's audit sink
-    zoo (audit.go:157-640): audit events are DATA appended to a table."""
-    audit_config = Config(**{**config.__dict__, "audit_enabled": True})
-
-    def audit_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        extractor = Extractor(audit_config)
-        pid = _partition_id()
-        cols = [f.name for f in AUDIT_SCHEMA.fields]
-        for pdf in batches:
-            rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                b = bytes(html) if html is not None else b""
-                r = extractor.extract(b)
-                for ev in r.audit:
-                    rows.append(
-                        {
-                            "run_id": run_id,
-                            "partition_id": pid,
-                            "url": url,
-                            "event_type": ev.get("event_type", ""),
-                            "tag": ev.get("tag", ""),
-                            "attribute": ev.get("attribute", ""),
-                            "blocked_url": ev.get("blocked_url", ""),
-                            "message": ev.get("message", ""),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=cols)
-
-    return audit_batch
+def derive_audit(results: DataFrame) -> DataFrame:
+    """Audit table derived from results.audit — explode + flatten, all
+    JVM-side. One row per blocked tag/attr/URL/violation, tagged with
+    (run_id, partition_id, url) lineage; the Spark-native replacement for
+    the reference's audit sink zoo (audit.go:157-640): events are DATA."""
+    ev = F.col("ev")
+    return results.select(
+        "run_id", "partition_id", "url", F.explode("audit").alias("ev")
+    ).select(
+        "run_id",
+        "partition_id",
+        "url",
+        F.timestamp_seconds(ev["ts"]).alias("ts"),
+        ev["level"].alias("level"),
+        ev["event_type"].alias("event_type"),
+        ev["message"].alias("message"),
+        ev["tag"].alias("tag"),
+        ev["attribute"].alias("attribute"),
+        ev["blocked_url"].alias("blocked_url"),
+        ev["input_size"].alias("input_size"),
+        ev["max_size"].alias("max_size"),
+        ev["depth"].alias("depth"),
+        ev["max_depth"].alias("max_depth"),
+        ev["raw_value"].alias("raw_value"),
+    )
 
 
 def run_audit(
@@ -197,12 +167,13 @@ def run_audit(
     run_id: str = "",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Audit-event stage: one output row per blocked tag/attr/URL."""
-    config = config or Config()
-    projected = df.select("url", "html")
-    if num_partitions:
-        projected = salted_repartition(projected, num_partitions)
-    return projected.mapInPandas(make_audit_batch(config, run_id), AUDIT_SCHEMA)
+    """Audit-event stage: one output row per blocked tag/attr/URL.
+
+    Standalone convenience — extracts once with audit collection on and
+    flattens. When you also need results/metrics, use run_extraction_full
+    (shares the single extraction pass across all three outputs)."""
+    results = run_extraction(df, config, run_id, num_partitions, with_audit=True)
+    return derive_audit(results)
 
 
 def dedup_pages_by_content(df: DataFrame) -> DataFrame:
@@ -252,16 +223,26 @@ def run_extraction(
     config: Config | None = None,
     run_id: str = "",
     num_partitions: int | None = None,
+    with_audit: bool | None = None,
+    doc_counter=None,
 ) -> DataFrame:
     """Main entry: pages DataFrame (url, html, ...) -> results DataFrame.
 
     Selects only (url, html) so Catalyst prunes every other column down to
-    the parquet scan — `html` is the fat column; never read `text` here."""
+    the parquet scan — `html` is the fat column; never read `text` here.
+
+    with_audit: collect per-event audit arrays on the result rows (None =
+    follow config.audit_enabled). Off by default: result rows then carry
+    empty arrays at ~zero Arrow cost."""
     config = config or Config()
+    if with_audit is not None and with_audit != config.audit_enabled:
+        config = Config(**{**config.__dict__, "audit_enabled": with_audit})
     projected = df.select("url", "html")
     if num_partitions:
         projected = salted_repartition(projected, num_partitions)
-    return projected.mapInPandas(make_extract_batch(config, run_id), RESULT_SCHEMA)
+    return projected.mapInPandas(
+        make_extract_batch(config, run_id, doc_counter), RESULT_SCHEMA
+    )
 
 
 def run_metrics(
@@ -270,12 +251,37 @@ def run_metrics(
     run_id: str = "",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Per-partition metrics stage (audit-table rows with lineage)."""
-    config = config or Config()
-    projected = df.select("url", "html")
-    if num_partitions:
-        projected = salted_repartition(projected, num_partitions)
-    return projected.mapInPandas(make_metrics_batch(config, run_id), METRICS_SCHEMA)
+    """Per-partition metrics stage (lineage rows).
+
+    Standalone convenience — one extraction pass + JVM rollup. When you
+    also need results/audit, use run_extraction_full."""
+    results = run_extraction(df, config, run_id, num_partitions, with_audit=True)
+    return derive_metrics(results)
+
+
+def run_extraction_full(
+    df: DataFrame,
+    config: Config | None = None,
+    run_id: str = "",
+    num_partitions: int | None = None,
+    doc_counter=None,
+) -> dict[str, DataFrame]:
+    """Results + metrics + audit from ONE extraction pass.
+
+    Returns {"results", "metrics", "audit"}: metrics/audit are JVM
+    derivations of the results DataFrame. The caller must materialize
+    results once before (or while) consuming the derived frames —
+    persist() locally, or write results to the sink table and derive from
+    the read-back (what run_with_resume does at scale); otherwise Spark's
+    lazy evaluation re-runs the extraction per consumed output."""
+    results = run_extraction(
+        df, config, run_id, num_partitions, with_audit=True, doc_counter=doc_counter
+    )
+    return {
+        "results": results,
+        "metrics": derive_metrics(results),
+        "audit": derive_audit(results),
+    }
 
 
 def make_all_links_batch(config: Config, run_id: str = ""):

