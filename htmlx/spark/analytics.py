@@ -76,29 +76,32 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: in
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, num_hashes: int = 32, bands: int = 8, shingle_k: int = 3
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` bands of
     num_hashes/bands rows, hash each band, shuffle by (band, hash), and emit
-    candidate near-duplicate pairs that collide in any band (deduped)."""
-    rows = num_hashes // bands
-    with_sig = minhash_signatures(documents, num_hashes, shingle_k).select("doc_id", "minhash_sig")
-    banded = with_sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice("minhash_sig", b * rows + 1, rows).cast("array<string>"))
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    candidate near-duplicate pairs that collide in any band (deduped).
+
+    max_bucket_size caps the per-(band_id, band_hash) bucket: a mega-bucket
+    of k near-identical docs (boilerplate-only pages surviving exact dedup)
+    would emit k²/2 pairs; buckets over the cap are dropped from pair
+    expansion (the docs inside remain candidates through their other,
+    smaller buckets). None disables the cap. Use lsh_bucket_stats to count
+    dropped buckets for a run report."""
+    banded = _lsh_banded(documents, num_hashes, bands, shingle_k)
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > max_bucket_size)
+            .select("band_id", "band_hash")
+        )
+        # hot-key set is tiny by construction -> broadcast anti-join
+        banded = banded.join(F.broadcast(hot), on=["band_id", "band_hash"], how="left_anti")
     pairs = (
         banded.alias("a")
         .join(
@@ -116,6 +119,50 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def _lsh_banded(
+    documents: DataFrame, num_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    rows = num_hashes // bands
+    with_sig = minhash_signatures(documents, num_hashes, shingle_k).select("doc_id", "minhash_sig")
+    return with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice("minhash_sig", b * rows + 1, rows).cast("array<string>"))
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_bucket_stats(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket_size: int = 1024,
+) -> DataFrame:
+    """Bucket-size distribution + dropped-bucket count for the LSH cap —
+    the 'no silent caps' companion to minhash_lsh_candidates."""
+    sizes = _lsh_banded(documents, num_hashes, bands, shingle_k).groupBy(
+        "band_id", "band_hash"
+    ).agg(F.count("*").alias("bucket_size"))
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("bucket_size").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_size") > max_bucket_size, 1).otherwise(0))
+        .cast("long")
+        .alias("dropped_buckets"),
+    )
 
 
 def ngram_jaccard_pairs(documents: DataFrame, candidates: DataFrame, shingle_k: int = 3) -> DataFrame:
@@ -139,58 +186,95 @@ def ngram_jaccard_pairs(documents: DataFrame, candidates: DataFrame, shingle_k: 
     )
 
 
-def simhash_udf():
-    """64-bit SimHash over whitespace tokens — Arrow-vectorized pandas UDF
-    (bit-parallel accumulation in numpy; a per-bit SQL aggregate would need
-    64 shuffled aggregations)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+# SimHash spec (engine-defined; no reference counterpart): 60-bit signature,
+# per-token hash = first 15 hex digits of md5(token) as an integer, one ±1
+# vote per token OCCURRENCE per bit, bit set iff vote sum > 0. md5 is the
+# basis (not xxhash64) deliberately: both Spark and DuckDB compute identical
+# md5, making the signature fully oracle-checkable across engines.
+SIMHASH_BITS = 60
 
-    @pandas_udf("long")
-    def simhash(texts):
-        out = np.zeros(len(texts), dtype=np.int64)
-        bits = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in t.split(" "):
-                # FNV-1a 64-bit — stable across platforms/runs
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in tok.encode():
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                bitvals = (int(h) >> bits) & np.uint64(1)
-                acc += np.where(bitvals.astype(bool), 1, -1)
-            sig = 0
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= 1 << b
-            out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out)
-
-    return simhash
+_SIMHASH_TOKEN_HASHES = (
+    "transform(split(text, ' '), t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+)
+_SIMHASH_VOTES = (
+    f"aggregate({_SIMHASH_TOKEN_HASHES}, array_repeat(0, {SIMHASH_BITS}), "
+    f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+    "(a, b) -> a + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)))"
+)
+SIMHASH_EXPR = (
+    f"aggregate(zip_with({_SIMHASH_VOTES}, sequence(0, {SIMHASH_BITS - 1}), "
+    "(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
 
 
 def simhash_docs(documents: DataFrame) -> DataFrame:
+    """SimHash signatures, entirely JVM-side (one pass over the token-hash
+    array accumulating all 60 bit votes — no Python, no shuffle). Replaces
+    the round-1 per-character Python FNV loop (~interpreter-rate) with
+    whole-stage-codegen expressions."""
     return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"), simhash_udf()(F.col("text")).alias("simhash")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(SIMHASH_EXPR).alias("simhash"),
     )
 
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above `threshold`.
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.95, num_blocks: int = 8
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs above `threshold`, via
+    block-pair decomposition instead of a single cartesian join.
 
-    Brute-force pairwise at test SF; at 100 TB scale the same op runs after
-    an LSH/IVF bucketing stage so the join keys on bucket id instead of a
-    cross product (see ann_topk for the bucketed scale path)."""
+    Every vector is hashed to one of `num_blocks` blocks and replicated to
+    the `num_blocks` block-pair tasks it participates in; the self-join is
+    then an EQUI-join on the (p, q) task key — each unordered pair of
+    vectors meets in exactly one task, so the result is exact while the
+    pairwise work is spread evenly over B(B+1)/2 shuffle buckets (no
+    BroadcastNestedLoopJoin / CartesianProduct over the full table, no
+    single-task hot spot). Shuffle volume is num_blocks × n vectors; pick
+    num_blocks ~ sqrt(desired parallelism) at scale.
+
+    All-pairs work is inherent to an EXACT threshold join; for the
+    approximate/cheap path at 100 TB, bucket with ivf_assign first and
+    join on the IVF bucket id (see ann_topk_ivf), trading recall for
+    ~num_centroids× less pair work."""
+    B = num_blocks
     norm = _normalized(embeddings)
-    return (
-        norm.alias("a")
-        .join(norm.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+    rep = (
+        norm.withColumn("block", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            "vec_id",
+            "nvec",
+            "block",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {B - 1}), "
+                    "qq -> struct(least(block, qq) AS p, greatest(block, qq) AS q))"
+                )
+            ).alias("task"),
+        )
+        .select("vec_id", "nvec", "block", F.col("task.p").alias("p"), F.col("task.q").alias("q"))
+    )
+    joined = rep.alias("a").join(
+        rep.alias("b"), on=[F.col("a.p") == F.col("b.p"), F.col("a.q") == F.col("b.q")]
+    )
+    # cross-block pairs meet in exactly one task (their block pair); keep one
+    # orientation. Same-block pairs share ALL their tasks; keep them only in
+    # the diagonal task (p == q == block) with id-ordering.
+    pairs = joined.where(
+        (F.col("a.block") < F.col("b.block"))
+        | (
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.p") == F.col("a.block"))
+            & (F.col("a.q") == F.col("a.block"))
+        )
+    )
+    return (
+        pairs.select(
+            # cross-block orientation is block-ordered; normalize to id-order
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).cast("long").alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).cast("long").alias("vec_b"),
             _dot("a.nvec", "b.nvec").alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -386,45 +470,80 @@ def lang_distribution(documents: DataFrame) -> DataFrame:
     return documents.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
 
 
-_LANG_PROFILES = {
-    # tiny stopword/char profiles for the n-gram heuristic language ID
-    "en": {"the", "and", "of", "to", "in", "is", "that"},
-    "fr": {"le", "la", "et", "les", "des", "une", "est"},
-    "es": {"el", "la", "los", "que", "una", "es", "por"},
-    "de": {"der", "die", "und", "das", "ist", "ein", "nicht"},
+# Language-ID spec (engine-defined, deterministic, SQL-expressible in both
+# Spark and DuckDB so the driver oracle can pin it):
+#   1. empty/null text -> 'und'
+#   2. script detection on the first 200 chars, checked in LANG_SCRIPTS
+#      order (kana before han: Japanese text contains han characters;
+#      hangul first).
+#   3. otherwise Latin-script stopword profiles: score = |distinct lowered
+#      tokens ∩ profile|; winner = highest score, ties broken by
+#      lexicographically-first language code; all-zero -> 'und'.
+def _char_range(lo: int, hi: int) -> str:
+    return f"[{chr(lo)}-{chr(hi)}]"
+
+
+LANG_SCRIPTS = [
+    ("ko", _char_range(0xAC00, 0xD7AF)),  # hangul syllables
+    ("ja", _char_range(0x3040, 0x30FF)),  # hiragana + katakana
+    ("zh", _char_range(0x4E00, 0x9FFF)),  # CJK unified ideographs
+    ("ru", _char_range(0x0400, 0x04FF)),  # cyrillic
+    ("ar", _char_range(0x0600, 0x06FF)),  # arabic
+    ("hi", _char_range(0x0900, 0x097F)),  # devanagari
+    ("el", _char_range(0x0370, 0x03FF)),  # greek
+    ("he", _char_range(0x0590, 0x05FF)),  # hebrew
+    ("th", _char_range(0x0E00, 0x0E7F)),  # thai
+]
+
+LANG_PROFILES = {
+    # Latin-script stopword profiles (7 distinctive high-frequency words
+    # each; overlaps are fine — argmax with deterministic tie-break)
+    "ca": ("els", "amb", "per", "aquest", "més", "també", "què"),
+    "cs": ("že", "jsem", "ale", "tak", "této", "být", "už"),
+    "da": ("og", "det", "til", "af", "ikke", "på", "som"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "es": ("el", "la", "los", "que", "una", "es", "por"),
+    "fi": ("ja", "on", "ei", "että", "oli", "mutta", "hän"),
+    "fr": ("le", "la", "et", "les", "des", "une", "est"),
+    "hu": ("és", "hogy", "nem", "egy", "az", "meg", "már"),
+    "id": ("yang", "dan", "di", "dengan", "untuk", "tidak", "ini"),
+    "it": ("che", "di", "il", "per", "con", "sono", "della"),
+    "nl": ("de", "het", "een", "van", "dat", "niet", "zijn"),
+    "no": ("og", "det", "er", "jeg", "ikke", "å", "fra"),
+    "pl": ("się", "nie", "jest", "na", "do", "tak", "jak"),
+    "pt": ("que", "não", "uma", "para", "com", "mais", "como"),
+    "ro": ("și", "să", "nu", "este", "cu", "pentru", "dar"),
+    "sv": ("och", "att", "det", "som", "inte", "på", "är"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "ama", "çok"),
+    "vi": ("của", "và", "các", "là", "có", "không", "được"),
 }
 
 
-def lang_id_udf():
-    """Language-ID heuristic: stopword profile votes + CJK char detection —
-    vectorized pandas UDF (profiles are Python dicts; a JVM rewrite would be
-    a big CASE expression with no perf need at this stage)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def lang_id(texts):
-        out = []
-        for t in texts:
-            if not t:
-                out.append("und")
-                continue
-            if any("一" <= c <= "鿿" for c in t[:200]):
-                out.append("zh")
-                continue
-            toks = set(t.lower().split())
-            best, best_score = "und", 0
-            for lang, prof in sorted(_LANG_PROFILES.items()):
-                score = len(toks & prof)
-                if score > best_score:
-                    best, best_score = lang, score
-            out.append(best)
-        return pd.Series(out)
-
-    return lang_id
-
-
 def lang_id_docs(documents: DataFrame) -> DataFrame:
-    return documents.select(
-        F.col("doc_id").cast("long"), lang_id_udf()(F.col("text")).alias("pred_lang")
+    """Language ID, entirely JVM-side: script regexes + stopword-profile
+    argmax as Catalyst expressions (27 languages + 'und'). Replaces the
+    round-1 4-language pandas UDF — no Python in the path, and the exact
+    same logic is expressible in DuckDB SQL for the driver oracle."""
+    text = F.col("text")
+    head = F.substring(text, 1, 200)
+    toks = F.col("__toks")
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_PROFILES.items()
+    }
+    m = F.greatest(*scores.values())
+    latin = F.when(m == 0, F.lit("und"))
+    for lang in sorted(LANG_PROFILES):
+        latin = latin.when(scores[lang] == m, F.lit(lang))
+    latin = latin.otherwise(F.lit("und"))
+
+    pred = F.when(text.isNull() | (text == ""), F.lit("und"))
+    for lang, pattern in LANG_SCRIPTS:
+        pred = pred.when(head.rlike(pattern), F.lit(lang))
+    pred = pred.otherwise(latin)
+
+    return (
+        documents.withColumn("__toks", F.array_distinct(F.split(F.lower(text), " ")))
+        .select(F.col("doc_id").cast("long"), pred.alias("pred_lang"))
     )

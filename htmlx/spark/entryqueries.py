@@ -443,31 +443,111 @@ FROM events GROUP BY 1, 2
 """
 
 
-# rows-only ops (non-SQL-expressible; driver records weaker check)
+# LSH candidate generation itself is rows-only (xxhash64 signatures have no
+# DuckDB equivalent), but every downstream consumer is oracle-checked.
 def q_minhash_lsh(spark, sf_dir):
     return analytics.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+_DUCK_SHINGLES = (
+    "list_distinct(CASE WHEN len(string_split(text, ' ')) < 3 THEN [text] "
+    "ELSE [array_to_string(string_split(text, ' ')[i:i+2], ' ') "
+    "FOR i IN generate_series(1, len(string_split(text, ' ')) - 2)] END)"
+)
+
+
 def q_ngram_jaccard(spark, sf_dir):
-    """LSH candidates -> exact n-gram Jaccard verification (the
-    candidate-then-verify near-dup chain)."""
+    """LSH candidates -> exact n-gram Jaccard verification, keeping verified
+    near-dups (J >= 0.9). Oracle-checkable because LSH recall at J >= 0.9
+    with 8 bands x 4 rows is 1 - (1 - 0.9^4)^8 ≈ 0.9998 per pair and the
+    hash family is deterministic — the driver compares against DuckDB's
+    exact all-pairs Jaccard at the same threshold (uncapped buckets so the
+    guarantee is not weakened)."""
     docs = _docs(spark, sf_dir)
-    cands = analytics.minhash_lsh_candidates(docs)
-    return analytics.ngram_jaccard_pairs(docs, cands).select(
-        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    cands = analytics.minhash_lsh_candidates(docs, max_bucket_size=None)
+    return (
+        analytics.ngram_jaccard_pairs(docs, cands)
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+O_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+"""
 
 
 def q_simhash(spark, sf_dir):
     return analytics.simhash_docs(_docs(spark, sf_dir))
 
 
+# Same 60-bit md5-basis signature, DuckDB dialect (see analytics.SIMHASH_EXPR)
+O_SIMHASH = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(list_sum(
+  [ CASE WHEN list_sum(list_transform(string_split(text, ' '),
+      t -> CASE WHEN (CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      THEN CAST(1 AS BIGINT) << b ELSE 0 END
+    FOR b IN generate_series(0, {analytics.SIMHASH_BITS - 1}) ]) AS BIGINT) AS simhash
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB replica of the lang-ID spec, generated from the SAME profile
+    constants the Spark expression is built from (single source of truth)."""
+    profiles = analytics.LANG_PROFILES
+    score_exprs = ",\n       ".join(
+        f"len(list_intersect(tk, [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+        for lang, words in profiles.items()
+    )
+    m_expr = "greatest(" + ", ".join(f"s_{l}" for l in profiles) + ")"
+    latin = (
+        "CASE WHEN m = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in sorted(profiles))
+        + " ELSE 'und' END"
+    )
+    scripts = " ".join(
+        f"WHEN regexp_matches(head, '{pat}') THEN '{lang}'"
+        for lang, pat in analytics.LANG_SCRIPTS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, substr(text, 1, 200) AS head,
+         list_distinct(string_split(lower(text), ' ')) AS tk
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, head,
+       {score_exprs}
+  FROM base)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 'und' {scripts} ELSE {latin} END AS pred_lang
+FROM (SELECT *, {m_expr} AS m FROM scored)
+"""
+
+
+O_LANG_ID = _lang_id_oracle()
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    return analytics.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4)
+    return analytics.embedding_near_dup(_emb(spark, sf_dir), threshold=0.4).select(
+        "vec_a", "vec_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+O_EMBEDDING_NEAR_DUP = """
+SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
 
 
 QUERIES = {
@@ -515,7 +595,11 @@ ORACLES = {
     "events_hourly_rollup": O_EVENTS_HOURLY,
     "media_sniff_metadata": O_MEDIA_SNIFF,
     "pdf_structural_parse": O_PDF_METADATA,
-    # minhash_lsh_candidates / ngram_jaccard_verify / simhash / lang_id /
-    # embedding_near_dup: hash-seeded / heuristic ops with no ANSI-SQL
-    # equivalent -> rows-only
+    "ngram_jaccard_verify": O_NGRAM_JACCARD,
+    "simhash": O_SIMHASH,
+    "lang_id": O_LANG_ID,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    # minhash_lsh_candidates: xxhash64-seeded candidate generation has no
+    # DuckDB equivalent -> rows-only (its verified consumer
+    # ngram_jaccard_verify IS oracle-checked, which pins the pipeline)
 }

@@ -65,3 +65,30 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(tuple(r) for r in ann_topk_ivf(emb).collect())
     b = sorted(tuple(r) for r in ann_topk_ivf(emb).collect())
     assert a == b
+
+
+def test_embedding_near_dup_blocked_is_exact(spark, emb):
+    """Block-pair decomposition must produce EXACTLY the pairs of a naive
+    all-pairs cosine join — each unordered pair meets in exactly one task
+    (no dupes), every pair meets somewhere (no loss)."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.analytics import _dot, _normalized, embedding_near_dup
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup(emb, threshold=0.4, num_blocks=5).collect()
+    }
+    norm = _normalized(emb)
+    naive = (
+        norm.alias("a")
+        .join(norm.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").cast("long").alias("vec_a"),
+            F.col("b.vec_id").cast("long").alias("vec_b"),
+            _dot("a.nvec", "b.nvec").alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )
+    want = {(r.vec_a, r.vec_b) for r in naive.collect()}
+    assert got == want and len(got) > 0

@@ -61,3 +61,33 @@ def test_lsh_single_shuffle(docs):
     # signature computation is scan-side; only the band self-join shuffles
     p = plan_of(minhash_lsh_candidates(docs))
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_embedding_near_dup_no_cartesian(emb):
+    """The exact near-dup threshold join must be an EQUI-join on block-pair
+    keys — never a BroadcastNestedLoopJoin / CartesianProduct over the full
+    table (VERDICT r1 #3)."""
+    from htmlx.spark.analytics import embedding_near_dup
+
+    p = plan_of(embedding_near_dup(emb, threshold=0.4))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_simhash_is_jvm_side(docs):
+    """SimHash must be pure Catalyst expressions: no Python evaluation
+    (the round-1 impl was a per-character Python loop)."""
+    from htmlx.spark.analytics import simhash_docs
+
+    p = plan_of(simhash_docs(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "Exchange" not in p  # per-row projection: zero shuffles
+
+
+def test_lang_id_is_jvm_side(docs):
+    from htmlx.spark.analytics import lang_id_docs
+
+    p = plan_of(lang_id_docs(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
