@@ -338,16 +338,21 @@ def main():
 
     if len(sys.argv) > 1 and sys.argv[1] == "--executor-scaling":
         ev = executor_scaling_evidence(SF_DIR, max(CPUS // 4, 2), 4)
+        ev["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        ev["provenance"] = "latest paired-round measurement"
         os.makedirs("BENCH", exist_ok=True)
-        # keep the best-observed run: host-noise windows understate both
-        # levels, so a bad window must not clobber a clean measurement
+        # keep the best-observed run SEPARATELY (host-noise windows
+        # understate both levels, so a clean measurement is worth
+        # preserving) — but it is always labeled best-of-history and the
+        # default payload reports the latest measurement first.
         path = "BENCH/executor_scaling.json"
-        best = ev
+        best = dict(ev)
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
             if prev.get("scaling_efficiency", 0) > ev["scaling_efficiency"]:
                 best = prev
+        best["provenance"] = "best-of-history (cleanest host-noise window)"
         with open(path, "w") as f:
             json.dump(best, f, indent=1)
         with open("BENCH/executor_scaling_latest.json", "w") as f:
@@ -381,11 +386,23 @@ def main():
         "sf": _sf_label(SF_DIR),
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
-    for key, fname in (("scaling", "scaling.json"), ("executor_scaling", "executor_scaling.json")):
+    # Both scaling numbers ship, explicitly labeled: the LATEST paired-round
+    # measurement is the headline; the best-of-history artifact is context
+    # for host-noise windows (this sandbox VM varies up to 3x run-to-run;
+    # see BENCH/BASELINE.md). Never report best-of-history unlabeled.
+    for key, fname in (
+        ("scaling", "scaling.json"),
+        ("executor_scaling_latest", "executor_scaling_latest.json"),
+        ("executor_scaling_best_observed", "executor_scaling.json"),
+    ):
         p = os.path.join(bench_dir, fname)
         if os.path.exists(p):
             with open(p) as f:
                 payload[key] = json.load(f)
+    if "executor_scaling_latest" in payload:
+        payload["scaling_efficiency_headline"] = payload["executor_scaling_latest"].get(
+            "scaling_efficiency"
+        )
     print(json.dumps(payload))
 
 

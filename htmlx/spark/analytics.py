@@ -94,14 +94,16 @@ def minhash_lsh_candidates(
     dropped buckets for a run report."""
     banded = _lsh_banded(documents, num_hashes, bands, shingle_k)
     if max_bucket_size is not None:
-        hot = (
-            banded.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("__n"))
-            .where(F.col("__n") > max_bucket_size)
-            .select("band_id", "band_hash")
+        # Window-count cap, NOT a separate agg + anti-join: keeping both
+        # self-join inputs byte-identical subtrees lets Spark's
+        # ReuseExchange kick in, so the (expensive) signatures are computed
+        # and shuffled ONCE — an anti-join variant recomputed them ~4x.
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
         )
-        # hot-key set is tiny by construction -> broadcast anti-join
-        banded = banded.join(F.broadcast(hot), on=["band_id", "band_hash"], how="left_anti")
     pairs = (
         banded.alias("a")
         .join(

@@ -210,9 +210,19 @@ SELECT {_ORACLE_URL}, CAST(3 AS BIGINT),
 """
 
 
-# encoding round-trip: html bytes in gbk / windows-1252 / utf-8 by lang
-_ENC_MARKERS = {"zh": ("中文标记 ", "gbk"), "en": ("", "utf-8")}
-_ENC_DEFAULT = ("café naïve ", "windows-1252")
+# encoding round-trip: html bytes in 6 charsets chosen by (lang, doc_id):
+# gbk + big5 (zh, split by doc parity), iso-8859-1 (de), iso-8859-15 (fr),
+# windows-1252 (es and any other), utf-8 (en, no meta tag)
+def _enc_marker_charset(lang: str, doc_id: int) -> tuple[str, str]:
+    if lang == "zh":
+        return ("中文标记 ", "gbk") if doc_id % 2 == 0 else ("繁體中文標記 ", "big5")
+    if lang == "en":
+        return ("", "utf-8")
+    if lang == "de":
+        return ("straße größer ", "iso-8859-1")
+    if lang == "fr":
+        return ("élève français ", "iso-8859-15")
+    return ("café mañana ", "windows-1252")
 
 
 def q_extract_encoding(spark, sf_dir):
@@ -224,7 +234,7 @@ def q_extract_encoding(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text, lang, source in zip(pdf.doc_id, pdf.text, pdf.lang, pdf.source):
-                marker, charset = _ENC_MARKERS.get(lang, _ENC_DEFAULT)
+                marker, charset = _enc_marker_charset(lang, int(doc_id))
                 meta = "" if charset == "utf-8" else f'<meta charset="{charset}">'
                 page = (
                     f"<html><head>{meta}<title>Doc {doc_id}</title></head><body>"
@@ -247,8 +257,72 @@ def q_extract_encoding(spark, sf_dir):
 O_EXTRACT_ENCODING = f"""
 SELECT {_ORACLE_URL} AS url, {_DOCTITLE} AS title,
        {_DOCTITLE} || {_NL2} ||
-       (CASE WHEN lang = 'zh' THEN '中文标记 ' WHEN lang = 'en' THEN '' ELSE 'café naïve ' END) || text AS text,
+       (CASE WHEN lang = 'zh' AND doc_id % 2 = 0 THEN '中文标记 '
+             WHEN lang = 'zh' THEN '繁體中文標記 '
+             WHEN lang = 'en' THEN ''
+             WHEN lang = 'de' THEN 'straße größer '
+             WHEN lang = 'fr' THEN 'élève français '
+             ELSE 'café mañana ' END) || text AS text,
        '' AS error
+FROM documents
+"""
+
+
+def q_extract_entities(spark, sf_dir):
+    """Entity gauntlet: named + numeric + nbsp + the reference's &amp;amp;
+    double-decode quirk, pinned end-to-end by the DuckDB oracle."""
+    return _extract(spark, sf_dir, "entities").select("url", "title", "text")
+
+
+O_EXTRACT_ENTITIES = f"""
+SELECT {_ORACLE_URL} AS url, {_DOCTITLE} AS title,
+       {_DOCTITLE} || {_NL2} || 'AT&T <x> "q" — a b & café ' || text AS text
+FROM documents
+"""
+
+
+def q_extract_nested_boilerplate(spark, sf_dir):
+    """Boilerplate nested INSIDE content containers: sidebar/ads divs are
+    pruned while the surrounding content chain survives."""
+    return _extract(spark, sf_dir, "nested").select("url", "title", "text")
+
+
+O_EXTRACT_NESTED = f"""
+SELECT {_ORACLE_URL} AS url, {_DOCTITLE} AS title,
+       {_DOCTITLE} || {_NL2} || text || {_NL2} || 'beta body' || {_NL2} || 'gamma body' AS text
+FROM documents
+"""
+
+
+def q_extract_colspan_table(spark, sf_dir):
+    """colspan/rowspan markdown rendering: spanned cells pad with empties,
+    short rows pad to the header width."""
+    return _extract(spark, sf_dir, "colspan").select("url", "text")
+
+
+O_EXTRACT_COLSPAN = f"""
+SELECT {_ORACLE_URL} AS url,
+       {_DOCTITLE} || {_NL2} || text || {_NL2} ||
+       '| Doc ' || CAST(doc_id AS VARCHAR) || ' | | L |' || chr(10) ||
+       '| --- | --- | --- |' || chr(10) ||
+       '| a | ' || lang || ' | c |' || chr(10) ||
+       '| d | e | |' AS text
+FROM documents
+"""
+
+
+def q_extract_deeplist(spark, sf_dir):
+    """Nested ordered-inside-unordered list rendering: bullet/number
+    markers, two-space indent, blank line after the nested list."""
+    return _extract(spark, sf_dir, "deeplist").select("url", "text")
+
+
+O_EXTRACT_DEEPLIST = f"""
+SELECT {_ORACLE_URL} AS url,
+       {_DOCTITLE} || {_NL2} || text || {_NL2} ||
+       '- one ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       '- two' || chr(10) || '  1. s1' || chr(10) || '  2. s2' || {_NL2} ||
+       '- three' AS text
 FROM documents
 """
 
@@ -560,6 +634,10 @@ QUERIES = {
     "extract_markdown": q_extract_markdown,
     "extract_all_links": q_extract_all_links,
     "extract_encoding": q_extract_encoding,
+    "extract_entities": q_extract_entities,
+    "extract_nested_boilerplate": q_extract_nested_boilerplate,
+    "extract_colspan_table": q_extract_colspan_table,
+    "extract_deeplist": q_extract_deeplist,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -586,6 +664,10 @@ ORACLES = {
     "extract_markdown": O_EXTRACT_MARKDOWN,
     "extract_all_links": O_EXTRACT_ALL_LINKS,
     "extract_encoding": O_EXTRACT_ENCODING,
+    "extract_entities": O_EXTRACT_ENTITIES,
+    "extract_nested_boilerplate": O_EXTRACT_NESTED,
+    "extract_colspan_table": O_EXTRACT_COLSPAN,
+    "extract_deeplist": O_EXTRACT_DEEPLIST,
     "dedup_exact": O_DEDUP_EXACT,
     "token_stats": O_TOKEN_STATS,
     "quality_scores": O_QUALITY_SCORES,

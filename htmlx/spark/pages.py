@@ -68,6 +68,31 @@ INNER_TABLE = (
     "<tr><td>id</td><td>' || CAST(doc_id AS VARCHAR) || '</td></tr>"
     "<tr><td>lang</td><td>' || lang || '</td></tr></table>'"
 )
+# entity gauntlet: named/numeric/nbsp + the reference's &amp;amp;
+# double-decode quirk — pins the custom entity decoder end-to-end
+INNER_ENTITIES = (
+    "'<p>AT&amp;T &lt;x&gt; &quot;q&quot; &#8212; a&nbsp;b &amp;amp; caf&eacute; ' || text || '</p>'"
+)
+# boilerplate nested INSIDE content containers: the scorer must keep the
+# content div chain while ShouldRemove prunes the nested sidebar/ads
+INNER_NESTED = (
+    "'<div class=\"content\"><p>' || text || '</p>"
+    "<div class=\"sidebar\"><p>nested sidebar junk</p></div>"
+    "<div><p>beta body</p><div class=\"ads\"><p>nested ad junk</p></div></div>"
+    "</div><p>gamma body</p>'"
+)
+# colspan/rowspan table: markdown renderer pads spanned cells with empties
+INNER_COLSPAN = (
+    "'<p>' || text || '</p><table>"
+    "<tr><th colspan=\"2\">Doc ' || CAST(doc_id AS VARCHAR) || '</th><th>L</th></tr>"
+    "<tr><td>a</td><td rowspan=\"2\">' || lang || '</td><td>c</td></tr>"
+    "<tr><td>d</td><td>e</td></tr></table>'"
+)
+# nested ordered-inside-unordered lists: indent + numbering rules
+INNER_DEEPLIST = (
+    "'<p>' || text || '</p><ul><li>one ' || CAST(doc_id AS VARCHAR) || '</li>"
+    "<li>two<ol><li>s1</li><li>s2</li></ol></li><li>three</li></ul>'"
+)
 
 PAGE_TEMPLATES = {
     "text": _page_sql(INNER_TEXT),
@@ -76,6 +101,10 @@ PAGE_TEMPLATES = {
     "media": _page_sql(INNER_MEDIA),
     "boilerplate": _page_sql(INNER_BOILERPLATE),
     "table": _page_sql(INNER_TABLE),
+    "entities": _page_sql(INNER_ENTITIES),
+    "nested": _page_sql(INNER_NESTED),
+    "colspan": _page_sql(INNER_COLSPAN),
+    "deeplist": _page_sql(INNER_DEEPLIST),
 }
 
 
