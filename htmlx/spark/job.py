@@ -180,15 +180,20 @@ def dedup_pages_by_content(df: DataFrame) -> DataFrame:
     """Content-hash dedup BEFORE extraction — the Spark-idiomatic
     replacement for the reference's result cache (SURVEY.md §4.1): at
     10^12 docs an LRU is pointless, but crawls repeat pages; extracting
-    each distinct html once and joining results back is the scalable
-    equivalent. Returns one representative row per distinct html
-    (keeps the min url for determinism)."""
+    each distinct html once is the scalable equivalent. Returns one
+    representative row per distinct html (min url for determinism).
+
+    Implemented as min_by over the digest: ONE shuffle, and only the
+    digest + the kept row's columns move — the earlier agg+join variant
+    shuffled the fat html column twice."""
     hashed = df.withColumn("__h", F.sha2(F.col("html"), 256))
-    w_min = hashed.groupBy("__h").agg(F.min("url").alias("url"))
-    return (
-        hashed.join(w_min, on=["__h", "url"], how="inner")
-        .drop("__h")
+    cols = list(df.columns)
+    kept = hashed.groupBy("__h").agg(
+        # min_by on the whole-row struct keeps the row atomic (per-column
+        # min_by could mix rows when urls tie)
+        F.min_by(F.struct(*cols), F.col("url")).alias("__r")
     )
+    return kept.select(*[F.col("__r")[c].alias(c) for c in cols])
 
 
 def to_json_results(results: DataFrame) -> DataFrame:
