@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None)
+    ap.add_argument("--audit", default=None, help="audit-events table root (optional)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--groups", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
@@ -42,6 +43,7 @@ def main():
 
     out = ParquetTableIO(args.output)
     metrics = ParquetTableIO(args.metrics) if args.metrics else None
+    audit = ParquetTableIO(args.audit) if args.audit else None
 
     if args.mode == "links":
         result = run_all_links(pages, Config(), run_id, args.partitions)
@@ -51,7 +53,7 @@ def main():
         run_with_resume(
             spark, pages, out, metrics, run_id,
             num_groups=args.groups, config=config,
-            partitions_per_group=args.partitions,
+            partitions_per_group=args.partitions, audit_out=audit,
         )
     print(f"run_id={run_id} done")
 
