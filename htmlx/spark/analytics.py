@@ -46,32 +46,63 @@ def shingles_col(text_col: str = "text", k: int = 3):
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
-    """MinHash signatures: sig[j] = min over shingles of xxhash64(shingle, j).
+# MinHash spec (engine-defined): one md5 per shingle reduced mod the
+# Mersenne prime P=2^31-1, then num_hashes draws from the classic universal
+# family sig[j] = min over shingles of (a_j * h + b_j) mod P, with a_j/b_j
+# md5-derived constants (a_j forced odd). md5 is the basis (not xxhash64)
+# deliberately: DuckDB computes identical md5, so signatures, band hashes
+# and the candidate-pair join are fully oracle-checkable across engines.
+MINHASH_PRIME = 2147483647
 
-    All JVM-side (xxhash64 + array_min inside transform); the signature is
-    computed in the scan stage with zero shuffles. Tokenization and shingle
-    materialization are staged as separate projections so the split/shingle
-    arrays are computed once per row, not once per hash function (Catalyst
-    does not CSE across the per-hash lambdas)."""
+
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) constants for the universal hash family —
+    derived from md5 of a fixed tag, so any engine (or the DuckDB oracle
+    generator) reproduces them from the spec alone."""
+    import hashlib
+
+    def const(tag: str, j: int, odd: bool) -> int:
+        v = int(hashlib.md5(f"htmlx-minhash-{tag}-{j}".encode()).hexdigest()[:7], 16)
+        v %= MINHASH_PRIME
+        return (v | 1) if odd else v
+
+    return (
+        [const("a", j, odd=True) for j in range(num_hashes)],
+        [const("b", j, odd=False) for j in range(num_hashes)],
+    )
+
+
+def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """MinHash signatures, all JVM-side with zero shuffles. Tokenization,
+    shingles and the per-shingle base hash are staged as separate
+    projections so each is computed once per row, not once per hash
+    function (Catalyst does not CSE across the per-hash lambdas) — the 32
+    draws are then pure integer arithmetic over the staged hash array."""
     k = shingle_k
+    a, b = minhash_params(num_hashes)
     tokens = F.split(F.col("text"), " ")
     sh = F.expr(
         f"CASE WHEN size(__tokens) < {k} THEN array(text) "
         f"ELSE transform(sequence(1, size(__tokens) - {k - 1}), "
         f"i -> concat_ws(' ', slice(__tokens, i, {k}))) END"
     )
+    base = F.expr(
+        f"transform(__shingles, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_PRIME})"
+    )
     sig = F.array(
         *[
-            F.array_min(F.expr(f"transform(__shingles, s -> xxhash64(s, {j})) "))
+            F.array_min(
+                F.expr(f"transform(__hm, h -> ({a[j]} * h + {b[j]}) % {MINHASH_PRIME})")
+            )
             for j in range(num_hashes)
         ]
     )
     return (
         documents.withColumn("__tokens", tokens)
         .withColumn("__shingles", sh)
+        .withColumn("__hm", base)
         .withColumn("minhash_sig", sig)
-        .drop("__tokens", "__shingles")
+        .drop("__tokens", "__shingles", "__hm")
     )
 
 
@@ -135,8 +166,12 @@ def _lsh_banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(",", F.slice("minhash_sig", b * rows + 1, rows).cast("array<string>"))
+                        # md5-based band key (first 15 hex as BIGINT):
+                        # engine-replicable, cheap bigint shuffle key
+                        F.expr(
+                            "CAST(conv(substr(md5(concat_ws(',', "
+                            f"CAST(slice(minhash_sig, {b * rows + 1}, {rows}) AS array<string>)"
+                            ")), 1, 15), 16, 10) AS BIGINT)"
                         ).alias("band_hash"),
                     )
                     for b in range(bands)

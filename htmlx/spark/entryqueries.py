@@ -517,10 +517,45 @@ FROM events GROUP BY 1, 2
 """
 
 
-# LSH candidate generation itself is rows-only (xxhash64 signatures have no
-# DuckDB equivalent), but every downstream consumer is oracle-checked.
 def q_minhash_lsh(spark, sf_dir):
     return analytics.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB replica of the full MinHash+LSH candidate pipeline, generated
+    from the SAME hash-family constants as the Spark expressions (md5 base
+    hash mod P + universal (a_j*h+b_j) mod P draws + md5 band keys)."""
+    a, b = analytics.minhash_params(num_hashes)
+    P = analytics.MINHASH_PRIME
+    rows = num_hashes // bands
+    dhm = (
+        f"list_transform({_DUCK_SHINGLES}, "
+        f"s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) % {P})"
+    )
+    sig_entries = ", ".join(
+        f"list_min(list_transform(hm, h -> ({a[j]} * h + {b[j]}) % {P}))"
+        for j in range(num_hashes)
+    )
+
+    def band_hash(bi: int) -> str:
+        lo, hi = bi * rows + 1, bi * rows + rows
+        joined = (
+            f"array_to_string(list_transform(sig[{lo}:{hi}], x -> CAST(x AS VARCHAR)), ',')"
+        )
+        return f"CAST(CAST(concat('0x', substr(md5({joined}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+    banded = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_id, {band_hash(bi)} AS band_hash FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH hm AS (SELECT doc_id, {dhm} AS hm FROM documents),
+sig AS (SELECT doc_id, [{sig_entries}] AS sig FROM hm),
+banded AS ({banded})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
 
 
 _DUCK_SHINGLES = (
@@ -681,7 +716,5 @@ ORACLES = {
     "simhash": O_SIMHASH,
     "lang_id": O_LANG_ID,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
-    # minhash_lsh_candidates: xxhash64-seeded candidate generation has no
-    # DuckDB equivalent -> rows-only (its verified consumer
-    # ngram_jaccard_verify IS oracle-checked, which pins the pipeline)
+    "minhash_lsh_candidates": _minhash_lsh_oracle(),
 }
