@@ -357,6 +357,8 @@ def main():
             json.dump(best, f, indent=1)
         with open("BENCH/executor_scaling_latest.json", "w") as f:
             json.dump(ev, f, indent=1)
+        with open("BENCH/executor_scaling_history.jsonl", "a") as f:
+            f.write(json.dumps(ev) + "\n")
         print(json.dumps(ev))
         return
 

@@ -334,16 +334,23 @@ def _dot(a: str, b: str):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
-def ivf_assign(embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1) -> tuple:
+def ivf_assign(
+    embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1, dim: int | None = None
+) -> tuple:
     """IVF bucketing: deterministic seed centroids (smallest xxhash64 of
     vec_id — no RNG, reproducible across runs/parallelism) refined with
     `lloyd_iters` Lloyd iterations (groupBy-mean — one shuffle each), then
     every vector assigned to its nearest centroid.
 
+    dim: embedding dimensionality; pass it when known (a schema fact at
+    scale) — otherwise a one-row driver lookup reads it once up front.
+
     Returns (assigned_df with bucket column, centroids_df). At 100 TB scale
     this replaces the ANN cross join: queries probe nprobe buckets and the
     candidate join keys on bucket id, so the pairwise work shrinks by
     ~num_centroids/nprobe."""
+    if dim is None and lloyd_iters > 0:
+        dim = len(embeddings.select("embedding").first()[0])
     norm = _normalized(embeddings)
     seeds = (
         norm.withColumn("__h", F.xxhash64(F.col("vec_id")))
@@ -369,7 +376,6 @@ def ivf_assign(embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int =
     assigned = assign(norm, centroids)
     for _ in range(lloyd_iters):
         # recompute centroids as bucket means (renormalized), one shuffle
-        dim = len(embeddings.select("embedding").first()[0])
         mean_cols = [
             F.avg(F.col("nvec")[i]).alias(f"c{i}") for i in range(dim)
         ]
