@@ -517,6 +517,99 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_token_topk(spark, sf_dir):
+    """Corpus token top-k: the classic explode -> count -> rank shape.
+    The limit runs as TakeOrderedAndProject (map-side partial top-k), so
+    only k rows reach the final ranking — the 100 TB-safe formulation."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+O_TOKEN_TOPK = """
+SELECT token, CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS rank
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+QUALIFY rank <= 100
+"""
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: per-user sessions split on >30 min inactivity gaps
+    (lag + running sum over a user-partitioned window) with per-session
+    rollups — the canonical event-log window-function workload. Shuffles
+    once on user_id; deterministic ordering ties on event_id."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The tz offset the
+    # cast introduces cancels in the gap difference.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    with_new = events.withColumn(
+        "is_new", F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    )
+    with_sess = with_new.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return with_sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), "session_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+O_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM e)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON property extraction + rollup (scalar JSON surface, §2.8):
+    props is a JSON string column; extract $.k and aggregate per type."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+O_EVENTS_JSON_PROPS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     return analytics.minhash_lsh_candidates(_docs(spark, sf_dir))
 
@@ -680,6 +773,9 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_topk,
     "events_hourly_rollup": q_events_hourly,
+    "token_topk": q_token_topk,
+    "user_sessions": q_user_sessions,
+    "events_json_props": q_events_json_props,
     "media_sniff_metadata": q_media_sniff,
     "pdf_structural_parse": q_pdf_metadata,
     "minhash_lsh_candidates": q_minhash_lsh,
@@ -710,6 +806,9 @@ ORACLES = {
     "lang_distribution": O_LANG_DISTRIBUTION,
     "ann_cosine_topk": O_ANN_TOPK,
     "events_hourly_rollup": O_EVENTS_HOURLY,
+    "token_topk": O_TOKEN_TOPK,
+    "user_sessions": O_USER_SESSIONS,
+    "events_json_props": O_EVENTS_JSON_PROPS,
     "media_sniff_metadata": O_MEDIA_SNIFF,
     "pdf_structural_parse": O_PDF_METADATA,
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
