@@ -15,7 +15,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.extract import Config, markdown_config
-from . import analytics
+from . import analytics, relational
 from .job import run_all_links, run_extraction
 from .pages import PAGE_TEMPLATES, URL_SQL, pages_from_documents
 
@@ -776,6 +776,10 @@ QUERIES = {
     "token_topk": q_token_topk,
     "user_sessions": q_user_sessions,
     "events_json_props": q_events_json_props,
+    "tpch_pricing_summary": relational.pricing_summary,
+    "tpch_top_revenue_orders": relational.top_revenue_orders,
+    "tpch_regional_revenue": relational.regional_revenue,
+    "top_order_per_customer": relational.top_order_per_customer,
     "media_sniff_metadata": q_media_sniff,
     "pdf_structural_parse": q_pdf_metadata,
     "minhash_lsh_candidates": q_minhash_lsh,
@@ -809,6 +813,10 @@ ORACLES = {
     "token_topk": O_TOKEN_TOPK,
     "user_sessions": O_USER_SESSIONS,
     "events_json_props": O_EVENTS_JSON_PROPS,
+    "tpch_pricing_summary": relational.O_PRICING_SUMMARY,
+    "tpch_top_revenue_orders": relational.O_TOP_REVENUE_ORDERS,
+    "tpch_regional_revenue": relational.O_REGIONAL_REVENUE,
+    "top_order_per_customer": relational.O_TOP_ORDER_PER_CUSTOMER,
     "media_sniff_metadata": O_MEDIA_SNIFF,
     "pdf_structural_parse": O_PDF_METADATA,
     "ngram_jaccard_verify": O_NGRAM_JACCARD,

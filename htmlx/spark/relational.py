@@ -1,0 +1,166 @@
+"""Relational query surface over the TPC-H-style tables (SURVEY.md §2.4-2.8).
+
+The reference is an HTML library, so these operators have no reference
+counterpart — they exist to exercise (and pin, via DuckDB oracles) the
+engine's join / aggregation / window surface with the classic shapes a
+100 TB warehouse workload uses: partial-aggregate rollups, broadcast dim
+joins, multi-way fact joins, and per-group top-k windows.
+
+Float parity rule: money/rate inputs are cast to DECIMAL up front and ALL
+arithmetic and summation happens in exact decimal — order-independent, so
+Spark's partial-aggregation order can never diverge from DuckDB's, and no
+double-to-decimal rounding of computed products exists anywhere (that cast
+is engine-divergent on boundary values; measured on this corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# Inputs are 2-decimal money/rate values stored as DOUBLE; cast them to
+# DECIMAL(12,2) FIRST (unambiguous — the doubles sit ~1e-13 from their 2dp
+# values), then all arithmetic is exact decimal with pinned scales. Casting
+# double PRODUCTS to decimal instead is engine-divergent on rare boundary
+# values (Spark rounds the exact binary expansion, DuckDB rounds the
+# double*10^scale product).
+D2 = "decimal(12, 2)"
+D4 = "decimal(18, 4)"
+D6 = "decimal(24, 6)"
+
+
+def _disc_price():
+    from pyspark.sql import functions as F
+
+    p = F.col("l_extendedprice").cast(D2)
+    d = F.col("l_discount").cast(D2)
+    return (p * (1 - d)).cast(D4)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big-fact rollup with map-side partial aggregation —
+    the canonical 'scan 100 TB, shuffle only the group cells' query."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _disc_price()
+    charge = (disc_price * (1 + F.col("l_tax").cast(D2))).cast(D6)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(D2)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(D2)).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str, segment: str = "BUILDING", k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> revenue rollup
+    -> deterministic top-k. customer is small relative to the facts and
+    broadcast explicitly."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == segment)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _disc_price()
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(F.sum(revenue).alias("revenue"))
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(k)
+        .select("o_orderkey", "o_orderdate", "revenue")
+    )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: multi-way join with broadcast dimension chain
+    (region -> nation -> customer) into the fact tables; revenue per
+    nation. Dim joins broadcast; only the facts shuffle."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _disc_price()
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-1 window (the dedup/top-k pattern at warehouse scale):
+    each customer's highest-value order, deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").cast("long").alias("custkey"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            "o_totalprice",
+        )
+    )
+
+
+O_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS sum_disc_price,
+       sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(24,6))) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY 1, 2
+"""
+
+O_TOP_REVENUE_ORDERS = """
+SELECT o.o_orderkey, o.o_orderdate,
+       sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+O_REGIONAL_REVENUE = """
+SELECT r.r_name, n.n_name,
+       sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+O_TOP_ORDER_PER_CUSTOMER = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+"""

@@ -112,3 +112,14 @@ def test_dedup_pages_single_fat_shuffle(docs):
     p = plan_of(dedup_pages_by_content(pages))
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_relational_broadcast_dims(spark):
+    """Dim joins in the TPC-H-shape queries must broadcast (no shuffled
+    join for region/nation/customer); only facts shuffle."""
+    from htmlx.spark import relational
+
+    p = plan_of(relational.regional_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    p2 = plan_of(relational.pricing_summary(spark, SF_DIR))
+    assert "partial_" in p2  # map-side combine on the big-fact rollup
