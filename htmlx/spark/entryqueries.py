@@ -448,6 +448,48 @@ FROM documents
 """
 
 
+# Portable payload construction (PNG header + md5-derived filler), shared
+# verbatim by the Spark builder and the DuckDB oracle so the byte-feature
+# stage is value-verifiable without any codec.
+_MEDIA_PAYLOAD_HEX = (
+    "'89504e470d0a1a0a0000000d49484452' || lpad(lower(hex(100 + doc_id % 500)), 8, '0') || "
+    "lpad(lower(hex(50 + doc_id % 300)), 8, '0') || '08' || "
+    "repeat(md5('htmlx-media-' || CAST(doc_id AS VARCHAR)), 4)"
+)
+
+
+def q_media_frame_features(spark, sf_dir):
+    """Frame-sampling / byte-feature plumbing: deterministic binary
+    payloads -> mapInPandas feature stage (hex-basis digests, sampled
+    frame hashes, byte entropy). The codec-free analogue of the
+    decode/resize/frame-sample stage."""
+    from .multimodal import extract_media_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.unhex(F.expr(_MEDIA_PAYLOAD_HEX.replace("AS VARCHAR", "AS STRING"))).alias("payload"),
+    )
+    return extract_media_features(media)
+
+
+O_MEDIA_FRAME_FEATURES = f"""
+WITH p AS (SELECT doc_id, {_MEDIA_PAYLOAD_HEX} AS h FROM documents),
+b AS (SELECT doc_id, h, CAST(length(h) / 2 AS BIGINT) AS byte_len FROM p),
+e AS (SELECT *, [substr(h, 2 * i - 1, 2) FOR i IN generate_series(1, CAST(byte_len AS INTEGER))] AS pairs FROM b)
+SELECT CAST(doc_id AS BIGINT) AS media_id, byte_len,
+  md5(h) AS payload_md5,
+  CAST(floor(1000 * list_sum(list_transform(
+        map_values(list_aggregate(pairs, 'histogram')),
+        c -> -(c * 1.0 / byte_len) * log2(c * 1.0 / byte_len)))) AS BIGINT) AS entropy_x1000,
+  md5(substr(h, 2 * ((0 * (byte_len - 16)) // 3) + 1, 32)) AS frame0,
+  md5(substr(h, 2 * ((1 * (byte_len - 16)) // 3) + 1, 32)) AS frame1,
+  md5(substr(h, 2 * ((2 * (byte_len - 16)) // 3) + 1, 32)) AS frame2,
+  md5(substr(h, 2 * ((3 * (byte_len - 16)) // 3) + 1, 32)) AS frame3
+FROM e
+"""
+
+
 def q_pdf_metadata(spark, sf_dir):
     """PDF structural-parse plumbing: synthesize minimal PDFs (page count
     derived from doc_id), run the codec-free structural stage."""
@@ -781,6 +823,7 @@ QUERIES = {
     "tpch_regional_revenue": relational.regional_revenue,
     "top_order_per_customer": relational.top_order_per_customer,
     "media_sniff_metadata": q_media_sniff,
+    "media_frame_features": q_media_frame_features,
     "pdf_structural_parse": q_pdf_metadata,
     "minhash_lsh_candidates": q_minhash_lsh,
     "ngram_jaccard_verify": q_ngram_jaccard,
@@ -818,6 +861,7 @@ ORACLES = {
     "tpch_regional_revenue": relational.O_REGIONAL_REVENUE,
     "top_order_per_customer": relational.O_TOP_ORDER_PER_CUSTOMER,
     "media_sniff_metadata": O_MEDIA_SNIFF,
+    "media_frame_features": O_MEDIA_FRAME_FEATURES,
     "pdf_structural_parse": O_PDF_METADATA,
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
     "simhash": O_SIMHASH,

@@ -141,3 +141,78 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
 
     return media.mapInPandas(meta_batch, MEDIA_META_SCHEMA)
+
+
+# Byte-level feature spec (engine-defined, codec-free, cross-engine
+# verifiable on the lowercase-hex basis):
+#   hexstr        = lower(hex(payload))
+#   payload_md5   = md5(hexstr)
+#   frame i of N (frame_len bytes): off_i = (i * (byte_len - frame_len)) // (N - 1)
+#                   frame_hash_i = md5(substr(hexstr, 2*off_i + 1, 2*frame_len));
+#                   byte_len <= frame_len -> every frame hash = md5(hexstr)
+#   entropy_x1000 = floor(1000 * sum over byte values ASCENDING (count>0)
+#                   of -(c/n) * log2(c/n))   [sequential summation]
+# This is the deterministic stand-in for the codec stage (real frame
+# sampling needs ffmpeg, absent here): the Spark plumbing — binary columns
+# through Arrow batches, numpy histogramming, per-frame digests — is real.
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("entropy_x1000", LongType()),
+        StructField("frame0", StringType()),
+        StructField("frame1", StringType()),
+        StructField("frame2", StringType()),
+        StructField("frame3", StringType()),
+    ]
+)
+
+
+def extract_media_features(media: DataFrame, n_frames: int = 4, frame_len: int = 16) -> DataFrame:
+    """mapInPandas stage: binary payload -> byte-level features + sampled
+    frame digests (numpy histogram + hashlib; Arrow-batched)."""
+    import binascii
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf.media_id, pdf.payload):
+                b = bytes(payload) if payload is not None else b""
+                hx = binascii.hexlify(b)
+                n = len(b)
+                counts = np.bincount(np.frombuffer(b, np.uint8), minlength=256) if n else []
+                ent = 0.0
+                for c in counts:  # ascending byte value, sequential sum
+                    if c:
+                        p = c / n
+                        ent += -p * math.log2(p)
+                frames = []
+                for i in range(n_frames):
+                    if n <= frame_len:
+                        frames.append(hashlib.md5(hx).hexdigest())
+                    else:
+                        off = (i * (n - frame_len)) // (n_frames - 1)
+                        frames.append(
+                            hashlib.md5(hx[2 * off : 2 * (off + frame_len)]).hexdigest()
+                        )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "byte_len": n,
+                        "payload_md5": hashlib.md5(hx).hexdigest(),
+                        "entropy_x1000": math.floor(1000 * ent),
+                        "frame0": frames[0],
+                        "frame1": frames[1],
+                        "frame2": frames[2],
+                        "frame3": frames[3],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+
+    return media.mapInPandas(feat_batch, MEDIA_FEATURES_SCHEMA)
