@@ -91,6 +91,12 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         "minhash_lsh_candidates",
         "ann_cosine_topk",
         "token_stats",
+        # round-2 additions (JVM simhash/lang-ID, exact block-pair near-dup,
+        # warehouse-shape rollup)
+        "simhash",
+        "lang_id",
+        "embedding_near_dup",
+        "tpch_pricing_summary",
     ]
     spark = get_spark(cores=cores, app_name="htmlx-bench-queries")
     times = {}

@@ -64,6 +64,37 @@ def host_stats_stream(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def windowed_event_rollup_stream(
+    events_stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream — the
+    late-data-tolerant streaming analogue of the batch events_hourly_rollup
+    query. Windows finalize (and emit, in append mode) once the watermark
+    passes their end, and their state is then evicted — bounded state even
+    at 10^12 events. Per Spark's documented watermark contract, the delay
+    is a CLEANUP bound: events later than it are guaranteed droppable, but
+    a late event whose window state is still live merges into it (observed:
+    a straggler arriving in the same batch that evicts its window is still
+    counted)."""
+    from pyspark.sql import functions as F
+
+    # event-time columns must be TIMESTAMP (not NTZ) for watermarking
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # group on the window STRUCT (projecting .start inside groupBy breaks
+    # Spark's watermark-to-aggregate linkage); emit .start afterwards
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value").cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window").start.alias("hour"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
 def start_extraction_stream(
     pages_stream: DataFrame,
     output_path: str,

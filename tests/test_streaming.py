@@ -87,3 +87,75 @@ def test_stateful_host_stats(spark, tmp_path_factory):
     }
     assert got == want
     assert len(got) >= 2
+
+
+def test_watermarked_window_rollup_matches_batch(spark, tmp_path_factory):
+    """Watermarked tumbling-window stream over events == the batch rollup
+    when the stream drains fully (availableNow); late-data semantics are
+    bounded-state by construction (append mode requires the watermark)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.streaming import windowed_event_rollup_stream
+
+    root = str(tmp_path_factory.mktemp("evstream"))
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    events_dir = os.path.join(root, "events")
+
+    batch_events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # The file stream source needs a DIRECTORY, and the files must arrive in
+    # EVENT-TIME order (the source processes in mtime order): randomly-split
+    # files would advance the watermark past later files' events and drop
+    # them as late. Write one file per time quartile, sequentially.
+    bounds = batch_events.selectExpr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), array(0.25, 0.5, 0.75))"
+    ).first()[0]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo = None
+    for hi in list(bounds) + [None]:
+        part = batch_events
+        if lo is not None:
+            part = part.where(us >= lo)
+        if hi is not None:
+            part = part.where(us < hi)
+        part.coalesce(1).write.mode("append").parquet(events_dir)
+        lo = hi
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    rollup = windowed_event_rollup_stream(stream)
+    q = (
+        rollup.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (str(r.hour), r.event_type, r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (str(r.hour), r.event_type, r.n_events, r.sum_value)
+        for r in (
+            batch_events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").start.alias("hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value").cast("double"), 4).alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    # append mode only emits windows the final watermark passed; with
+    # availableNow the watermark lands at max(ts) - 2h, so the last windows
+    # stay open: the emitted set is a prefix of the batch result
+    assert got <= want
+    assert len(got) >= len(want) - 3  # only the trailing open windows differ
