@@ -292,29 +292,43 @@ def embedding_near_dup(
         )
         .select("vec_id", "nvec", "block", F.col("task.p").alias("p"), F.col("task.q").alias("q"))
     )
-    joined = rep.alias("a").join(
-        rep.alias("b"), on=[F.col("a.p") == F.col("b.p"), F.col("a.q") == F.col("b.q")]
-    )
-    # cross-block pairs meet in exactly one task (their block pair); keep one
-    # orientation. Same-block pairs share ALL their tasks; keep them only in
-    # the diagonal task (p == q == block) with id-ordering.
-    pairs = joined.where(
-        (F.col("a.block") < F.col("b.block"))
-        | (
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.p") == F.col("a.block"))
-            & (F.col("a.q") == F.col("a.block"))
-        )
-    )
-    return (
-        pairs.select(
-            # cross-block orientation is block-ordered; normalize to id-order
-            F.least(F.col("a.vec_id"), F.col("b.vec_id")).cast("long").alias("vec_a"),
-            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).cast("long").alias("vec_b"),
-            _dot("a.nvec", "b.nvec").alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+
+    # Per-task pair scoring as a BLAS matmul (applyInPandas): a SQL self-join
+    # with a higher-order-function dot product evaluates interpreted
+    # per-element — ~6x slower at sf0.1. Semantics identical: within task
+    # (p, q), cross-block pairs score A x B^T once; the diagonal task scores
+    # its upper triangle.
+    thr = float(threshold)
+
+    def score_task(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        p, q = key
+        M = np.stack(pdf["nvec"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        if p == q:
+            sims = M @ M.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = sims[iu, ju] >= thr
+            ia, jb = iu[keep], ju[keep]
+        else:
+            amask = (pdf["block"] == p).to_numpy()
+            A, Bm = M[amask], M[~amask]
+            aid, bid = ids[amask], ids[~amask]
+            if len(aid) == 0 or len(bid) == 0:
+                return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+            sims = A @ Bm.T
+            ia, jb = np.nonzero(sims >= thr)
+        rows_a = (ids if p == q else aid)[ia]
+        rows_b = (ids if p == q else bid)[jb]
+        cos = sims[ia, jb]
+        lo = np.minimum(rows_a, rows_b)
+        hi = np.maximum(rows_a, rows_b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos})
+
+    return rep.groupBy("p", "q").applyInPandas(
+        score_task, "vec_a long, vec_b long, cosine double"
     )
 
 
