@@ -725,6 +725,24 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b
 """
 
 
+def q_lsh_bucket_stats(spark, sf_dir):
+    """The 'no silent caps' companion: bucket-size distribution + dropped
+    count for the LSH mega-bucket cap, value-verified."""
+    return analytics.lsh_bucket_stats(_docs(spark, sf_dir), max_bucket_size=1024)
+
+
+def _lsh_bucket_stats_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    base = _minhash_lsh_oracle(num_hashes, bands)
+    banded_cte = base[: base.index("SELECT DISTINCT")].rstrip()
+    return f"""{banded_cte},
+sizes AS (SELECT band_id, band_hash, count(*) AS c FROM banded GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN c > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_buckets
+FROM sizes
+"""
+
+
 def q_simhash(spark, sf_dir):
     return analytics.simhash_docs(_docs(spark, sf_dir))
 
@@ -826,6 +844,7 @@ QUERIES = {
     "media_frame_features": q_media_frame_features,
     "pdf_structural_parse": q_pdf_metadata,
     "minhash_lsh_candidates": q_minhash_lsh,
+    "lsh_bucket_stats": q_lsh_bucket_stats,
     "ngram_jaccard_verify": q_ngram_jaccard,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
@@ -868,4 +887,5 @@ ORACLES = {
     "lang_id": O_LANG_ID,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "minhash_lsh_candidates": _minhash_lsh_oracle(),
+    "lsh_bucket_stats": _lsh_bucket_stats_oracle(),
 }
