@@ -327,6 +327,39 @@ FROM documents
 """
 
 
+def q_lineage_rollup(spark, sf_dir):
+    """Drives the FUSED results+metrics+audit pipeline through the driver
+    gate: pages whose sanitizer strips exactly 3 dangerous constructs each,
+    one extraction pass, metrics derived JVM-side, rolled up globally.
+    Oracle-countable: bytes_in = page byte length (templates are ASCII),
+    audit_events = 3 per document."""
+    from .job import derive_metrics, run_extraction_full
+
+    pages = pages_from_documents(_docs(spark, sf_dir), "audit")
+    outs = run_extraction_full(pages, Config(), run_id="lineage")
+    m = derive_metrics(outs["results"])
+    return m.agg(
+        F.sum("docs_in").cast("long").alias("n_docs"),
+        F.sum("docs_ok").cast("long").alias("n_ok"),
+        F.sum("bytes_in").cast("long").alias("bytes_in"),
+        F.sum("audit_events").cast("long").alias("audit_events"),
+    )
+
+
+def _lineage_rollup_oracle() -> str:
+    page_sql = PAGE_TEMPLATES["audit"]
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_ok,
+       CAST(sum(octet_length(CAST({page_sql} AS BLOB))) AS BIGINT) AS bytes_in,
+       CAST(3 * count(*) AS BIGINT) AS audit_events
+FROM documents
+"""
+
+
+O_LINEAGE_ROLLUP = _lineage_rollup_oracle()
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
@@ -826,6 +859,7 @@ QUERIES = {
     "extract_nested_boilerplate": q_extract_nested_boilerplate,
     "extract_colspan_table": q_extract_colspan_table,
     "extract_deeplist": q_extract_deeplist,
+    "lineage_rollup": q_lineage_rollup,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -865,6 +899,7 @@ ORACLES = {
     "extract_nested_boilerplate": O_EXTRACT_NESTED,
     "extract_colspan_table": O_EXTRACT_COLSPAN,
     "extract_deeplist": O_EXTRACT_DEEPLIST,
+    "lineage_rollup": O_LINEAGE_ROLLUP,
     "dedup_exact": O_DEDUP_EXACT,
     "token_stats": O_TOKEN_STATS,
     "quality_scores": O_QUALITY_SCORES,

@@ -88,6 +88,14 @@ INNER_COLSPAN = (
     "<tr><td>a</td><td rowspan=\"2\">' || lang || '</td><td>c</td></tr>"
     "<tr><td>d</td><td>e</td></tr></table>'"
 )
+# dangerous content the sanitizer must strip — every page emits exactly
+# 3 audit events (blocked attr + blocked tag + blocked url), making the
+# fused lineage/audit pipeline oracle-countable
+INNER_AUDIT = (
+    "'<p>' || text || '</p>"
+    "<div onclick=\"x()\"><script>evil()</script>"
+    '<a href="javascript:y">l</a>ok</div>\''
+)
 # nested ordered-inside-unordered lists: indent + numbering rules
 INNER_DEEPLIST = (
     "'<p>' || text || '</p><ul><li>one ' || CAST(doc_id AS VARCHAR) || '</li>"
@@ -105,6 +113,7 @@ PAGE_TEMPLATES = {
     "nested": _page_sql(INNER_NESTED),
     "colspan": _page_sql(INNER_COLSPAN),
     "deeplist": _page_sql(INNER_DEEPLIST),
+    "audit": _page_sql(INNER_AUDIT),
 }
 
 
