@@ -295,28 +295,33 @@ def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
     if root is None:
         return {}
 
-    # pre-order collection with an explicit (node, in_link) stack
-    preorder: list[tuple[Node, bool]] = []
+    # pre-order collection with an explicit (node, in_link, parent_index)
+    # stack: the parent's preorder index is known at push time, so the
+    # post-order accumulation below indexes flat lists instead of paying
+    # two dict-by-id lookups per node
+    preorder: list[tuple[Node, bool, int]] = []
     visited = 0
-    work = [(root, _has_a_ancestor(root) or (root.type == ELEMENT and root.data == "a"))]
+    work = [(root, _has_a_ancestor(root) or (root.type == ELEMENT and root.data == "a"), -1)]
     pop = work.pop
     push = work.append
     while work:
-        node, in_link = pop()
+        node, in_link, pidx = pop()
         visited += 1
         if visited > 50000:  # MAX_WALK_NODES cap (helpers.go:386)
             break
-        preorder.append((node, in_link))
+        idx = len(preorder)
+        preorder.append((node, in_link, pidx))
         c = node.last_child
         while c is not None:
-            push((c, in_link or (c.type == ELEMENT and c.data == "a")))
+            push((c, in_link or (c.type == ELEMENT and c.data == "a"), idx))
             c = c.prev_sibling
 
     # post-order accumulation (reverse pre-order works for these sums);
     # per-node accumulator: [tag_count, para, heading, text_len, link_text, commas]
-    acc = {id(node): [0, 0, 0, 0, 0, 0] for node, _ in preorder}
-    for node, in_link in reversed(preorder):
-        a = acc[id(node)]
+    acc = [[0, 0, 0, 0, 0, 0] for _ in preorder]
+    for i in range(len(preorder) - 1, -1, -1):
+        node, in_link, pidx = preorder[i]
+        a = acc[i]
         t = node.type
         if t == ELEMENT:
             a[0] += 1
@@ -333,22 +338,20 @@ def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
                 a[5] += text.count(",") + text.count("，")
                 if in_link:
                     a[4] += blen
-        p = node.parent
-        if p is not None:
-            pa = acc.get(id(p))
-            if pa is not None:
-                pa[0] += a[0]
-                pa[1] += a[1]
-                pa[2] += a[2]
-                pa[3] += a[3]
-                pa[4] += a[4]
-                pa[5] += a[5]
+        if pidx >= 0:
+            pa = acc[pidx]
+            pa[0] += a[0]
+            pa[1] += a[1]
+            pa[2] += a[2]
+            pa[3] += a[3]
+            pa[4] += a[4]
+            pa[5] += a[5]
 
     candidates: dict = {}
-    for node, _ in preorder:
+    for i, (node, _, _) in enumerate(preorder):
         if node.type != ELEMENT or is_non_content_element(node.data) or node.data == "p":
             continue
-        a = acc[id(node)]
+        a = acc[i]
         m = ContentMetrics()
         m.tag_count, m.paragraph_count, m.heading_count = a[0], a[1], a[2]
         m.text_length = m.total_text_length = a[3]
