@@ -210,14 +210,15 @@ SELECT {_ORACLE_URL}, CAST(3 AS BIGINT),
 """
 
 
-# encoding round-trip: html bytes in 6 charsets chosen by (lang, doc_id):
+# encoding round-trip: html bytes in 7 charsets chosen by (lang, doc_id):
 # gbk + big5 (zh, split by doc parity), iso-8859-1 (de), iso-8859-15 (fr),
-# windows-1252 (es and any other), utf-8 (en, no meta tag)
+# windows-1252 (es and any other), utf-8 / BOM'd utf-16 (en, split by
+# parity, no meta tag — utf-16 exercises BOM detection)
 def _enc_marker_charset(lang: str, doc_id: int) -> tuple[str, str]:
     if lang == "zh":
         return ("中文标记 ", "gbk") if doc_id % 2 == 0 else ("繁體中文標記 ", "big5")
     if lang == "en":
-        return ("", "utf-8")
+        return ("", "utf-8") if doc_id % 2 == 0 else ("", "utf-16")
     if lang == "de":
         return ("straße größer ", "iso-8859-1")
     if lang == "fr":
@@ -235,7 +236,7 @@ def q_extract_encoding(spark, sf_dir):
             rows = []
             for doc_id, text, lang, source in zip(pdf.doc_id, pdf.text, pdf.lang, pdf.source):
                 marker, charset = _enc_marker_charset(lang, int(doc_id))
-                meta = "" if charset == "utf-8" else f'<meta charset="{charset}">'
+                meta = "" if charset in ("utf-8", "utf-16") else f'<meta charset="{charset}">'
                 page = (
                     f"<html><head>{meta}<title>Doc {doc_id}</title></head><body>"
                     f'<nav class="nav">Home About</nav>'
