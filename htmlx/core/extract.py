@@ -27,7 +27,12 @@ from .scorer import DefaultScorer, get_default_scorer, score_all_nodes, select_b
 from .tables import TrackedBuilder
 from .textnorm import clean_text, get_text_content
 from .urlutil import is_external_url, is_valid_url
-from .media import extract_audios, extract_videos, has_media_reference
+from .media import (
+    extract_audios,
+    extract_videos,
+    extract_videos_and_audios,
+    has_media_reference,
+)
 
 # config.go:11-26, 50-54, 72
 DEFAULT_MAX_INPUT_SIZE = 50 * 1024 * 1024
@@ -291,9 +296,13 @@ class Extractor:
                 )
                 and has_media_reference(html_content)
             )
-            if self.config.preserve_videos:
+            if self.config.preserve_videos and self.config.preserve_audios:
+                result.videos, result.audios = extract_videos_and_audios(
+                    doc, html_content, can_contain_media
+                )
+            elif self.config.preserve_videos:
                 result.videos = extract_videos(doc, html_content, can_contain_media)
-            if self.config.preserve_audios:
+            else:
                 result.audios = extract_audios(doc, html_content, can_contain_media)
         return result
 
