@@ -348,6 +348,40 @@ def _dot(a: str, b: str):
     return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
+def embedding_near_dup_ivf(
+    embeddings: DataFrame, threshold: float = 0.95, num_centroids: int = 8, dim: int | None = None
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: IVF-bucket the vectors, score pairs only
+    within a bucket (BLAS matmul per bucket). The cheap 100 TB path when
+    exact all-pairs (embedding_near_dup) is too expensive: pair work drops
+    ~num_centroids-fold; recall is high for tight thresholds (near-dups
+    land in the same cell) and is measured in tests/test_ann.py."""
+    assigned, _ = ivf_assign(embeddings, num_centroids, dim=dim)
+    thr = float(threshold)
+
+    def score_bucket(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        M = np.stack(pdf["nvec"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        sims = M @ M.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= thr
+        ia, jb = iu[keep], ju[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ids[ia], ids[jb]),
+                "vec_b": np.maximum(ids[ia], ids[jb]),
+                "cosine": sims[ia, jb],
+            }
+        )
+
+    return assigned.groupBy("bucket").applyInPandas(
+        score_bucket, "vec_a long, vec_b long, cosine double"
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1, dim: int | None = None
 ) -> tuple:

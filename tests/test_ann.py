@@ -92,3 +92,39 @@ def test_embedding_near_dup_blocked_is_exact(spark, emb):
     )
     want = {(r.vec_a, r.vec_b) for r in naive.collect()}
     assert got == want and len(got) > 0
+
+
+def test_embedding_near_dup_ivf_recall(spark, emb):
+    """The approximate IVF near-dup path must (a) emit only true pairs
+    (precision 1 — in-bucket scores are exact) and (b) recall TRUE
+    near-duplicates (tight cosine): inject clusters of tiny perturbations
+    of base vectors — those co-locate in a cell by construction. (At loose
+    thresholds like 0.4 the pairs are not near-dups and recall is poor —
+    that regime belongs to the exact path; measured 0.3-0.5 there.)"""
+    import numpy as np
+
+    from htmlx.spark.analytics import embedding_near_dup, embedding_near_dup_ivf
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for cluster in range(10):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(3):  # 3 near-identical members per cluster
+            v = base + 0.01 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(100):  # decoys
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {(r.vec_a, r.vec_b) for r in embedding_near_dup(emb2, 0.99).collect()}
+    approx = {(r.vec_a, r.vec_b) for r in embedding_near_dup_ivf(emb2, 0.99, num_centroids=8).collect()}
+    assert approx <= exact  # precision 1: no false pairs
+    assert len(exact) >= 25  # ~30 true pairs injected
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, recall  # true near-dups co-locate
