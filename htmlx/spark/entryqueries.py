@@ -328,6 +328,35 @@ FROM documents
 """
 
 
+class _SidebarScorer:
+    """Custom Scorer (the §2.10 extension point): scores ONLY the sidebar
+    div, flipping candidate selection away from the article — module-level
+    so cloudpickle ships it to the Python workers."""
+
+    def score(self, node) -> int:
+        for k, v in node.attrs:
+            if k == "class" and v == "sidebar":
+                return 1000
+        return 0
+
+
+def q_custom_scorer(spark, sf_dir):
+    """The custom-Scorer protocol end-to-end THROUGH Spark: a user scorer
+    object rides the Config through cloudpickle into the mapInPandas
+    workers and flips candidate selection — with the boilerplate template
+    the engine now extracts the sidebar instead of the article."""
+    return _extract(
+        spark, sf_dir, "boilerplate", Config(scorer=_SidebarScorer())
+    ).select("url", "title", "text", F.col("word_count").cast("long").alias("word_count"))
+
+
+O_CUSTOM_SCORER = f"""
+SELECT {_ORACLE_URL} AS url, {_DOCTITLE} AS title,
+       'junk sidebar words' AS text, CAST(3 AS BIGINT) AS word_count
+FROM documents
+"""
+
+
 def q_lineage_rollup(spark, sf_dir):
     """Drives the FUSED results+metrics+audit pipeline through the driver
     gate: pages whose sanitizer strips exactly 3 dangerous constructs each,
@@ -861,6 +890,7 @@ QUERIES = {
     "extract_colspan_table": q_extract_colspan_table,
     "extract_deeplist": q_extract_deeplist,
     "lineage_rollup": q_lineage_rollup,
+    "custom_scorer_extraction": q_custom_scorer,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -901,6 +931,7 @@ ORACLES = {
     "extract_colspan_table": O_EXTRACT_COLSPAN,
     "extract_deeplist": O_EXTRACT_DEEPLIST,
     "lineage_rollup": O_LINEAGE_ROLLUP,
+    "custom_scorer_extraction": O_CUSTOM_SCORER,
     "dedup_exact": O_DEDUP_EXACT,
     "token_stats": O_TOKEN_STATS,
     "quality_scores": O_QUALITY_SCORES,
