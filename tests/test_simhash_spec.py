@@ -38,6 +38,26 @@ def test_simhash_matches_python_reference(spark):
         assert rows[doc_id] == simhash_py(text), doc_id
 
 
+def test_simhash_edge_strings(spark):
+    """Whitespace runs (empty tokens), unicode, punctuation: the Spark
+    expression and the Python reference must agree token-for-token."""
+    cases = [
+        "a  b",            # double space -> empty token, md5('') hashed
+        " leading",
+        "trailing ",
+        "汉字 mixed ascii tokens",
+        "café naïve résumé",
+        "a,b.c!d",         # punctuation stays inside tokens
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral",  # astral-plane chars
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == simhash_py(t), repr(t)
+
+
 def test_simhash_locality():
     """Near-identical texts differ in few bits; unrelated texts in many."""
     base = "the quick brown fox jumps over the lazy dog " * 10
