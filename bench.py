@@ -284,7 +284,9 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
         # (similar machine state for both levels) and efficiency is taken
         # from the best pair — unpaired best-of would cherry-pick a lucky
         # baseline window the fleet can never see.
-        rounds = 2
+        rounds = 3  # more paired samples per run: the solo baseline swings
+        # ±15% with turbo/steal luck (see BASELINE.md), so best-of-3 paired
+        # rounds estimates the clean-window pairing better than best-of-2
         best = None
         for _ in range(rounds):
             time.sleep(30)  # credit/thermal cool-down between rounds
