@@ -602,22 +602,27 @@ def q_events_hourly(spark, sf_dir):
     """Tumbling-window event rollup (the batch analogue of the streaming
     windowed aggregation surface)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # value is a 2dp money-like double: cast to DECIMAL(12,2) BEFORE the sum
+    # so the aggregate is exact and order-independent (a double sum's result
+    # depends on partial-aggregation order), then emit the hash-stable
+    # round+DOUBLE form — same rule as relational.py.
     return (
         events.groupBy(
             F.window("ts", "1 hour").start.alias("hour"), F.col("event_type")
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum("value").cast("double").alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12, 2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
-        .select("hour", "event_type", "n_events", F.round("sum_value", 4).alias("sum_value"))
     )
 
 
 O_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -657,8 +662,9 @@ def q_user_sessions(spark, sf_dir):
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The tz offset the
-    # cast introduces cancels in the gap difference.
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The session zone is
+    # pinned to UTC (session.py), so the cast is a pure reinterpretation —
+    # no DST transition can make two gap-adjacent events shift differently.
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap_us = us - F.lag(us).over(w)
     with_new = events.withColumn(

@@ -11,6 +11,15 @@ arithmetic and summation happens in exact decimal — order-independent, so
 Spark's partial-aggregation order can never diverge from DuckDB's, and no
 double-to-decimal rounding of computed products exists anywhere (that cast
 is engine-divergent on boundary values; measured on this corpus).
+
+Output representation rule (round-2 VERDICT fix): the FINAL decimal
+aggregates are rounded to 2dp and cast to DOUBLE on both engines. Decimal
+values hash engine-specifically at the driver gate (Spark emits
+DECIMAL(22,2), DuckDB DECIMAL(38,2); pandas conversion diverges further),
+while a double is a double everywhere. The conversion is deterministic:
+the rounded sum is an exact decimal with unscaled value < 2^53, so both
+engines' decimal->double casts are the same correctly-rounded IEEE value
+(exact integer conversion + one correctly-rounded division by 100).
 """
 
 from __future__ import annotations
@@ -36,6 +45,12 @@ def _disc_price():
     return (p * (1 - d)).cast(D4)
 
 
+def _d2d(c):
+    """Hash-stable output form for an exact decimal aggregate: round to 2dp
+    (HALF_UP on both engines for positive money values), cast to DOUBLE."""
+    return F.round(c, 2).cast("double")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -50,10 +65,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(D2)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(D2)).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            _d2d(F.sum(F.col("l_quantity").cast(D2))).alias("sum_qty"),
+            _d2d(F.sum(F.col("l_extendedprice").cast(D2))).alias("sum_base_price"),
+            _d2d(F.sum(disc_price)).alias("sum_disc_price"),
+            _d2d(F.sum(charge)).alias("sum_charge"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
@@ -75,7 +90,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str, segment: str = "BUILDIN
     return (
         agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(k)
-        .select("o_orderkey", "o_orderdate", "revenue")
+        .select("o_orderkey", "o_orderdate", _d2d(F.col("revenue")).alias("revenue"))
     )
 
 
@@ -99,7 +114,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(revenue).alias("revenue"),
+            _d2d(F.sum(revenue)).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
     )
@@ -125,10 +140,10 @@ def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS sum_disc_price,
-       sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(24,6))) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_charge,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -136,19 +151,22 @@ GROUP BY 1, 2
 """
 
 O_TOP_REVENUE_ORDERS = """
-SELECT o.o_orderkey, o.o_orderdate,
-       sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS revenue
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-GROUP BY 1, 2
-ORDER BY revenue DESC, o.o_orderkey
-LIMIT 10
+SELECT o_orderkey, o_orderdate, CAST(round(revenue, 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT o.o_orderkey, o.o_orderdate,
+         sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+  ORDER BY revenue DESC, o.o_orderkey
+  LIMIT 10
+)
 """
 
 O_REGIONAL_REVENUE = """
 SELECT r.r_name, n.n_name,
-       sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))) AS revenue,
+       CAST(round(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -34,6 +34,11 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", str(adaptive).lower())
+        # Pin the session zone: TIMESTAMP_NTZ -> TIMESTAMP casts otherwise
+        # read the JVM-default zone, so epoch arithmetic (sessionization
+        # gaps, streaming windows) would shift by the host's DST offset vs
+        # the DuckDB oracle's pure wall-clock epoch_us.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))

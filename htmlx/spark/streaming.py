@@ -48,7 +48,9 @@ def host_stats_stream(pages_stream: DataFrame) -> DataFrame:
         docs, nbytes = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             docs += len(pdf)
-            nbytes += int(pdf["html"].map(lambda b: len(b) if b is not None else 0).sum())
+            # vectorized byte length (html is a bytes column; str.len on an
+            # object Series of bytes returns per-element len, NaN for None)
+            nbytes += int(pdf["html"].str.len().fillna(0).sum())
         state.update((docs, nbytes))
         yield pd.DataFrame([{"host": key[0], "docs": docs, "bytes": nbytes}])
 
@@ -78,7 +80,8 @@ def windowed_event_rollup_stream(
     counted)."""
     from pyspark.sql import functions as F
 
-    # event-time columns must be TIMESTAMP (not NTZ) for watermarking
+    # event-time columns must be TIMESTAMP (not NTZ) for watermarking; the
+    # session zone is pinned to UTC (session.py) so the cast is zone-stable
     events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # group on the window STRUCT (projecting .start inside groupBy breaks
     # Spark's watermark-to-aggregate linkage); emit .start afterwards
@@ -87,7 +90,12 @@ def windowed_event_rollup_stream(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value").cast("double"), 4).alias("sum_value"),
+            # exact-decimal sum (order-independent across micro-batches),
+            # emitted in the hash-stable round+DOUBLE form — entryqueries
+            # q_events_hourly is the batch twin and must stay aligned
+            F.round(F.sum(F.col("value").cast("decimal(12, 2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("window").start.alias("hour"), "event_type", "n_events", "sum_value"
