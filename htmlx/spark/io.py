@@ -16,13 +16,21 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
 
 class ParquetTableIO:
     """Parquet + manifest implementation of the commit/resume contract.
 
     Layout:
-      <root>/data/group=<gid>/*.parquet   partition-dir per url-hash group
-      <root>/_manifest.json               {"committed": {run_id: [gid, ...]}}
+      <root>/data/run_id=<rid>/group=<gid>/*.parquet
+      <root>/_manifest.json     {"committed": {run_id: [gid, ...]}}
+
+    Partitioning by (run_id, group) — not group alone — is what makes the
+    manifest's per-run commit bookkeeping true on disk: a dynamic-partition
+    overwrite only ever replaces THIS run's group dirs, so multiple run_ids
+    coexist in one table root without a later run deleting rows whose
+    manifests still claim them committed.
     """
 
     def __init__(self, root: str):
@@ -60,16 +68,18 @@ class ParquetTableIO:
         The manifest update happens only after a successful write, so a
         failed run leaves the group uncommitted and it is redone on resume
         (write-then-commit = the Iceberg snapshot-commit analogue)."""
-        path = os.path.join(self.data_dir, f"group={group_id}")
+        path = os.path.join(self.data_dir, f"run_id={run_id}", f"group={group_id}")
         df.write.mode("overwrite").parquet(path)
         self._commit_groups(run_id, [group_id])
 
     def append_groups(self, df: DataFrame, run_id: str, group_ids) -> None:
-        """Write MANY groups in one pass — df must carry a `group` column.
+        """Write MANY groups in one pass — df must carry `run_id` and
+        `group` columns.
 
-        One `partitionBy("group")` write (dynamic partition overwrite: only
-        the touched group dirs are replaced, committed dirs stay intact),
-        then ONE manifest commit covering them all. This is the Iceberg
+        One `partitionBy("run_id", "group")` write (dynamic partition
+        overwrite: only this run's touched group dirs are replaced; other
+        runs' dirs and this run's committed dirs stay intact), then ONE
+        manifest commit covering them all. This is the Iceberg
         single-append-snapshot analogue: the input is scanned once for N
         groups instead of once per group. A failure before the manifest
         write leaves every group in the pass uncommitted; resume redoes the
@@ -78,7 +88,7 @@ class ParquetTableIO:
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("group")
+            .partitionBy("run_id", "group")
             .parquet(self.data_dir)
         )
         self._commit_groups(run_id, group_ids)
@@ -87,12 +97,27 @@ class ParquetTableIO:
         """True when no group dir has ever been written (a partitioned
         write of zero rows creates no directories — a legitimate state for
         e.g. an audit table over a clean corpus)."""
-        return not any(e.startswith("group=") for e in os.listdir(self.data_dir))
+        for rid_dir in os.listdir(self.data_dir):
+            if rid_dir.startswith("run_id="):
+                sub = os.path.join(self.data_dir, rid_dir)
+                if any(e.startswith("group=") for e in os.listdir(sub)):
+                    return False
+        return True
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.data_dir).parquet(
-            os.path.join(self.data_dir, "group=*")
-        )
+        # Partition-dir values come back as columns; type inference must be
+        # off while loading or an all-digit run_id dir would be read as a
+        # number (dropping leading zeros). group's long type is restored
+        # explicitly — the table schema contract, not directory guesswork.
+        old = spark.conf.get(_INFER_KEY, "true")
+        spark.conf.set(_INFER_KEY, "false")
+        try:
+            df = spark.read.option("basePath", self.data_dir).parquet(
+                os.path.join(self.data_dir, "run_id=*", "group=*")
+            )
+        finally:
+            spark.conf.set(_INFER_KEY, old)
+        return df.withColumn("group", F.col("group").cast("long"))
 
 
 def group_bucket(num_groups: int):
@@ -124,6 +149,12 @@ def run_with_resume(
     Metrics and audit tables are DERIVED from the results just written
     (column-pruned read-back of the thin lineage columns), so enabling
     them adds zero extra extraction work and zero extra input scans.
+
+    Each derived table keeps its OWN pending set: a crash after the results
+    commit but before the metrics/audit commit leaves those groups
+    results-committed yet metrics/audit-uncommitted, and on resume they are
+    re-derived from the already-written results (no re-extraction) — the
+    exactly-once contract covers all three tables, not just results.
     """
     from ..core.extract import Config
     from .job import derive_audit, derive_metrics, run_extraction
@@ -143,33 +174,38 @@ def run_with_resume(
         # recompute the bucket on the result rows (same deterministic hash)
         results = results.withColumn("group", bucket)
         out.append_groups(results, run_id, pending)
-        if metrics_out is not None or audit_out is not None:
-            # derive from the WRITTEN results: pruned scan of thin columns,
-            # zero re-extraction and zero extra scans of the input table
-            written = out.read(spark).where(
-                (F.col("run_id") == run_id) & F.col("group").isin(pending)
+
+    for table, derive in (
+        (metrics_out, "metrics"),
+        (audit_out, "audit"),
+    ):
+        if table is None:
+            continue
+        todo = sorted(set(range(num_groups)) - table.committed_groups(run_id))
+        if not todo:
+            continue
+        # derive from the WRITTEN results: pruned scan of thin columns,
+        # zero re-extraction and zero extra scans of the input table
+        written = out.read(spark).where(
+            (F.col("run_id") == run_id) & F.col("group").isin(todo)
+        )
+        if derive == "metrics":
+            # keyed by (run_id, partition_id, group): the metrics write
+            # touches exactly the pending group dirs, so a later resume
+            # pass can never clobber an already-committed group's rows
+            rows = derive_metrics(
+                written.select(
+                    "run_id",
+                    "partition_id",
+                    "group",
+                    "error",
+                    "input_bytes",
+                    "processing_time_ms",
+                    "audit",
+                ),
+                extra_keys=("group",),
             )
-            if metrics_out is not None:
-                # keyed by (run_id, partition_id, group): the metrics write
-                # touches exactly the pending group dirs, so a later resume
-                # pass can never clobber an already-committed group's rows
-                metrics = derive_metrics(
-                    written.select(
-                        "run_id",
-                        "partition_id",
-                        "group",
-                        "error",
-                        "input_bytes",
-                        "processing_time_ms",
-                        "audit",
-                    ),
-                    extra_keys=("group",),
-                )
-                metrics_out.append_groups(metrics, run_id, pending)
-            if audit_out is not None:
-                audit_out.append_groups(
-                    derive_audit(written).withColumn("group", group_bucket(num_groups)),
-                    run_id,
-                    pending,
-                )
+        else:
+            rows = derive_audit(written).withColumn("group", group_bucket(num_groups))
+        table.append_groups(rows, run_id, todo)
     return out.read(spark)

@@ -131,3 +131,77 @@ def test_resume_single_pass_with_metrics_and_audit(spark, docs, tmp_path_factory
     )
     assert res2.count() == 51
     assert 0 < counter2.value < 51  # only group 3 re-extracted
+
+
+def test_resume_rederives_lagging_metrics_audit_without_reextraction(
+    spark, docs, tmp_path_factory
+):
+    """Crash window between the results commit and the derived-table
+    commits (ADVICE r2): results groups committed, metrics/audit groups
+    not. Resume must fill the derived tables from the WRITTEN results —
+    zero re-extraction — instead of silently losing those rows forever."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("fused_lag"))
+    out = ParquetTableIO(os.path.join(root, "results"))
+    metrics_out = ParquetTableIO(os.path.join(root, "metrics"))
+    audit_out = ParquetTableIO(os.path.join(root, "audit"))
+    adversarial = spark.createDataFrame(
+        [("https://adv.example.com/", bytearray(b"<div><script>e</script>body text</div>"))],
+        "url string, html binary",
+    )
+    pages = pages_from_documents(docs, "links").unionByName(
+        adversarial, allowMissingColumns=True
+    )
+    run_id = uuid.uuid4().hex[:8]
+
+    run_with_resume(
+        spark, pages, out, metrics_out, run_id, num_groups=4, audit_out=audit_out
+    )
+    full_metrics = sum(r.docs_in for r in metrics_out.read(spark).collect())
+    full_audit = audit_out.read(spark).count()
+
+    # simulate the crash: roll the derived manifests back, delete their data
+    import shutil
+
+    for t in (metrics_out, audit_out):
+        manifest = t._read_manifest()
+        manifest["committed"][run_id] = [0, 1]
+        t._write_manifest(manifest)
+        for g in (2, 3):
+            shutil.rmtree(
+                os.path.join(t.data_dir, f"run_id={run_id}", f"group={g}"),
+                ignore_errors=True,
+            )
+
+    counter = spark.sparkContext.accumulator(0)
+    run_with_resume(
+        spark, pages, out, metrics_out, run_id,
+        num_groups=4, audit_out=audit_out, doc_counter=counter,
+    )
+    assert counter.value == 0  # results all committed -> no extraction at all
+    assert metrics_out.committed_groups(run_id) == {0, 1, 2, 3}
+    assert audit_out.committed_groups(run_id) == {0, 1, 2, 3}
+    assert sum(r.docs_in for r in metrics_out.read(spark).collect()) == full_metrics
+    assert audit_out.read(spark).count() == full_audit
+
+
+def test_multi_run_coexistence_in_one_table_root(spark, docs, tmp_path_factory):
+    """Two run_ids share a table root (ADVICE r2): the second run's dynamic
+    overwrite must only replace its OWN run_id=<rid>/group=* dirs, never
+    another run's rows in the same group numbers."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("fused_multirun"))
+    out = ParquetTableIO(os.path.join(root, "results"))
+    pages = pages_from_documents(docs, "links")
+
+    res_a = run_with_resume(spark, pages, out, None, "run-a", num_groups=4)
+    count_a = res_a.where("run_id = 'run-a'").count()
+    res_b = run_with_resume(spark, pages, out, None, "run-b", num_groups=4)
+    both = res_b.groupBy("run_id").count().collect()
+    counts = {r.run_id: r["count"] for r in both}
+    assert counts == {"run-a": count_a, "run-b": count_a}
+    # manifests stay truthful per run
+    assert out.committed_groups("run-a") == {0, 1, 2, 3}
+    assert out.committed_groups("run-b") == {0, 1, 2, 3}

@@ -92,7 +92,7 @@ def test_resume_skips_committed_groups(spark, docs, tmp_path_factory):
     manifest = out._read_manifest()
     manifest["committed"][run_id] = [0, 1, 2]
     out._write_manifest(manifest)
-    shutil.rmtree(os.path.join(out.data_dir, "group=3"))
+    shutil.rmtree(os.path.join(out.data_dir, f"run_id={run_id}", "group=3"))
     res2 = run_with_resume(spark, pages, out, None, run_id, num_groups=4)
     assert res2.count() == 60
     assert out.committed_groups(run_id) == {0, 1, 2, 3}
