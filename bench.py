@@ -78,9 +78,27 @@ def run_throughput_once(cores: int, sf_dir: str, replicate: int = 4) -> dict:
 
 
 def run_queries(sf_dir: str, cores: int) -> dict:
-    """Headline per-query wall times (the driver-facing bench payload)."""
+    """Headline per-query wall times (the driver-facing bench payload).
+
+    MinHash/SimHash bench in their PRODUCTION hash basis (xxhash64, the
+    engine default — pure JVM integer hashing); the md5 oracle mode the
+    driver's correctness gate runs is benched alongside under *_oracle_md5
+    keys so the basis cost stays visible (tests/test_hash_basis.py pins
+    that both bases produce the same verified dedup output)."""
+    from htmlx.spark import analytics
     from htmlx.spark.session import get_spark
     from htmlx.spark.entryqueries import QUERIES
+
+    def _docs(spark, d):
+        return spark.read.parquet(f"{d}/documents.parquet")
+
+    named = dict(QUERIES)
+    named["minhash_lsh_candidates"] = lambda s, d: analytics.minhash_lsh_candidates(
+        _docs(s, d)
+    )  # production basis (xxhash64 default)
+    named["minhash_lsh_oracle_md5"] = QUERIES["minhash_lsh_candidates"]
+    named["simhash"] = lambda s, d: analytics.simhash_docs(_docs(s, d))
+    named["simhash_oracle_md5"] = QUERIES["simhash"]
 
     headline = [
         "extract_text",
@@ -97,18 +115,21 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         "lang_id",
         "embedding_near_dup",
         "tpch_pricing_summary",
+        # oracle-mode (md5 basis) companions for the two hash-based ops
+        "minhash_lsh_oracle_md5",
+        "simhash_oracle_md5",
     ]
     spark = get_spark(cores=cores, app_name="htmlx-bench-queries")
     times = {}
     try:
         # warm the Python workers so the first timed query isn't charged
         # the one-time worker spawn/import cost
-        QUERIES["extract_text"](spark, sf_dir).limit(cores * 64).write.format("noop").mode(
+        named["extract_text"](spark, sf_dir).limit(cores * 64).write.format("noop").mode(
             "overwrite"
         ).save()
         for name in headline:
             t0 = time.monotonic()
-            df = QUERIES[name](spark, sf_dir)
+            df = named[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times[name] = round(time.monotonic() - t0, 3)
     finally:

@@ -46,13 +46,32 @@ def shingles_col(text_col: str = "text", k: int = 3):
     )
 
 
-# MinHash spec (engine-defined): one md5 per shingle reduced mod the
+# MinHash spec (engine-defined): one base hash per shingle reduced mod the
 # Mersenne prime P=2^31-1, then num_hashes draws from the classic universal
 # family sig[j] = min over shingles of (a_j * h + b_j) mod P, with a_j/b_j
-# md5-derived constants (a_j forced odd). md5 is the basis (not xxhash64)
-# deliberately: DuckDB computes identical md5, so signatures, band hashes
-# and the candidate-pair join are fully oracle-checkable across engines.
+# md5-derived constants (a_j forced odd).
+#
+# TWO base-hash modes (hash_basis param), same family on top:
+#   "xxhash64" (production default): Spark's native 64-bit hash — pure JVM
+#     integer work, several× cheaper per shingle than md5 at 100 TB.
+#   "md5" (oracle mode): DuckDB computes identical md5, so signatures, band
+#     hashes and the candidate-pair join are fully oracle-checkable across
+#     engines — the driver-gate queries run this mode.
+# Candidate-set equivalence between the two bases on the test corpus is
+# pinned by tests/test_hash_basis.py.
 MINHASH_PRIME = 2147483647
+
+
+def _minhash_base_expr(hash_basis: str) -> str:
+    """Per-shingle base hash (SQL lambda body over `__shingles`)."""
+    if hash_basis == "xxhash64":
+        return f"transform(__shingles, s -> pmod(xxhash64(s), {MINHASH_PRIME}))"
+    if hash_basis == "md5":
+        return (
+            f"transform(__shingles, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) "
+            f"AS BIGINT) % {MINHASH_PRIME})"
+        )
+    raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
 
 
 def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
@@ -72,7 +91,12 @@ def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
     )
 
 
-def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
     """MinHash signatures, all JVM-side with zero shuffles. Tokenization,
     shingles and the per-shingle base hash are staged as separate
     projections so each is computed once per row, not once per hash
@@ -86,9 +110,7 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32, shingle_k: in
         f"ELSE transform(sequence(1, size(__tokens) - {k - 1}), "
         f"i -> concat_ws(' ', slice(__tokens, i, {k}))) END"
     )
-    base = F.expr(
-        f"transform(__shingles, s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {MINHASH_PRIME})"
-    )
+    base = F.expr(_minhash_base_expr(hash_basis))
     sig = F.array(
         *[
             F.array_min(
@@ -112,6 +134,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket_size: int | None = 1024,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` bands of
     num_hashes/bands rows, hash each band, shuffle by (band, hash), and emit
@@ -123,7 +146,7 @@ def minhash_lsh_candidates(
     expansion (the docs inside remain candidates through their other,
     smaller buckets). None disables the cap. Use lsh_bucket_stats to count
     dropped buckets for a run report."""
-    banded = _lsh_banded(documents, num_hashes, bands, shingle_k)
+    banded = _lsh_banded(documents, num_hashes, bands, shingle_k, hash_basis)
     if max_bucket_size is not None:
         # Window-count cap, NOT a separate agg + anti-join: keeping both
         # self-join inputs byte-identical subtrees lets Spark's
@@ -154,11 +177,28 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def _band_hash_expr(b: int, rows: int, hash_basis: str) -> str:
+    """Per-band bucket key over a signature slice — a cheap bigint shuffle
+    key. xxhash64 hashes the int array directly (no string building); the
+    md5 form goes through a canonical comma-joined string so DuckDB can
+    replicate it byte-for-byte."""
+    sl = f"slice(minhash_sig, {b * rows + 1}, {rows})"
+    if hash_basis == "xxhash64":
+        return f"xxhash64({sl})"
+    return (
+        f"CAST(conv(substr(md5(concat_ws(',', CAST({sl} AS array<string>)"
+        ")), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
 def _lsh_banded(
-    documents: DataFrame, num_hashes: int, bands: int, shingle_k: int
+    documents: DataFrame, num_hashes: int, bands: int, shingle_k: int,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     rows = num_hashes // bands
-    with_sig = minhash_signatures(documents, num_hashes, shingle_k).select("doc_id", "minhash_sig")
+    with_sig = minhash_signatures(documents, num_hashes, shingle_k, hash_basis).select(
+        "doc_id", "minhash_sig"
+    )
     return with_sig.select(
         "doc_id",
         F.explode(
@@ -166,13 +206,7 @@ def _lsh_banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        # md5-based band key (first 15 hex as BIGINT):
-                        # engine-replicable, cheap bigint shuffle key
-                        F.expr(
-                            "CAST(conv(substr(md5(concat_ws(',', "
-                            f"CAST(slice(minhash_sig, {b * rows + 1}, {rows}) AS array<string>)"
-                            ")), 1, 15), 16, 10) AS BIGINT)"
-                        ).alias("band_hash"),
+                        F.expr(_band_hash_expr(b, rows, hash_basis)).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -187,10 +221,11 @@ def lsh_bucket_stats(
     bands: int = 8,
     shingle_k: int = 3,
     max_bucket_size: int = 1024,
+    hash_basis: str = "xxhash64",
 ) -> DataFrame:
     """Bucket-size distribution + dropped-bucket count for the LSH cap —
     the 'no silent caps' companion to minhash_lsh_candidates."""
-    sizes = _lsh_banded(documents, num_hashes, bands, shingle_k).groupBy(
+    sizes = _lsh_banded(documents, num_hashes, bands, shingle_k, hash_basis).groupBy(
         "band_id", "band_hash"
     ).agg(F.count("*").alias("bucket_size"))
     return sizes.agg(
@@ -224,35 +259,53 @@ def ngram_jaccard_pairs(documents: DataFrame, candidates: DataFrame, shingle_k: 
 
 
 # SimHash spec (engine-defined; no reference counterpart): 60-bit signature,
-# per-token hash = first 15 hex digits of md5(token) as an integer, one ±1
-# vote per token OCCURRENCE per bit, bit set iff vote sum > 0. md5 is the
-# basis (not xxhash64) deliberately: both Spark and DuckDB compute identical
-# md5, making the signature fully oracle-checkable across engines.
+# one ±1 vote per token OCCURRENCE per bit, bit set iff vote sum > 0.
+# Per-token hash by hash_basis:
+#   "xxhash64" (production default): xxhash64(token) masked to 60 bits —
+#     pure JVM integer work.
+#   "md5" (oracle mode): first 15 hex digits of md5(token) as an integer —
+#     both Spark and DuckDB compute identical md5, making the signature
+#     fully oracle-checkable across engines (the driver query runs this).
 SIMHASH_BITS = 60
-
-_SIMHASH_TOKEN_HASHES = (
-    "transform(split(text, ' '), t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
-)
-_SIMHASH_VOTES = (
-    f"aggregate({_SIMHASH_TOKEN_HASHES}, array_repeat(0, {SIMHASH_BITS}), "
-    f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
-    "(a, b) -> a + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)))"
-)
-SIMHASH_EXPR = (
-    f"aggregate(zip_with({_SIMHASH_VOTES}, sequence(0, {SIMHASH_BITS - 1}), "
-    "(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
-    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-)
+_SIMHASH_MASK = (1 << SIMHASH_BITS) - 1
 
 
-def simhash_docs(documents: DataFrame) -> DataFrame:
+def _simhash_token_hashes(hash_basis: str) -> str:
+    if hash_basis == "xxhash64":
+        return f"transform(split(text, ' '), t -> xxhash64(t) & {_SIMHASH_MASK})"
+    if hash_basis == "md5":
+        return (
+            "transform(split(text, ' '), "
+            "t -> CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        )
+    raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
+
+
+def simhash_expr(hash_basis: str = "xxhash64") -> str:
+    votes = (
+        f"aggregate({_simhash_token_hashes(hash_basis)}, array_repeat(0, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        "(a, b) -> a + (CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)))"
+    )
+    return (
+        f"aggregate(zip_with({votes}, sequence(0, {SIMHASH_BITS - 1}), "
+        "(v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+# the md5-basis constant: what the DuckDB oracle replicates (entryqueries)
+SIMHASH_EXPR = simhash_expr("md5")
+
+
+def simhash_docs(documents: DataFrame, hash_basis: str = "xxhash64") -> DataFrame:
     """SimHash signatures, entirely JVM-side (one pass over the token-hash
     array accumulating all 60 bit votes — no Python, no shuffle). Replaces
     the round-1 per-character Python FNV loop (~interpreter-rate) with
     whole-stage-codegen expressions."""
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.expr(SIMHASH_EXPR).alias("simhash"),
+        F.expr(simhash_expr(hash_basis)).alias("simhash"),
     )
 
 

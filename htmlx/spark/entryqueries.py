@@ -722,7 +722,8 @@ FROM events GROUP BY 1
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return analytics.minhash_lsh_candidates(_docs(spark, sf_dir))
+    # oracle mode: md5 base so DuckDB replicates the full hash family
+    return analytics.minhash_lsh_candidates(_docs(spark, sf_dir), hash_basis="md5")
 
 
 def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
@@ -777,7 +778,7 @@ def q_ngram_jaccard(spark, sf_dir):
     exact all-pairs Jaccard at the same threshold (uncapped buckets so the
     guarantee is not weakened)."""
     docs = _docs(spark, sf_dir)
-    cands = analytics.minhash_lsh_candidates(docs, max_bucket_size=None)
+    cands = analytics.minhash_lsh_candidates(docs, max_bucket_size=None, hash_basis="md5")
     return (
         analytics.ngram_jaccard_pairs(docs, cands)
         .where(F.col("jaccard") >= 0.9)
@@ -797,7 +798,7 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b
 def q_lsh_bucket_stats(spark, sf_dir):
     """The 'no silent caps' companion: bucket-size distribution + dropped
     count for the LSH mega-bucket cap, value-verified."""
-    return analytics.lsh_bucket_stats(_docs(spark, sf_dir), max_bucket_size=1024)
+    return analytics.lsh_bucket_stats(_docs(spark, sf_dir), max_bucket_size=1024, hash_basis="md5")
 
 
 def _lsh_bucket_stats_oracle(num_hashes: int = 32, bands: int = 8) -> str:
@@ -813,7 +814,8 @@ FROM sizes
 
 
 def q_simhash(spark, sf_dir):
-    return analytics.simhash_docs(_docs(spark, sf_dir))
+    # oracle mode: md5 token hashes so DuckDB replicates the signature
+    return analytics.simhash_docs(_docs(spark, sf_dir), hash_basis="md5")
 
 
 # Same 60-bit md5-basis signature, DuckDB dialect (see analytics.SIMHASH_EXPR)

@@ -31,7 +31,7 @@ def spark():
 
 def test_simhash_matches_python_reference(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
-    rows = {r.doc_id: r.simhash for r in simhash_docs(docs).collect()}
+    rows = {r.doc_id: r.simhash for r in simhash_docs(docs, hash_basis="md5").collect()}
     texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
     assert len(rows) == 50
     for doc_id, text in texts.items():
@@ -53,7 +53,7 @@ def test_simhash_edge_strings(spark):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
     )
-    got = {r.doc_id: r.simhash for r in simhash_docs(df).collect()}
+    got = {r.doc_id: r.simhash for r in simhash_docs(df, hash_basis="md5").collect()}
     for i, t in enumerate(cases):
         assert got[i] == simhash_py(t), repr(t)
 
