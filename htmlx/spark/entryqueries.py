@@ -593,7 +593,62 @@ SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
        CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
        CAST(3 + doc_id % 5 AS BIGINT) AS n_objects,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-       'decoder_unavailable' AS error
+       '' AS error
+FROM documents
+"""
+
+
+def q_pdf_text(spark, sf_dir):
+    """REAL PDF text extraction (pdf.py): synthesize single-page PDFs whose
+    content stream carries the document text — FlateDecode-compressed for
+    even doc_ids, stored raw for odd — and recover the text through the
+    stdlib-zlib decoder + Tj/TJ operator evaluation. The oracle is exact
+    because decode(encode(text)) must be byte-identical."""
+    import pandas as pd
+
+    from .pdf import extract_pdf_documents
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(pdf.doc_id, pdf.text, pdf.source):
+                esc = (
+                    text.encode("latin-1", "replace")
+                    .replace(b"\\", b"\\\\")
+                    .replace(b"(", b"\\(")
+                    .replace(b")", b"\\)")
+                )
+                content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
+                if int(doc_id) % 2 == 0:
+                    data = zlib.compress(content)
+                    filt = b" /Filter /FlateDecode"
+                else:
+                    data = content
+                    filt = b""
+                body = (
+                    b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+                    b"2 0 obj\n<< /Type /Page /Contents 3 0 R >>\nendobj\n"
+                    b"3 0 obj\n<< /Length " + str(len(data)).encode() + filt
+                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+                )
+                rows.append(
+                    {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
+                )
+            yield pd.DataFrame(rows, columns=["url", "payload"])
+
+    pdfs = docs.mapInPandas(build, "url string, payload binary")
+    return extract_pdf_documents(pdfs).select(
+        "url", "text", F.col("n_streams").cast("long").alias("n_streams"), "error"
+    )
+
+
+O_PDF_TEXT = """
+SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
+       text, CAST(1 AS BIGINT) AS n_streams, '' AS error
 FROM documents
 """
 
@@ -916,6 +971,7 @@ QUERIES = {
     "media_sniff_metadata": q_media_sniff,
     "media_frame_features": q_media_frame_features,
     "pdf_structural_parse": q_pdf_metadata,
+    "pdf_text_extract": q_pdf_text,
     "minhash_lsh_candidates": q_minhash_lsh,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "ngram_jaccard_verify": q_ngram_jaccard,
@@ -957,6 +1013,7 @@ ORACLES = {
     "media_sniff_metadata": O_MEDIA_SNIFF,
     "media_frame_features": O_MEDIA_FRAME_FEATURES,
     "pdf_structural_parse": O_PDF_METADATA,
+    "pdf_text_extract": O_PDF_TEXT,
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
     "simhash": O_SIMHASH,
     "lang_id": O_LANG_ID,

@@ -1,19 +1,28 @@
 """PDF/layout-parse surface (north_rule: "HTML boilerplate strip, PDF/layout
 parse, DOM heuristics").
 
-No PDF rendering library exists in this container, so the text/layout
-DECODE step is stubbed behind NotImplementedError — but the Spark plumbing
-and the codec-free structural parsing are real and tested:
+Two tiers, by what the container can decode:
 
-- header/version sniffing, page counting, object/stream census, and
-  embedded-metadata extraction via raw byte scanning (no codec needed),
-- the mapInPandas stage shape (schema, batching, error rows, lineage)
-  identical to the HTML extraction stage.
+- TEXT EXTRACTION (real): content streams stored uncompressed or
+  FlateDecode-compressed need only stdlib zlib — the common case for
+  machine-generated PDFs. ``extract_pdf_text`` walks the object table,
+  inflates each content stream, and evaluates the text-show operators
+  (Tj / TJ / ' / ") with full PDF string-escape handling. Streams using
+  filters that genuinely need an external codec (DCTDecode, JBIG2, CCITT,
+  LZW, ...) raise ``UnsupportedFilterError`` and the row degrades to
+  error='decoder_unavailable'.
+- STRUCTURAL PARSE (real, codec-free): header/version sniffing, page
+  counting, object/stream census, embedded-metadata extraction via raw
+  byte scanning.
+
+The mapInPandas stage shape (schema, batching, error rows, lineage) is
+identical to the HTML extraction stage.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -80,17 +89,190 @@ def parse_pdf_structure(payload: bytes) -> dict:
     return out
 
 
+class UnsupportedFilterError(Exception):
+    """Stream filter needs a codec not present in this container."""
+
+
+# filters stdlib zlib can handle; everything else is genuinely external
+_ZLIB_FILTERS = {b"FlateDecode", b"Fl"}
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\d\s]*R)")
+# the stream KEYWORD: never the tail of "endstream", never a word in text
+_STREAM_KW_RE = re.compile(rb"(?<!end)stream\r?\n")
+
+_STR_ESCAPES = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\f",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
+def _iter_streams(payload: bytes):
+    """Yield (object_dict_bytes, raw_stream_bytes) for every stream object.
+
+    The stream body is delimited by /Length when it is a direct integer
+    (Flate output can legally contain the bytes ``endstream``); an indirect
+    /Length falls back to the endstream keyword scan."""
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _STREAM_KW_RE.search(payload, pos)
+        if not m:
+            return
+        start = m.end()
+        dict_start = payload.rfind(b"<<", 0, m.start())
+        obj_dict = payload[dict_start : m.start()] if dict_start != -1 else b""
+        lm = _LENGTH_RE.search(obj_dict)
+        end = -1
+        if lm:
+            end = start + int(lm.group(1))
+            if not payload.startswith((b"endstream", b"\nendstream", b"\r\nendstream"), end):
+                end = -1  # /Length lied; rescan
+        if end == -1:
+            end = payload.find(b"endstream", start)
+            if end == -1:
+                return
+            # strip the EOL that precedes the endstream keyword
+            if payload.endswith(b"\r\n", start, end):
+                end -= 2
+            elif payload.endswith((b"\n", b"\r"), start, end):
+                end -= 1
+        yield obj_dict, payload[start:end]
+        # resume past the closing keyword, never inside the stream body
+        close = payload.find(b"endstream", end)
+        pos = (close + len(b"endstream")) if close != -1 else end + 1
+
+
+def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
+    fm = _FILTER_RE.search(obj_dict)
+    if not fm:
+        return raw
+    names = fm.group(1).split() if fm.group(1) else [fm.group(2)]
+    names = [x.lstrip(b"/") for x in names]
+    data = raw
+    for name in names:
+        if name in _ZLIB_FILTERS:
+            data = zlib.decompress(data)
+        else:
+            raise UnsupportedFilterError(name.decode("latin-1"))
+    return data
+
+
+def _pdf_string(body: bytes, i: int) -> tuple[bytes, int]:
+    """Decode a PDF literal string starting at the '(' at index i; returns
+    (decoded bytes, index just past the closing paren). Handles balanced
+    unescaped parens, the standard escapes, octal escapes, and
+    line-continuation backslashes."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(body)
+    while i < n and depth:
+        c = body[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = body[i]
+            if e in _STR_ESCAPES:
+                out += _STR_ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                j = i
+                while j < n and j - i < 3 and 0x30 <= body[j] <= 0x37:
+                    j += 1
+                out.append(int(body[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # escaped EOL: continuation
+                i += 1
+                if e == 0x0D and i < n and body[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the backslash is dropped (spec)
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _content_text(content: bytes) -> list[bytes]:
+    """Evaluate text-show operators in a content stream: every literal
+    string immediately consumed by Tj / ' / " or inside a [...] TJ array
+    contributes, in stream order."""
+    shows: list[bytes] = []
+    i = 0
+    n = len(content)
+    in_array = False
+    pending: list[tuple[bytes, int]] = []  # (string, end_idx) awaiting operator
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            s, i = _pdf_string(content, i)
+            pending.append((s, i))
+            continue
+        if c == 0x5B:  # [
+            in_array = True
+            pending.clear()
+            i += 1
+            continue
+        if c == 0x5D:  # ] — if TJ follows, emit the accumulated strings
+            j = i + 1
+            while j < n and content[j] in b" \t\r\n":
+                j += 1
+            if content.startswith(b"TJ", j):
+                shows.extend(s for s, _ in pending)
+                i = j + 2
+            else:
+                i += 1
+            in_array = False
+            pending.clear()
+            continue
+        if not in_array and pending:
+            if content.startswith(b"Tj", i) or content.startswith(b"'", i) or content.startswith(b'"', i):
+                shows.append(pending[-1][0])
+                pending.clear()
+                i += 2 if content.startswith(b"Tj", i) else 1
+                continue
+            if c not in b" \t\r\n0123456789.-":
+                pending.clear()  # some other operator consumed the string
+        i += 1
+    return shows
+
+
 def extract_pdf_text(payload: bytes) -> str:
-    """Full text/layout extraction — requires a PDF renderer (pdfium/poppler)
-    not present in this container; rows degrade to structural metadata with
-    error='decoder_unavailable' (see extract_pdf_metadata)."""
-    raise NotImplementedError("PDF text extraction requires pdfium/poppler (not in container)")
+    """Text extraction over uncompressed/Flate content streams (stdlib zlib
+    — no external codec). Text shows within one stream concatenate in
+    order; streams are separated by newlines. Raises UnsupportedFilterError
+    when a stream needs a codec this container lacks."""
+    parts: list[str] = []
+    for obj_dict, raw in _iter_streams(payload):
+        data = _decode_stream(obj_dict, raw)
+        shows = _content_text(data)
+        if shows:
+            parts.append(b"".join(shows).decode("latin-1"))
+    return "\n".join(parts)
 
 
 def extract_pdf_metadata(pdfs: DataFrame) -> DataFrame:
     """mapInPandas stage: (url, payload binary) -> structural metadata rows.
     Same stage shape as the HTML extraction job (per-row errors, Arrow
-    batches); the deep text decode is stubbed per module docstring."""
+    batches). error='decoder_unavailable' marks payloads whose streams use
+    a filter the in-container decoder cannot inflate."""
     import pandas as pd
 
     def pdf_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,9 +285,52 @@ def extract_pdf_metadata(pdfs: DataFrame) -> DataFrame:
                 if not meta["error"]:
                     try:
                         extract_pdf_text(b)
-                    except NotImplementedError:
+                    except (UnsupportedFilterError, zlib.error):
                         meta["error"] = "decoder_unavailable"
                 rows.append({"url": url, **meta})
             yield pd.DataFrame(rows, columns=cols)
 
     return pdfs.mapInPandas(pdf_batch, PDF_META_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("n_streams", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_pdf_documents(pdfs: DataFrame) -> DataFrame:
+    """mapInPandas stage: (url, payload binary) -> extracted text rows.
+    Uncompressed/Flate content streams decode for real (stdlib zlib);
+    rows whose streams need an external codec degrade to
+    error='decoder_unavailable', corrupt deflate data to 'corrupt_stream',
+    non-PDFs to 'not_a_pdf'."""
+    import pandas as pd
+
+    def text_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_TEXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                text, err = "", ""
+                n_streams = len(_STREAM_KW_RE.findall(b[:MAX_PDF_SCAN]))
+                if not b.startswith(b"%PDF-"):
+                    err = "not_a_pdf"
+                else:
+                    try:
+                        text = extract_pdf_text(b)
+                    except UnsupportedFilterError:
+                        err = "decoder_unavailable"
+                    except zlib.error:
+                        err = "corrupt_stream"
+                rows.append(
+                    {"url": url, "text": text, "n_streams": n_streams, "error": err}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pdfs.mapInPandas(text_batch, PDF_TEXT_SCHEMA)

@@ -1,4 +1,4 @@
-"""PDF structural parsing (codec-free; deep decode stubbed)."""
+"""PDF structural parsing + the real Flate/raw text decoder."""
 
 import pytest
 
@@ -33,6 +33,82 @@ def test_not_a_pdf():
     assert parse_pdf_structure(b"")["error"] == "not_a_pdf"
 
 
-def test_text_decode_stubbed():
-    with pytest.raises(NotImplementedError):
-        extract_pdf_text(_fake_pdf())
+def test_text_decode_ignores_non_text_streams():
+    # the _fake_pdf stream carries no text operators -> empty text, no error
+    assert extract_pdf_text(_fake_pdf()) == ""
+
+
+# ---------------------------------------------------------------------------
+# real text extraction (stdlib zlib tier)
+# ---------------------------------------------------------------------------
+
+import zlib
+
+from htmlx.spark.pdf import UnsupportedFilterError
+
+
+def _content_pdf(data: bytes, filt: bytes = b"") -> bytes:
+    return (
+        b"%PDF-1.7\n1 0 obj\n<< /Type /Page /Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(data)).encode() + filt
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_raw_tj():
+    pdf = _content_pdf(b"BT /F1 12 Tf (hello world) Tj ET")
+    assert extract_pdf_text(pdf) == "hello world"
+
+
+def test_flate_tj():
+    pdf = _content_pdf(zlib.compress(b"BT (compressed text) Tj ET"), b" /Filter /FlateDecode")
+    assert extract_pdf_text(pdf) == "compressed text"
+
+
+def test_tj_array_and_quote_operators():
+    pdf = _content_pdf(b"BT [(a) -120 (b) 3 (c)] TJ T* (next line) ' ET")
+    assert extract_pdf_text(pdf) == "abcnext line"
+
+
+def test_string_escapes_and_balanced_parens():
+    # \( \) \\ escapes, octal \101 = 'A', balanced unescaped parens nest
+    pdf = _content_pdf(rb"BT (par\(en\) back\\slash \101 (nested) ok) Tj ET")
+    assert extract_pdf_text(pdf) == r"par(en) back\slash A (nested) ok"
+
+
+def test_unconsumed_string_not_emitted():
+    # a string used by a non-show operator must not leak into the text
+    pdf = _content_pdf(b"BT (anno) Do (shown) Tj ET")
+    assert extract_pdf_text(pdf) == "shown"
+
+
+def test_multiple_streams_joined_with_newline():
+    body = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Length 16 >>\nstream\n(first page) Tj\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length 17 >>\nstream\n(second page) Tj\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(body) == "first page\nsecond page"
+
+
+def test_length_guards_endstream_bytes_inside_flate():
+    # craft flate data CONTAINING the literal bytes "endstream"; /Length
+    # must carry the parser over it
+    raw = b"BT (tricky) Tj ET % endstream inside"
+    data = zlib.compress(raw)
+    assert b"endstream" not in data  # compress hides it; force it instead
+    data = raw  # store raw: body contains the word endstream
+    pdf = _content_pdf(data)
+    assert extract_pdf_text(pdf) == "tricky"
+
+
+def test_unsupported_filter_raises():
+    pdf = _content_pdf(b"\xff\xd8\xff", b" /Filter /DCTDecode")
+    with pytest.raises(UnsupportedFilterError):
+        extract_pdf_text(pdf)
+
+
+def test_corrupt_flate_raises_zlib_error():
+    pdf = _content_pdf(b"not-deflate-data", b" /Filter /FlateDecode")
+    with pytest.raises(zlib.error):
+        extract_pdf_text(pdf)
