@@ -653,6 +653,64 @@ FROM documents
 """
 
 
+def q_media_pixel_decode(spark, sf_dir):
+    """REAL PNG pixel decode (multimodal.decode_png): synthesize
+    deterministic PNGs — byte i of the raster is (doc_id*31 + i*7) % 256,
+    dims/channels vary with doc_id, and each scanline y uses filter y % 5,
+    so all five unfiltering paths run — then recover pixel-level features.
+    The oracle recomputes the features from the generation formula, so a
+    single wrong reconstructed byte flips the digest."""
+    import pandas as pd
+
+    from .multimodal import encode_png, extract_pixel_features
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                w, h = 8 + d % 8, 4 + d % 4
+                c = 1 if d % 2 == 0 else 3
+                raw = ((d * 31 + np.arange(w * h * c) * 7) % 256).astype(np.uint8)
+                png = encode_png(raw.reshape(h, w, c), row_filter=lambda y: y % 5)
+                rows.append({"media_id": d, "payload": png})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return extract_pixel_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "px_md5",
+        "mean_x1000",
+        "error",
+    )
+
+
+O_MEDIA_PIXEL_DECODE = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+  FROM documents),
+v AS (
+  SELECT doc_id, w, h, c,
+         [(doc_id * 31 + i * 7) % 256 FOR i IN generate_series(0, w * h * c - 1)] AS px
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(c AS BIGINT) AS channels,
+       md5(array_to_string([lpad(lower(to_hex(x)), 2, '0') FOR x IN px], '')) AS px_md5,
+       CAST(list_sum(px) * 1000 // (w * h * c) AS BIGINT) AS mean_x1000,
+       '' AS error
+FROM v
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window event rollup (the batch analogue of the streaming
     windowed aggregation surface)."""
@@ -972,6 +1030,7 @@ QUERIES = {
     "media_frame_features": q_media_frame_features,
     "pdf_structural_parse": q_pdf_metadata,
     "pdf_text_extract": q_pdf_text,
+    "media_pixel_decode": q_media_pixel_decode,
     "minhash_lsh_candidates": q_minhash_lsh,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "ngram_jaccard_verify": q_ngram_jaccard,
@@ -1014,6 +1073,7 @@ ORACLES = {
     "media_frame_features": O_MEDIA_FRAME_FEATURES,
     "pdf_structural_parse": O_PDF_METADATA,
     "pdf_text_extract": O_PDF_TEXT,
+    "media_pixel_decode": O_MEDIA_PIXEL_DECODE,
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
     "simhash": O_SIMHASH,
     "lang_id": O_LANG_ID,

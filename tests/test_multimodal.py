@@ -42,6 +42,55 @@ def test_dimensions():
     assert image_dimensions(b"junk") == (0, 0)
 
 
-def test_decode_stubbed():
+def test_decode_stubbed_for_non_png():
+    # JPEG decode genuinely needs an external codec; PNG is real now
     with pytest.raises(NotImplementedError):
+        decode_image(_jpeg(1, 1))
+    # a bare header (no scanlines) is malformed, not "unavailable"
+    with pytest.raises(ValueError):
         decode_image(_png(1, 1))
+
+
+# ---------------------------------------------------------------------------
+# real PNG decode tier
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filters_and_channels():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        for filt in range(5):
+            a = rng.integers(0, 256, (13, 17, ch), dtype=np.uint8)
+            assert (decode_png(encode_png(a, row_filter=lambda y, f=filt: f)) == a).all()
+    a = rng.integers(0, 256, (31, 9, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(a, row_filter=lambda y: y % 5)) == a).all()
+
+
+def test_png_decode_error_paths():
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_image, decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # 16-bit depth is outside this tier
+    good = encode_png(np.zeros((2, 2), np.uint8))
+    deep = bytearray(good)
+    deep[24] = 16  # IHDR bit depth byte
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(deep))
+    # truncated IDAT -> zlib error surfaces as corrupt
+    cut = good[:40]
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(cut + good[-12:])
+    # dispatch: JPEG still stubbed
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    # dispatch: PNG goes through the real decoder
+    assert decode_image(good).shape == (2, 2, 1)
