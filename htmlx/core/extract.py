@@ -128,6 +128,11 @@ class Result:
     word_count: int = 0
     reading_time_ms: int = 0
     processing_time_ms: int = 0
+    # microsecond-precision twin of processing_time_ms: the per-doc ms
+    # field keeps Go's truncated-int parity, but metrics rollups sum THIS
+    # (at ~0.3 ms/doc, summing truncated ms under-reports partition wall
+    # time up to ~3x)
+    processing_time_us: int = 0
     error: str = ""
     audit: list = field(default_factory=list)
 
@@ -187,7 +192,8 @@ class Extractor:
             result = Result(error=f"{ERR_INTERNAL_PANIC}: {type(exc).__name__}")
         if cfg.audit_enabled:
             result.audit = audit.events
-        result.processing_time_ms = int((time.monotonic() - start) * 1000)
+        result.processing_time_us = int((time.monotonic() - start) * 1_000_000)
+        result.processing_time_ms = result.processing_time_us // 1000
         return result
 
     def extract_text(self, html_bytes: bytes) -> str:

@@ -45,8 +45,11 @@ SAFE_MEDIA_TYPES = frozenset(
 
 def _truncate_bytes(s: str, max_len: int, suffix: str) -> str:
     """Byte-based truncation (Go len()/slice, sanitize.go:51-56, audit.go:192).
-    A slice that splits a multibyte char yields U+FFFD per stray byte — the
-    same thing Go's JSON encoder emits for the invalid tail bytes."""
+    A slice that splits a multibyte char yields U+FFFD per STRAY BYTE — Go's
+    utf8.DecodeRune consumes invalid sequences one byte at a time, so a
+    3-byte char cut after 2 bytes renders as TWO replacement chars. Python's
+    errors='replace' emits one per maximal subsequence and would diverge;
+    _replace_per_byte reproduces the per-byte behavior."""
     if s.isascii():
         if len(s) <= max_len:
             return s
@@ -54,7 +57,23 @@ def _truncate_bytes(s: str, max_len: int, suffix: str) -> str:
     b = s.encode("utf-8")
     if len(b) <= max_len:
         return s
-    return b[:max_len].decode("utf-8", "replace") + suffix
+    return _replace_per_byte(b[:max_len]) + suffix
+
+
+def _replace_per_byte(b: bytes) -> str:
+    """UTF-8 decode emitting one U+FFFD per invalid BYTE (Go's encoder
+    semantics), not one per maximal invalid subsequence (Python's)."""
+    out = []
+    i = 0
+    while i < len(b):
+        try:
+            out.append(b[i:].decode("utf-8"))
+            break
+        except UnicodeDecodeError as e:
+            out.append(b[i : i + e.start].decode("utf-8"))
+            out.append("�" * (e.end - e.start))
+            i += e.end
+    return "".join(out)
 
 
 def _sanitize_raw_value(s: str) -> str:

@@ -327,7 +327,16 @@ def embedding_near_dup(
     All-pairs work is inherent to an EXACT threshold join; for the
     approximate/cheap path at 100 TB, bucket with ivf_assign first and
     join on the IVF bucket id (see ann_topk_ivf), trading recall for
-    ~num_centroids× less pair work."""
+    ~num_centroids× less pair work.
+
+    Ulp-boundary caveat (ADVICE r2): the BLAS matmul here and the DuckDB
+    oracle's list_cosine_similarity sum in different orders, so two
+    engines can disagree in the last float ulp. The >= threshold predicate
+    is therefore input-dependent at exact boundary values; the test corpus
+    keeps a ±1.3e-4 gap around the threshold (TESTDATA.md), ~12 orders of
+    magnitude wider than the ulp noise, so the driver-gate check is stable
+    there. For adversarial inputs, pre-quantize (round both sides before
+    comparing) or treat boundary pairs as tied."""
     B = num_blocks
     norm = _normalized(embeddings)
     rep = (
@@ -402,14 +411,14 @@ def _dot(a: str, b: str):
 
 
 def embedding_near_dup_ivf(
-    embeddings: DataFrame, threshold: float = 0.95, num_centroids: int = 8, dim: int | None = None
+    embeddings: DataFrame, threshold: float = 0.95, num_centroids: int = 8
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: IVF-bucket the vectors, score pairs only
     within a bucket (BLAS matmul per bucket). The cheap 100 TB path when
     exact all-pairs (embedding_near_dup) is too expensive: pair work drops
     ~num_centroids-fold; recall is high for tight thresholds (near-dups
     land in the same cell) and is measured in tests/test_ann.py."""
-    assigned, _ = ivf_assign(embeddings, num_centroids, dim=dim)
+    assigned, _ = ivf_assign(embeddings, num_centroids)
     thr = float(threshold)
 
     def score_bucket(key, pdf):
@@ -436,22 +445,20 @@ def embedding_near_dup_ivf(
 
 
 def ivf_assign(
-    embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1, dim: int | None = None
+    embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1
 ) -> tuple:
     """IVF bucketing: deterministic seed centroids (smallest xxhash64 of
     vec_id — no RNG, reproducible across runs/parallelism) refined with
-    `lloyd_iters` Lloyd iterations (groupBy-mean — one shuffle each), then
-    every vector assigned to its nearest centroid.
-
-    dim: embedding dimensionality; pass it when known (a schema fact at
-    scale) — otherwise a one-row driver lookup reads it once up front.
+    `lloyd_iters` Lloyd iterations, then every vector assigned to its
+    nearest centroid. Fully lazy/distributed: the bucket mean is computed
+    dimension-agnostically (posexplode -> per-(bucket, position) average ->
+    positional reassembly), so no driver-side lookup of the embedding
+    dimensionality exists anywhere.
 
     Returns (assigned_df with bucket column, centroids_df). At 100 TB scale
     this replaces the ANN cross join: queries probe nprobe buckets and the
     candidate join keys on bucket id, so the pairwise work shrinks by
     ~num_centroids/nprobe."""
-    if dim is None and lloyd_iters > 0:
-        dim = len(embeddings.select("embedding").first()[0])
     norm = _normalized(embeddings)
     seeds = (
         norm.withColumn("__h", F.xxhash64(F.col("vec_id")))
@@ -476,20 +483,26 @@ def ivf_assign(
 
     assigned = assign(norm, centroids)
     for _ in range(lloyd_iters):
-        # recompute centroids as bucket means (renormalized), one shuffle
-        mean_cols = [
-            F.avg(F.col("nvec")[i]).alias(f"c{i}") for i in range(dim)
-        ]
-        means = assigned.groupBy("bucket").agg(*mean_cols)
-        means = means.select(
-            F.col("bucket").alias("centroid_id"),
-            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("raw"),
-        ).select(
-            "centroid_id",
-            F.expr(
-                "transform(raw, x -> x / sqrt(aggregate(transform(raw, y -> y * y), "
-                "CAST(0.0 AS DOUBLE), (a, y) -> a + y)))"
-            ).alias("cvec"),
+        # recompute centroids as bucket means (renormalized): explode to
+        # (bucket, pos, value), average per cell, reassemble positionally —
+        # tiny shuffles (num_centroids x dim cells), no dim known up front
+        means = (
+            assigned.select("bucket", F.posexplode("nvec").alias("pos", "v"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("bucket").alias("centroid_id"),
+                F.expr("transform(pm, x -> x.m)").alias("raw"),
+            )
+            .select(
+                "centroid_id",
+                F.expr(
+                    "transform(raw, x -> x / sqrt(aggregate(transform(raw, y -> y * y), "
+                    "CAST(0.0 AS DOUBLE), (a, y) -> a + y)))"
+                ).alias("cvec"),
+            )
         )
         assigned = assign(norm, means)
         centroids = means

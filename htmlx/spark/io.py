@@ -200,7 +200,7 @@ def run_with_resume(
                     "group",
                     "error",
                     "input_bytes",
-                    "processing_time_ms",
+                    "processing_time_us",
                     "audit",
                 ),
                 extra_keys=("group",),

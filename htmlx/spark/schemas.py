@@ -108,6 +108,7 @@ RESULT_SCHEMA = StructType(
         StructField("word_count", IntegerType()),
         StructField("reading_time_ms", LongType()),
         StructField("processing_time_ms", LongType()),
+        StructField("processing_time_us", LongType()),
         StructField("error", StringType()),
         StructField("input_bytes", LongType()),
         StructField("audit", ArrayType(AUDIT_EVENT_TYPE)),

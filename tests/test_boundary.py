@@ -118,3 +118,16 @@ def test_url_length_cap_is_utf8_bytes():
     ok = "https://x.cn/" + "汉" * 600  # 1813 bytes
     assert len(ok.encode("utf-8")) <= 2000
     assert is_valid_url(ok) is True
+
+
+def test_truncation_replacement_per_stray_byte():
+    """Go's utf8.DecodeRune consumes invalid bytes one at a time, so a
+    multibyte char split by a byte cap renders one U+FFFD PER BYTE — not
+    Python's one-per-subsequence (ADVICE r2)."""
+    from htmlx.core.sanitize import _replace_per_byte, _truncate_bytes
+
+    assert _truncate_bytes("ab中", 4, "") == "ab��"  # 3-byte cut at 2
+    assert _replace_per_byte(b"\xc3") == "�"
+    assert _replace_per_byte("\U0001f600".encode()[:3]) == "�" * 3
+    assert _replace_per_byte(b"\xe4\xb8z") == "��z"
+    assert _truncate_bytes("café", 5, "...") == "café"  # fits: untouched

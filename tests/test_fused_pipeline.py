@@ -205,3 +205,26 @@ def test_multi_run_coexistence_in_one_table_root(spark, docs, tmp_path_factory):
     # manifests stay truthful per run
     assert out.committed_groups("run-a") == {0, 1, 2, 3}
     assert out.committed_groups("run-b") == {0, 1, 2, 3}
+
+
+def test_extract_ms_sums_micros_not_truncated_ms(spark, docs):
+    """Metrics must sum MICROSECONDS and truncate once at the rollup: these
+    docs extract in ~0.3 ms, so summing per-doc truncated ms would report
+    near-zero partition wall time (VERDICT r2 item #6)."""
+    pages = pages_from_documents(docs, "text")
+    outs = run_extraction_full(pages, Config(), run_id="us")
+    results = outs["results"].persist()
+    try:
+        m = derive_metrics(results).collect()
+        rows = results.select("processing_time_us", "processing_time_ms").collect()
+        total_us = sum(r.processing_time_us for r in rows)
+        got = sum(r.extract_ms for r in m)
+        # per-partition floors: within len(m) ms of the exact total
+        assert total_us // 1000 - len(m) <= got <= total_us // 1000
+        # the error the old formulation made: truncated-ms sum loses ~3x
+        truncated = sum(r.processing_time_ms for r in rows)
+        assert got >= truncated
+        # the per-doc ms field keeps its truncated (Go len-parity) meaning
+        assert all(r.processing_time_ms == r.processing_time_us // 1000 for r in rows)
+    finally:
+        results.unpersist()
