@@ -704,3 +704,85 @@ def lang_id_docs(documents: DataFrame) -> DataFrame:
         documents.withColumn("__toks", F.array_distinct(F.split(F.lower(text), " ")))
         .select(F.col("doc_id").cast("long"), pred.alias("pred_lang"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering -> dedup keep-list
+# ---------------------------------------------------------------------------
+
+def near_dup_components(
+    documents: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 5,
+    until_converged: bool = False,
+) -> DataFrame:
+    """Connected components over verified near-dup pairs -> the dedup
+    KEEP-LIST: every doc labeled with the minimum doc_id of its component
+    (keep_doc_id) and an is_dup flag. This is the step that turns candidate
+    pairs into an actual drop set — without it, transitive near-dups
+    (A~B, B~C, A!~C) dedup inconsistently.
+
+    Min-label propagation (Pregel-style): labels start as doc_id and each
+    round takes the min over neighbors; converges in graph-diameter rounds.
+    Near-dup components are dense (LSH + verify emits most clique edges),
+    so the diameter is tiny — max_iters=5 covers diameter-5 chains, far
+    beyond what a 0.9-Jaccard transitive chain produces. Each round is one
+    shuffle of the (small) edge set joined against labels; the full corpus
+    joins in only at the end. until_converged=True instead iterates until a
+    round changes nothing (one scalar count() action per round — an
+    aggregate, not a data collect), the production mode when the diameter
+    is unknown."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # Persist the edge set: every propagation round joins against it, and
+    # without a materialization Spark would re-derive the FULL upstream
+    # pipeline (LSH + Jaccard verification) once per round. The verified
+    # edge list is tiny relative to the corpus (near-dup rate), so caching
+    # it is the standard iterative-graph pattern at any scale.
+    sym = sym.persist()
+    # only docs that appear in an edge can change label; singletons join
+    # back at the end (keeps every iteration's working set = edge endpoints)
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(prop, labels.doc_id == prop.src, "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nl", "label")).alias("label"),
+            )
+        )
+        if until_converged:
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            old = labels
+            labels = new_labels
+            if hasattr(old, "unpersist"):
+                old.unpersist()
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(labels.withColumnRenamed("doc_id", "ldoc"), F.col("doc_id") == F.col("ldoc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .withColumn("is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("boolean"))
+    )

@@ -908,6 +908,41 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b
 """
 
 
+def q_near_dup_components(spark, sf_dir):
+    """Near-dup clustering -> dedup keep-list: verified near-dup pairs
+    (LSH -> exact Jaccard >= 0.9) -> connected components -> every doc
+    labeled with its component minimum. The oracle computes the same
+    transitive closure with a recursive CTE over DuckDB's exact all-pairs
+    edge set."""
+    docs = _docs(spark, sf_dir)
+    cands = analytics.minhash_lsh_candidates(docs, max_bucket_size=None, hash_basis="md5")
+    verified = (
+        analytics.ngram_jaccard_pairs(docs, cands)
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    return analytics.near_dup_components(docs, verified)
+
+
+O_NEAR_DUP_COMPONENTS = f"""
+WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS r FROM documents
+  UNION
+  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT CAST(doc AS BIGINT) AS doc_id,
+       CAST(min(r) AS BIGINT) AS keep_doc_id,
+       doc <> min(r) AS is_dup
+FROM reach GROUP BY doc
+"""
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     """The 'no silent caps' companion: bucket-size distribution + dropped
     count for the LSH mega-bucket cap, value-verified."""
@@ -1033,6 +1068,7 @@ QUERIES = {
     "media_pixel_decode": q_media_pixel_decode,
     "minhash_lsh_candidates": q_minhash_lsh,
     "lsh_bucket_stats": q_lsh_bucket_stats,
+    "near_dup_components": q_near_dup_components,
     "ngram_jaccard_verify": q_ngram_jaccard,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
@@ -1080,4 +1116,5 @@ ORACLES = {
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "minhash_lsh_candidates": _minhash_lsh_oracle(),
     "lsh_bucket_stats": _lsh_bucket_stats_oracle(),
+    "near_dup_components": O_NEAR_DUP_COMPONENTS,
 }
