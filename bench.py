@@ -115,6 +115,11 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         "lang_id",
         "embedding_near_dup",
         "tpch_pricing_summary",
+        # round-3 additions: real PDF/PNG decode tiers and the composite
+        # corpus filter (dedup keep-list + lang + quality end-to-end)
+        "pdf_text_extract",
+        "media_pixel_decode",
+        "corpus_filter",
         # oracle-mode (md5 basis) companions for the two hash-based ops
         "minhash_lsh_oracle_md5",
         "simhash_oracle_md5",

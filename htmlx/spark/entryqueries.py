@@ -977,6 +977,70 @@ FROM documents
 """
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The composite training-corpus filter — the end-to-end decision a
+    100 TB data pipeline actually ships: every doc keeps or drops with a
+    precedence-ordered reason (exact_dup > near_dup > low_quality >
+    und_lang). Composes the already-verified building blocks (md5 dedup,
+    LSH->Jaccard->components keep-list, lang-ID, quality length gate); the
+    oracle composes the same pieces' SQL as nested CTEs."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars"),
+    )
+    exact = analytics.dedup_exact(docs).select(
+        "text_md5", F.col("keep_doc_id").alias("exact_keep")
+    )
+    cands = analytics.minhash_lsh_candidates(docs, max_bucket_size=None, hash_basis="md5")
+    verified = (
+        analytics.ngram_jaccard_pairs(docs, cands)
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    comp = analytics.near_dup_components(docs, verified).select(
+        "doc_id", F.col("is_dup").alias("near_dup")
+    )
+    lang = analytics.lang_id_docs(docs)
+    joined = (
+        base.join(F.broadcast(exact), "text_md5")
+        .join(comp, "doc_id")
+        .join(lang, "doc_id")
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("exact_dup"))
+        .when(F.col("near_dup"), F.lit("near_dup"))
+        .when(F.col("n_chars") < 100, F.lit("low_quality"))
+        .when(F.col("pred_lang") == "und", F.lit("und_lang"))
+        .otherwise(F.lit(""))
+    )
+    return joined.select(
+        "doc_id", reason.alias("reason")
+    ).withColumn("keep", (F.col("reason") == "").cast("boolean"))
+
+
+def _corpus_filter_oracle() -> str:
+    return f"""
+WITH comp AS ({{components}}),
+langp AS ({{lang}}),
+exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ekeep,
+         len(text) AS n_chars
+  FROM documents)
+SELECT doc_id, reason, reason = '' AS keep FROM (
+  SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
+         CASE WHEN e.doc_id <> e.ekeep THEN 'exact_dup'
+              WHEN c.is_dup THEN 'near_dup'
+              WHEN e.n_chars < 100 THEN 'low_quality'
+              WHEN l.pred_lang = 'und' THEN 'und_lang'
+              ELSE '' END AS reason
+  FROM exact e
+  JOIN comp c ON c.doc_id = e.doc_id
+  JOIN langp l ON l.doc_id = e.doc_id)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
@@ -1072,6 +1136,7 @@ QUERIES = {
     "ngram_jaccard_verify": q_ngram_jaccard,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
+    "corpus_filter": q_corpus_filter,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1113,6 +1178,8 @@ ORACLES = {
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
     "simhash": O_SIMHASH,
     "lang_id": O_LANG_ID,
+    "corpus_filter": _corpus_filter_oracle().format(
+        components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "minhash_lsh_candidates": _minhash_lsh_oracle(),
     "lsh_bucket_stats": _lsh_bucket_stats_oracle(),
