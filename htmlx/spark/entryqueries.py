@@ -1003,11 +1003,10 @@ def q_corpus_filter(spark, sf_dir):
         "doc_id", F.col("is_dup").alias("near_dup")
     )
     lang = analytics.lang_id_docs(docs)
-    joined = (
-        base.join(F.broadcast(exact), "text_md5")
-        .join(comp, "doc_id")
-        .join(lang, "doc_id")
-    )
+    # no broadcast hints: every side here is corpus-sized at scale (the
+    # exact-dedup table has ~one row per distinct text) — these are
+    # shuffle joins on uniform keys (md5 / doc_id), the right plan at 100 TB
+    joined = base.join(exact, "text_md5").join(comp, "doc_id").join(lang, "doc_id")
     reason = (
         F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("exact_dup"))
         .when(F.col("near_dup"), F.lit("near_dup"))

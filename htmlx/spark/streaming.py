@@ -66,6 +66,55 @@ def host_stats_stream(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_STREAM_SCHEMA = "url string, text_md5 string, first_seen boolean"
+_DEDUP_STATE_SCHEMA = "seen long"
+
+
+def dedup_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup (applyInPandasWithState): keyed by content
+    digest, the FIRST document per digest across all micro-batches emits
+    first_seen=true; every later arrival emits false. The streaming
+    analogue of dedup_exact — an ingest pipeline drops rows where
+    first_seen is false instead of re-running batch dedup over the
+    accumulated table.
+
+    State per digest is one counter (bounded by distinct-content count;
+    at 10^12 docs shard the stream by digest prefix, which groupBy already
+    does — state lives on the digest's partition). The digest is computed
+    JVM-side (F.md5); Python only updates the tiny keyed counter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                out.append(
+                    {"url": url, "text_md5": key[0], "first_seen": seen == 0}
+                )
+                seen += 1
+        state.update((seen,))
+        yield pd.DataFrame(out, columns=["url", "text_md5", "first_seen"])
+
+    # md5 over the raw bytes (F.md5 takes binary; a string cast would
+    # mangle non-UTF-8 payloads), null html folded to empty
+    keyed = pages_stream.withColumn(
+        "text_md5", F.md5(F.coalesce(F.col("html"), F.lit(b"")))
+    ).select("text_md5", "url")
+    # append output mode: every row is emitted exactly once and is final
+    # (the flag never retracts), which also permits file sinks
+    return keyed.groupBy("text_md5").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_STREAM_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_rollup_stream(
     events_stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
 ) -> DataFrame:

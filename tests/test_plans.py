@@ -123,3 +123,23 @@ def test_relational_broadcast_dims(spark):
     assert "BroadcastHashJoin" in p
     p2 = plan_of(relational.pricing_summary(spark, SF_DIR))
     assert "partial_" in p2  # map-side combine on the big-fact rollup
+
+
+def test_components_plan_no_cartesian(spark, docs):
+    """The keep-list propagation must stay equi-join shaped: no
+    CartesianProduct/BroadcastNestedLoopJoin anywhere in the iterated
+    plan, and the edge set must be a persisted (InMemoryRelation) scan so
+    rounds don't re-derive the LSH+Jaccard pipeline."""
+    from htmlx.spark.analytics import (
+        minhash_lsh_candidates,
+        near_dup_components,
+        ngram_jaccard_pairs,
+    )
+
+    cands = minhash_lsh_candidates(docs, max_bucket_size=None)
+    verified = ngram_jaccard_pairs(docs, cands).where("jaccard >= 0.9").select(
+        "doc_a", "doc_b"
+    )
+    p = plan_of(near_dup_components(docs, verified, max_iters=3))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p

@@ -159,3 +159,49 @@ def test_watermarked_window_rollup_matches_batch(spark, tmp_path_factory):
     # stay open: the emitted set is a prefix of the batch result
     assert got <= want
     assert len(got) >= len(want) - 3  # only the trailing open windows differ
+
+
+def test_streaming_exact_dedup(spark, tmp_path_factory):
+    """dedup_stream: the first arrival of each content digest (across
+    micro-batches) is first_seen=true, all later arrivals false — keyed
+    state persists between batches."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.streaming import dedup_stream
+
+    root = str(tmp_path_factory.mktemp("streamdedup"))
+    pages_dir = os.path.join(root, "pages")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    # 30 distinct docs, each duplicated 3x under different urls, spread
+    # over many files so duplicates land in DIFFERENT micro-batches
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    pages = pages_from_documents(docs, "text")
+    dup = pages
+    for i in (1, 2):
+        dup = dup.unionByName(
+            pages.withColumn("url", F.concat(F.col("url"), F.lit(f"?copy={i}")))
+        )
+    dup.repartition(10).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 90
+    by_digest = {}
+    for r in rows:
+        by_digest.setdefault(r.text_md5, []).append(r.first_seen)
+    assert len(by_digest) == 30
+    for flags in by_digest.values():
+        assert sorted(flags, reverse=True) == [True, False, False]
