@@ -152,6 +152,83 @@ def windowed_event_rollup_stream(
     )
 
 
+SESSION_STREAM_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def user_sessions_stream(
+    events_stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time session windows per user (the streaming analogue of the
+    batch q_user_sessions): a session CLOSES when >gap_minutes of event
+    time passes with no event, either because a later event arrives past
+    the gap (split in the update call) or because the watermark passes
+    last_event + gap with no event at all (EventTimeTimeout fires and the
+    idle session flushes). Only CLOSED sessions are emitted — append-mode
+    semantics with state bounded by the watermark.
+
+    State per user = (session_start, last_event, count) in epoch micros.
+    Correctness under reordering is watermark-scoped, as with any
+    event-time sessionizer: events later than the watermark delay may
+    split sessions the batch formulation would merge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        def close(start_us, last_us, n):
+            return {
+                "user_id": key[0],
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us, unit="us"),
+                "n_events": n,
+            }
+
+        closed = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append(close(start_us, last_us, n))
+            state.remove()
+            yield pd.DataFrame(closed)
+            return
+        cur = state.get if state.exists else None
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        for t in sorted(ts_us):
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                closed.append(close(*cur))
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            # fire when the WATERMARK passes last_event + gap (ms epoch)
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    events = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_STREAM_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_extraction_stream(
     pages_stream: DataFrame,
     output_path: str,

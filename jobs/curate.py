@@ -1,0 +1,96 @@
+"""spark-submit entry point for the corpus-curation pipeline.
+
+  spark-submit --py-files htmlx.zip jobs/curate.py \
+      --input <documents table/parquet path> --output <keep-list root> \
+      [--mode filter|dedup|components] [--threshold 0.9] \
+      [--min-chars 100] [--hash-basis xxhash64] [--iters 0]
+
+Modes:
+  filter      full keep/drop decision per document with a precedence-
+              ordered reason column (exact_dup > near_dup > low_quality >
+              und_lang) — what a training-data ingest actually consumes.
+  dedup       near-dup keep-list only (LSH -> exact-Jaccard verify ->
+              connected components).
+  components  same as dedup but expects a precomputed pairs table at
+              --pairs (doc_a, doc_b).
+
+--iters 0 (default) iterates label propagation to convergence (one scalar
+count() per round); a positive value pins a fixed round budget.
+"""
+
+import argparse
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--pairs", default=None, help="precomputed pairs table (components mode)")
+    ap.add_argument("--mode", choices=["filter", "dedup", "components"], default="filter")
+    ap.add_argument("--threshold", type=float, default=0.9, help="Jaccard verify threshold")
+    ap.add_argument("--min-chars", type=int, default=100)
+    ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
+    ap.add_argument("--iters", type=int, default=0, help="0 = iterate to convergence")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from htmlx.spark import analytics
+
+    spark = SparkSession.builder.appName("htmlx-curate").getOrCreate()
+    docs = spark.read.parquet(args.input)
+
+    def keep_list(pairs):
+        kw = (
+            {"max_iters": 50, "until_converged": True}
+            if args.iters == 0
+            else {"max_iters": args.iters}
+        )
+        return analytics.near_dup_components(docs, pairs, **kw)
+
+    def verified_pairs():
+        cands = analytics.minhash_lsh_candidates(docs, hash_basis=args.hash_basis)
+        return (
+            analytics.ngram_jaccard_pairs(docs, cands)
+            .where(F.col("jaccard") >= args.threshold)
+            .select("doc_a", "doc_b")
+        )
+
+    if args.mode == "components":
+        pairs = spark.read.parquet(args.pairs)
+        out = keep_list(pairs)
+    elif args.mode == "dedup":
+        out = keep_list(verified_pairs())
+    else:
+        base = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5("text").alias("text_md5"),
+            F.length("text").alias("n_chars"),
+        )
+        exact = analytics.dedup_exact(docs).select(
+            "text_md5", F.col("keep_doc_id").alias("exact_keep")
+        )
+        comp = keep_list(verified_pairs()).select(
+            "doc_id", F.col("is_dup").alias("near_dup")
+        )
+        lang = analytics.lang_id_docs(docs)
+        # corpus-sized sides on uniform keys: shuffle joins, no broadcasts
+        joined = base.join(exact, "text_md5").join(comp, "doc_id").join(lang, "doc_id")
+        reason = (
+            F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("exact_dup"))
+            .when(F.col("near_dup"), F.lit("near_dup"))
+            .when(F.col("n_chars") < args.min_chars, F.lit("low_quality"))
+            .when(F.col("pred_lang") == "und", F.lit("und_lang"))
+            .otherwise(F.lit(""))
+        )
+        out = joined.select("doc_id", reason.alias("reason")).withColumn(
+            "keep", (F.col("reason") == "").cast("boolean")
+        )
+
+    out.write.mode("overwrite").parquet(args.output)
+    print(f"mode={args.mode} rows={spark.read.parquet(args.output).count()} -> {args.output}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

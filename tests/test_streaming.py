@@ -205,3 +205,65 @@ def test_streaming_exact_dedup(spark, tmp_path_factory):
     assert len(by_digest) == 30
     for flags in by_digest.values():
         assert sorted(flags, reverse=True) == [True, False, False]
+
+
+def test_event_time_session_stream(spark, tmp_path_factory):
+    """user_sessions_stream: sessions close on an in-stream gap (later
+    event past the gap) AND on watermark-driven timeout (idle user whose
+    last_event + gap falls behind the advancing watermark)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from htmlx.spark.streaming import user_sessions_stream
+
+    root = str(tmp_path_factory.mktemp("sessstream"))
+    ev_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    _os.makedirs(ev_dir)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return [(uid, t0 + dt.timedelta(minutes=m), i) for i, (uid, m) in enumerate(specs)]
+
+    schema = "user_id long, ts timestamp_ntz, event_id long"
+    # chunk 1: u1 session A (0,5 min); u2 lone session (0,3 min)
+    c1 = spark.createDataFrame(rows([(1, 0), (1, 5), (2, 0), (2, 3)]), schema)
+    c1.coalesce(1).write.parquet(os.path.join(ev_dir, "c1"))
+    _time.sleep(1.1)
+    # chunk 2: u1 returns at 120 min (splits session A); u3 events push the
+    # watermark far past u2's last+gap, so u2's idle session times out
+    c2 = spark.createDataFrame(rows([(1, 120), (3, 200), (3, 201)]), schema)
+    c2.coalesce(1).write.parquet(os.path.join(ev_dir, "c2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(ev_dir + "/*/")
+    )
+    q = (
+        user_sessions_stream(stream, gap_minutes=30, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def mins(ts):
+        return int((ts - t0).total_seconds() // 60)
+
+    got = {
+        (r.user_id, mins(r.session_start), mins(r.session_end), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # closed: u1's first session (0-5) split by its 120-min event; u2's
+    # (0-3) via watermark timeout; u1's SECOND session (120-120) also
+    # times out — u3's events put the watermark at 191 > 120+30. Only
+    # u3's own session (200-201, timeout 231 > watermark) stays open.
+    assert got == {(1, 0, 5, 2), (2, 0, 3, 2), (1, 120, 120, 1)}
