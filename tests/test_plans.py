@@ -143,3 +143,21 @@ def test_components_plan_no_cartesian(spark, docs):
     p = plan_of(near_dup_components(docs, verified, max_iters=3))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_corpus_filter_plan_all_jvm(spark, docs):
+    """The composite corpus filter (dedup + keep-list + lang + quality)
+    must be ENTIRELY JVM-side — no Python eval nodes of any kind — and
+    equi-join shaped (no cartesian/BNLJ)."""
+    from htmlx.spark.entryqueries import q_corpus_filter
+
+    p = plan_of(q_corpus_filter(spark, SF_DIR))
+    for marker in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+        "CartesianProduct",
+        "BroadcastNestedLoop",
+    ):
+        assert marker not in p, marker
