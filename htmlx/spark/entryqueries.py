@@ -1123,6 +1123,8 @@ QUERIES = {
     "tpch_pricing_summary": relational.pricing_summary,
     "tpch_top_revenue_orders": relational.top_revenue_orders,
     "tpch_regional_revenue": relational.regional_revenue,
+    "regional_rollup": relational.regional_rollup,
+    "events_distribution_stats": relational.events_distribution_stats,
     "top_order_per_customer": relational.top_order_per_customer,
     "media_sniff_metadata": q_media_sniff,
     "media_frame_features": q_media_frame_features,
@@ -1168,6 +1170,8 @@ ORACLES = {
     "tpch_pricing_summary": relational.O_PRICING_SUMMARY,
     "tpch_top_revenue_orders": relational.O_TOP_REVENUE_ORDERS,
     "tpch_regional_revenue": relational.O_REGIONAL_REVENUE,
+    "regional_rollup": relational.O_REGIONAL_ROLLUP,
+    "events_distribution_stats": relational.O_EVENTS_DISTRIBUTION,
     "top_order_per_customer": relational.O_TOP_ORDER_PER_CUSTOMER,
     "media_sniff_metadata": O_MEDIA_SNIFF,
     "media_frame_features": O_MEDIA_FRAME_FEATURES,

@@ -182,3 +182,74 @@ SELECT CAST(o_custkey AS BIGINT) AS custkey,
 FROM orders
 QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
 """
+
+
+def regional_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (region -> nation -> total): the
+    classic warehouse subtotal shape — one pass, partial aggregation per
+    grouping set, NULL-marked subtotal rows. Money math follows the module
+    rule: exact decimal internally, round+DOUBLE out."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    acct = F.col("c_acctbal").cast(D2)
+    dims = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        dims.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _d2d(F.sum(acct)).alias("sum_acctbal"),
+        )
+    )
+
+
+O_REGIONAL_ROLLUP = """
+SELECT r.r_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+
+def events_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distribution stats with ORDER-INDEPENDENT math: count,
+    mean and sample stddev are all derived from exact-decimal sum and
+    sum-of-squares (value is a 2dp money-like double -> DECIMAL(12,2);
+    its square has scale 4, exactly representable), so partial-aggregation
+    order can never flip a bit. The float appears only in the final
+    per-row sqrt/round over identical inputs on both engines."""
+    events = _t(spark, sf_dir, "events")
+    v = F.col("value").cast(D2)
+    vv = (v * v).cast("decimal(24, 4)")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("__s"),
+        F.sum(vv).alias("__ss"),
+    )
+    n = F.col("n")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    var = (ss - s * s / n) / (n - 1)
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(s / n, 4).alias("mean_value"),
+        F.round(F.sqrt(var), 4).alias("stddev_value"),
+    )
+
+
+O_EVENTS_DISTRIBUTION = """
+SELECT event_type, n,
+       round(s / n, 4) AS mean_value,
+       round(sqrt((ss - s * s / n) / (n - 1)), 4) AS stddev_value
+FROM (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1)
+"""
