@@ -777,6 +777,13 @@ def near_dup_components(
                 break
         else:
             labels = new_labels
+    # cache-scope discipline: materialize the (tiny) final labels once,
+    # then release the edge cache — otherwise every call leaks sym's
+    # blocks for the session lifetime. What remains cached is the
+    # keep-list itself, bounded by the near-dup edge-endpoint count.
+    labels = labels.persist()
+    labels.count()
+    sym.unpersist()
     return (
         documents.select(F.col("doc_id").cast("long").alias("doc_id"))
         .join(labels.withColumnRenamed("doc_id", "ldoc"), F.col("doc_id") == F.col("ldoc"), "left")

@@ -921,7 +921,10 @@ def q_near_dup_components(spark, sf_dir):
         .where(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b")
     )
-    return analytics.near_dup_components(docs, verified)
+    # converge-on-count, not a fixed round budget: the oracle computes the
+    # EXACT transitive closure, so a corpus with a deeper chain than any
+    # fixed budget must still match
+    return analytics.near_dup_components(docs, verified, max_iters=50, until_converged=True)
 
 
 O_NEAR_DUP_COMPONENTS = f"""
@@ -999,9 +1002,9 @@ def q_corpus_filter(spark, sf_dir):
         .where(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b")
     )
-    comp = analytics.near_dup_components(docs, verified).select(
-        "doc_id", F.col("is_dup").alias("near_dup")
-    )
+    comp = analytics.near_dup_components(
+        docs, verified, max_iters=50, until_converged=True
+    ).select("doc_id", F.col("is_dup").alias("near_dup"))
     lang = analytics.lang_id_docs(docs)
     # no broadcast hints: every side here is corpus-sized at scale (the
     # exact-dedup table has ~one row per distinct text) — these are

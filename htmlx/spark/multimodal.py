@@ -104,6 +104,7 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_MAX_RASTER_BYTES = 128 * 1024 * 1024  # decode-side allocation cap
 
 
 def decode_png(payload: bytes):
@@ -141,9 +142,20 @@ def decode_png(payload: bytes):
     if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
         raise NotImplementedError(f"png depth={depth} ctype={ctype} interlace={interlace}")
     channels = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(idat)
     stride = w * channels
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bomb guard: the header fixes the exact raster size, so both the
+    # allocation and the inflate are capped BEFORE any work happens — a
+    # tiny IDAT claiming a multi-GB raster degrades to an error row
+    # instead of OOMing the executor's Python worker
+    if expected > _MAX_RASTER_BYTES:
+        raise ValueError("image_too_large")
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)
+    if d.unconsumed_tail:
+        raise ValueError("bad_scanline_data")
+    raw += d.flush()
+    if len(raw) != expected:
         raise ValueError("bad_scanline_data")
     bpp = channels
     out = np.zeros((h, stride), np.uint8)

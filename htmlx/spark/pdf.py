@@ -93,6 +93,26 @@ class UnsupportedFilterError(Exception):
     """Stream filter needs a codec not present in this container."""
 
 
+class InflateBudgetError(zlib.error):
+    """Decompressed output exceeded the safety cap (decompression bomb).
+    Subclasses zlib.error so every corrupt-stream degradation path already
+    catches it."""
+
+
+MAX_INFLATE = 64 * 1024 * 1024  # per-stream inflate cap (bomb guard)
+
+
+def inflate_bounded(data: bytes, cap: int = MAX_INFLATE) -> bytes:
+    """zlib inflate with a hard output budget: a kilobyte-sized bomb that
+    expands to gigabytes must degrade to an error ROW, not OOM the
+    executor's Python worker."""
+    d = zlib.decompressobj()
+    out = d.decompress(data, cap)
+    if d.unconsumed_tail:
+        raise InflateBudgetError(f"inflated output exceeds {cap} bytes")
+    return out + d.flush()
+
+
 # filters stdlib zlib can handle; everything else is genuinely external
 _ZLIB_FILTERS = {b"FlateDecode", b"Fl"}
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))")
@@ -125,7 +145,13 @@ def _iter_streams(payload: bytes):
         if not m:
             return
         start = m.end()
-        dict_start = payload.rfind(b"<<", 0, m.start())
+        # the dict region runs from the enclosing object boundary (the
+        # "N G obj" header, or the previous object's endobj) to the stream
+        # keyword — NOT from the innermost "<<", which would lose /Filter
+        # and /Length declared before a nested dict like /DecodeParms <<...>>
+        dict_start = payload.rfind(b"obj", 0, m.start())
+        if dict_start == -1:
+            dict_start = payload.rfind(b"<<", 0, m.start())
         obj_dict = payload[dict_start : m.start()] if dict_start != -1 else b""
         lm = _LENGTH_RE.search(obj_dict)
         end = -1
@@ -157,7 +183,7 @@ def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
     data = raw
     for name in names:
         if name in _ZLIB_FILTERS:
-            data = zlib.decompress(data)
+            data = inflate_bounded(data)
         else:
             raise UnsupportedFilterError(name.decode("latin-1"))
     return data

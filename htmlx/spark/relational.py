@@ -234,7 +234,10 @@ def events_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
-    var = (ss - s * s / n) / (n - 1)
+    # clamp: for a (near-)constant group the residual ss - s^2/n is float
+    # noise of either sign; DuckDB's sqrt RAISES on negatives while Spark
+    # returns NaN, so both sides clamp to 0 before the root
+    var = F.greatest((ss - s * s / n) / (n - 1), F.lit(0.0))
     return agg.select(
         "event_type",
         "n",
@@ -246,7 +249,7 @@ def events_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_EVENTS_DISTRIBUTION = """
 SELECT event_type, n,
        round(s / n, 4) AS mean_value,
-       round(sqrt((ss - s * s / n) / (n - 1)), 4) AS stddev_value
+       round(sqrt(greatest((ss - s * s / n) / (n - 1), 0)), 4) AS stddev_value
 FROM (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,

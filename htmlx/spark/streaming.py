@@ -171,8 +171,12 @@ def user_sessions_stream(
 
     State per user = (session_start, last_event, count) in epoch micros.
     Correctness under reordering is watermark-scoped, as with any
-    event-time sessionizer: events later than the watermark delay may
-    split sessions the batch formulation would merge."""
+    event-time sessionizer: an in-gap late arrival extends the open
+    session backward (start shrinks); a late arrival older than the open
+    session by more than the gap emits as its own single-event session
+    immediately (multi-session state would be needed to merge several
+    such stragglers); events later than the watermark delay may be
+    dropped upstream entirely."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -206,8 +210,17 @@ def user_sessions_stream(
             elif t - cur[1] > gap_us:
                 closed.append(close(*cur))
                 cur = (t, t, 1)
+            elif cur[0] - t > gap_us:
+                # late event older than the open session by more than the
+                # gap: it belongs to an EARLIER session, not this one —
+                # emit it as its own session immediately (approximation:
+                # further stale events for that earlier session would each
+                # emit separately; exact merge would need multi-session
+                # state, and the watermark bounds how stale this gets)
+                closed.append(close(t, t, 1))
             else:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                # in-gap late event: extend the open session BACKWARD too
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
         if cur is not None:
             state.update(cur)
             # fire when the WATERMARK passes last_event + gap (ms epoch)

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
     ap.add_argument("--iters", type=int, default=0, help="0 = iterate to convergence")
     args = ap.parse_args()
+    if args.iters < 0:
+        ap.error("--iters must be >= 0 (0 = iterate to convergence)")
+    if args.mode == "components" and not args.pairs:
+        ap.error("--mode components requires --pairs")
 
     from pyspark.sql import SparkSession, functions as F
 

@@ -94,3 +94,25 @@ def test_png_decode_error_paths():
         decode_image(b"\xff\xd8\xff\xe0rest")
     # dispatch: PNG goes through the real decoder
     assert decode_image(good).shape == (2, 2, 1)
+
+
+def test_png_bomb_guard():
+    """A tiny IDAT claiming a multi-GB raster must fail fast (header-size
+    cap) before any allocation or inflate."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from htmlx.spark.multimodal import _PNG_SIG, decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)  # 30 GB raster
+    bomb = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bomb)

@@ -112,3 +112,33 @@ def test_corrupt_flate_raises_zlib_error():
     pdf = _content_pdf(b"not-deflate-data", b" /Filter /FlateDecode")
     with pytest.raises(zlib.error):
         extract_pdf_text(pdf)
+
+
+def test_nested_dict_keeps_filter():
+    """/DecodeParms << ... >> nests a dict AFTER /Filter; the stream's
+    dict region must span back to the object boundary, not the innermost
+    '<<' (which would silently skip the inflate)."""
+    raw = b"BT (nested dict text) Tj ET"
+    data = zlib.compress(raw)
+    pdf = (
+        b"%PDF-1.7\n2 0 obj\n<< /Length " + str(len(data)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 1 >> >>\nstream\n"
+        + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "nested dict text"
+
+
+def test_inflate_bomb_degrades_not_ooms():
+    """A kilobyte-scale Flate stream expanding past the inflate cap must
+    raise (a zlib.error subclass -> corrupt-stream degradation), never
+    materialize the full output."""
+    from htmlx.spark.pdf import InflateBudgetError, inflate_bounded
+
+    bomb = zlib.compress(b"\x00" * (200 * 1024 * 1024), 9)  # ~200MB -> ~200KB
+    assert len(bomb) < 1024 * 1024
+    with pytest.raises(InflateBudgetError):
+        inflate_bounded(bomb)
+    assert isinstance(InflateBudgetError("x"), zlib.error)
+    pdf = _content_pdf(bomb, b" /Filter /FlateDecode")
+    with pytest.raises(zlib.error):
+        extract_pdf_text(pdf)
