@@ -781,8 +781,10 @@ def near_dup_components(
     # then release the edge cache — otherwise every call leaks sym's
     # blocks for the session lifetime. What remains cached is the
     # keep-list itself, bounded by the near-dup edge-endpoint count.
-    labels = labels.persist()
-    labels.count()
+    # (in until_converged mode the loop already persisted+counted labels)
+    if not until_converged:
+        labels = labels.persist()
+        labels.count()
     sym.unpersist()
     return (
         documents.select(F.col("doc_id").cast("long").alias("doc_id"))

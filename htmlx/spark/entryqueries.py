@@ -1043,6 +1043,61 @@ SELECT doc_id, reason, reason = '' AS keep FROM (
 """
 
 
+def q_doc_length_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (p50/p95 of doc length per language):
+    Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    linear-interpolation definition (index = (n-1)*p over the sorted
+    values), verified bit-identical on this corpus — the exact-quantile
+    surface; approx_percentile/t-digest is the sketch path at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    ln = F.length("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.percentile(ln, F.lit(0.5)).alias("p50_len"),
+            F.percentile(ln, F.lit(0.95)).alias("p95_len"),
+        )
+    )
+
+
+O_DOC_LENGTH_PERCENTILES = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       quantile_cont(len(text), 0.5) AS p50_len,
+       quantile_cont(len(text), 0.95) AS p95_len
+FROM documents GROUP BY 1
+"""
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-host crawl accounting (the batch twin of the streaming host
+    counters): host parsed from the url with the same regex on both
+    engines, doc counts + byte totals per host."""
+    docs = _docs(spark, sf_dir)
+    url = F.expr(
+        "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
+    )
+    return (
+        docs.select(
+            F.regexp_extract(url, r"^https?://([^/]+)", 1).alias("host"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+O_HOST_STATS = f"""
+SELECT regexp_extract({URL_SQL}, '^https?://([^/]+)', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
@@ -1141,6 +1196,8 @@ QUERIES = {
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "corpus_filter": q_corpus_filter,
+    "doc_length_percentiles": q_doc_length_percentiles,
+    "host_stats": q_host_stats,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1184,6 +1241,8 @@ ORACLES = {
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
     "simhash": O_SIMHASH,
     "lang_id": O_LANG_ID,
+    "doc_length_percentiles": O_DOC_LENGTH_PERCENTILES,
+    "host_stats": O_HOST_STATS,
     "corpus_filter": _corpus_filter_oracle().format(
         components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
