@@ -795,3 +795,52 @@ def near_dup_components(
         )
         .withColumn("is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("boolean"))
     )
+
+
+# BPE-ish pre-tokenizer (GPT-2-style, restricted to the regex subset Java
+# and RE2 interpret identically): optional leading space + letter run /
+# digit run / punctuation run. Subword vocabularies split these further,
+# but THIS split is the pre-tokenization boundary — its count is the
+# standard cheap token-budget estimate for corpus accounting.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """Pre-tokenizer counting (the 'BPE-ish regex' twin of the whitespace
+    token_stats): per-doc token count + chars-per-token — JVM-side
+    regexp_extract_all, zero shuffles."""
+    toks = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+    n = F.size(toks)
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_bpe_tokens"),
+        F.floor(F.length("text") * 10 / n).cast("long").alias("chars_per_token_x10"),
+    )
+
+
+def hash_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test split by content-independent id hash:
+    bucket = md5(id) mod 100, split by cumulative percentage. Reproducible
+    across runs, engines, partitionings and cluster sizes — the property a
+    random sample() lacks — and md5-based so the assignment is
+    oracle-checkable. Scan-side projection, zero shuffles."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select(
+        F.col(id_col).cast("long").alias(id_col),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )

@@ -1098,6 +1098,33 @@ FROM documents GROUP BY 1
 """
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    return analytics.bpe_token_stats(_docs(spark, sf_dir))
+
+
+O_BPE_TOKEN_STATS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(len(text) * 10 / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS chars_per_token_x10
+FROM documents
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by md5 id bucket."""
+    return analytics.hash_split(_docs(spark, sf_dir))
+
+
+O_HASH_SPLIT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'train'
+            WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
@@ -1198,6 +1225,8 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "doc_length_percentiles": q_doc_length_percentiles,
     "host_stats": q_host_stats,
+    "bpe_token_stats": q_bpe_token_stats,
+    "hash_split": q_hash_split,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1243,6 +1272,8 @@ ORACLES = {
     "lang_id": O_LANG_ID,
     "doc_length_percentiles": O_DOC_LENGTH_PERCENTILES,
     "host_stats": O_HOST_STATS,
+    "bpe_token_stats": O_BPE_TOKEN_STATS,
+    "hash_split": O_HASH_SPLIT,
     "corpus_filter": _corpus_filter_oracle().format(
         components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
