@@ -1125,6 +1125,67 @@ FROM documents
 """
 
 
+def q_audio_pcm_decode(spark, sf_dir):
+    """REAL WAV/PCM audio decode (multimodal.decode_wav): synthesize
+    deterministic PCM-16 WAVs — sample i is (doc_id*7 + i*13) % 2048 -
+    1024, frames/channels/rate vary with doc_id — and recover duration,
+    RMS and peak from the decoded samples. The oracle recomputes the
+    features from the formula, so one wrong decoded sample flips RMS."""
+    import pandas as pd
+
+    from .multimodal import encode_wav, extract_audio_features
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                c = 1 + d % 2
+                frames = 256 + d % 128
+                rate = 8000 + (d % 4) * 4000
+                flat = ((d * 7 + np.arange(frames * c) * 13) % 2048) - 1024
+                wav = encode_wav(flat.reshape(frames, c), rate)
+                rows.append({"media_id": d, "payload": wav})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return extract_audio_features(media).select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        "n_frames",
+        "duration_ms",
+        "rms_x1000",
+        "peak",
+        "error",
+    )
+
+
+O_AUDIO_PCM_DECODE = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS c, 256 + doc_id % 128 AS frames,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents),
+v AS (
+  SELECT doc_id, c, frames, rate,
+         [(doc_id * 7 + i * 13) % 2048 - 1024 FOR i IN generate_series(0, frames * c - 1)] AS s
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(c AS BIGINT) AS channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(floor(1000 * sqrt(list_sum(list_transform(s, x -> x * x)) * 1.0 / (frames * c))) AS BIGINT) AS rms_x1000,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+       '' AS error
+FROM v
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
@@ -1227,6 +1288,7 @@ QUERIES = {
     "host_stats": q_host_stats,
     "bpe_token_stats": q_bpe_token_stats,
     "hash_split": q_hash_split,
+    "audio_pcm_decode": q_audio_pcm_decode,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1274,6 +1336,7 @@ ORACLES = {
     "host_stats": O_HOST_STATS,
     "bpe_token_stats": O_BPE_TOKEN_STATS,
     "hash_split": O_HASH_SPLIT,
+    "audio_pcm_decode": O_AUDIO_PCM_DECODE,
     "corpus_filter": _corpus_filter_oracle().format(
         components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,

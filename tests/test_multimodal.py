@@ -116,3 +116,25 @@ def test_png_bomb_guard():
     bomb = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(bomb)
+
+
+def test_wav_roundtrip_and_error_paths():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        a = rng.integers(-1024, 1024, (301, ch), dtype=np.int16)
+        rate, c, out = decode_wav(encode_wav(a, 16000))
+        assert (rate, c) == (16000, ch) and (out == a).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    # non-PCM format code -> genuinely needs a codec
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # 85 = MP3-in-WAV
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
