@@ -1125,6 +1125,61 @@ FROM documents
 """
 
 
+def q_gif_pixel_decode(spark, sf_dir):
+    """REAL GIF decode (multimodal.decode_gif — pure-Python LZW + palette):
+    synthesize GIFs whose index raster follows the pixel formula with a
+    grayscale-identity palette, decode to RGB, recover pixel features. The
+    oracle expands index i -> (v, v, v) bytes from the formula."""
+    import pandas as pd
+
+    from .multimodal import encode_gif, extract_pixel_features
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        import numpy as np
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)  # v -> (v,v,v)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                w, h = 6 + d % 6, 3 + d % 5
+                idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
+                rows.append(
+                    {"media_id": d, "payload": encode_gif(idx.reshape(h, w), pal)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return extract_pixel_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "px_md5",
+        "mean_x1000",
+        "error",
+    )
+
+
+O_GIF_PIXEL_DECODE = """
+WITH d AS (
+  SELECT doc_id, 6 + doc_id % 6 AS w, 3 + doc_id % 5 AS h FROM documents),
+v AS (
+  SELECT doc_id, w, h,
+         [(doc_id * 31 + i * 7) % 256 FOR i IN generate_series(0, w * h - 1)] AS px
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       md5(array_to_string([repeat(lpad(lower(to_hex(x)), 2, '0'), 3) FOR x IN px], '')) AS px_md5,
+       CAST(list_sum(px) * 3 * 1000 // (w * h * 3) AS BIGINT) AS mean_x1000,
+       '' AS error
+FROM v
+"""
+
+
 def q_audio_pcm_decode(spark, sf_dir):
     """REAL WAV/PCM audio decode (multimodal.decode_wav): synthesize
     deterministic PCM-16 WAVs — sample i is (doc_id*7 + i*13) % 2048 -
@@ -1289,6 +1344,7 @@ QUERIES = {
     "bpe_token_stats": q_bpe_token_stats,
     "hash_split": q_hash_split,
     "audio_pcm_decode": q_audio_pcm_decode,
+    "gif_pixel_decode": q_gif_pixel_decode,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1337,6 +1393,7 @@ ORACLES = {
     "bpe_token_stats": O_BPE_TOKEN_STATS,
     "hash_split": O_HASH_SPLIT,
     "audio_pcm_decode": O_AUDIO_PCM_DECODE,
+    "gif_pixel_decode": O_GIF_PIXEL_DECODE,
     "corpus_filter": _corpus_filter_oracle().format(
         components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,

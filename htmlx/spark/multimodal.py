@@ -255,14 +255,17 @@ def encode_png(arr, row_filter=None) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Image decode dispatch: PNG decodes for REAL (stdlib zlib + numpy
-    unfiltering, see decode_png); JPEG/GIF/WebP genuinely need an external
-    codec absent from this container and stay stubbed — the Spark plumbing
-    calls this behind a try/except so those rows degrade to metadata-only
-    with error='decoder_unavailable'."""
+    """Image decode dispatch: PNG and GIF decode for REAL (stdlib zlib +
+    numpy unfiltering; pure-Python LZW + palette — see decode_png /
+    decode_gif); JPEG/WebP genuinely need an external codec absent from
+    this container and stay stubbed — the Spark plumbing calls this behind
+    a try/except so those rows degrade to metadata-only with
+    error='decoder_unavailable'."""
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
-    raise NotImplementedError("non-PNG decode requires PIL/libvips (not in container)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    raise NotImplementedError("JPEG/WebP decode requires PIL/libvips (not in container)")
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:
@@ -536,3 +539,153 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(feat_batch, AUDIO_FEATURES_SCHEMA)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-flavor LZW decode (variable code width, clear/end codes).
+    max_pixels bounds the output (bomb guard)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = []
+    table = None
+    width = min_code_size + 1
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if table is None:
+                raise ValueError("lzw_data_before_clear")
+            if prev is None:
+                entry = table[code]
+                if entry is None:
+                    raise ValueError("bad_lzw_code")
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(table[prev] + (entry[0],))
+            elif code == len(table):
+                entry = table[prev] + (table[prev][0],)
+                table.append(entry)
+            else:
+                raise ValueError("bad_lzw_code")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("lzw_output_overflow")
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            prev = code
+    return out
+
+
+def decode_gif(payload: bytes):
+    """REAL GIF decode (first frame, non-interlaced): pure-Python LZW +
+    palette mapping — no codec library. Returns (h, w, 3) uint8 RGB.
+    Interlaced images raise NotImplementedError; malformed data raises
+    ValueError."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not_a_gif")
+    if len(payload) < 13:
+        raise ValueError("truncated_gif_header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced gif")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("missing_color_table")
+            if w * h * 3 > _MAX_RASTER_BYTES:
+                raise ValueError("image_too_large")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("short_pixel_data")
+            indices = np.asarray(idx[: w * h], np.int64)
+            if indices.max(initial=0) >= len(pal):
+                raise ValueError("palette_index_out_of_range")
+            return pal[indices].reshape(h, w, 3)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("bad_gif_block")
+    raise ValueError("no_image_data")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Minimal deterministic GIF encoder (synthesis/tests twin): emits a
+    clear code before every literal pixel code, so the LZW table never
+    grows and the code width stays fixed — inefficient but spec-valid,
+    and it exercises the decoder's clear-code handling on every pixel."""
+    import numpy as np
+
+    a = np.asarray(indices, np.uint8)
+    h, w = a.shape
+    pal = np.asarray(palette, np.uint8)
+    npal = len(pal)
+    bits = max(2, int(npal - 1).bit_length())
+    clear = 1 << bits
+    width = bits + 1
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    for px in a.ravel():
+        emit(clear)
+        emit(int(px))
+    emit(clear + 1)  # end
+    if nbits:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    table = bytearray(pal.tobytes()) + b"\x00" * ((1 << bits) - npal) * 3
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + table
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([bits])
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

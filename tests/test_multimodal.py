@@ -138,3 +138,87 @@ def test_wav_roundtrip_and_error_paths():
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def _lzw_compress_gif(indices, bits):
+    """Real GIF LZW compressor (dict growth + width increases) — exists so
+    the decoder's growth path is tested against a conforming encoder, not
+    just the clear-per-pixel synthesis stream."""
+    clear, end = 1 << bits, (1 << bits) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = bits + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = ()
+    for px in indices:
+        cand = seq + (int(px),)
+        if cand in table:
+            seq = cand
+        else:
+            emit(table[seq])
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4096:
+                emit(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+                width = bits + 1
+            seq = (int(px),)
+    if seq:
+        emit(table[seq])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_decode_real_lzw_stream():
+    """Dict-growth LZW (what real encoders emit), repetitive data so the
+    table actually grows and the code width increases."""
+    import struct
+
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_gif, decode_image
+
+    rng = np.random.default_rng(5)
+    idx = np.repeat(rng.integers(0, 8, (31, 7), dtype=np.uint8), 3, axis=1)  # runs
+    h, w = idx.shape
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    bits = 8
+    lzw = _lzw_compress_gif(idx.ravel(), bits)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0) + pal.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([bits])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    out = decode_gif(bytes(gif))
+    assert (out == pal[idx.astype(int)]).all()
+    assert decode_image(bytes(gif)).shape == (h, w, 3)
+
+
+def test_gif_error_paths():
+    import pytest
+
+    from htmlx.spark.multimodal import decode_gif
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x00")  # truncated
+    with pytest.raises(ValueError):
+        decode_gif(b"JIF89a_not_a_gif")
