@@ -844,3 +844,25 @@ def hash_split(
         bucket.alias("bucket"),
         split.alias("split"),
     )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    weight_expr,
+    id_col: str = "doc_id",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-row weighted sampling for data mixing: keep a row
+    iff md5(id) bucket < weight * resolution, where weight in [0, 1] is a
+    Column (typically derived per source/domain — the 'mixing ratio' knob
+    a training-data pipeline tunes per corpus slice). Reproducible across
+    runs/engines/cluster sizes, scan-side, zero shuffles; expected kept
+    fraction per slice = its weight to 1/resolution granularity."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % resolution
+    )
+    return documents.withColumn(
+        "sample_keep", (bucket < (weight_expr * resolution).cast("long")).cast("boolean")
+    )

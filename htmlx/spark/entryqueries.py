@@ -1241,6 +1241,28 @@ FROM v
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic mixing-ratio sampling: per-source weight (derived here
+    from the source id digits: (1 + n % 5) / 5, i.e. 20%..100%) decides
+    each doc's keep flag via md5 buckets — reproducible across engines and
+    cluster sizes, unlike random sample()."""
+    docs = _docs(spark, sf_dir)
+    w = (1 + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 5) / 5
+    out = analytics.weighted_sample(docs.select("doc_id", "source"), w)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "sample_keep"
+    )
+
+
+O_WEIGHTED_SAMPLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 10000
+         < CAST(((1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5) / 5) * 10000 AS BIGINT)
+       AS sample_keep
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
@@ -1345,6 +1367,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "audio_pcm_decode": q_audio_pcm_decode,
     "gif_pixel_decode": q_gif_pixel_decode,
+    "weighted_sample": q_weighted_sample,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1394,6 +1417,7 @@ ORACLES = {
     "hash_split": O_HASH_SPLIT,
     "audio_pcm_decode": O_AUDIO_PCM_DECODE,
     "gif_pixel_decode": O_GIF_PIXEL_DECODE,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
     "corpus_filter": _corpus_filter_oracle().format(
         components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,

@@ -13,6 +13,8 @@ Modes:
               connected components).
   components  same as dedup but expects a precomputed pairs table at
               --pairs (doc_a, doc_b).
+  split       deterministic train/val/test assignment by md5 id buckets
+              (reproducible across engines and cluster sizes).
 
 --iters 0 (default) iterates label propagation to convergence (one scalar
 count() per round); a positive value pins a fixed round budget.
@@ -27,7 +29,7 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--pairs", default=None, help="precomputed pairs table (components mode)")
-    ap.add_argument("--mode", choices=["filter", "dedup", "components"], default="filter")
+    ap.add_argument("--mode", choices=["filter", "dedup", "components", "split"], default="filter")
     ap.add_argument("--threshold", type=float, default=0.9, help="Jaccard verify threshold")
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
@@ -61,7 +63,9 @@ def main():
             .select("doc_a", "doc_b")
         )
 
-    if args.mode == "components":
+    if args.mode == "split":
+        out = analytics.hash_split(docs)
+    elif args.mode == "components":
         pairs = spark.read.parquet(args.pairs)
         out = keep_list(pairs)
     elif args.mode == "dedup":
