@@ -228,3 +228,18 @@ def test_extract_ms_sums_micros_not_truncated_ms(spark, docs):
         assert all(r.processing_time_ms == r.processing_time_us // 1000 for r in rows)
     finally:
         results.unpersist()
+
+
+def test_all_digit_run_id_survives_readback(spark, docs, tmp_path_factory):
+    """Partition-dir type inference is disabled on read-back: a run_id of
+    '0012345678' must come back as that string (inference would parse the
+    dir value as a number and drop the leading zeros)."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("digit_rid"))
+    out = ParquetTableIO(os.path.join(root, "results"))
+    pages = pages_from_documents(docs.limit(10), "text")
+    rid = "0012345678"
+    run_with_resume(spark, pages, out, None, rid, num_groups=2)
+    vals = {r.run_id for r in out.read(spark).select("run_id").distinct().collect()}
+    assert vals == {rid}
