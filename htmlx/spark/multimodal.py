@@ -605,6 +605,8 @@ def decode_gif(payload: bytes):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
+        if pos + n * 3 > len(payload):
+            raise ValueError("truncated_color_table")
         gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     while pos < len(payload):
@@ -615,6 +617,8 @@ def decode_gif(payload: bytes):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated_image_descriptor")
             _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
             pos += 10
             if iflags & 0x40:
@@ -622,12 +626,16 @@ def decode_gif(payload: bytes):
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 7)
+                if pos + n * 3 > len(payload):
+                    raise ValueError("truncated_color_table")
                 pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
             if pal is None:
                 raise ValueError("missing_color_table")
             if w * h * 3 > _MAX_RASTER_BYTES:
                 raise ValueError("image_too_large")
+            if pos >= len(payload):
+                raise ValueError("truncated_image_data")
             min_code = payload[pos]
             pos += 1
             lzw = bytearray()

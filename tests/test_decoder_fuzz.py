@@ -1,0 +1,101 @@
+"""Decoder robustness on arbitrary bytes (the web-scale contract: crawled
+payloads are adversarial; every decoder must degrade to one of its
+DECLARED error types — never crash with anything else, hang, or blow
+memory)."""
+
+import zlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from htmlx.spark.multimodal import (
+    _PNG_SIG,
+    decode_gif,
+    decode_image,
+    decode_png,
+    decode_wav,
+    image_dimensions,
+    sniff_mime,
+)
+from htmlx.spark.pdf import (
+    UnsupportedFilterError,
+    extract_pdf_text,
+    parse_pdf_structure,
+)
+
+DECODE_OK = (ValueError, NotImplementedError, zlib.error)
+_SETTINGS = settings(
+    max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+def _attempt(fn, blob):
+    try:
+        fn(blob)
+    except DECODE_OK:
+        pass  # declared degradation path
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_image_decoders_never_crash(blob):
+    for prefix in (b"", _PNG_SIG, b"GIF89a", b"RIFF"):
+        _attempt(decode_image, prefix + blob)
+        _attempt(decode_png, prefix + blob)
+        _attempt(decode_gif, prefix + blob)
+        sniff_mime(prefix + blob)
+        image_dimensions(prefix + blob)
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_wav_decoder_never_crashes(blob):
+    for prefix in (b"", b"RIFF\x00\x00\x00\x00WAVE"):
+        _attempt(decode_wav, prefix + blob)
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_pdf_text_never_crashes(blob):
+    for prefix in (b"", b"%PDF-1.7\n"):
+        try:
+            extract_pdf_text(prefix + blob)
+        except DECODE_OK:
+            pass
+        except UnsupportedFilterError:
+            pass
+        parse_pdf_structure(prefix + blob)
+
+
+@given(st.binary(max_size=1024))
+@_SETTINGS
+def test_pdf_crafted_stream_fragments(blob):
+    """Bias the fuzz toward the stream-parsing path: wrap arbitrary bytes
+    in stream/endstream scaffolding with arbitrary dicts."""
+    doc = (
+        b"%PDF-1.7\n1 0 obj\n<< /Length " + str(len(blob) % 500).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + blob + b"\nendstream\nendobj\n"
+    )
+    try:
+        extract_pdf_text(doc)
+    except DECODE_OK:
+        pass
+    except UnsupportedFilterError:
+        pass
+
+
+def test_gif_truncation_points_all_valueerror():
+    """Every truncation point of a valid GIF must surface as ValueError
+    (or decode successfully for byte counts past the trailer)."""
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_gif, encode_gif
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx = (np.arange(12) % 256).astype(np.uint8).reshape(3, 4)
+    gif = encode_gif(idx, pal)
+    for cut in range(1, len(gif)):
+        try:
+            decode_gif(gif[:cut])
+        except (ValueError, NotImplementedError):
+            pass
