@@ -588,15 +588,27 @@ def ann_topk(embeddings: DataFrame, num_queries: int = 5, k: int = 5) -> DataFra
 # Text analysis
 # ---------------------------------------------------------------------------
 
-def token_stats(documents: DataFrame) -> DataFrame:
-    """Whitespace token counting + distinct-token counts (JVM-side)."""
+def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
+    """Whitespace token counting + distinct-token counts (JVM-side).
+
+    With include_bpe=True the BPE-ish pre-tokenizer counts (see
+    bpe_token_stats) are computed in the SAME single-scan projection —
+    one pass over the corpus yields both token-budget estimates."""
     toks = F.split(F.col("text"), " ")
-    return documents.select(
+    cols = [
         F.col("doc_id").cast("long"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length("text").cast("long").alias("n_chars"),
-    )
+    ]
+    if include_bpe:
+        bpe = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_PATTERN), 0)
+        nb = F.size(bpe)
+        cols += [
+            nb.cast("long").alias("n_bpe_tokens"),
+            F.floor(F.length("text") * 10 / nb).cast("long").alias("chars_per_token_x10"),
+        ]
+    return documents.select(*cols)
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
@@ -823,6 +835,7 @@ def hash_split(
     id_col: str = "doc_id",
     train_pct: int = 90,
     val_pct: int = 5,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Deterministic train/val/test split by content-independent id hash:
     bucket = md5(id) mod 100, split by cumulative percentage. Reproducible
@@ -843,6 +856,7 @@ def hash_split(
         F.col(id_col).cast("long").alias(id_col),
         bucket.alias("bucket"),
         split.alias("split"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -863,6 +877,10 @@ def weighted_sample(
         .cast("long")
         % resolution
     )
+    # floor() BEFORE the long cast: Spark's double->long cast truncates
+    # toward zero while DuckDB's CAST(.. AS BIGINT) rounds to nearest, so an
+    # explicit floor on BOTH engines is the only engine-independent threshold.
     return documents.withColumn(
-        "sample_keep", (bucket < (weight_expr * resolution).cast("long")).cast("boolean")
+        "sample_keep",
+        (bucket < F.floor(weight_expr * resolution).cast("long")).cast("boolean"),
     )

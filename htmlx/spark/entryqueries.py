@@ -406,14 +406,20 @@ FROM documents GROUP BY text
 
 
 def q_token_stats(spark, sf_dir):
-    return analytics.token_stats(_docs(spark, sf_dir))
+    """Whitespace AND BPE-ish pre-tokenizer counting, one scan-side
+    projection (the two token-budget estimates a corpus-accounting pass
+    needs; merged into one driver row — the driver's correctness artifact
+    records at most 50 queries, observed round 3)."""
+    return analytics.token_stats(_docs(spark, sf_dir), include_bpe=True)
 
 
 O_TOKEN_STATS = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(length(text) * 10 / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS chars_per_token_x10
 FROM documents
 """
 
@@ -603,10 +609,14 @@ def q_pdf_text(spark, sf_dir):
     content stream carries the document text — FlateDecode-compressed for
     even doc_ids, stored raw for odd — and recover the text through the
     stdlib-zlib decoder + Tj/TJ operator evaluation. The oracle is exact
-    because decode(encode(text)) must be byte-identical."""
+    because decode(encode(text)) must be byte-identical: latin-1-encodable
+    text ships byte-per-char, anything else as a UTF-16BE-with-BOM text
+    string (the PDF spec's other text encoding), and control bytes go out
+    as octal \\ddd escapes — so the round-trip is exact for ALL unicode
+    text, not just the latin-1-clean corpus of the moment."""
     import pandas as pd
 
-    from .pdf import extract_pdf_documents
+    from .pdf import encode_pdf_text_string, extract_pdf_documents
 
     docs = _docs(spark, sf_dir)
 
@@ -616,12 +626,7 @@ def q_pdf_text(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id, text, source in zip(pdf.doc_id, pdf.text, pdf.source):
-                esc = (
-                    text.encode("latin-1", "replace")
-                    .replace(b"\\", b"\\\\")
-                    .replace(b"(", b"\\(")
-                    .replace(b")", b"\\)")
-                )
+                esc = encode_pdf_text_string(text)
                 content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
                 if int(doc_id) % 2 == 0:
                     data = zlib.compress(content)
@@ -1098,21 +1103,16 @@ FROM documents GROUP BY 1
 """
 
 
-def q_bpe_token_stats(spark, sf_dir):
-    return analytics.bpe_token_stats(_docs(spark, sf_dir))
-
-
-O_BPE_TOKEN_STATS = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
-       CAST(floor(len(text) * 10 / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS chars_per_token_x10
-FROM documents
-"""
-
-
 def q_hash_split(spark, sf_dir):
-    """Deterministic 90/5/5 train/val/test assignment by md5 id bucket."""
-    return analytics.hash_split(_docs(spark, sf_dir))
+    """Deterministic 90/5/5 train/val/test assignment by md5 id bucket,
+    PLUS per-source mixing-ratio sample flags (weight (1 + n % 5) / 5 from
+    the source id digits) — both scan-side md5-bucket ops composed in one
+    zero-shuffle projection and one driver row (driver artifact caps at
+    50 queries, observed round 3)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    w = (1 + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 5) / 5
+    sampled = analytics.weighted_sample(docs, w)
+    return analytics.hash_split(sampled, keep_cols=("source", "sample_keep"))
 
 
 O_HASH_SPLIT = """
@@ -1120,7 +1120,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 AS bucket,
        CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'train'
             WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 95 THEN 'val'
-            ELSE 'test' END AS split
+            ELSE 'test' END AS split,
+       source,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 10000
+         < CAST(floor(((1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5) / 5) * 10000) AS BIGINT)
+       AS sample_keep
 FROM documents
 """
 
@@ -1241,28 +1245,6 @@ FROM v
 """
 
 
-def q_weighted_sample(spark, sf_dir):
-    """Deterministic mixing-ratio sampling: per-source weight (derived here
-    from the source id digits: (1 + n % 5) / 5, i.e. 20%..100%) decides
-    each doc's keep flag via md5 buckets — reproducible across engines and
-    cluster sizes, unlike random sample()."""
-    docs = _docs(spark, sf_dir)
-    w = (1 + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 5) / 5
-    out = analytics.weighted_sample(docs.select("doc_id", "source"), w)
-    return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "source", "sample_keep"
-    )
-
-
-O_WEIGHTED_SAMPLE = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
-       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 10000
-         < CAST(((1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5) / 5) * 10000 AS BIGINT)
-       AS sample_keep
-FROM documents
-"""
-
-
 def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
@@ -1339,6 +1321,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "lang_distribution": q_lang_distribution,
     "ann_cosine_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "events_hourly_rollup": q_events_hourly,
     "token_topk": q_token_topk,
     "user_sessions": q_user_sessions,
@@ -1363,12 +1346,9 @@ QUERIES = {
     "corpus_filter": q_corpus_filter,
     "doc_length_percentiles": q_doc_length_percentiles,
     "host_stats": q_host_stats,
-    "bpe_token_stats": q_bpe_token_stats,
     "hash_split": q_hash_split,
     "audio_pcm_decode": q_audio_pcm_decode,
     "gif_pixel_decode": q_gif_pixel_decode,
-    "weighted_sample": q_weighted_sample,
-    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
@@ -1413,11 +1393,9 @@ ORACLES = {
     "lang_id": O_LANG_ID,
     "doc_length_percentiles": O_DOC_LENGTH_PERCENTILES,
     "host_stats": O_HOST_STATS,
-    "bpe_token_stats": O_BPE_TOKEN_STATS,
     "hash_split": O_HASH_SPLIT,
     "audio_pcm_decode": O_AUDIO_PCM_DECODE,
     "gif_pixel_decode": O_GIF_PIXEL_DECODE,
-    "weighted_sample": O_WEIGHTED_SAMPLE,
     "corpus_filter": _corpus_filter_oracle().format(
         components=O_NEAR_DUP_COMPONENTS, lang=O_LANG_ID),
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,

@@ -93,10 +93,26 @@ class ParquetTableIO:
         )
         self._commit_groups(run_id, group_ids)
 
+    def _reject_legacy_layout(self) -> None:
+        """The pre-round-3 layout was data/group=<gid> (no run_id level).
+        A committed manifest over such a root would skip extraction while
+        read() globs run_id=*/group=* and silently finds ZERO rows — fail
+        loudly instead of returning an empty result."""
+        legacy = [
+            e for e in os.listdir(self.data_dir) if e.startswith("group=")
+        ]
+        if legacy:
+            raise RuntimeError(
+                f"legacy table layout under {self.data_dir}: {legacy[:3]}... "
+                "predates run_id partitioning — re-create the table root "
+                "(or move each group dir under data/run_id=<rid>/)"
+            )
+
     def is_empty(self) -> bool:
         """True when no group dir has ever been written (a partitioned
         write of zero rows creates no directories — a legitimate state for
         e.g. an audit table over a clean corpus)."""
+        self._reject_legacy_layout()
         for rid_dir in os.listdir(self.data_dir):
             if rid_dir.startswith("run_id="):
                 sub = os.path.join(self.data_dir, rid_dir)
@@ -109,6 +125,7 @@ class ParquetTableIO:
         # off while loading or an all-digit run_id dir would be read as a
         # number (dropping leading zeros). group's long type is restored
         # explicitly — the table schema contract, not directory guesswork.
+        self._reject_legacy_layout()
         old = spark.conf.get(_INFER_KEY, "true")
         spark.conf.set(_INFER_KEY, "false")
         try:

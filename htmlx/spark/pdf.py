@@ -148,10 +148,14 @@ def _iter_streams(payload: bytes):
         # the dict region runs from the enclosing object boundary (the
         # "N G obj" header, or the previous object's endobj) to the stream
         # keyword — NOT from the innermost "<<", which would lose /Filter
-        # and /Length declared before a nested dict like /DecodeParms <<...>>
-        dict_start = payload.rfind(b"obj", 0, m.start())
+        # and /Length declared before a nested dict like /DecodeParms <<...>>.
+        # The backward search is floored at `pos` (just past the previous
+        # stream's endstream): a binary Flate body can legally contain the
+        # bytes "obj", and an unfloored rfind landing inside it would let
+        # junk /Filter or /Length byte patterns mis-route _decode_stream.
+        dict_start = payload.rfind(b"obj", pos, m.start())
         if dict_start == -1:
-            dict_start = payload.rfind(b"<<", 0, m.start())
+            dict_start = payload.rfind(b"<<", pos, m.start())
         obj_dict = payload[dict_start : m.start()] if dict_start != -1 else b""
         lm = _LENGTH_RE.search(obj_dict)
         end = -1
@@ -280,6 +284,36 @@ def _content_text(content: bytes) -> list[bytes]:
     return shows
 
 
+def encode_pdf_text_string(text: str) -> bytes:
+    """Inverse of the text-string rule, used by corpus synthesis and tests:
+    latin-1 byte-per-char when the text allows it, else UTF-16BE with BOM;
+    parens/backslash escaped, control bytes (EOL-ambiguous inside literal
+    strings) as exact octal \\ddd — decode(encode(t)) == t for ALL str."""
+    try:
+        raw = text.encode("latin-1")
+    except UnicodeEncodeError:
+        raw = b"\xfe\xff" + text.encode("utf-16-be")
+    out = bytearray()
+    for byte in raw:
+        if byte in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([byte])
+        elif byte < 0x20:
+            out += b"\\%03o" % byte
+        else:
+            out.append(byte)
+    return bytes(out)
+
+
+def _decode_text_string(b: bytes) -> str:
+    """PDF text-string rule: a UTF-16BE BOM selects UTF-16BE, anything else
+    is treated byte-per-char (latin-1 stands in for PDFDocEncoding, whose
+    printable range coincides). Applied PER show string — one document may
+    mix plain-latin and UTF-16 strings."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", errors="replace")
+    return b.decode("latin-1")
+
+
 def extract_pdf_text(payload: bytes) -> str:
     """Text extraction over uncompressed/Flate content streams (stdlib zlib
     — no external codec). Text shows within one stream concatenate in
@@ -290,7 +324,7 @@ def extract_pdf_text(payload: bytes) -> str:
         data = _decode_stream(obj_dict, raw)
         shows = _content_text(data)
         if shows:
-            parts.append(b"".join(shows).decode("latin-1"))
+            parts.append("".join(_decode_text_string(s) for s in shows))
     return "\n".join(parts)
 
 

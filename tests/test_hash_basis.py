@@ -80,3 +80,73 @@ def test_simhash_structure_equivalent_across_bases(docs):
         # bit balance: each signature uses a healthy share of the 60 bits
         ones = sum(bin(v).count("1") for v in s.values()) / len(s)
         assert SIMHASH_BITS * 0.2 < ones < SIMHASH_BITS * 0.8, (basis, ones)
+
+
+def test_driver_queries_use_md5_basis_and_production_defaults_xxhash64():
+    """The hash-basis invariant (CLAUDE.md): every analytics function that
+    takes hash_basis must default to xxhash64 (production), and every
+    call site in the driver-query module must pass 'md5' explicitly (the
+    only base DuckDB shares). Until now this was review-enforced only."""
+    import inspect
+    import re
+
+    from htmlx.spark import analytics, entryqueries
+
+    basis_fns = [
+        fn for _, fn in inspect.getmembers(analytics, inspect.isfunction)
+        if "hash_basis" in inspect.signature(fn).parameters
+    ]
+    assert basis_fns, "expected hash_basis-taking analytics functions"
+    for fn in basis_fns:
+        default = inspect.signature(fn).parameters["hash_basis"].default
+        assert default in ("xxhash64", inspect.Parameter.empty), (
+            fn.__name__, default)
+
+    src = inspect.getsource(entryqueries)
+    # every basis-taking analytics call in the driver module passes md5
+    for call in re.finditer(r"analytics\.(\w+)\(", src):
+        if call.group(1) in {f.__name__ for f in basis_fns}:
+            # find the matching close paren naively: scan the call's args
+            tail = src[call.end(): call.end() + 400]
+            assert 'hash_basis="md5"' in tail.split("\n\n")[0], (
+                f"driver call to {call.group(1)} must pass hash_basis='md5'")
+    # and no oracle can reference xxhash64 (DuckDB has no such function)
+    from __spark_entry__ import oracle_sql
+    for name, sql in oracle_sql().items():
+        assert "xxhash" not in sql.lower(), name
+
+
+def test_weighted_sample_floor_is_engine_independent():
+    """The keep threshold is floor(weight*resolution) on BOTH engines:
+    Spark's bare double->long cast truncates while DuckDB's CAST rounds to
+    nearest, so any weight whose product has fraction >= 0.5 (e.g.
+    0.29996 -> 2999.6) would diverge without the explicit floor. Pin the
+    Spark decision against DuckDB evaluating the same expression."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from htmlx.spark.analytics import weighted_sample
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=2)
+    ids = list(range(300))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    con = duckdb.connect()
+    for w in (0.29996, 0.12345, 0.0625, 0.73205):
+        kept_spark = {
+            r.doc_id
+            for r in weighted_sample(df, F.lit(w)).collect()
+            if r.sample_keep
+        }
+        kept_duck = {
+            row[0]
+            for row in con.execute(
+                """
+                SELECT i FROM range(300) t(i)
+                WHERE CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 10000
+                      < CAST(floor(? * 10000) AS BIGINT)
+                """,
+                [w],
+            ).fetchall()
+        }
+        assert kept_spark == kept_duck, (w, kept_spark ^ kept_duck)

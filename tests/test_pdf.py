@@ -142,3 +142,46 @@ def test_inflate_bomb_degrades_not_ooms():
     pdf = _content_pdf(bomb, b" /Filter /FlateDecode")
     with pytest.raises(zlib.error):
         extract_pdf_text(pdf)
+
+
+def test_utf16_text_string_roundtrip():
+    """Non-latin-1 text ships as a UTF-16BE-with-BOM text string (PDF spec
+    text-string rule); decode(encode(t)) must be exact for CJK/emoji."""
+    from htmlx.spark.pdf import encode_pdf_text_string
+
+    for text in ["café crème", "中文文档 — test", "mixed \U0001f600 emoji", "tab\tand\nnewline"]:
+        pdf = _content_pdf(b"BT (" + encode_pdf_text_string(text) + b") Tj ET")
+        assert extract_pdf_text(pdf) == text
+
+
+def test_octal_escapes_decode_exactly():
+    # \012 is LF, \051 is ')', \134 is backslash
+    pdf = _content_pdf(rb"BT (a\012b\051c\134d) Tj ET")
+    assert extract_pdf_text(pdf) == "a\nb)c\\d"
+
+
+def test_mixed_latin_and_utf16_strings_in_one_stream():
+    from htmlx.spark.pdf import encode_pdf_text_string
+
+    content = (
+        b"BT (plain latin) Tj ("
+        + encode_pdf_text_string("日本語")
+        + b") Tj ET"
+    )
+    pdf = _content_pdf(content)
+    assert extract_pdf_text(pdf) == "plain latin日本語"
+
+
+def test_dict_region_floored_at_previous_endstream():
+    """A raw stream body containing the bytes 'obj' + a junk '/Filter
+    /DCTDecode' pattern must NOT hijack the NEXT stream's dict region
+    (the backward 'obj' search is floored at the previous endstream)."""
+    trap = b"BT (first) Tj ET junk obj << /Filter /DCTDecode /Length 3 >>"
+    pdf = (
+        b"%PDF-1.7\n"
+        b"2 0 obj\n<< /Length " + str(len(trap)).encode() + b" >>\nstream\n"
+        + trap + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Length 19 >>\nstream\nBT (second) Tj ET x\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    assert extract_pdf_text(pdf) == "first\nsecond"

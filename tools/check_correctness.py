@@ -20,6 +20,49 @@ from htmlx.spark.session import get_spark
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# The driver records AT MOST this many correctness rows (observed round 3:
+# 51 registered queries -> exactly the first 50 in dict order got rows, the
+# 51st was silently dropped; rounds 1-2 with fewer queries recorded all).
+# Registering more than this silently un-gates the tail of the dict.
+DRIVER_QUERY_CAP = 50
+
+
+def check_registration(qs, oracles):
+    """Fail fast on registration-level gaps before any Spark work."""
+    errs = []
+    if len(qs) > DRIVER_QUERY_CAP:
+        errs.append(
+            f"{len(qs)} queries registered but the driver records only the "
+            f"first {DRIVER_QUERY_CAP} — merge or drop "
+            f"{list(qs)[DRIVER_QUERY_CAP:]}"
+        )
+    for name in oracles:
+        if name not in qs:
+            errs.append(f"oracle {name!r} has no queries() entry")
+    # Every registered query should have a row in the latest driver artifact
+    # (new queries added since that run are expected to be absent — warn).
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        f for f in os.listdir(root)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    )
+    if arts:
+        import json
+
+        with open(os.path.join(root, arts[-1])) as fh:
+            rows = json.load(fh)
+        missing = [q for q in qs if q not in rows]
+        if missing:
+            print(
+                f"WARN: registered but absent from {arts[-1]}: {missing} "
+                "(expected only for queries added since that driver run)"
+            )
+        bad = [q for q, r in rows.items()
+               if q in qs and not (r.get("rows_match") and r.get("schema_match"))]
+        if bad:
+            print(f"WARN: red rows in {arts[-1]}: {bad}")
+    return errs
+
 
 def normalize(rows, cols):
     out = []
@@ -46,6 +89,12 @@ def main():
 
     qs = queries()
     oracles = oracle_sql()
+    reg_errs = check_registration(qs, oracles)
+    if reg_errs:
+        for e in reg_errs:
+            print(f"FAIL registration: {e}")
+        spark.stop()
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
