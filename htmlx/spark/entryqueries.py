@@ -607,8 +607,9 @@ FROM documents
 def q_pdf_text(spark, sf_dir):
     """REAL PDF text extraction (pdf.py): synthesize single-page PDFs whose
     content stream carries the document text — FlateDecode-compressed for
-    even doc_ids, stored raw for odd — and recover the text through the
-    stdlib-zlib decoder + Tj/TJ operator evaluation. The oracle is exact
+    doc_id%3==0, LZWDecode for %3==1 (EarlyChange 0 on every other one),
+    stored raw for %3==2 — and recover the text through the stdlib-zlib /
+    pure-LZW decoders + Tj/TJ operator evaluation. The oracle is exact
     because decode(encode(text)) must be byte-identical: latin-1-encodable
     text ships byte-per-char, anything else as a UTF-16BE-with-BOM text
     string (the PDF spec's other text encoding), and control bytes go out
@@ -616,7 +617,7 @@ def q_pdf_text(spark, sf_dir):
     text, not just the latin-1-clean corpus of the moment."""
     import pandas as pd
 
-    from .pdf import encode_pdf_text_string, extract_pdf_documents
+    from .pdf import encode_pdf_text_string, extract_pdf_documents, lzw_encode_pdf
 
     docs = _docs(spark, sf_dir)
 
@@ -628,9 +629,17 @@ def q_pdf_text(spark, sf_dir):
             for doc_id, text, source in zip(pdf.doc_id, pdf.text, pdf.source):
                 esc = encode_pdf_text_string(text)
                 content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
-                if int(doc_id) % 2 == 0:
+                did = int(doc_id)
+                if did % 3 == 0:
                     data = zlib.compress(content)
                     filt = b" /Filter /FlateDecode"
+                elif did % 3 == 1:
+                    ec = did % 2  # exercise both EarlyChange modes
+                    data = lzw_encode_pdf(content, early_change=ec)
+                    filt = (
+                        b" /Filter /LZWDecode /DecodeParms << /EarlyChange "
+                        + str(ec).encode() + b" >>"
+                    )
                 else:
                     data = content
                     filt = b""

@@ -3,14 +3,15 @@ parse, DOM heuristics").
 
 Two tiers, by what the container can decode:
 
-- TEXT EXTRACTION (real): content streams stored uncompressed or
-  FlateDecode-compressed need only stdlib zlib — the common case for
-  machine-generated PDFs. ``extract_pdf_text`` walks the object table,
-  inflates each content stream, and evaluates the text-show operators
-  (Tj / TJ / ' / ") with full PDF string-escape handling. Streams using
-  filters that genuinely need an external codec (DCTDecode, JBIG2, CCITT,
-  LZW, ...) raise ``UnsupportedFilterError`` and the row degrades to
-  error='decoder_unavailable'.
+- TEXT EXTRACTION (real): content streams stored uncompressed,
+  FlateDecode-compressed (stdlib zlib), or LZWDecode-compressed (pure-
+  Python MSB-first LZW with EarlyChange, ``lzw_decode_pdf``) — the common
+  cases for machine-generated PDFs. ``extract_pdf_text`` walks the object
+  table, decodes each content stream, and evaluates the text-show
+  operators (Tj / TJ / ' / ") with full PDF string-escape handling.
+  Streams using filters that genuinely need an external codec (DCTDecode,
+  JBIG2, CCITT, ...) raise ``UnsupportedFilterError`` and the row
+  degrades to error='decoder_unavailable'.
 - STRUCTURAL PARSE (real, codec-free): header/version sniffing, page
   counting, object/stream census, embedded-metadata extraction via raw
   byte scanning.
@@ -113,8 +114,118 @@ def inflate_bounded(data: bytes, cap: int = MAX_INFLATE) -> bytes:
     return out + d.flush()
 
 
+class LZWDecodeError(zlib.error):
+    """Malformed LZW data. Subclasses zlib.error so every existing caller
+    degrades it to error='corrupt_stream' exactly like corrupt deflate."""
+
+
+def lzw_decode_pdf(data: bytes, cap: int = MAX_INFLATE, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (PDF 1.7 spec 7.4.4): MSB-first bit packing over 8-bit
+    symbols, 256=clear and 257=EOD, code width 9..12, and EarlyChange
+    (default 1) bumping the width one code sooner. Sibling of the
+    GIF-flavor LSB-first decoder (multimodal._lzw_decode); the output is
+    budget-capped like inflate_bounded (bomb guard)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev = -1
+    acc = 0
+    nbits = 0
+    started = False
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = -1
+                started = True
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if not started:
+                raise LZWDecodeError("lzw_data_before_clear")
+            if prev == -1:
+                if code >= 256:
+                    raise LZWDecodeError("bad_lzw_code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(table[prev] + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = table[prev] + table[prev][:1]
+                table.append(entry)
+            else:
+                raise LZWDecodeError("bad_lzw_code")
+            out += entry
+            if len(out) > cap:
+                raise InflateBudgetError(f"lzw output exceeds {cap} bytes")
+            # the decoder's table lags the encoder's by one entry (it can
+            # only reconstruct an entry on the NEXT code), so it widens at
+            # 2^w - 1 - early_change entries where the encoder widens at
+            # 2^w - early_change: both read/write code k at the same width
+            if len(table) + early_change >= (1 << width) - 1 and width < 12:
+                width += 1
+            prev = code
+    return bytes(out)
+
+
+def lzw_encode_pdf(data: bytes, early_change: int = 1) -> bytes:
+    """Real dict-growth PDF LZW compressor (synthesis/tests twin of
+    lzw_decode_pdf): grows the string table and widens codes with the same
+    EarlyChange rule, so round-trips exercise the decoder's growth and
+    width-bump paths, not just literals."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early_change >= (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w])
+        # the decoder appends an entry while processing this final code
+        # and may widen; mirror the bump so EOD is read at the width it
+        # was written (no entry content is needed — encoding ends here)
+        if next_code < 4096:
+            next_code += 1
+            if next_code + early_change >= (1 << width) and width < 12:
+                width += 1
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 # filters stdlib zlib can handle; everything else is genuinely external
 _ZLIB_FILTERS = {b"FlateDecode", b"Fl"}
+_LZW_FILTERS = {b"LZWDecode", b"LZW"}
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\d\s]*R)")
 # the stream KEYWORD: never the tail of "endstream", never a word in text
@@ -178,6 +289,9 @@ def _iter_streams(payload: bytes):
         pos = (close + len(b"endstream")) if close != -1 else end + 1
 
 
+_EARLY_CHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
 def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
     fm = _FILTER_RE.search(obj_dict)
     if not fm:
@@ -188,6 +302,11 @@ def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
     for name in names:
         if name in _ZLIB_FILTERS:
             data = inflate_bounded(data)
+        elif name in _LZW_FILTERS:
+            em = _EARLY_CHANGE_RE.search(obj_dict)
+            data = lzw_decode_pdf(
+                data, early_change=int(em.group(1)) if em else 1
+            )
         else:
             raise UnsupportedFilterError(name.decode("latin-1"))
     return data

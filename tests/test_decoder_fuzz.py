@@ -99,3 +99,53 @@ def test_gif_truncation_points_all_valueerror():
             decode_gif(gif[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_lzw_decoder_never_crashes(blob):
+    from htmlx.spark.pdf import lzw_decode_pdf
+
+    for ec in (0, 1):
+        try:
+            lzw_decode_pdf(blob, cap=1 << 20, early_change=ec)
+        except DECODE_OK:  # LZWDecodeError/InflateBudgetError are zlib.error
+            pass
+
+
+@given(st.binary(max_size=512))
+@_SETTINGS
+def test_pdf_string_escapes_fuzz(blob):
+    """Adversarial literal-string content (unbalanced parens, trailing
+    backslashes, bogus octal, raw EOLs) through the full text path: must
+    return a str or raise a declared degradation, never anything else."""
+    for wrap in (
+        b"BT (" + blob + b") Tj ET",
+        b"BT (" + blob.replace(b")", b"") + b") Tj ET",
+        b"BT [(" + blob + b") (x)] TJ ET",
+    ):
+        doc = (
+            b"%PDF-1.7\n1 0 obj\n<< /Length " + str(len(wrap)).encode()
+            + b" >>\nstream\n" + wrap + b"\nendstream\nendobj\n"
+        )
+        try:
+            out = extract_pdf_text(doc)
+            assert isinstance(out, str)
+        except DECODE_OK:
+            pass
+        except UnsupportedFilterError:
+            pass
+
+
+@given(st.text(max_size=300))
+@_SETTINGS
+def test_pdf_text_string_roundtrip_property(text):
+    """decode(encode(t)) == t for ALL unicode text (the exact-oracle
+    contract of pdf_text_extract)."""
+    from htmlx.spark.pdf import encode_pdf_text_string
+
+    doc = (
+        b"%PDF-1.7\n1 0 obj\n<< >>\nstream\nBT ("
+        + encode_pdf_text_string(text) + b") Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(doc) == text

@@ -185,3 +185,93 @@ def test_dict_region_floored_at_previous_endstream():
         b"%%EOF\n"
     )
     assert extract_pdf_text(pdf) == "first\nsecond"
+
+
+# --- LZWDecode (PDF 1.7 spec 7.4.4) ---------------------------------------
+
+def test_lzw_spec_worked_example():
+    """The spec's own example (7.4.4.2): 45x5 65 45x3 66 <-> codes
+    [256, 45, 258, 258, 65, 259, 66, 257] <-> bytes 800B6050220C0C8501."""
+    from htmlx.spark.pdf import lzw_decode_pdf, lzw_encode_pdf
+
+    data = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    assert lzw_encode_pdf(data).hex() == "800b6050220c0c8501"
+    assert lzw_decode_pdf(bytes.fromhex("800b6050220c0c8501")) == data
+
+
+def test_lzw_roundtrip_width_bumps_and_full_table():
+    import random
+
+    from htmlx.spark.pdf import lzw_decode_pdf, lzw_encode_pdf
+
+    rnd = random.Random(7)
+    small_alphabet = bytes(rnd.randrange(4) for _ in range(50000))
+    wide = bytes(rnd.randrange(256) for _ in range(60000))  # fills to 4096
+    for data in (b"", b"x", small_alphabet, wide):
+        assert lzw_decode_pdf(lzw_encode_pdf(data)) == data
+        assert lzw_decode_pdf(lzw_encode_pdf(data, 0), early_change=0) == data
+
+
+def test_lzw_early_change_mismatch_is_detected_not_silent():
+    """ec=1-encoded data decoded as ec=0 must not round-trip (the widths
+    desynchronize) — guards against both sides ignoring the parameter."""
+    import random
+
+    from htmlx.spark.pdf import LZWDecodeError, lzw_decode_pdf, lzw_encode_pdf
+
+    rnd = random.Random(11)
+    data = bytes(rnd.randrange(3) for _ in range(20000))
+    enc = lzw_encode_pdf(data, early_change=1)
+    try:
+        assert lzw_decode_pdf(enc, early_change=0) != data
+    except LZWDecodeError:
+        pass  # desync may also surface as a bad code — equally correct
+
+
+def test_lzw_corrupt_and_bomb_guard():
+    import zlib
+
+    import pytest
+
+    from htmlx.spark.pdf import (
+        InflateBudgetError, LZWDecodeError, lzw_decode_pdf, lzw_encode_pdf)
+
+    with pytest.raises(LZWDecodeError):  # data before any clear code
+        lzw_decode_pdf(b"\x00\x00\x00\x00")
+    # out-of-range code: clear then code 300 (table has 258)
+    acc = (256 << 9) | 300
+    raw = acc.to_bytes(3, "big")  # 18 bits -> not byte aligned; pad
+    with pytest.raises(LZWDecodeError):
+        lzw_decode_pdf(raw + b"\x00")
+    # budget: highly compressible input must trip the cap, not materialize
+    bomb = lzw_encode_pdf(b"\x00" * 200000)
+    with pytest.raises(InflateBudgetError):
+        lzw_decode_pdf(bomb, cap=10000)
+    assert issubclass(LZWDecodeError, zlib.error)  # corrupt_stream mapping
+
+
+def test_lzw_filtered_content_stream():
+    from htmlx.spark.pdf import lzw_encode_pdf
+
+    data = lzw_encode_pdf(b"BT (lzw text works) Tj ET")
+    pdf = _content_pdf(data, b" /Filter /LZWDecode")
+    assert extract_pdf_text(pdf) == "lzw text works"
+    # EarlyChange=0 via DecodeParms
+    from htmlx.spark.pdf import lzw_encode_pdf as enc
+
+    data0 = enc(b"BT (early change zero) Tj ET", early_change=0)
+    pdf0 = _content_pdf(
+        data0, b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>")
+    assert extract_pdf_text(pdf0) == "early change zero"
+
+
+def test_lzw_then_flate_filter_chain():
+    import zlib
+
+    from htmlx.spark.pdf import lzw_encode_pdf
+
+    # filter ARRAY [/LZWDecode /FlateDecode]: applied in order to decode
+    inner = b"BT (chained filters) Tj ET"
+    data = zlib.compress(lzw_encode_pdf(inner))
+    pdf = _content_pdf(data, b" /Filter [/FlateDecode /LZWDecode]")
+    assert extract_pdf_text(pdf) == "chained filters"
