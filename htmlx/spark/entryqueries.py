@@ -670,10 +670,12 @@ FROM documents
 def q_media_pixel_decode(spark, sf_dir):
     """REAL PNG pixel decode (multimodal.decode_png): synthesize
     deterministic PNGs — byte i of the raster is (doc_id*31 + i*7) % 256,
-    dims/channels vary with doc_id, and each scanline y uses filter y % 5,
-    so all five unfiltering paths run — then recover pixel-level features.
-    The oracle recomputes the features from the generation formula, so a
-    single wrong reconstructed byte flips the digest."""
+    each scanline y uses filter y % 5 so all five unfiltering paths run,
+    and doc_id % 4 picks the container tier: gray sequential / RGBA Adam7 /
+    palette (gray-identity PLTE) sequential / RGB Adam7 — then recover
+    pixel-level features. The oracle recomputes the features from the
+    generation formula, so a single wrong reconstructed byte (or a
+    misplaced Adam7 pass row) flips the digest."""
     import pandas as pd
 
     from .multimodal import encode_png, extract_pixel_features
@@ -683,14 +685,26 @@ def q_media_pixel_decode(spark, sf_dir):
     def build(batches):
         import numpy as np
 
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
         for pdf in batches:
             rows = []
             for doc_id in pdf.doc_id:
                 d = int(doc_id)
                 w, h = 8 + d % 8, 4 + d % 4
-                c = 1 if d % 2 == 0 else 3
-                raw = ((d * 31 + np.arange(w * h * c) * 7) % 256).astype(np.uint8)
-                png = encode_png(raw.reshape(h, w, c), row_filter=lambda y: y % 5)
+                mode = d % 4
+                if mode == 2:  # palette: index raster follows the formula
+                    idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
+                    png = encode_png(
+                        idx.reshape(h, w), palette=pal, row_filter=lambda y: y % 5
+                    )
+                else:
+                    c = {0: 1, 1: 4, 3: 3}[mode]
+                    raw = ((d * 31 + np.arange(w * h * c) * 7) % 256).astype(np.uint8)
+                    png = encode_png(
+                        raw.reshape(h, w, c),
+                        row_filter=lambda y: y % 5,
+                        interlace=1 if mode in (1, 3) else 0,
+                    )
                 rows.append({"media_id": d, "payload": png})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -709,11 +723,20 @@ def q_media_pixel_decode(spark, sf_dir):
 O_MEDIA_PIXEL_DECODE = """
 WITH d AS (
   SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
-         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 3 END AS c,
+         doc_id % 4 AS mode
   FROM documents),
 v AS (
   SELECT doc_id, w, h, c,
-         [(doc_id * 31 + i * 7) % 256 FOR i IN generate_series(0, w * h * c - 1)] AS px
+         CASE WHEN mode = 2
+              -- palette tier: index v expands to (v, v, v) via the
+              -- gray-identity PLTE
+              THEN flatten([[(doc_id * 31 + i * 7) % 256,
+                             (doc_id * 31 + i * 7) % 256,
+                             (doc_id * 31 + i * 7) % 256]
+                            FOR i IN generate_series(0, w * h - 1)])
+              ELSE [(doc_id * 31 + i * 7) % 256
+                    FOR i IN generate_series(0, w * h * c - 1)] END AS px
   FROM d)
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
@@ -1141,8 +1164,9 @@ FROM documents
 def q_gif_pixel_decode(spark, sf_dir):
     """REAL GIF decode (multimodal.decode_gif — pure-Python LZW + palette):
     synthesize GIFs whose index raster follows the pixel formula with a
-    grayscale-identity palette, decode to RGB, recover pixel features. The
-    oracle expands index i -> (v, v, v) bytes from the formula."""
+    grayscale-identity palette (odd ids 4-pass interlaced), decode to RGB,
+    recover pixel features. The oracle expands index i -> (v, v, v) bytes
+    from the formula — row misordering flips the digest."""
     import pandas as pd
 
     from .multimodal import encode_gif, extract_pixel_features
@@ -1160,7 +1184,14 @@ def q_gif_pixel_decode(spark, sf_dir):
                 w, h = 6 + d % 6, 3 + d % 5
                 idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
                 rows.append(
-                    {"media_id": d, "payload": encode_gif(idx.reshape(h, w), pal)}
+                    {
+                        "media_id": d,
+                        # odd ids ship 4-pass interlaced: the stream carries
+                        # rows in 0%8/4%8/2%4/1%2 order, decode must reorder
+                        "payload": encode_gif(
+                            idx.reshape(h, w), pal, interlace=(d % 2 == 1)
+                        ),
+                    }
                 )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 

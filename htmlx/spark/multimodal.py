@@ -103,65 +103,28 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _MAX_RASTER_BYTES = 128 * 1024 * 1024  # decode-side allocation cap
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
-def decode_png(payload: bytes):
-    """REAL PNG decode for 8-bit non-interlaced gray/RGB/gray-alpha/RGBA:
-    stdlib zlib inflate + scanline unfiltering (all 5 PNG filter types).
-    Returns an (h, w, channels) uint8 numpy array. Sub/Average/Paeth rows
-    carry a left-neighbor data dependency and run as a per-byte scan; the
-    common None/Up rows vectorize. Raises ValueError on malformed input and
-    NotImplementedError for depths/palette/interlace outside this tier."""
-    import struct
-
+def _unfilter(raw, off: int, h: int, w: int, bpp: int):
+    """Unfilter one (sub-)image of h scanlines starting at byte `off` of
+    the inflated stream; returns an (h, w*bpp) uint8 array. All 5 PNG
+    filter types. Sub/Average/Paeth rows carry a left-neighbor data
+    dependency and run as a per-byte scan; the common None/Up rows
+    vectorize."""
     import numpy as np
 
-    if not payload.startswith(_PNG_SIG):
-        raise ValueError("not_a_png")
-    pos = 8
-    idat = b""
-    header = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if typ == b"IHDR":
-            if len(data) < 13:
-                raise ValueError("truncated_ihdr")
-            header = struct.unpack(">IIBBBBB", data[:13])
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + length
-    if header is None:
-        raise ValueError("missing_ihdr")
-    w, h, depth, ctype, _comp, _filt, interlace = header
-    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
-        raise NotImplementedError(f"png depth={depth} ctype={ctype} interlace={interlace}")
-    channels = _PNG_CHANNELS[ctype]
-    stride = w * channels
-    expected = h * (stride + 1)
-    # bomb guard: the header fixes the exact raster size, so both the
-    # allocation and the inflate are capped BEFORE any work happens — a
-    # tiny IDAT claiming a multi-GB raster degrades to an error row
-    # instead of OOMing the executor's Python worker
-    if expected > _MAX_RASTER_BYTES:
-        raise ValueError("image_too_large")
-    d = zlib.decompressobj()
-    raw = d.decompress(idat, expected)
-    if d.unconsumed_tail:
-        raise ValueError("bad_scanline_data")
-    raw += d.flush()
-    if len(raw) != expected:
-        raise ValueError("bad_scanline_data")
-    bpp = channels
+    stride = w * bpp
     out = np.zeros((h, stride), np.uint8)
     zero = np.zeros(stride, np.int32)
     for y in range(h):
-        base = y * (stride + 1)
+        base = off + y * (stride + 1)
         f = raw[base]
         line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else zero
@@ -191,51 +154,168 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"bad_filter_{f}")
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, channels)
+    return out
 
 
-def encode_png(arr, row_filter=None) -> bytes:
-    """Minimal deterministic PNG encoder (gray/gray-alpha/RGB/RGBA, 8-bit).
-    `row_filter(y) -> 0..4` picks each scanline's filter — the synthesis
-    knob that makes the decoder's unfiltering paths testable. Default None
-    filter everywhere."""
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pass_w, pass_h)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode for 8-bit gray/RGB/gray-alpha/RGBA/palette, both
+    sequential and Adam7-interlaced: stdlib zlib inflate + scanline
+    unfiltering (all 5 PNG filter types), palette mapping via numpy
+    indexing (tRNS applied as an alpha channel when present). Returns an
+    (h, w, channels) uint8 numpy array. Raises ValueError on malformed
+    input and NotImplementedError for bit depths outside this tier."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not_a_png")
+    pos = 8
+    idat = b""
+    header = None
+    plte = None
+    trns = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated_ihdr")
+            header = struct.unpack(">IIBBBBB", data[:13])
+        elif typ == b"PLTE":
+            if len(data) % 3:
+                raise ValueError("bad_plte")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if header is None:
+        raise ValueError("missing_ihdr")
+    w, h, depth, ctype, _comp, _filt, interlace = header
+    if depth != 8 or interlace > 1 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"png depth={depth} ctype={ctype} interlace={interlace}")
+    channels = _PNG_CHANNELS[ctype]
+    if ctype == 3 and plte is None:
+        raise ValueError("missing_plte")
+    if interlace:
+        passes = _adam7_passes(w, h)
+        expected = sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
+    else:
+        expected = h * (w * channels + 1)
+    # bomb guard: the header fixes the exact raster size, so both the
+    # allocation and the inflate are capped BEFORE any work happens — a
+    # tiny IDAT claiming a multi-GB raster degrades to an error row
+    # instead of OOMing the executor's Python worker
+    if h * w * channels > _MAX_RASTER_BYTES or expected > _MAX_RASTER_BYTES:
+        raise ValueError("image_too_large")
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected)
+    if d.unconsumed_tail:
+        raise ValueError("bad_scanline_data")
+    raw += d.flush()
+    if len(raw) != expected:
+        raise ValueError("bad_scanline_data")
+    if interlace:
+        out = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            sub = _unfilter(raw, off, ph, pw, channels)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            off += ph * (pw * channels + 1)
+    else:
+        out = _unfilter(raw, 0, h, w, channels).reshape(h, w, channels)
+    if ctype == 3:
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette_index_out_of_range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    return out
+
+
+def encode_png(arr, row_filter=None, palette=None, interlace=0) -> bytes:
+    """Minimal deterministic PNG encoder (gray/gray-alpha/RGB/RGBA, 8-bit;
+    palette via `palette=(n,3)` with `arr` as (h,w) indices; Adam7 via
+    `interlace=1`). `row_filter(y) -> 0..4` picks each scanline's filter —
+    the synthesis knob that makes the decoder's unfiltering paths testable
+    (for Adam7, y counts scanlines in stream order across passes). Default
+    None filter everywhere."""
     import struct
 
     import numpy as np
 
     a = np.asarray(arr, np.uint8)
-    if a.ndim == 2:
+    if palette is not None:
+        if a.ndim != 2:
+            raise ValueError("palette png takes (h, w) indices")
         a = a[:, :, None]
+        ctype = 3
+    else:
+        if a.ndim == 2:
+            a = a[:, :, None]
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
     h, w, channels = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     bpp = channels
-    flat = a.reshape(h, w * channels).astype(np.int32)
+
+    def filter_rows(flat, y_base):
+        # flat: (rows, stride) int32 of ONE (sub-)image; prev resets here
+        rows = bytearray()
+        for y in range(flat.shape[0]):
+            f = row_filter(y_base + y) if row_filter else 0
+            cur = flat[y]
+            prev = flat[y - 1] if y else np.zeros_like(cur)
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                filt = (cur - left) & 0xFF
+            elif f == 2:
+                filt = (cur - prev) & 0xFF
+            elif f == 3:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                filt = (cur - ((left + prev) >> 1)) & 0xFF
+            elif f == 4:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+                filt = (cur - pred) & 0xFF
+            else:
+                raise ValueError(f"bad_filter_{f}")
+            rows.append(f)
+            rows += filt.astype(np.uint8).tobytes()
+        return rows
+
     lines = bytearray()
-    for y in range(h):
-        f = row_filter(y) if row_filter else 0
-        cur = flat[y]
-        prev = flat[y - 1] if y else np.zeros_like(cur)
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
-            filt = (cur - left) & 0xFF
-        elif f == 2:
-            filt = (cur - prev) & 0xFF
-        elif f == 3:
-            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
-            filt = (cur - ((left + prev) >> 1)) & 0xFF
-        elif f == 4:
-            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
-            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
-            p = left + prev - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
-            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
-            filt = (cur - pred) & 0xFF
-        else:
-            raise ValueError(f"bad_filter_{f}")
-        lines.append(f)
-        lines += filt.astype(np.uint8).tobytes()
+    if interlace:
+        y_base = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            sub = a[y0::dy, x0::dx].reshape(ph, pw * channels).astype(np.int32)
+            lines += filter_rows(sub, y_base)
+            y_base += ph
+    else:
+        lines += filter_rows(a.reshape(h, w * channels).astype(np.int32), 0)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -245,13 +325,11 @@ def encode_png(arr, row_filter=None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
 
 
 def decode_image(payload: bytes):
@@ -590,10 +668,10 @@ def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
 
 
 def decode_gif(payload: bytes):
-    """REAL GIF decode (first frame, non-interlaced): pure-Python LZW +
-    palette mapping — no codec library. Returns (h, w, 3) uint8 RGB.
-    Interlaced images raise NotImplementedError; malformed data raises
-    ValueError."""
+    """REAL GIF decode (first frame, sequential or interlaced): pure-Python
+    LZW + palette mapping — no codec library. Returns (h, w, 3) uint8 RGB.
+    Interlaced rasters arrive in 4-pass row order (0%8, 4%8, 2%4, 1%2) and
+    are reordered after LZW decode; malformed data raises ValueError."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -621,8 +699,6 @@ def decode_gif(payload: bytes):
                 raise ValueError("truncated_image_descriptor")
             _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced gif")
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 7)
@@ -649,7 +725,12 @@ def decode_gif(payload: bytes):
             indices = np.asarray(idx[: w * h], np.int64)
             if indices.max(initial=0) >= len(pal):
                 raise ValueError("palette_index_out_of_range")
-            return pal[indices].reshape(h, w, 3)
+            raster = indices.reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                out = np.empty_like(raster)
+                out[_gif_interlace_order(h)] = raster
+                raster = out
+            return pal[raster.reshape(-1)].reshape(h, w, 3)
         elif b == 0x3B:  # trailer
             break
         else:
@@ -657,15 +738,28 @@ def decode_gif(payload: bytes):
     raise ValueError("no_image_data")
 
 
-def encode_gif(indices, palette) -> bytes:
+def _gif_interlace_order(h: int):
+    """Row indices in GIF 4-pass interlace stream order (GIF89a app. E):
+    every 8th row from 0, every 8th from 4, every 4th from 2, every 2nd
+    from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(indices, palette, interlace=False) -> bytes:
     """Minimal deterministic GIF encoder (synthesis/tests twin): emits a
     clear code before every literal pixel code, so the LZW table never
     grows and the code width stays fixed — inefficient but spec-valid,
-    and it exercises the decoder's clear-code handling on every pixel."""
+    and it exercises the decoder's clear-code handling on every pixel.
+    `interlace=True` writes rows in 4-pass order with the interlace flag."""
     import numpy as np
 
     a = np.asarray(indices, np.uint8)
     h, w = a.shape
+    if interlace:
+        a = a[_gif_interlace_order(h)]
     pal = np.asarray(palette, np.uint8)
     npal = len(pal)
     bits = max(2, int(npal - 1).bit_length())
@@ -691,7 +785,9 @@ def encode_gif(indices, palette) -> bytes:
     out = bytearray(b"GIF89a")
     table = bytearray(pal.tobytes()) + b"\x00" * ((1 << bits) - npal) * 3
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + table
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([bits])
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    ) + bytes([bits])
     for i in range(0, len(stream), 255):
         chunk = stream[i : i + 255]
         out += bytes([len(chunk)]) + chunk

@@ -222,3 +222,109 @@ def test_gif_error_paths():
         decode_gif(b"GIF89a\x00")  # truncated
     with pytest.raises(ValueError):
         decode_gif(b"JIF89a_not_a_gif")
+
+
+# --- PNG palette + Adam7, GIF interlace tiers ------------------------------
+
+def test_png_palette_roundtrip_with_trns_alpha():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    rnd = np.random.RandomState(5)
+    pal = rnd.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rnd.randint(0, 16, (9, 7)).astype(np.uint8)
+    png = encode_png(idx, palette=pal, row_filter=lambda y: y % 5)
+    out = decode_png(png)
+    assert out.shape == (9, 7, 3) and (out == pal[idx]).all()
+    # tRNS: alpha per palette entry, entries past the table default 255
+    import struct, zlib as _z
+    trns = bytes([10, 200, 30])
+    chunk = struct.pack(">I", 3) + b"tRNS" + trns + struct.pack(
+        ">I", _z.crc32(b"tRNS" + trns) & 0xFFFFFFFF)
+    iend = png.index(b"IDAT") - 4
+    png_t = png[:iend] + chunk + png[iend:]
+    out_t = decode_png(png_t)
+    assert out_t.shape == (9, 7, 4)
+    exp_alpha = np.full(16, 255, np.uint8); exp_alpha[:3] = [10, 200, 30]
+    assert (out_t[:, :, 3] == exp_alpha[idx]).all()
+    assert (out_t[:, :, :3] == pal[idx]).all()
+
+
+def test_png_palette_index_out_of_range():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    pal = np.zeros((4, 3), np.uint8)
+    idx = np.full((2, 2), 9, np.uint8)  # index 9 > palette size 4
+    with pytest.raises(ValueError, match="palette_index_out_of_range"):
+        decode_png(encode_png(idx, palette=pal))
+
+
+def test_png_adam7_all_channel_counts_and_edge_dims():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    rnd = np.random.RandomState(6)
+    # dims straddling the pass grid: some passes empty, single row/col
+    for ch in (1, 2, 3, 4):
+        for h, w in ((1, 1), (3, 2), (8, 8), (9, 17), (1, 20), (16, 1)):
+            a = rnd.randint(0, 256, (h, w, ch)).astype(np.uint8)
+            png = encode_png(
+                a[:, :, 0] if ch == 1 else a,
+                row_filter=lambda y: (y * 3) % 5, interlace=1)
+            got = decode_png(png)
+            assert got.shape == (h, w, ch)
+            assert (got == a).all(), (ch, h, w)
+
+
+def test_png_palette_adam7_combined():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    rnd = np.random.RandomState(7)
+    pal = rnd.randint(0, 256, (32, 3)).astype(np.uint8)
+    idx = rnd.randint(0, 32, (13, 11)).astype(np.uint8)
+    out = decode_png(encode_png(idx, palette=pal, interlace=1))
+    assert (out == pal[idx]).all()
+
+
+def test_gif_interlace_roundtrip_and_row_order():
+    import numpy as np
+
+    from htmlx.spark.multimodal import (
+        _gif_interlace_order, decode_gif, encode_gif)
+
+    # the spec's pass order for h=8: 0, 4, 2, 6, 1, 3, 5, 7
+    assert _gif_interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert sorted(_gif_interlace_order(37)) == list(range(37))
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    rnd = np.random.RandomState(8)
+    for h in (1, 2, 5, 8, 23):
+        idx = rnd.randint(0, 256, (h, 6)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal, interlace=True))
+        assert (out == pal[idx]).all(), h
+    # interlaced and sequential encodings of the same raster decode equal
+    idx = rnd.randint(0, 256, (16, 4)).astype(np.uint8)
+    a = decode_gif(encode_gif(idx, pal, interlace=True))
+    b = decode_gif(encode_gif(idx, pal))
+    assert (a == b).all()
+
+
+def test_png_missing_plte_is_value_error():
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from htmlx.spark.multimodal import _PNG_SIG, decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+        ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="missing_plte"):
+        decode_png(png)
