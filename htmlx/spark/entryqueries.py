@@ -748,6 +748,93 @@ FROM v
 """
 
 
+def q_jpeg_pixel_decode(spark, sf_dir):
+    """REAL baseline JPEG decode (jpeg.decode_jpeg — numpy huffman +
+    dequant + IDCT, no codec library): synthesize block-constant JFIFs
+    whose 8x8 luma blocks follow v = (doc_id*31 + block_index*7) % 256 —
+    DC-only coefficients are exactly 8*(v-128), so with an all-ones quant
+    table the (normally lossy) round-trip is bit-exact and the oracle can
+    recompute the pixel digest from the formula. doc_id % 3 picks the
+    tier: grayscale / color 4:4:4 (Cb=Cr=128, so RGB decodes to exact gray
+    triplets) / color 4:2:0 with restart intervals every 2 MCUs."""
+    import pandas as pd
+
+    from .jpeg import encode_jpeg
+    from .multimodal import extract_pixel_features
+
+    docs = _docs(spark, sf_dir)
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.doc_id:
+                d = int(doc_id)
+                mode = d % 3
+                if mode == 2:
+                    w, h = 16 * (1 + d % 2), 16 * (1 + (d // 2) % 2)
+                else:
+                    w, h = 8 * (1 + d % 4), 8 * (1 + d % 3)
+                bw = w // 8
+                bi = np.arange((h // 8) * bw)
+                vals = ((d * 31 + bi * 7) % 256).astype(np.uint8).reshape(h // 8, bw)
+                y = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                if mode == 0:
+                    payload = encode_jpeg(y)
+                else:
+                    ycc = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], 2)
+                    payload = encode_jpeg(
+                        ycc,
+                        subsampling=(2, 2) if mode == 2 else (1, 1),
+                        restart_interval=2 if mode == 2 else 0,
+                    )
+                rows.append({"media_id": d, "payload": payload})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return extract_pixel_features(media).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        "px_md5",
+        "mean_x1000",
+        "error",
+    )
+
+
+O_JPEG_PIXEL_DECODE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS mode,
+         CASE WHEN doc_id % 3 = 2 THEN 16 * (1 + doc_id % 2)
+              ELSE 8 * (1 + doc_id % 4) END AS w,
+         CASE WHEN doc_id % 3 = 2 THEN 16 * (1 + (doc_id // 2) % 2)
+              ELSE 8 * (1 + doc_id % 3) END AS h
+  FROM documents),
+v AS (
+  SELECT doc_id, mode, w, h,
+         CASE WHEN mode = 0 THEN 1 ELSE 3 END AS c,
+         -- pixel i sits in luma block (y//8, x//8); its value follows the
+         -- block formula; color tiers decode to exact gray triplets
+         CASE WHEN mode = 0
+              THEN [(doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256
+                    FOR i IN generate_series(0, w * h - 1)]
+              ELSE flatten([[(doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256,
+                             (doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256,
+                             (doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256]
+                            FOR i IN generate_series(0, w * h - 1)]) END AS px
+  FROM d)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(c AS BIGINT) AS channels,
+       md5(array_to_string([lpad(lower(to_hex(x)), 2, '0') FOR x IN px], '')) AS px_md5,
+       CAST(list_sum(px) * 1000 // (w * h * c) AS BIGINT) AS mean_x1000,
+       '' AS error
+FROM v
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window event rollup (the batch analogue of the streaming
     windowed aggregation surface)."""
@@ -1377,6 +1464,7 @@ QUERIES = {
     "pdf_structural_parse": q_pdf_metadata,
     "pdf_text_extract": q_pdf_text,
     "media_pixel_decode": q_media_pixel_decode,
+    "jpeg_pixel_decode": q_jpeg_pixel_decode,
     "minhash_lsh_candidates": q_minhash_lsh,
     "lsh_bucket_stats": q_lsh_bucket_stats,
     "near_dup_components": q_near_dup_components,
@@ -1428,6 +1516,7 @@ ORACLES = {
     "pdf_structural_parse": O_PDF_METADATA,
     "pdf_text_extract": O_PDF_TEXT,
     "media_pixel_decode": O_MEDIA_PIXEL_DECODE,
+    "jpeg_pixel_decode": O_JPEG_PIXEL_DECODE,
     "ngram_jaccard_verify": O_NGRAM_JACCARD,
     "simhash": O_SIMHASH,
     "lang_id": O_LANG_ID,

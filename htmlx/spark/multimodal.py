@@ -3,11 +3,16 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 Codec tiers, by what the container can decode:
 - PNG decodes FOR REAL (``decode_png``: stdlib zlib inflate + numpy
-  scanline unfiltering, all 5 filter types, 8-bit gray/ga/RGB/RGBA), with
-  a matching deterministic encoder for synthesis/tests.
-- JPEG/GIF/WebP and audio/video resampling genuinely require external
-  codecs (PIL/ffmpeg/torchaudio) absent here; those paths degrade to
-  metadata-only rows with error='decoder_unavailable'.
+  scanline unfiltering, all 5 filter types, 8-bit gray/ga/RGB/RGBA,
+  palette w/ tRNS, Adam7 interlace), with a matching deterministic
+  encoder for synthesis/tests.
+- GIF decodes FOR REAL (``decode_gif``: pure-Python variable-width LZW +
+  palette mapping, 4-pass interlace).
+- Baseline JPEG decodes FOR REAL (``jpeg.decode_jpeg``: numpy huffman +
+  dequant + IDCT, 4:2:0 upsampling, restart intervals).
+- Progressive JPEG, WebP and audio/video resampling genuinely require
+  external codecs (PIL/ffmpeg/torchaudio) absent here; those paths
+  degrade to metadata-only rows with error='decoder_unavailable'.
 - Codec-free fast paths (magic-byte sniffing, header dimensions,
   byte-level features) always run.
 """
@@ -333,9 +338,10 @@ def encode_png(arr, row_filter=None, palette=None, interlace=0) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Image decode dispatch: PNG and GIF decode for REAL (stdlib zlib +
-    numpy unfiltering; pure-Python LZW + palette — see decode_png /
-    decode_gif); JPEG/WebP genuinely need an external codec absent from
+    """Image decode dispatch: PNG, GIF and baseline JPEG decode for REAL
+    (stdlib zlib + numpy unfiltering; pure-Python LZW + palette; numpy
+    huffman+dequant+IDCT — see decode_png / decode_gif / jpeg.decode_jpeg);
+    progressive JPEG and WebP genuinely need an external codec absent from
     this container and stay stubbed — the Spark plumbing calls this behind
     a try/except so those rows degrade to metadata-only with
     error='decoder_unavailable'."""
@@ -343,7 +349,11 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
-    raise NotImplementedError("JPEG/WebP decode requires PIL/libvips (not in container)")
+    if payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise NotImplementedError("WebP decode requires PIL/libvips (not in container)")
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:

@@ -38,12 +38,29 @@ def _attempt(fn, blob):
 @given(st.binary(max_size=2048))
 @_SETTINGS
 def test_image_decoders_never_crash(blob):
-    for prefix in (b"", _PNG_SIG, b"GIF89a", b"RIFF"):
+    from htmlx.spark.jpeg import decode_jpeg
+
+    for prefix in (b"", _PNG_SIG, b"GIF89a", b"RIFF", b"\xff\xd8"):
         _attempt(decode_image, prefix + blob)
         _attempt(decode_png, prefix + blob)
         _attempt(decode_gif, prefix + blob)
+        _attempt(decode_jpeg, prefix + blob)
         sniff_mime(prefix + blob)
         image_dimensions(prefix + blob)
+
+
+@given(st.binary(max_size=1024))
+@_SETTINGS
+def test_jpeg_crafted_scan_fragments(blob):
+    """Bias the fuzz toward the entropy-decode path: valid headers,
+    arbitrary scan bytes."""
+    import numpy as np
+
+    from htmlx.spark.jpeg import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8), 128, np.uint8))
+    sos_end = good.index(b"\xff\xda") + 14
+    _attempt(decode_jpeg, good[:sos_end] + blob)
 
 
 @given(st.binary(max_size=2048))

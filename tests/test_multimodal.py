@@ -42,13 +42,16 @@ def test_dimensions():
     assert image_dimensions(b"junk") == (0, 0)
 
 
-def test_decode_stubbed_for_non_png():
-    # JPEG decode genuinely needs an external codec; PNG is real now
-    with pytest.raises(NotImplementedError):
+def test_decode_dispatch_error_classes():
+    # JPEG is real now: a bare header with no scan is malformed, not
+    # "unavailable"; same for a PNG header without scanlines. WebP is the
+    # remaining genuinely-external format.
+    with pytest.raises(ValueError):
         decode_image(_jpeg(1, 1))
-    # a bare header (no scanlines) is malformed, not "unavailable"
     with pytest.raises(ValueError):
         decode_image(_png(1, 1))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +92,8 @@ def test_png_decode_error_paths():
     cut = good[:40]
     with pytest.raises((ValueError, zlib.error)):
         decode_png(cut + good[-12:])
-    # dispatch: JPEG still stubbed
-    with pytest.raises(NotImplementedError):
+    # dispatch: JPEG routes to the real decoder (malformed -> ValueError)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0rest")
     # dispatch: PNG goes through the real decoder
     assert decode_image(good).shape == (2, 2, 1)
