@@ -92,6 +92,8 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     def _docs(spark, d):
         return spark.read.parquet(f"{d}/documents.parquet")
 
+    from htmlx.spark.entryqueries import corpus_filter_frame
+
     named = dict(QUERIES)
     named["minhash_lsh_candidates"] = lambda s, d: analytics.minhash_lsh_candidates(
         _docs(s, d)
@@ -99,6 +101,14 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     named["minhash_lsh_oracle_md5"] = QUERIES["minhash_lsh_candidates"]
     named["simhash"] = lambda s, d: analytics.simhash_docs(_docs(s, d))
     named["simhash_oracle_md5"] = QUERIES["simhash"]
+    # the SHIPPING corpus-filter configuration (xxhash64 basis, buckets
+    # capped at 1024, converge-mode components — jobs/curate.py defaults);
+    # the plain corpus_filter row is the oracle-exact configuration the
+    # driver's correctness gate replays (md5, uncapped), deliberately
+    # more expensive — keep both visible so production regressions show.
+    named["corpus_filter_production"] = lambda s, d: corpus_filter_frame(
+        _docs(s, d), hash_basis="xxhash64", max_bucket_size=1024
+    )
 
     headline = [
         "extract_text",
@@ -119,8 +129,12 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         # corpus filter (dedup keep-list + lang + quality end-to-end)
         "pdf_text_extract",
         "media_pixel_decode",
+        "corpus_filter_production",
+        # round-4 addition: baseline JPEG decode tier
+        "jpeg_pixel_decode",
+        # oracle-mode companions (md5 basis / uncapped buckets) — the
+        # deliberately-exact configurations the correctness gate replays
         "corpus_filter",
-        # oracle-mode (md5 basis) companions for the two hash-based ops
         "minhash_lsh_oracle_md5",
         "simhash_oracle_md5",
     ]

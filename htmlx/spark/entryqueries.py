@@ -1104,14 +1104,12 @@ FROM documents
 """
 
 
-def q_corpus_filter(spark, sf_dir):
-    """The composite training-corpus filter — the end-to-end decision a
-    100 TB data pipeline actually ships: every doc keeps or drops with a
-    precedence-ordered reason (exact_dup > near_dup > low_quality >
-    und_lang). Composes the already-verified building blocks (md5 dedup,
-    LSH->Jaccard->components keep-list, lang-ID, quality length gate); the
-    oracle composes the same pieces' SQL as nested CTEs."""
-    docs = _docs(spark, sf_dir)
+def corpus_filter_frame(docs, hash_basis: str, max_bucket_size):
+    """The composite training-corpus filter plan over a documents frame.
+    The DRIVER query runs it in oracle configuration (md5 basis, uncapped
+    buckets — exact, DuckDB-replicable); production runs ship xxhash64 +
+    capped buckets (see jobs/curate.py and the corpus_filter_production
+    bench row)."""
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5("text").alias("text_md5"),
@@ -1120,7 +1118,9 @@ def q_corpus_filter(spark, sf_dir):
     exact = analytics.dedup_exact(docs).select(
         "text_md5", F.col("keep_doc_id").alias("exact_keep")
     )
-    cands = analytics.minhash_lsh_candidates(docs, max_bucket_size=None, hash_basis="md5")
+    cands = analytics.minhash_lsh_candidates(
+        docs, max_bucket_size=max_bucket_size, hash_basis=hash_basis
+    )
     verified = (
         analytics.ngram_jaccard_pairs(docs, cands)
         .where(F.col("jaccard") >= 0.9)
@@ -1144,6 +1144,19 @@ def q_corpus_filter(spark, sf_dir):
     return joined.select(
         "doc_id", reason.alias("reason")
     ).withColumn("keep", (F.col("reason") == "").cast("boolean"))
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The composite training-corpus filter — the end-to-end decision a
+    100 TB data pipeline actually ships: every doc keeps or drops with a
+    precedence-ordered reason (exact_dup > near_dup > low_quality >
+    und_lang). Composes the already-verified building blocks (md5 dedup,
+    LSH->Jaccard->components keep-list, lang-ID, quality length gate); the
+    oracle composes the same pieces' SQL as nested CTEs. Oracle-exact
+    configuration: md5 basis, uncapped buckets."""
+    return corpus_filter_frame(
+        _docs(spark, sf_dir), hash_basis="md5", max_bucket_size=None
+    )
 
 
 def _corpus_filter_oracle() -> str:

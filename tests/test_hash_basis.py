@@ -104,12 +104,17 @@ def test_driver_queries_use_md5_basis_and_production_defaults_xxhash64():
 
     src = inspect.getsource(entryqueries)
     # every basis-taking analytics call in the driver module passes md5
+    # (a `hash_basis=hash_basis` pass-through is allowed for parametrized
+    # builders like corpus_filter_frame — their DRIVER callers are the
+    # q_ wrappers, which must pass the literal "md5")
     for call in re.finditer(r"analytics\.(\w+)\(", src):
         if call.group(1) in {f.__name__ for f in basis_fns}:
             # find the matching close paren naively: scan the call's args
-            tail = src[call.end(): call.end() + 400]
-            assert 'hash_basis="md5"' in tail.split("\n\n")[0], (
+            tail = src[call.end(): call.end() + 400].split("\n\n")[0]
+            assert ('hash_basis="md5"' in tail or "hash_basis=hash_basis" in tail), (
                 f"driver call to {call.group(1)} must pass hash_basis='md5'")
+    # and the parametrized builder's driver wrapper pins md5
+    assert 'hash_basis="md5"' in inspect.getsource(entryqueries.q_corpus_filter)
     # and no oracle can reference xxhash64 (DuckDB has no such function)
     from __spark_entry__ import oracle_sql
     for name, sql in oracle_sql().items():
