@@ -606,10 +606,11 @@ FROM documents
 
 def q_pdf_text(spark, sf_dir):
     """REAL PDF text extraction (pdf.py): synthesize single-page PDFs whose
-    content stream carries the document text — FlateDecode-compressed for
-    doc_id%3==0, LZWDecode for %3==1 (EarlyChange 0 on every other one),
-    stored raw for %3==2 — and recover the text through the stdlib-zlib /
-    pure-LZW decoders + Tj/TJ operator evaluation. The oracle is exact
+    content stream carries the document text — doc_id%5 picks the filter:
+    FlateDecode / LZWDecode (EarlyChange 0 on every other one) / raw /
+    ASCIIHexDecode / an [ASCII85Decode FlateDecode] chain — and recover
+    the text through the stdlib + pure-Python decoders + Tj/TJ operator
+    evaluation. The oracle is exact
     because decode(encode(text)) must be byte-identical: latin-1-encodable
     text ships byte-per-char, anything else as a UTF-16BE-with-BOM text
     string (the PDF spec's other text encoding), and control bytes go out
@@ -630,16 +631,24 @@ def q_pdf_text(spark, sf_dir):
                 esc = encode_pdf_text_string(text)
                 content = b"BT /F1 12 Tf 72 720 Td (" + esc + b") Tj ET"
                 did = int(doc_id)
-                if did % 3 == 0:
+                if did % 5 == 0:
                     data = zlib.compress(content)
                     filt = b" /Filter /FlateDecode"
-                elif did % 3 == 1:
+                elif did % 5 == 1:
                     ec = did % 2  # exercise both EarlyChange modes
                     data = lzw_encode_pdf(content, early_change=ec)
                     filt = (
                         b" /Filter /LZWDecode /DecodeParms << /EarlyChange "
                         + str(ec).encode() + b" >>"
                     )
+                elif did % 5 == 3:
+                    data = content.hex().encode("ascii") + b">"
+                    filt = b" /Filter /ASCIIHexDecode"
+                elif did % 5 == 4:
+                    import base64
+
+                    data = base64.a85encode(zlib.compress(content), adobe=True)[2:]
+                    filt = b" /Filter [/ASCII85Decode /FlateDecode]"
                 else:
                     data = content
                     filt = b""

@@ -117,15 +117,15 @@ _ADAM7 = (
 )
 
 
-def _unfilter(raw, off: int, h: int, w: int, bpp: int):
-    """Unfilter one (sub-)image of h scanlines starting at byte `off` of
-    the inflated stream; returns an (h, w*bpp) uint8 array. All 5 PNG
-    filter types. Sub/Average/Paeth rows carry a left-neighbor data
-    dependency and run as a per-byte scan; the common None/Up rows
-    vectorize."""
+def _unfilter(raw, off: int, h: int, stride: int, bpp: int):
+    """Unfilter one (sub-)image of h scanlines of `stride` BYTES starting
+    at byte `off` of the inflated stream (`bpp` = bytes per complete
+    pixel, min 1 — the spec's filter distance); returns an (h, stride)
+    uint8 array. All 5 PNG filter types. Sub/Average/Paeth rows carry a
+    left-neighbor data dependency and run as a per-byte scan; the common
+    None/Up rows vectorize."""
     import numpy as np
 
-    stride = w * bpp
     out = np.zeros((h, stride), np.uint8)
     zero = np.zeros(stride, np.int32)
     for y in range(h):
@@ -174,12 +174,13 @@ def _adam7_passes(w: int, h: int):
 
 
 def decode_png(payload: bytes):
-    """REAL PNG decode for 8-bit gray/RGB/gray-alpha/RGBA/palette, both
-    sequential and Adam7-interlaced: stdlib zlib inflate + scanline
-    unfiltering (all 5 PNG filter types), palette mapping via numpy
-    indexing (tRNS applied as an alpha channel when present). Returns an
-    (h, w, channels) uint8 numpy array. Raises ValueError on malformed
-    input and NotImplementedError for bit depths outside this tier."""
+    """REAL PNG decode for gray/RGB/gray-alpha/RGBA/palette at every legal
+    bit depth (1/2/4/8/16 — sub-byte gray scales exactly by 255/(2^d-1),
+    palette indices stay raw, 16-bit keeps the high byte), both sequential
+    and Adam7-interlaced: stdlib zlib inflate + scanline unfiltering (all
+    5 PNG filter types), palette mapping via numpy indexing (tRNS applied
+    as an alpha channel when present). Returns an (h, w, channels) uint8
+    numpy array. Raises ValueError on malformed input."""
     import struct
 
     import numpy as np
@@ -213,16 +214,23 @@ def decode_png(payload: bytes):
     if header is None:
         raise ValueError("missing_ihdr")
     w, h, depth, ctype, _comp, _filt, interlace = header
-    if depth != 8 or interlace > 1 or ctype not in _PNG_CHANNELS:
+    # depths per spec: 1/2/4 only for gray and palette; 16 not for palette
+    depth_ok = (depth in (8, 16) and ctype != 3 or depth in (1, 2, 4, 8) and ctype in (0, 3))
+    if not depth_ok or interlace > 1 or ctype not in _PNG_CHANNELS:
         raise NotImplementedError(f"png depth={depth} ctype={ctype} interlace={interlace}")
     channels = _PNG_CHANNELS[ctype]
     if ctype == 3 and plte is None:
         raise ValueError("missing_plte")
+
+    def row_bytes(width):
+        return (width * channels * depth + 7) // 8
+
+    bpp = max(1, channels * depth // 8)  # the spec's filter byte distance
     if interlace:
         passes = _adam7_passes(w, h)
-        expected = sum(ph * (pw * channels + 1) for *_, pw, ph in passes)
+        expected = sum(ph * (row_bytes(pw) + 1) for *_, pw, ph in passes)
     else:
-        expected = h * (w * channels + 1)
+        expected = h * (row_bytes(w) + 1)
     # bomb guard: the header fixes the exact raster size, so both the
     # allocation and the inflate are capped BEFORE any work happens — a
     # tiny IDAT claiming a multi-GB raster degrades to an error row
@@ -236,15 +244,33 @@ def decode_png(payload: bytes):
     raw += d.flush()
     if len(raw) != expected:
         raise ValueError("bad_scanline_data")
+    def unpack(sub, pw):
+        """(ph, row_bytes) filtered bytes -> (ph, pw, channels) uint8.
+        Sub-byte gray samples scale by 255/(2^d - 1) (exact: 255/85/17);
+        palette indices stay raw; 16-bit takes the high byte."""
+        ph = sub.shape[0]
+        if depth == 8:
+            return sub[:, : pw * channels].reshape(ph, pw, channels)
+        if depth == 16:
+            pairs = sub[:, : pw * channels * 2].reshape(ph, pw, channels, 2)
+            return pairs[:, :, :, 0]
+        bits = np.unpackbits(sub, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+        vals = np.zeros((ph, pw), np.uint8)
+        for b in range(depth):
+            vals = (vals << 1) | bits[:, :, b]
+        if ctype == 0:
+            vals = vals * (255 // ((1 << depth) - 1))
+        return vals[:, :, None]
+
     if interlace:
         out = np.zeros((h, w, channels), np.uint8)
         off = 0
         for x0, y0, dx, dy, pw, ph in passes:
-            sub = _unfilter(raw, off, ph, pw, channels)
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
-            off += ph * (pw * channels + 1)
+            sub = _unfilter(raw, off, ph, row_bytes(pw), bpp)
+            out[y0::dy, x0::dx] = unpack(sub, pw)
+            off += ph * (row_bytes(pw) + 1)
     else:
-        out = _unfilter(raw, 0, h, w, channels).reshape(h, w, channels)
+        out = unpack(_unfilter(raw, 0, h, row_bytes(w), bpp), w)
     if ctype == 3:
         idx = out.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
@@ -258,18 +284,19 @@ def decode_png(payload: bytes):
     return out
 
 
-def encode_png(arr, row_filter=None, palette=None, interlace=0) -> bytes:
-    """Minimal deterministic PNG encoder (gray/gray-alpha/RGB/RGBA, 8-bit;
+def encode_png(arr, row_filter=None, palette=None, interlace=0, depth=8) -> bytes:
+    """Minimal deterministic PNG encoder (gray/gray-alpha/RGB/RGBA;
     palette via `palette=(n,3)` with `arr` as (h,w) indices; Adam7 via
-    `interlace=1`). `row_filter(y) -> 0..4` picks each scanline's filter —
-    the synthesis knob that makes the decoder's unfiltering paths testable
-    (for Adam7, y counts scanlines in stream order across passes). Default
-    None filter everywhere."""
+    `interlace=1`; `depth` 1/2/4 for gray+palette raw samples, 16 taking
+    a uint16 array). `row_filter(y) -> 0..4` picks each scanline's filter
+    — the synthesis knob that makes the decoder's unfiltering paths
+    testable (for Adam7, y counts scanlines in stream order across
+    passes). Default None filter everywhere."""
     import struct
 
     import numpy as np
 
-    a = np.asarray(arr, np.uint8)
+    a = np.asarray(arr, np.uint16 if depth == 16 else np.uint8)
     if palette is not None:
         if a.ndim != 2:
             raise ValueError("palette png takes (h, w) indices")
@@ -280,7 +307,27 @@ def encode_png(arr, row_filter=None, palette=None, interlace=0) -> bytes:
             a = a[:, :, None]
         ctype = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
     h, w, channels = a.shape
-    bpp = channels
+    bpp = max(1, channels * depth // 8)  # filter byte distance
+
+    def pack(sub):
+        """(ph, pw, channels) samples -> (ph, row_bytes) scanline bytes."""
+        ph, pw = sub.shape[:2]
+        if depth == 8:
+            return sub.reshape(ph, pw * channels).astype(np.int32)
+        if depth == 16:
+            s = sub.reshape(ph, pw * channels).astype(np.uint16)
+            return (
+                np.stack([s >> 8, s & 0xFF], axis=2)
+                .reshape(ph, pw * channels * 2)
+                .astype(np.int32)
+            )
+        flat = sub.reshape(ph, pw).astype(np.uint8)
+        bits = np.unpackbits(flat[:, :, None], axis=2)[:, :, 8 - depth :]
+        bits = bits.reshape(ph, pw * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros((ph, pad), np.uint8)], axis=1)
+        return np.packbits(bits, axis=1).astype(np.int32)
 
     def filter_rows(flat, y_base):
         # flat: (rows, stride) int32 of ONE (sub-)image; prev resets here
@@ -316,11 +363,10 @@ def encode_png(arr, row_filter=None, palette=None, interlace=0) -> bytes:
     if interlace:
         y_base = 0
         for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
-            sub = a[y0::dy, x0::dx].reshape(ph, pw * channels).astype(np.int32)
-            lines += filter_rows(sub, y_base)
+            lines += filter_rows(pack(a[y0::dy, x0::dx]), y_base)
             y_base += ph
     else:
-        lines += filter_rows(a.reshape(h, w * channels).astype(np.int32), 0)
+        lines += filter_rows(pack(a), 0)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -330,7 +376,7 @@ def encode_png(arr, row_filter=None, palette=None, interlace=0) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
     out = _PNG_SIG + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())

@@ -114,9 +114,13 @@ def inflate_bounded(data: bytes, cap: int = MAX_INFLATE) -> bytes:
     return out + d.flush()
 
 
-class LZWDecodeError(zlib.error):
-    """Malformed LZW data. Subclasses zlib.error so every existing caller
-    degrades it to error='corrupt_stream' exactly like corrupt deflate."""
+class StreamCorruptError(zlib.error):
+    """Malformed filter data (LZW/ASCIIHex/ASCII85/RunLength). Subclasses
+    zlib.error so every caller degrades it to error='corrupt_stream'
+    exactly like corrupt deflate."""
+
+
+LZWDecodeError = StreamCorruptError  # historical name, kept for callers
 
 
 def lzw_decode_pdf(data: bytes, cap: int = MAX_INFLATE, early_change: int = 1) -> bytes:
@@ -223,9 +227,98 @@ def lzw_encode_pdf(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 7.4.2): hex pairs, whitespace ignored, '>' ends
+    the stream, an odd trailing digit is padded with 0."""
+    body = data.split(b">", 1)[0]
+    hexdigits = bytes(c for c in body if c not in b" \t\r\n\f\x00")
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    try:
+        return bytes.fromhex(hexdigits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise LZWDecodeError(f"bad ascii-hex data: {e}") from None
+
+
+def ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 7.4.3): Adobe Ascii85 with 'z' shorthand; the
+    stream terminates at '~>' (the leading '<~' frame is not present in
+    PDF streams)."""
+    import base64
+
+    body = data.split(b"~>", 1)[0]
+    body = bytes(c for c in body if c not in b" \t\r\n\f\x00")
+    try:
+        return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+    except ValueError as e:
+        raise LZWDecodeError(f"bad ascii85 data: {e}") from None
+
+
+def run_length_decode(data: bytes, cap: int = MAX_INFLATE) -> bytes:
+    """RunLengthDecode (PDF 7.4.5): length byte L copies the next L+1
+    literal bytes (L <= 127) or repeats the next byte 257-L times
+    (L >= 129); 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        L = data[i]
+        if L == 128:
+            break
+        if L < 128:
+            chunk = data[i + 1 : i + 2 + L]
+            if len(chunk) != L + 1:
+                raise LZWDecodeError("truncated run-length literal")
+            out += chunk
+            i += 2 + L
+        else:
+            if i + 1 >= n:
+                raise LZWDecodeError("truncated run-length repeat")
+            out += data[i + 1 : i + 2] * (257 - L)
+            i += 2
+        if len(out) > cap:
+            raise InflateBudgetError(f"run-length output exceeds {cap} bytes")
+    return bytes(out)
+
+
+def run_length_encode(data: bytes) -> bytes:
+    """Synthesis twin of run_length_decode (literal-runs + repeat-runs)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a repeat run of >= 3 (shorter repeats cheaper as literals)
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat (or 128 bytes)
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    out.append(128)  # EOD
+    return bytes(out)
+
+
 # filters stdlib zlib can handle; everything else is genuinely external
 _ZLIB_FILTERS = {b"FlateDecode", b"Fl"}
 _LZW_FILTERS = {b"LZWDecode", b"LZW"}
+_SIMPLE_FILTERS = {
+    b"ASCIIHexDecode": ascii_hex_decode,
+    b"AHx": ascii_hex_decode,
+    b"ASCII85Decode": ascii85_decode,
+    b"A85": ascii85_decode,
+    b"RunLengthDecode": run_length_decode,
+    b"RL": run_length_decode,
+}
 _FILTER_RE = re.compile(rb"/Filter\s*(?:\[\s*((?:/\w+\s*)+)\]|/(\w+))")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\d\s]*R)")
 # the stream KEYWORD: never the tail of "endstream", never a word in text
@@ -307,6 +400,8 @@ def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
             data = lzw_decode_pdf(
                 data, early_change=int(em.group(1)) if em else 1
             )
+        elif name in _SIMPLE_FILTERS:
+            data = _SIMPLE_FILTERS[name](data)
         else:
             raise UnsupportedFilterError(name.decode("latin-1"))
     return data

@@ -87,17 +87,21 @@ def test_pdf_text_never_crashes(blob):
 @_SETTINGS
 def test_pdf_crafted_stream_fragments(blob):
     """Bias the fuzz toward the stream-parsing path: wrap arbitrary bytes
-    in stream/endstream scaffolding with arbitrary dicts."""
-    doc = (
-        b"%PDF-1.7\n1 0 obj\n<< /Length " + str(len(blob) % 500).encode()
-        + b" /Filter /FlateDecode >>\nstream\n" + blob + b"\nendstream\nendobj\n"
-    )
-    try:
-        extract_pdf_text(doc)
-    except DECODE_OK:
-        pass
-    except UnsupportedFilterError:
-        pass
+    in stream/endstream scaffolding with arbitrary dicts, across every
+    decodable filter."""
+    for filt in (b"/FlateDecode", b"/LZWDecode", b"/ASCIIHexDecode",
+                 b"/ASCII85Decode", b"/RunLengthDecode",
+                 b"[/ASCII85Decode /FlateDecode]"):
+        doc = (
+            b"%PDF-1.7\n1 0 obj\n<< /Length " + str(len(blob) % 500).encode()
+            + b" /Filter " + filt + b" >>\nstream\n" + blob + b"\nendstream\nendobj\n"
+        )
+        try:
+            extract_pdf_text(doc)
+        except DECODE_OK:
+            pass
+        except UnsupportedFilterError:
+            pass
 
 
 def test_gif_truncation_points_all_valueerror():

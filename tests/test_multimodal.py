@@ -82,10 +82,10 @@ def test_png_decode_error_paths():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png")
-    # 16-bit depth is outside this tier
+    # all legal depths decode now; an ILLEGAL depth is the declared stub
     good = encode_png(np.zeros((2, 2), np.uint8))
     deep = bytearray(good)
-    deep[24] = 16  # IHDR bit depth byte
+    deep[24] = 12  # IHDR bit depth byte: 12 is not a legal PNG depth
     with pytest.raises(NotImplementedError):
         decode_png(bytes(deep))
     # truncated IDAT -> zlib error surfaces as corrupt
@@ -331,3 +331,45 @@ def test_png_missing_plte_is_value_error():
         ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="missing_plte"):
         decode_png(png)
+
+
+def test_png_bit_depths_gray():
+    """1/2/4-bit gray scales exactly by 255/(2^d - 1); 16-bit keeps the
+    high byte."""
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    rnd = np.random.RandomState(9)
+    for d in (1, 2, 4):
+        raw = rnd.randint(0, 1 << d, (9, 13)).astype(np.uint8)
+        out = decode_png(encode_png(raw, depth=d, row_filter=lambda y: y % 5))
+        assert out.shape == (9, 13, 1)
+        assert (out[:, :, 0] == raw * (255 // ((1 << d) - 1))).all(), d
+    v16 = rnd.randint(0, 1 << 16, (5, 7)).astype(np.uint16)
+    out = decode_png(encode_png(v16, depth=16, row_filter=lambda y: (y + 1) % 5))
+    assert (out[:, :, 0] == (v16 >> 8)).all()
+    # 16-bit RGB too
+    v16c = rnd.randint(0, 1 << 16, (4, 3, 3)).astype(np.uint16)
+    out = decode_png(encode_png(v16c, depth=16))
+    assert out.shape == (4, 3, 3)
+    assert (out == (v16c >> 8)).all()
+
+
+def test_png_bit_depths_palette_and_interlace():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_png, encode_png
+
+    rnd = np.random.RandomState(10)
+    for d in (1, 2, 4):
+        pal = rnd.randint(0, 256, (1 << d, 3)).astype(np.uint8)
+        idx = rnd.randint(0, 1 << d, (11, 6)).astype(np.uint8)
+        for il in (0, 1):
+            out = decode_png(encode_png(idx, palette=pal, depth=d, interlace=il))
+            assert (out == pal[idx]).all(), (d, il)
+    # sub-byte gray + Adam7 (odd widths stress per-pass bit packing)
+    for d in (1, 2, 4):
+        raw = rnd.randint(0, 1 << d, (13, 5)).astype(np.uint8)
+        out = decode_png(encode_png(raw, depth=d, interlace=1))
+        assert (out[:, :, 0] == raw * (255 // ((1 << d) - 1))).all(), d

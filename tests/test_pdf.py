@@ -275,3 +275,58 @@ def test_lzw_then_flate_filter_chain():
     data = zlib.compress(lzw_encode_pdf(inner))
     pdf = _content_pdf(data, b" /Filter [/FlateDecode /LZWDecode]")
     assert extract_pdf_text(pdf) == "chained filters"
+
+
+# --- ASCIIHex / ASCII85 / RunLength filters --------------------------------
+
+def test_ascii_hex_filter():
+    content = b"BT (hex text) Tj ET"
+    data = content.hex().encode() + b">"
+    pdf = _content_pdf(data, b" /Filter /ASCIIHexDecode")
+    assert extract_pdf_text(pdf) == "hex text"
+    # whitespace ignored, odd trailing digit padded with 0
+    from htmlx.spark.pdf import ascii_hex_decode
+
+    assert ascii_hex_decode(b"4 86\n9 >junk") == b"Hi"
+    assert ascii_hex_decode(b"47>") == b"G"  # 0x47, odd digit -> "470"? no: "47" even
+    assert ascii_hex_decode(b"4>") == b"@"  # odd digit padded -> 0x40
+
+
+def test_ascii85_filter_chain():
+    import base64
+    import zlib
+
+    content = b"BT (a85 chained) Tj ET"
+    data = base64.a85encode(zlib.compress(content), adobe=True)[2:]
+    pdf = _content_pdf(data, b" /Filter [/ASCII85Decode /FlateDecode]")
+    assert extract_pdf_text(pdf) == "a85 chained"
+    # 'z' zero-group shorthand decodes
+    from htmlx.spark.pdf import ascii85_decode
+
+    assert ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+
+
+def test_run_length_filter_roundtrip():
+    from htmlx.spark.pdf import run_length_decode, run_length_encode
+
+    for data in (b"", b"x", b"aaaabbbbbcdddd", b"abc" * 50, bytes(range(256)),
+                 b"\x00" * 400):
+        assert run_length_decode(run_length_encode(data)) == data
+    content = b"BT (run length) Tj ET"
+    pdf = _content_pdf(run_length_encode(content), b" /Filter /RunLengthDecode")
+    assert extract_pdf_text(pdf) == "run length"
+
+
+def test_filter_corrupt_data_degrades_to_corrupt_stream():
+    import zlib
+
+    import pytest
+
+    from htmlx.spark.pdf import (
+        StreamCorruptError, ascii85_decode, ascii_hex_decode, run_length_decode)
+
+    for fn, bad in ((ascii_hex_decode, b"zz>"), (ascii85_decode, b"\x01\x02~>"),
+                    (run_length_decode, b"\x05ab")):
+        with pytest.raises(zlib.error):
+            fn(bad)
+    assert issubclass(StreamCorruptError, zlib.error)
