@@ -763,9 +763,11 @@ def q_jpeg_pixel_decode(spark, sf_dir):
     whose 8x8 luma blocks follow v = (doc_id*31 + block_index*7) % 256 —
     DC-only coefficients are exactly 8*(v-128), so with an all-ones quant
     table the (normally lossy) round-trip is bit-exact and the oracle can
-    recompute the pixel digest from the formula. doc_id % 3 picks the
-    tier: grayscale / color 4:4:4 (Cb=Cr=128, so RGB decodes to exact gray
-    triplets) / color 4:2:0 with restart intervals every 2 MCUs."""
+    recompute the pixel digest from the formula. doc_id % 4 picks the
+    tier: baseline grayscale / PROGRESSIVE color 4:4:4 (SOF2: DC
+    first+refine, AC first+refine scans; Cb=Cr=128 so RGB decodes to
+    exact gray triplets) / baseline color 4:2:0 with restart intervals
+    every 2 MCUs / PROGRESSIVE grayscale."""
     import pandas as pd
 
     from .jpeg import encode_jpeg
@@ -780,7 +782,7 @@ def q_jpeg_pixel_decode(spark, sf_dir):
             rows = []
             for doc_id in pdf.doc_id:
                 d = int(doc_id)
-                mode = d % 3
+                mode = d % 4
                 if mode == 2:
                     w, h = 16 * (1 + d % 2), 16 * (1 + (d // 2) % 2)
                 else:
@@ -791,12 +793,15 @@ def q_jpeg_pixel_decode(spark, sf_dir):
                 y = np.repeat(np.repeat(vals, 8, 0), 8, 1)
                 if mode == 0:
                     payload = encode_jpeg(y)
+                elif mode == 3:
+                    payload = encode_jpeg(y, progressive=True)
                 else:
                     ycc = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], 2)
                     payload = encode_jpeg(
                         ycc,
                         subsampling=(2, 2) if mode == 2 else (1, 1),
                         restart_interval=2 if mode == 2 else 0,
+                        progressive=(mode == 1),
                     )
                 rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
@@ -815,18 +820,18 @@ def q_jpeg_pixel_decode(spark, sf_dir):
 
 O_JPEG_PIXEL_DECODE = """
 WITH d AS (
-  SELECT doc_id, doc_id % 3 AS mode,
-         CASE WHEN doc_id % 3 = 2 THEN 16 * (1 + doc_id % 2)
+  SELECT doc_id, doc_id % 4 AS mode,
+         CASE WHEN doc_id % 4 = 2 THEN 16 * (1 + doc_id % 2)
               ELSE 8 * (1 + doc_id % 4) END AS w,
-         CASE WHEN doc_id % 3 = 2 THEN 16 * (1 + (doc_id // 2) % 2)
+         CASE WHEN doc_id % 4 = 2 THEN 16 * (1 + (doc_id // 2) % 2)
               ELSE 8 * (1 + doc_id % 3) END AS h
   FROM documents),
 v AS (
   SELECT doc_id, mode, w, h,
-         CASE WHEN mode = 0 THEN 1 ELSE 3 END AS c,
+         CASE WHEN mode IN (0, 3) THEN 1 ELSE 3 END AS c,
          -- pixel i sits in luma block (y//8, x//8); its value follows the
          -- block formula; color tiers decode to exact gray triplets
-         CASE WHEN mode = 0
+         CASE WHEN mode IN (0, 3)
               THEN [(doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256
                     FOR i IN generate_series(0, w * h - 1)]
               ELSE flatten([[(doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256,

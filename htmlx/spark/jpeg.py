@@ -6,9 +6,11 @@ module closes that tier the same way PNG/GIF were closed: a real decoder
 for the codec-free-reachable subset plus a deterministic synthesis twin
 for tests and formula oracles.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components, any
-sampling factors (chroma upsampled by replication), restart intervals,
-multi-segment DQT/DHT. Progressive (SOF2), arithmetic coding, 12-bit and
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2:
+spectral selection + successive approximation — DC first/refine, AC first
+with EOB runs, AC refine with correction bits), 8-bit, 1 or 3 components,
+any sampling factors (chroma upsampled by replication), restart
+intervals, multi-segment DQT/DHT. Arithmetic coding, 12-bit, lossless and
 hierarchical modes raise NotImplementedError and degrade to
 error='decoder_unavailable' at the Spark layer; malformed data raises
 ValueError.
@@ -185,8 +187,11 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline JFIF payload to an (h, w, channels) uint8 array
-    (1 channel for grayscale, 3 for YCbCr->RGB)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JFIF payload to an
+    (h, w, channels) uint8 array (1 channel for grayscale, 3 for
+    YCbCr->RGB). Progressive scans — DC first/refine, AC first with EOB
+    runs, AC refinement with correction bits (T.81 G.1/G.2) — accumulate
+    into the coefficient planes; dequant + IDCT run once at the end."""
     import numpy as np
 
     if payload[:2] != b"\xff\xd8":
@@ -195,17 +200,228 @@ def decode_jpeg(payload: bytes):
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     pos = 2
     n = len(payload)
-    scan = None
-    while pos + 4 <= n:
+    plan = None  # per component: [hs, vs, quant, coefs, nbw, nbh]
+    any_scan = False
+    hmax = vmax = mcux = mcuy = 1
+
+    def alloc_plan():
+        nonlocal plan, hmax, vmax, mcux, mcuy
+        h, w, comps = frame
+        if h == 0 or w == 0:
+            raise ValueError("bad_dimensions")
+        if len(comps) not in (1, 3):
+            raise NotImplementedError(f"jpeg components={len(comps)}")
+        if h * w * len(comps) > _MAX_JPEG_RASTER:
+            raise ValueError("image_too_large")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+            raise ValueError("bad_sampling")
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        plan = {}
+        for cid, hs, vs, tq in comps:
+            if tq not in qt:
+                raise ValueError("missing_table")
+            coefs = np.zeros((mcuy * vs, mcux * hs, 8, 8), np.int32)
+            # non-interleaved scans traverse the component's OWN block
+            # grid (ceil of its sample dims), not the MCU-padded grid
+            nbw = (-(-w * hs // hmax) + 7) // 8
+            nbh = (-(-h * vs // vmax) + 7) // 8
+            plan[cid] = [hs, vs, qt[tq], coefs, nbw, nbh]
+        return plan
+
+    def decode_scan(scan_hdr, start):
+        """Decode one scan's entropy data; returns the byte offset of the
+        next marker."""
+        nonlocal any_scan
+        any_scan = True
+        scomps, ss, se, ah, al = scan_hdr
+        if ss > se or se > 63 or al > 13:
+            raise ValueError("bad_scan_band")
+        br = _BitReader(payload, start)
+        eobrun = 0
+        preds = {cid: 0 for cid, _td, _ta in scomps}
+        tabs = {}
+        for cid, td, ta in scomps:
+            if cid not in plan:
+                raise ValueError("scan_component_mismatch")
+            dct = huff_dc.get(td)
+            act = huff_ac.get(ta)
+            if ss == 0 and ah == 0 and dct is None:
+                raise ValueError("missing_table")  # DC refine needs no table
+            if se > 0 and act is None:
+                raise ValueError("missing_table")
+            tabs[cid] = (dct, act)
+
+        def dc_decode(blk, cid):
+            dct = tabs[cid][0]
+            if ah == 0:
+                size = br.decode_huff(dct)
+                if size > 11:
+                    raise ValueError("bad_dc_size")
+                diff = _extend(br.receive(size), size) if size else 0
+                preds[cid] += diff
+                blk[0, 0] = preds[cid] << al
+            else:  # refinement: one magnitude bit (two's-complement OR)
+                if br.read_bit():
+                    blk[0, 0] |= 1 << al
+
+        def ac_first(blk, cid):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            act = tabs[cid][1]
+            k = ss
+            while k <= se:
+                rs = br.decode_huff(act)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:  # EOB run of 2^r + receive(r) blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("bad_ac_run")
+                zr, zc = _ZIGZAG[k]
+                blk[zr, zc] = _extend(br.receive(s), s) << al
+                k += 1
+
+        def ac_refine(blk, cid):
+            # T.81 G.1.2.3 (the libjpeg-style correction-bit walk)
+            nonlocal eobrun
+            act = tabs[cid][1]
+            p1, m1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.decode_huff(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            # full run count here (unlike ac_first, which
+                            # pre-decrements): the tail walk below consumes
+                            # the CURRENT block and decrements once per block
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coefs
+                    elif s == 1:
+                        newval = p1 if br.read_bit() else m1
+                    else:
+                        raise ValueError("bad_ac_refine_symbol")
+                    while k <= se:
+                        zr, zc = _ZIGZAG[k]
+                        v = int(blk[zr, zc])
+                        if v != 0:
+                            # history coef: consume its correction bit
+                            if br.read_bit() and (v & p1) == 0:
+                                blk[zr, zc] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if newval:
+                                    blk[zr, zc] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    zr, zc = _ZIGZAG[k]
+                    v = int(blk[zr, zc])
+                    if v != 0:
+                        if br.read_bit() and (v & p1) == 0:
+                            blk[zr, zc] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+        def visit(blk, cid):
+            if ss == 0:
+                dc_decode(blk, cid)
+                if se > 0:  # baseline: DC + full AC band in one scan
+                    k = 1
+                    act = tabs[cid][1]
+                    while k <= se:
+                        rs = br.decode_huff(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > se:
+                            raise ValueError("bad_ac_run")
+                        zr, zc = _ZIGZAG[k]
+                        blk[zr, zc] = _extend(br.receive(s), s)
+                        k += 1
+            elif ah == 0:
+                ac_first(blk, cid)
+            else:
+                ac_refine(blk, cid)
+
+        def restart():
+            nonlocal eobrun
+            br.sync_restart()
+            eobrun = 0
+            for cid in preds:
+                preds[cid] = 0
+
+        unit = 0
+        if len(scomps) == 1:
+            cid = scomps[0][0]
+            _hs, _vs, _q, coefs, nbw, nbh = plan[cid]
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        restart()
+                    unit += 1
+                    visit(coefs[by, bx], cid)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        restart()
+                    unit += 1
+                    for cid, _td, _ta in scomps:
+                        hs, vs, _q, coefs, _nbw, _nbh = plan[cid]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                visit(coefs[my * vs + by, mx * hs + bx], cid)
+        # skip to the next marker (consume pad bits / stuffing / RSTs)
+        p = br.pos
+        while p + 1 < n:
+            if payload[p] == 0xFF and payload[p + 1] != 0x00 and not (
+                0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return n
+
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad_marker")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
+            raise ValueError("truncated_segment")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -240,95 +456,45 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("bad_dht")
                 (huff_ac if cls else huff_dc)[tid] = _HuffDecoder(bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
-            depth, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            depth, h0, w0, nc0 = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if depth != 8:
                 raise NotImplementedError(f"jpeg depth={depth}")
+            progressive = marker == 0xC2
             comps = []
-            for ci in range(nc):
+            for ci in range(nc0):
                 cid, samp, tq = seg[6 + ci * 3 : 9 + ci * 3]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (h0, w0, comps)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg sof={marker:#x} (non-baseline)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("missing_sof_or_sos")
+            if plan is None:
+                alloc_plan()
             ns = seg[0]
-            scan = []
+            scomps = []
             for si in range(ns):
-                cs, tabs = seg[1 + si * 2 : 3 + si * 2]
-                scan.append((cs, tabs >> 4, tabs & 0xF))
-            pos += 2 + seglen
-            break
+                cs, tsel = seg[1 + si * 2 : 3 + si * 2]
+                scomps.append((cs, tsel >> 4, tsel & 0xF))
+            ss, se, a = seg[1 + ns * 2 : 4 + ns * 2]
+            pos = decode_scan((scomps, ss, se, a >> 4, a & 0xF), pos + 2 + seglen)
+            continue
         # APPn/COM/others: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not any_scan:
         raise ValueError("missing_sof_or_sos")
     h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ValueError("bad_dimensions")
     nc = len(comps)
-    if nc not in (1, 3):
-        raise NotImplementedError(f"jpeg components={nc}")
-    if h * w * nc > _MAX_JPEG_RASTER:
-        raise ValueError("image_too_large")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad_sampling")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
-    plan = []  # per component: (hs, vs, quant, dc_table, ac_table, coef array)
-    for cid, hs, vs, tq in comps:
-        if cid not in scan_by_id:
-            raise ValueError("scan_component_mismatch")
-        td, ta = scan_by_id[cid]
-        if tq not in qt or td not in huff_dc or ta not in huff_ac:
-            raise ValueError("missing_table")
-        coefs = np.zeros((mcuy * vs, mcux * hs, 8, 8), np.int32)
-        plan.append((hs, vs, qt[tq], huff_dc[td], huff_ac[ta], coefs))
-
-    br = _BitReader(payload, pos)
-    preds = [0] * nc
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.sync_restart()
-                preds = [0] * nc
-            mcu_count += 1
-            for ci, (hs, vs, _q, dct, act, coefs) in enumerate(plan):
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = coefs[my * vs + by, mx * hs + bx]
-                        size = br.decode_huff(dct)
-                        if size > 11:
-                            raise ValueError("bad_dc_size")
-                        diff = _extend(br.receive(size), size) if size else 0
-                        preds[ci] += diff
-                        blk[0, 0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_huff(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("bad_ac_run")
-                            zr, zc = _ZIGZAG[k]
-                            blk[zr, zc] = _extend(br.receive(s), s)
-                            k += 1
 
     # dequant + batch IDCT per component, assemble, upsample, crop
     C = _dct_matrix()
     planes = []
-    for hs, vs, q, _dct, _act, coefs in plan:
+    for cid, _hs, _vs, _tq in comps:
+        hs, vs, q, coefs, _nbw, _nbh = plan[cid]
         deq = coefs.astype(np.float64) * q[None, None]
         spatial = np.einsum("ij,byjk,kl->byil", C.T, deq, C)
         by, bx = coefs.shape[:2]
@@ -386,16 +552,206 @@ def _size_cat(v: int) -> int:
     return abs(v).bit_length()
 
 
-def encode_jpeg(arr, quality_table=None, subsampling=(1, 1), restart_interval=0) -> bytes:
-    """Deterministic baseline JFIF encoder (synthesis/tests twin): forward
-    DCT + quant + Annex-K Huffman tables. `arr` is (h, w) or (h, w, 1)
+# Flat tables for progressive synthesis: Annex K's AC tables lack the
+# EOBn symbols (r<<4 with r>0, s=0) progressive scans emit, so the
+# progressive encoder declares its own DHTs — all DC symbols at 4 bits,
+# all 176 progressive AC symbols (r 0..15, s 0..10) at 8 bits. Canonical,
+# prefix-free, deliberately simple; real files carry optimized tables and
+# the decoder reads whatever the DHT declares.
+_FLAT_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _sos_header(scomps, ss, se, ah, al) -> bytes:
+    """scomps: list of (component_index_0based, dc_table, ac_table)."""
+    body = bytes([len(scomps)])
+    for cidx, td, ta in scomps:
+        body += bytes([cidx + 1, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+
+def _progressive_scans(comps, nc, w, h, enc_dc, enc_ac) -> bytes:
+    """Emit the four progressive scan families (T.81 G.2): interleaved DC
+    first at Al=1 and DC refine, then per-component AC first (EOB-run
+    coded) and AC refine (correction bits, the two-buffer discipline:
+    run-level bits flush after the EOB-run symbol, block-level bits after
+    the ZRL/coefficient symbol they ride on)."""
+    AL = 1
+    hmax = max(c[0] for c in comps)
+    vmax = max(c[1] for c in comps)
+    mcux = w // (8 * hmax)
+    mcuy = h // (8 * vmax)
+    out = bytearray()
+
+    def interleaved_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs, coefs) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, coefs[my * vs + by, mx * hs + bx]
+
+    all_comps = [(ci, 0 if ci == 0 else 1, 0) for ci in range(nc)]
+
+    # scan 1: DC first (Al=AL)
+    bw = _BitWriter()
+    preds = [0] * nc
+    for ci, blk in interleaved_blocks():
+        t = 0 if ci == 0 else 1
+        dc = int(blk[0, 0]) >> AL  # arithmetic shift = the point transform
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        size = _size_cat(diff)
+        ln, code = enc_dc[t][size]
+        bw.put(code, ln)
+        if size:
+            bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    bw.flush()
+    out += _sos_header(all_comps, 0, 0, 0, AL) + bw.out
+
+    # scan 2: DC refine (Ah=AL, Al=0): one raw magnitude bit per block
+    bw = _BitWriter()
+    for _ci, blk in interleaved_blocks():
+        bw.put(int(blk[0, 0]) & 1, 1)
+    bw.flush()
+    out += _sos_header(all_comps, 0, 0, AL, 0) + bw.out
+
+    for ci, (_hs, _vs, coefs) in enumerate(comps):
+        t = 0 if ci == 0 else 1
+        nbh, nbw = coefs.shape[:2]
+
+        # AC first (Ss=1..63, Al=AL), EOB-run coded
+        bw = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ln, code = enc_ac[t][nb << 4]
+                bw.put(code, ln)
+                if nb:
+                    bw.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = coefs[by, bx]
+                r = 0
+                for k in range(1, 64):
+                    zr, zc = _ZIGZAG[k]
+                    v = int(blk[zr, zc])
+                    mag = (-v if v < 0 else v) >> AL
+                    if mag == 0:
+                        r += 1
+                        continue
+                    emit_eobrun()
+                    while r > 15:
+                        ln, code = enc_ac[t][0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                    s = mag.bit_length()
+                    ln, code = enc_ac[t][(r << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(mag if v > 0 else (~mag) & ((1 << s) - 1), s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw.flush()
+        out += _sos_header([(ci, 0, t)], 1, 63, 0, AL) + bw.out
+
+        # AC refine (Ah=AL, Al=0)
+        bw = _BitWriter()
+        eobrun = 0
+        be_bits = []  # correction bits riding on the pending EOB run
+
+        def emit_eobrun_r():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                ln, code = enc_ac[t][nb << 4]
+                bw.put(code, ln)
+                if nb:
+                    bw.put(eobrun - (1 << nb), nb)
+                for b in be_bits:
+                    bw.put(b, 1)
+                eobrun = 0
+                be_bits = []
+
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = coefs[by, bx]
+                mags = [0] * 64
+                eob_k = 0
+                for k in range(1, 64):
+                    zr, zc = _ZIGZAG[k]
+                    v = int(blk[zr, zc])
+                    mags[k] = -v if v < 0 else v  # >> Al with Al == 0
+                    if mags[k] == 1:
+                        eob_k = k  # last NEWLY-nonzero position
+                r = 0
+                br_bits = []  # block-local correction bits
+                for k in range(1, 64):
+                    temp = mags[k]
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        emit_eobrun_r()
+                        ln, code = enc_ac[t][0xF0]
+                        bw.put(code, ln)
+                        r -= 16
+                        for b in br_bits:
+                            bw.put(b, 1)
+                        br_bits = []
+                    if temp > 1:  # history coef: buffer its correction bit
+                        br_bits.append(temp & 1)
+                        continue
+                    emit_eobrun_r()
+                    ln, code = enc_ac[t][(r << 4) | 1]
+                    bw.put(code, ln)
+                    zr, zc = _ZIGZAG[k]
+                    bw.put(0 if int(blk[zr, zc]) < 0 else 1, 1)
+                    for b in br_bits:
+                        bw.put(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        emit_eobrun_r()
+        emit_eobrun_r()
+        bw.flush()
+        out += _sos_header([(ci, 0, t)], 1, 63, AL, 0) + bw.out
+    return bytes(out)
+
+
+def encode_jpeg(
+    arr, quality_table=None, subsampling=(1, 1), restart_interval=0,
+    progressive=False,
+) -> bytes:
+    """Deterministic JFIF encoder (synthesis/tests twin): forward DCT +
+    quant + Annex-K Huffman tables. `arr` is (h, w) or (h, w, 1)
     grayscale, or (h, w, 3) taken as ALREADY-YCbCr planes (callers wanting
     RGB input must convert; the formula corpora feed Y with Cb=Cr=128 so
     decoded RGB is exactly gray). `quality_table` is an (8, 8) int quant
     table for ALL components (default all-ones = lossless for
     block-constant rasters). `subsampling=(ch, cv)` divides the chroma
     resolution (luma sampling factors become (ch, cv)). Dimensions must be
-    multiples of the MCU size — the synthesis corpora guarantee it."""
+    multiples of the MCU size — the synthesis corpora guarantee it.
+    `progressive=True` emits SOF2 with four scan families: interleaved DC
+    first (Al=1) and DC refine, then per-component AC first (Ss=1..63,
+    Al=1, EOB-run coded) and AC refine (correction bits) — exercising
+    every progressive decode path. Restart intervals apply to the
+    baseline mode only."""
     import numpy as np
 
     a = np.asarray(arr, np.uint8)
@@ -434,19 +790,34 @@ def encode_jpeg(arr, quality_table=None, subsampling=(1, 1), restart_interval=0)
     # DQT (table 0, 8-bit)
     zz = bytes(int(q[r, c]) & 0xFF for r, c in _ZIGZAG)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
-    # SOF0
+    # SOF0 (baseline) / SOF2 (progressive)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci, (hs, vs, _) in enumerate(comps):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
     # DHT: lum tables always; chrom tables for color
     def dht(cls, tid, bits, vals):
         body = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
+    if progressive:
+        out += dht(0, 0, *_FLAT_DC) + dht(1, 0, *_FLAT_AC)
+        if nc == 3:
+            out += dht(0, 1, *_FLAT_DC) + dht(1, 1, *_FLAT_AC)
+        flat_dc = [_enc_lut(*_FLAT_DC)] * 2
+        flat_ac = [_enc_lut(*_FLAT_AC)] * 2
+        out += _progressive_scans(comps, nc, w, h, flat_dc, flat_ac)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     out += dht(0, 0, *_STD_DC_LUM) + dht(1, 0, *_STD_AC_LUM)
     if nc == 3:
         out += dht(0, 1, *_STD_DC_CHR) + dht(1, 1, *_STD_AC_CHR)
+
+    enc_dc = [_enc_lut(*_STD_DC_LUM), _enc_lut(*_STD_DC_CHR)]
+    enc_ac = [_enc_lut(*_STD_AC_LUM), _enc_lut(*_STD_AC_CHR)]
+
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
@@ -456,9 +827,6 @@ def encode_jpeg(arr, quality_table=None, subsampling=(1, 1), restart_interval=0)
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-
-    enc_dc = [_enc_lut(*_STD_DC_LUM), _enc_lut(*_STD_DC_CHR)]
-    enc_ac = [_enc_lut(*_STD_AC_LUM), _enc_lut(*_STD_AC_CHR)]
     bw_ = _BitWriter()
     hmax = max(c[0] for c in comps)
     vmax = max(c[1] for c in comps)

@@ -8,11 +8,12 @@ Codec tiers, by what the container can decode:
   encoder for synthesis/tests.
 - GIF decodes FOR REAL (``decode_gif``: pure-Python variable-width LZW +
   palette mapping, 4-pass interlace).
-- Baseline JPEG decodes FOR REAL (``jpeg.decode_jpeg``: numpy huffman +
-  dequant + IDCT, 4:2:0 upsampling, restart intervals).
-- Progressive JPEG, WebP and audio/video resampling genuinely require
-  external codecs (PIL/ffmpeg/torchaudio) absent here; those paths
-  degrade to metadata-only rows with error='decoder_unavailable'.
+- JPEG decodes FOR REAL, baseline AND progressive (``jpeg.decode_jpeg``:
+  numpy huffman + dequant + IDCT, 4:2:0 upsampling, restart intervals,
+  SOF2 spectral-selection + successive-approximation scans).
+- WebP and audio/video resampling genuinely require external codecs
+  (PIL/ffmpeg/torchaudio) absent here; those paths degrade to
+  metadata-only rows with error='decoder_unavailable'.
 - Codec-free fast paths (magic-byte sniffing, header dimensions,
   byte-level features) always run.
 """
@@ -386,9 +387,9 @@ def encode_png(arr, row_filter=None, palette=None, interlace=0, depth=8) -> byte
 def decode_image(payload: bytes):
     """Image decode dispatch: PNG, GIF and baseline JPEG decode for REAL
     (stdlib zlib + numpy unfiltering; pure-Python LZW + palette; numpy
-    huffman+dequant+IDCT — see decode_png / decode_gif / jpeg.decode_jpeg);
-    progressive JPEG and WebP genuinely need an external codec absent from
-    this container and stay stubbed — the Spark plumbing calls this behind
+    huffman+dequant+IDCT, baseline + progressive — see decode_png /
+    decode_gif / jpeg.decode_jpeg); WebP and JPEG's arithmetic/lossless/
+    hierarchical modes genuinely need an external codec and stay stubbed — the Spark plumbing calls this behind
     a try/except so those rows degrade to metadata-only with
     error='decoder_unavailable'."""
     if payload.startswith(_PNG_SIG):

@@ -63,12 +63,63 @@ def test_lossy_quant_roundtrip_bounded():
     assert np.abs(out - img.astype(int)).mean() < 64
 
 
-def test_progressive_raises_not_implemented():
+def test_lossless_sof3_raises_not_implemented():
     jp = bytearray(encode_jpeg(_blocky(1, 1)))
     i = jp.index(b"\xff\xc0")
-    jp[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    jp[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg(bytes(jp))
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+def test_progressive_dc_only_bit_exact():
+    img = _blocky(3, 4, 2)
+    out = decode_jpeg(encode_jpeg(img, progressive=True))
+    assert (out[:, :, 0] == img).all()
+
+
+def test_progressive_color_exact_and_420():
+    y = _blocky(2, 3, 6)
+    ycc = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], 2)
+    out = decode_jpeg(encode_jpeg(ycc, progressive=True))
+    for c in range(3):
+        assert (out[:, :, c] == y).all()
+    # 4:2:0 progressive: non-interleaved AC scans over DIFFERENT block
+    # grids per component
+    rnd = np.random.RandomState(12)
+    y = rnd.randint(0, 256, (32, 48)).astype(np.uint8)
+    ycc = np.stack([y, np.full_like(y, 100), np.full_like(y, 150)], 2)
+    base = decode_jpeg(encode_jpeg(ycc, subsampling=(2, 2)))
+    prog = decode_jpeg(encode_jpeg(ycc, subsampling=(2, 2), progressive=True))
+    assert np.abs(base.astype(int) - prog.astype(int)).max() <= 1
+
+
+def test_progressive_equals_baseline_coefficients():
+    """The strongest parity check: progressive scans (DC first/refine, AC
+    first with EOB runs, AC refine correction bits) must transport the
+    SAME quantized coefficients as the baseline encoding — decoded output
+    identical byte-for-byte across random content, shapes and quants."""
+    rnd = np.random.RandomState(13)
+    for trial in range(12):
+        h, w = 8 * rnd.randint(1, 6), 8 * rnd.randint(1, 6)
+        img = rnd.randint(0, 256, (h, w)).astype(np.uint8)
+        q = np.full((8, 8), int(rnd.choice([1, 2, 5, 16])), np.int32)
+        a = decode_jpeg(encode_jpeg(img, quality_table=q, progressive=True))
+        b = decode_jpeg(encode_jpeg(img, quality_table=q))
+        assert (a == b).all(), (trial, h, w, int(q[0, 0]))
+
+
+def test_progressive_long_eob_runs_and_zrl():
+    """Sparse high-frequency content: most blocks are DC-only (long EOB
+    runs across blocks) with isolated late AC coefficients (ZRL paths in
+    both first and refine scans)."""
+    img = np.full((48, 64), 90, np.uint8)
+    img[7::8, 7::8] = 200  # one hot pixel per block tail
+    img[20:28, :] = 90  # a fully flat band
+    a = decode_jpeg(encode_jpeg(img, progressive=True))
+    b = decode_jpeg(encode_jpeg(img))
+    assert (a == b).all()
 
 
 def test_corrupt_and_truncated_raise_value_error():
