@@ -677,17 +677,18 @@ FROM documents
 
 
 def q_media_pixel_decode(spark, sf_dir):
-    """REAL PNG pixel decode (multimodal.decode_png): synthesize
-    deterministic PNGs — byte i of the raster is (doc_id*31 + i*7) % 256,
-    each scanline y uses filter y % 5 so all five unfiltering paths run,
-    and doc_id % 4 picks the container tier: gray sequential / RGBA Adam7 /
-    palette (gray-identity PLTE) sequential / RGB Adam7 — then recover
-    pixel-level features. The oracle recomputes the features from the
-    generation formula, so a single wrong reconstructed byte (or a
-    misplaced Adam7 pass row) flips the digest."""
+    """REAL pixel decode across the image-container matrix: byte i of the
+    raster is (doc_id*31 + i*7) % 256 and doc_id % 6 picks the container —
+    PNG gray sequential (filters y%5) / PNG RGBA Adam7 / PNG palette
+    (gray-identity PLTE) / PNG RGB Adam7 / BMP 24-bit (padded BGR rows,
+    bottom-up) / TIFF gray (LZW + horizontal predictor, big-endian,
+    3-row strips) — then recover pixel-level features. The oracle
+    recomputes the features from the generation formula, so a single
+    wrong reconstructed byte in ANY container flips the digest."""
     import pandas as pd
 
     from .multimodal import encode_png, extract_pixel_features
+    from .tiffbmp import encode_bmp, encode_tiff
 
     docs = _docs(spark, sf_dir)
 
@@ -700,21 +701,30 @@ def q_media_pixel_decode(spark, sf_dir):
             for doc_id in pdf.doc_id:
                 d = int(doc_id)
                 w, h = 8 + d % 8, 4 + d % 4
-                mode = d % 4
-                if mode == 2:  # palette: index raster follows the formula
+                mode = d % 6
+                if mode == 2:  # PNG palette: index raster follows the formula
                     idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
-                    png = encode_png(
+                    payload = encode_png(
                         idx.reshape(h, w), palette=pal, row_filter=lambda y: y % 5
+                    )
+                elif mode == 4:  # BMP 24-bit
+                    raw = ((d * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
+                    payload = encode_bmp(raw.reshape(h, w, 3))
+                elif mode == 5:  # TIFF gray, LZW + predictor, big-endian
+                    raw = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
+                    payload = encode_tiff(
+                        raw.reshape(h, w), compression=5, predictor=2,
+                        byte_order=">", rows_per_strip=3,
                     )
                 else:
                     c = {0: 1, 1: 4, 3: 3}[mode]
                     raw = ((d * 31 + np.arange(w * h * c) * 7) % 256).astype(np.uint8)
-                    png = encode_png(
+                    payload = encode_png(
                         raw.reshape(h, w, c),
                         row_filter=lambda y: y % 5,
                         interlace=1 if mode in (1, 3) else 0,
                     )
-                rows.append({"media_id": d, "payload": png})
+                rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
@@ -732,8 +742,8 @@ def q_media_pixel_decode(spark, sf_dir):
 O_MEDIA_PIXEL_DECODE = """
 WITH d AS (
   SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
-         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 3 END AS c,
-         doc_id % 4 AS mode
+         CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 4 WHEN 5 THEN 1 ELSE 3 END AS c,
+         doc_id % 6 AS mode
   FROM documents),
 v AS (
   SELECT doc_id, w, h, c,

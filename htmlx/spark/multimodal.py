@@ -3,14 +3,17 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 Codec tiers, by what the container can decode:
 - PNG decodes FOR REAL (``decode_png``: stdlib zlib inflate + numpy
-  scanline unfiltering, all 5 filter types, 8-bit gray/ga/RGB/RGBA,
-  palette w/ tRNS, Adam7 interlace), with a matching deterministic
-  encoder for synthesis/tests.
+  scanline unfiltering, all 5 filter types, every legal bit depth,
+  gray/ga/RGB/RGBA, palette w/ tRNS, Adam7 interlace), with a matching
+  deterministic encoder for synthesis/tests.
 - GIF decodes FOR REAL (``decode_gif``: pure-Python variable-width LZW +
   palette mapping, 4-pass interlace).
 - JPEG decodes FOR REAL, baseline AND progressive (``jpeg.decode_jpeg``:
   numpy huffman + dequant + IDCT, 4:2:0 upsampling, restart intervals,
   SOF2 spectral-selection + successive-approximation scans).
+- BMP and baseline TIFF decode FOR REAL (``tiffbmp``: strips,
+  None/LZW/Deflate/PackBits, horizontal predictor, palettes, both byte
+  orders).
 - WebP and audio/video resampling genuinely require external codecs
   (PIL/ffmpeg/torchaudio) absent here; those paths degrade to
   metadata-only rows with error='decoder_unavailable'.
@@ -62,6 +65,9 @@ _MAGIC = (
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
     (b"RIFF", "riff"),  # webp/wav disambiguated below
+    (b"BM", "image/bmp"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"ID3", "audio/mpeg"),
     (b"\xff\xfb", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
@@ -86,7 +92,7 @@ def sniff_mime(payload: bytes) -> str:
 
 
 def image_dimensions(payload: bytes) -> tuple[int, int]:
-    """Header-only dimension extraction for PNG/GIF/JPEG (no decoder)."""
+    """Header-only dimension extraction for PNG/GIF/JPEG/BMP/TIFF (no decoder)."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
         return w, h
@@ -105,6 +111,14 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
                 return w, h
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             i += 2 + seg_len
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w = struct.unpack("<i", payload[18:22])[0]
+        h = struct.unpack("<i", payload[22:26])[0]
+        return max(w, 0), abs(h)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffbmp import tiff_dimensions
+
+        return tiff_dimensions(payload)
     return 0, 0
 
 
@@ -400,6 +414,14 @@ def decode_image(payload: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:2] == b"BM":
+        from .tiffbmp import decode_bmp
+
+        return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffbmp import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError("WebP decode requires PIL/libvips (not in container)")
 
 

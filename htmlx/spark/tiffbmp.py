@@ -1,0 +1,419 @@
+"""BMP and baseline TIFF decode — codec-free image containers.
+
+Closes two more image tiers the same way PNG/GIF/JPEG were closed
+(reference media surface: media.go, extract.go:1044-1089), reusing
+already-validated machinery: TIFF's LZW is the MSB-first EarlyChange=1
+variant implemented for PDF (pdf.lzw_decode_pdf), PackBits is the
+RunLength scheme with a no-op 128, and Deflate is stdlib zlib.
+
+Scope:
+- BMP: BITMAPINFOHEADER (and the larger V4/V5 headers), uncompressed
+  8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or top-down, with
+  4-byte row padding. RLE and bitfield compressions degrade.
+- TIFF: both byte orders, single-image IFD walk, chunky planar config,
+  8-bit samples, 1 or 3+ samples/pixel (extra samples kept as alpha),
+  strip-based layout, compressions None(1) / LZW(5, with horizontal
+  predictor) / Deflate(8, 32946) / PackBits(32773), grayscale (both
+  photometric polarities), RGB, and palette-color via ColorMap.
+
+Each decoder has a deterministic synthesis twin for tests and the
+media_pixel_decode formula-oracle corpus. Malformed data raises
+ValueError; genuinely-external features raise NotImplementedError and
+degrade to error='decoder_unavailable' at the Spark layer.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_MAX_RASTER = 128 * 1024 * 1024  # shared decode-side allocation cap
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes):
+    """Decode a BMP payload to (h, w, channels) uint8 (3 = BGR->RGB,
+    4 = BGRA->RGBA, palette expands to RGB)."""
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not_a_bmp")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("bmp core-header variant")
+    w = struct.unpack("<i", payload[18:22])[0]
+    h_signed = struct.unpack("<i", payload[22:26])[0]
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError("bad_dimensions")
+    if compression != 0:
+        raise NotImplementedError(f"bmp compression={compression}")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"bmp bpp={bpp}")
+    if w * h * 4 > _MAX_RASTER:
+        raise ValueError("image_too_large")
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = payload[pal_off : pal_off + n_colors * 4]
+        if len(pal) != n_colors * 4:
+            raise ValueError("truncated_palette")
+        # BGRA quads -> RGB
+        palette = np.frombuffer(pal, np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+    nchan = bpp // 8
+    stride = (w * nchan + 3) & ~3  # rows pad to 4 bytes
+    need = stride * h
+    if len(payload) < data_off + need:
+        raise ValueError("truncated_pixel_data")
+    rows = np.frombuffer(payload, np.uint8, need, data_off).reshape(h, stride)
+    px = rows[:, : w * nchan].reshape(h, w, nchan)
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette_index_out_of_range")
+        return palette[idx]
+    if bpp == 24:
+        return px[:, :, [2, 1, 0]]  # BGR -> RGB
+    return px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
+
+
+def encode_bmp(arr, palette=None, top_down=False) -> bytes:
+    """Synthesis twin: (h, w) indices + palette(n,3), or (h, w, 3) RGB /
+    (h, w, 4) RGBA arrays."""
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if palette is not None:
+        if a.ndim != 2:
+            raise ValueError("palette bmp takes (h, w) indices")
+        h, w = a.shape
+        bpp = 8
+        rows = a[:, :, None]
+    else:
+        h, w, nchan = a.shape
+        bpp = nchan * 8
+        rows = a[:, :, [2, 1, 0]] if nchan == 3 else a[:, :, [2, 1, 0, 3]]
+    stride = (w * bpp // 8 + 3) & ~3
+    body = bytearray()
+    ordered = rows if top_down else rows[::-1]
+    for y in range(h):
+        line = ordered[y].tobytes()
+        body += line + b"\x00" * (stride - len(line))
+    pal_bytes = b""
+    n_colors = 0
+    if palette is not None:
+        pal = np.asarray(palette, np.uint8)
+        n_colors = len(pal)
+        quads = np.zeros((n_colors, 4), np.uint8)
+        quads[:, :3] = pal[:, [2, 1, 0]]  # RGB -> BGRx
+        pal_bytes = quads.tobytes()
+    data_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        len(body), 2835, 2835, n_colors, 0,
+    )
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    return hdr + info + pal_bytes + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# TIFF
+# ---------------------------------------------------------------------------
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
+    278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar",
+    317: "predictor", 320: "colormap", 322: "tile_width",
+}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd_values(payload, bo, typ, count, value_field):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * count
+    if total <= 4:
+        raw = value_field[:total]
+    else:
+        off = struct.unpack(bo + "I", value_field)[0]
+        raw = payload[off : off + total]
+        if len(raw) != total:
+            raise ValueError("truncated_ifd_value")
+    if typ in (1, 2):
+        return list(raw)
+    fmt = {3: "H", 4: "I", 5: "Q"}[typ]
+    if typ == 5:  # rational: numerator only (unused here)
+        return [struct.unpack(bo + "II", raw[i : i + 8])[0] for i in range(0, total, 8)]
+    n = count
+    return list(struct.unpack(bo + fmt * n, raw))
+
+
+def tiff_dimensions(payload: bytes) -> tuple[int, int]:
+    """Header-only (w, h) from the first IFD; (0, 0) on any damage."""
+    try:
+        bo = "<" if payload[:4] == b"II*\x00" else ">"
+        (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+        (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+        dims = {}
+        for i in range(n_entries):
+            e = payload[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+            if tag in (256, 257):
+                v = _read_ifd_values(payload, bo, typ, count, e[8:12])
+                dims[tag] = v[0] if v else 0
+        return dims.get(256, 0), dims.get(257, 0)
+    except (struct.error, ValueError, IndexError):
+        return 0, 0
+
+
+def decode_tiff(payload: bytes):
+    """Decode the first IFD of a TIFF payload to (h, w, channels) uint8."""
+    import numpy as np
+
+    from .pdf import lzw_decode_pdf
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not_a_tiff")
+    if len(payload) < 8:
+        raise ValueError("truncated_tiff")
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated_ifd")
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags = {}
+    for i in range(n_entries):
+        e = payload[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+        if len(e) != 12:
+            raise ValueError("truncated_ifd")
+        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        name = _TIFF_TAGS.get(tag)
+        if name:
+            tags[name] = _read_ifd_values(payload, bo, typ, count, e[8:12])
+    if "tile_width" in tags:
+        raise NotImplementedError("tiled tiff")
+    try:
+        w = tags["width"][0]
+        h = tags["height"][0]
+        offsets = tags["strip_offsets"]
+        counts = tags["strip_byte_counts"]
+    except KeyError as e:
+        raise ValueError(f"missing_tag_{e.args[0]}") from None
+    spp = tags.get("samples_per_pixel", [1])[0]
+    bits = tags.get("bits_per_sample", [8])
+    compression = tags.get("compression", [1])[0]
+    photometric = tags.get("photometric", [1])[0]
+    predictor = tags.get("predictor", [1])[0]
+    rows_per_strip = tags.get("rows_per_strip", [h])[0] or h
+    if tags.get("planar", [1])[0] != 1:
+        raise NotImplementedError("planar tiff")
+    if any(b != 8 for b in bits) or spp < 1 or spp > 4:
+        raise NotImplementedError(f"tiff bits={bits} spp={spp}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad_dimensions")
+    if w * h * spp > _MAX_RASTER:
+        raise ValueError("image_too_large")
+
+    def decompress(raw, expect):
+        if compression == 1:
+            out = raw
+        elif compression == 5:
+            out = lzw_decode_pdf(raw, cap=expect + 8)  # TIFF LZW == EarlyChange=1
+        elif compression in (8, 32946):
+            d = zlib.decompressobj()
+            out = d.decompress(raw, expect)
+            if d.unconsumed_tail:
+                raise ValueError("strip_too_large")
+            out += d.flush()
+        elif compression == 32773:  # PackBits
+            o = bytearray()
+            i = 0
+            while i < len(raw) and len(o) < expect:
+                n0 = raw[i]
+                if n0 < 128:
+                    o += raw[i + 1 : i + 2 + n0]
+                    i += 2 + n0
+                elif n0 > 128:
+                    if i + 1 >= len(raw):
+                        raise ValueError("truncated_packbits")
+                    o += raw[i + 1 : i + 2] * (257 - n0)
+                    i += 2
+                else:
+                    i += 1  # 128: no-op
+            out = bytes(o)
+        else:
+            raise NotImplementedError(f"tiff compression={compression}")
+        if len(out) < expect:
+            raise ValueError("short_strip")
+        return out[:expect]
+
+    stride = w * spp
+    plane = np.zeros((h, stride), np.uint8)
+    y = 0
+    for off, cnt in zip(offsets, counts):
+        raw = payload[off : off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("truncated_strip")
+        rows = min(rows_per_strip, h - y)
+        out = decompress(raw, rows * stride)
+        plane[y : y + rows] = np.frombuffer(out, np.uint8).reshape(rows, stride)
+        y += rows
+    if y < h:
+        raise ValueError("missing_strips")
+    if predictor == 2:  # horizontal differencing: undo per row, per sample
+        px = plane.reshape(h, w, spp).astype(np.uint32)
+        px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
+    elif predictor == 1:
+        px = plane.reshape(h, w, spp)
+    else:
+        raise NotImplementedError(f"tiff predictor={predictor}")
+    if photometric == 3:  # palette-color via ColorMap (16-bit entries)
+        cm = tags.get("colormap")
+        if not cm or spp != 1:
+            raise ValueError("missing_colormap")
+        n = len(cm) // 3
+        cmap = (np.asarray(cm, np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("palette_index_out_of_range")
+        return cmap[idx]
+    if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        return 255 - px
+    return px  # BlackIsZero grayscale or RGB(A)
+
+
+def encode_tiff(
+    arr, compression=1, predictor=1, byte_order="<", rows_per_strip=None,
+    colormap=None, photometric=None,
+) -> bytes:
+    """Synthesis twin: little/big endian, strip-based, chunky, 8-bit.
+    `arr` is (h, w) gray / (h, w, c) / (h, w) indices with colormap(n,3)."""
+    import numpy as np
+
+    from .pdf import lzw_encode_pdf
+
+    bo = byte_order
+    a = np.asarray(arr, np.uint8)
+    if colormap is not None:
+        if a.ndim != 2:
+            raise ValueError("palette tiff takes (h, w) indices")
+        a = a[:, :, None]
+        photometric = 3
+    elif a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    if photometric is None:
+        photometric = 1 if spp == 1 else 2
+    rows_per_strip = rows_per_strip or h
+    stride = w * spp
+
+    def compress(block):
+        if compression == 1:
+            return block
+        if compression == 5:
+            return lzw_encode_pdf(block)
+        if compression in (8, 32946):
+            return zlib.compress(block)
+        if compression == 32773:  # PackBits, packed per row
+            from .pdf import run_length_encode
+
+            out = bytearray()
+            for i in range(0, len(block), stride):
+                row = run_length_encode(block[i : i + stride])
+                out += row[:-1]  # strip RunLength's EOD; PackBits has none
+            return bytes(out)
+        raise ValueError(f"unsupported encode compression={compression}")
+
+    src = a.astype(np.uint8)
+    if predictor == 2:
+        d = src.astype(np.int16)
+        d[:, 1:] -= src[:, :-1].astype(np.int16)
+        src = (d & 0xFF).astype(np.uint8)
+    strips = []
+    for y in range(0, h, rows_per_strip):
+        strips.append(compress(src[y : y + rows_per_strip].tobytes()))
+
+    entries = []  # (tag, type, count, packed_or_data)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [compression])
+    entry(262, 3, [photometric])
+    entry(277, 3, [spp])
+    entry(278, 4, [rows_per_strip])
+    entry(279, 4, [len(s) for s in strips])
+    if predictor != 1:
+        entry(317, 3, [predictor])
+    if colormap is not None:
+        cm = np.asarray(colormap, np.uint8).astype(np.uint16)
+        n = len(cm)
+        entry(320, 3, list((cm[:, 0] << 8)) + list((cm[:, 1] << 8)) + list((cm[:, 2] << 8)))
+    entry(273, 4, [0] * len(strips))  # patched below
+
+    header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    n_ent = len(entries)
+    ifd_size = 2 + n_ent * 12 + 4
+    heap = bytearray()
+    heap_base = 8 + ifd_size
+    packed = []
+    strip_off_entry_idx = None
+    for i, (tag, typ, vals) in enumerate(sorted(entries)):
+        size = _TYPE_SIZE[typ] * len(vals)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        raw = struct.pack(bo + fmt * len(vals), *vals)
+        if tag == 273:
+            strip_off_entry_idx = i
+        if size <= 4:
+            packed.append((tag, typ, len(vals), raw + b"\x00" * (4 - size), None))
+        else:
+            packed.append((tag, typ, len(vals), None, raw))
+    # lay out heap: oversized values first, then strip data
+    offsets_in_heap = []
+    for i, (tag, typ, cnt, inline, raw) in enumerate(packed):
+        if raw is not None:
+            offsets_in_heap.append(heap_base + len(heap))
+            heap += raw
+        else:
+            offsets_in_heap.append(None)
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(heap_base + len(heap))
+        heap += s
+    # rebuild the strip-offsets entry with real offsets
+    fmt = "I"
+    raw = struct.pack(bo + fmt * len(strip_offsets), *strip_offsets)
+    if len(raw) <= 4:
+        packed[strip_off_entry_idx] = (273, 4, len(strip_offsets), raw + b"\x00" * (4 - len(raw)), None)
+    else:
+        off = heap_base + len(heap)
+        heap += raw
+        offsets_in_heap[strip_off_entry_idx] = off
+        packed[strip_off_entry_idx] = (273, 4, len(strip_offsets), None, raw)
+    ifd = struct.pack(bo + "H", len(packed))
+    for i, (tag, typ, cnt, inline, raw) in enumerate(packed):
+        if inline is not None:
+            val4 = inline
+        else:
+            val4 = struct.pack(bo + "I", offsets_in_heap[i])
+        ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val4
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    return header + ifd + bytes(heap)

@@ -39,12 +39,16 @@ def _attempt(fn, blob):
 @_SETTINGS
 def test_image_decoders_never_crash(blob):
     from htmlx.spark.jpeg import decode_jpeg
+    from htmlx.spark.tiffbmp import decode_bmp, decode_tiff
 
-    for prefix in (b"", _PNG_SIG, b"GIF89a", b"RIFF", b"\xff\xd8"):
+    for prefix in (b"", _PNG_SIG, b"GIF89a", b"RIFF", b"\xff\xd8", b"BM",
+                   b"II*\x00", b"MM\x00*"):
         _attempt(decode_image, prefix + blob)
         _attempt(decode_png, prefix + blob)
         _attempt(decode_gif, prefix + blob)
         _attempt(decode_jpeg, prefix + blob)
+        _attempt(decode_bmp, prefix + blob)
+        _attempt(decode_tiff, prefix + blob)
         sniff_mime(prefix + blob)
         image_dimensions(prefix + blob)
 

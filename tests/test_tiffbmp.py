@@ -1,0 +1,116 @@
+"""BMP + baseline TIFF decode tiers (codec-free containers; TIFF LZW
+reuses the PDF MSB-first EarlyChange decoder, PackBits the RunLength
+machinery, Deflate stdlib zlib)."""
+
+import numpy as np
+import pytest
+
+from htmlx.spark.tiffbmp import (
+    decode_bmp,
+    decode_tiff,
+    encode_bmp,
+    encode_tiff,
+    tiff_dimensions,
+)
+
+
+def test_bmp_roundtrips_and_orientation():
+    rnd = np.random.RandomState(4)
+    for shape in ((7, 5, 3), (4, 9, 4), (1, 1, 3)):
+        a = rnd.randint(0, 256, shape).astype(np.uint8)
+        for td in (False, True):
+            got = decode_bmp(encode_bmp(a, top_down=td))
+            assert got.shape == shape and (got == a).all(), (shape, td)
+    # row padding: widths not multiples of 4
+    a = rnd.randint(0, 256, (3, 3, 3)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(a)) == a).all()
+
+
+def test_bmp_palette():
+    rnd = np.random.RandomState(5)
+    pal = rnd.randint(0, 256, (64, 3)).astype(np.uint8)
+    idx = rnd.randint(0, 64, (6, 11)).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(idx, palette=pal)) == pal[idx]).all()
+    bad = np.full((2, 2), 70, np.uint8)  # index past the 64-entry palette
+    with pytest.raises(ValueError, match="palette_index_out_of_range"):
+        decode_bmp(encode_bmp(bad, palette=pal))
+
+
+def test_bmp_error_paths():
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMshort")
+    good = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_bmp(good[: len(good) - 4])  # truncated pixel data
+    rle = bytearray(good)
+    rle[30] = 1  # compression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+def test_tiff_compression_matrix():
+    rnd = np.random.RandomState(6)
+    for comp in (1, 5, 8, 32773):
+        for bo in ("<", ">"):
+            for shape in ((9, 7), (6, 5, 3), (4, 4, 4)):
+                a = rnd.randint(0, 256, shape).astype(np.uint8)
+                t = encode_tiff(a, compression=comp, byte_order=bo, rows_per_strip=3)
+                got = decode_tiff(t)
+                want = a[:, :, None] if a.ndim == 2 else a
+                assert (got == want).all(), (comp, bo, shape)
+
+
+def test_tiff_lzw_horizontal_predictor():
+    rnd = np.random.RandomState(7)
+    a = rnd.randint(0, 256, (16, 12, 3)).astype(np.uint8)
+    t = encode_tiff(a, compression=5, predictor=2, rows_per_strip=5)
+    assert (decode_tiff(t) == a).all()
+
+
+def test_tiff_palette_and_polarity():
+    rnd = np.random.RandomState(8)
+    pal = rnd.randint(0, 256, (64, 3)).astype(np.uint8)
+    idx = rnd.randint(0, 64, (8, 9)).astype(np.uint8)
+    t = encode_tiff(idx, colormap=pal, compression=32773)
+    assert (decode_tiff(t) == pal[idx]).all()
+    g = rnd.randint(0, 256, (5, 5)).astype(np.uint8)
+    t = encode_tiff(255 - g, photometric=0)  # WhiteIsZero
+    assert (decode_tiff(t)[:, :, 0] == g).all()
+
+
+def test_tiff_dimensions_and_errors():
+    a = np.zeros((12, 34, 3), np.uint8)
+    t = encode_tiff(a, byte_order=">")
+    assert tiff_dimensions(t) == (34, 12)
+    assert tiff_dimensions(b"II*\x00junk") == (0, 0)
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+    with pytest.raises(ValueError):
+        decode_tiff(t[: len(t) - 10])  # truncated strip
+    tiled = encode_tiff(a)
+    # splice in a TileWidth tag marker by re-encoding is complex; instead
+    # assert the declared degradation for an unsupported compression id
+    bad = bytearray(encode_tiff(a))
+    # compression tag value lives in the IFD; flipping it to 4 (CCITT G4)
+    import struct
+
+    idx = bad.find(struct.pack("<HHI", 259, 3, 1))
+    assert idx > 0
+    bad[idx + 8 : idx + 10] = struct.pack("<H", 4)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(bad))
+
+
+def test_dispatch_and_sniff():
+    from htmlx.spark.multimodal import decode_image, image_dimensions, sniff_mime
+
+    rnd = np.random.RandomState(9)
+    a = rnd.randint(0, 256, (6, 7, 3)).astype(np.uint8)
+    bmp = encode_bmp(a)
+    tif = encode_tiff(a, compression=8)
+    assert sniff_mime(bmp) == "image/bmp"
+    assert sniff_mime(tif) == "image/tiff"
+    assert image_dimensions(bmp) == (7, 6)
+    assert image_dimensions(tif) == (7, 6)
+    assert (decode_image(bmp) == a).all()
+    assert (decode_image(tif) == a).all()
