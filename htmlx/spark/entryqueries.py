@@ -1349,11 +1349,15 @@ FROM v
 
 
 def q_audio_pcm_decode(spark, sf_dir):
-    """REAL WAV/PCM audio decode (multimodal.decode_wav): synthesize
-    deterministic PCM-16 WAVs — sample i is (doc_id*7 + i*13) % 2048 -
-    1024, frames/channels/rate vary with doc_id — and recover duration,
-    RMS and peak from the decoded samples. The oracle recomputes the
-    features from the formula, so one wrong decoded sample flips RMS."""
+    """REAL audio decode (multimodal.decode_audio): synthesize
+    deterministic PCM-16 — sample i is (doc_id*7 + i*13) % 2048 - 1024,
+    frames/channels/rate vary with doc_id — as WAV for even doc_ids and
+    FLAC for odd (lossless: Rice-coded FIXED/LPC subframes, stereo
+    decorrelation cycling left/mid/right-side, CRC + PCM-MD5 verified on
+    decode), then recover duration, RMS and peak from the decoded
+    samples. FLAC being lossless is the point: ONE oracle recomputes the
+    features from the formula for both containers, so one wrong decoded
+    sample in either flips RMS."""
     import pandas as pd
 
     from .multimodal import encode_wav, extract_audio_features
@@ -1363,6 +1367,8 @@ def q_audio_pcm_decode(spark, sf_dir):
     def build(batches):
         import numpy as np
 
+        from .flac import encode_flac
+
         for pdf in batches:
             rows = []
             for doc_id in pdf.doc_id:
@@ -1371,8 +1377,16 @@ def q_audio_pcm_decode(spark, sf_dir):
                 frames = 256 + d % 128
                 rate = 8000 + (d % 4) * 4000
                 flat = ((d * 7 + np.arange(frames * c) * 13) % 2048) - 1024
-                wav = encode_wav(flat.reshape(frames, c), rate)
-                rows.append({"media_id": d, "payload": wav})
+                pcm = flat.reshape(frames, c)
+                if d % 2 == 1:
+                    mode = ("left_side", "mid_side", "right_side")[(d // 2) % 3]
+                    payload = encode_flac(
+                        pcm, rate, block_size=128,
+                        stereo_mode=mode, lpc=(d % 4 == 3),
+                    )
+                else:
+                    payload = encode_wav(pcm, rate)
+                rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(build, "media_id long, payload binary")

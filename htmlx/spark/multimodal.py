@@ -14,8 +14,11 @@ Codec tiers, by what the container can decode:
 - BMP and baseline TIFF decode FOR REAL (``tiffbmp``: strips,
   None/LZW/Deflate/PackBits, horizontal predictor, palettes, both byte
   orders).
-- WebP and audio/video resampling genuinely require external codecs
-  (PIL/ffmpeg/torchaudio) absent here; those paths degrade to
+- WAV/PCM and FLAC audio decode FOR REAL (``decode_wav``;
+  ``flac.decode_flac``: Rice residuals, FIXED/LPC predictors, stereo
+  decorrelation, CRC-8/16 + PCM-MD5 verification).
+- WebP, MP3/OGG and audio/video resampling genuinely require external
+  codecs (PIL/ffmpeg/torchaudio) absent here; those paths degrade to
   metadata-only rows with error='decoder_unavailable'.
 - Codec-free fast paths (magic-byte sniffing, header dimensions,
   byte-level features) always run.
@@ -660,6 +663,20 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def decode_audio(payload: bytes):
+    """Audio decode dispatch: WAV/PCM and FLAC decode for REAL (RIFF walk;
+    pure-Python FLAC with CRC-8/16 + PCM-MD5 verification — see
+    flac.decode_flac); MP3/OGG genuinely need an external codec and stay
+    stubbed. Returns (rate, channels, (frames, channels) int array)."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError("MP3/OGG decode requires ffmpeg (not in container)")
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """mapInPandas stage over REAL decoded PCM: duration, RMS and peak from
     the sample values. The integer sums are exact, so floor(1000*sqrt(
@@ -680,7 +697,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     "peak": 0, "error": "",
                 }
                 try:
-                    rate, channels, s = decode_wav(b)
+                    rate, channels, s = decode_audio(b)
                     flat = s.astype("int64").ravel()
                     row.update(
                         sample_rate=rate, channels=channels, n_frames=s.shape[0],

@@ -76,6 +76,22 @@ def test_wav_decoder_never_crashes(blob):
 
 @given(st.binary(max_size=2048))
 @_SETTINGS
+def test_flac_decoder_never_crashes(blob):
+    from htmlx.spark.flac import decode_flac
+
+    import numpy as np
+
+    from htmlx.spark.flac import encode_flac
+
+    # bare, raw-metadata, and a valid STREAMINFO followed by fuzz frames
+    good = encode_flac(np.zeros((64, 1), np.int64), 8000)
+    valid_head = good[: 4 + 4 + 34]
+    for prefix in (b"", b"fLaC", valid_head):
+        _attempt(decode_flac, prefix + blob)
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
 def test_pdf_text_never_crashes(blob):
     for prefix in (b"", b"%PDF-1.7\n"):
         try:
