@@ -680,9 +680,10 @@ def q_media_pixel_decode(spark, sf_dir):
     """REAL pixel decode across the image-container matrix: byte i of the
     raster is (doc_id*31 + i*7) % 256 and doc_id % 6 picks the container —
     PNG gray sequential (filters y%5) / PNG RGBA Adam7 / PNG palette
-    (gray-identity PLTE) / PNG RGB Adam7 / BMP 24-bit (padded BGR rows,
-    bottom-up) / TIFF gray (LZW + horizontal predictor, big-endian,
-    3-row strips) — then recover pixel-level features. The oracle
+    (gray-identity PLTE) / PNG RGB Adam7 / BMP 24-bit alternating with
+    TIFF RGB planar-config strips / TIFF gray alternating LZW+predictor
+    big-endian strips with Deflate+predictor 5x4 tiles (edge tiles
+    cropped) — then recover pixel-level features. The oracle
     recomputes the features from the generation formula, so a single
     wrong reconstructed byte in ANY container flips the digest."""
     import pandas as pd
@@ -707,15 +708,27 @@ def q_media_pixel_decode(spark, sf_dir):
                     payload = encode_png(
                         idx.reshape(h, w), palette=pal, row_filter=lambda y: y % 5
                     )
-                elif mode == 4:  # BMP 24-bit
+                elif mode == 4:  # BMP 24-bit / TIFF RGB planar (alternating)
                     raw = ((d * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
-                    payload = encode_bmp(raw.reshape(h, w, 3))
-                elif mode == 5:  # TIFF gray, LZW + predictor, big-endian
+                    if (d // 6) % 2:
+                        payload = encode_tiff(
+                            raw.reshape(h, w, 3), compression=5, predictor=2,
+                            planar=2, rows_per_strip=3,
+                        )
+                    else:
+                        payload = encode_bmp(raw.reshape(h, w, 3))
+                elif mode == 5:  # TIFF gray: LZW strips / Deflate tiles
                     raw = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
-                    payload = encode_tiff(
-                        raw.reshape(h, w), compression=5, predictor=2,
-                        byte_order=">", rows_per_strip=3,
-                    )
+                    if (d // 6) % 2:
+                        payload = encode_tiff(
+                            raw.reshape(h, w), compression=8, predictor=2,
+                            tile=(5, 4),
+                        )
+                    else:
+                        payload = encode_tiff(
+                            raw.reshape(h, w), compression=5, predictor=2,
+                            byte_order=">", rows_per_strip=3,
+                        )
                 else:
                     c = {0: 1, 1: 4, 3: 3}[mode]
                     raw = ((d * 31 + np.arange(w * h * c) * 7) % 256).astype(np.uint8)

@@ -135,6 +135,7 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar",
     317: "predictor", 320: "colormap", 322: "tile_width",
+    323: "tile_length", 324: "tile_offsets", 325: "tile_byte_counts",
 }
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -205,13 +206,16 @@ def decode_tiff(payload: bytes):
         name = _TIFF_TAGS.get(tag)
         if name:
             tags[name] = _read_ifd_values(payload, bo, typ, count, e[8:12])
-    if "tile_width" in tags:
-        raise NotImplementedError("tiled tiff")
+    tiled = "tile_width" in tags or "tile_offsets" in tags
     try:
         w = tags["width"][0]
         h = tags["height"][0]
-        offsets = tags["strip_offsets"]
-        counts = tags["strip_byte_counts"]
+        if tiled:
+            offsets = tags["tile_offsets"]
+            counts = tags["tile_byte_counts"]
+        else:
+            offsets = tags["strip_offsets"]
+            counts = tags["strip_byte_counts"]
     except KeyError as e:
         raise ValueError(f"missing_tag_{e.args[0]}") from None
     spp = tags.get("samples_per_pixel", [1])[0]
@@ -220,8 +224,11 @@ def decode_tiff(payload: bytes):
     photometric = tags.get("photometric", [1])[0]
     predictor = tags.get("predictor", [1])[0]
     rows_per_strip = tags.get("rows_per_strip", [h])[0] or h
-    if tags.get("planar", [1])[0] != 1:
-        raise NotImplementedError("planar tiff")
+    planar = tags.get("planar", [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"bad_planar_config_{planar}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"tiff predictor={predictor}")
     if any(b != 8 for b in bits) or spp < 1 or spp > 4:
         raise NotImplementedError(f"tiff bits={bits} spp={spp}")
     if w <= 0 or h <= 0:
@@ -262,26 +269,68 @@ def decode_tiff(payload: bytes):
             raise ValueError("short_strip")
         return out[:expect]
 
-    stride = w * spp
-    plane = np.zeros((h, stride), np.uint8)
-    y = 0
-    for off, cnt in zip(offsets, counts):
+    def undo_predictor(raw, rows, cols, samples):
+        # horizontal differencing restarts at each block row's left edge,
+        # so it must be undone per strip/tile block, not post-assembly
+        a = np.frombuffer(raw, np.uint8).reshape(rows, cols, samples)
+        if predictor == 2:
+            a = np.cumsum(a.astype(np.uint32), axis=1, dtype=np.uint32).astype(np.uint8)
+        return a
+
+    # planar config 2 stores each sample plane as its own run of
+    # strips/tiles (all of plane 0, then plane 1, ...), 1 sample per block
+    spp_eff = 1 if planar == 2 else spp
+    n_planes = spp if planar == 2 else 1
+    px = np.zeros((h, w, spp), np.uint8)
+
+    def fetch(off, cnt, expect):
         raw = payload[off : off + cnt]
         if len(raw) != cnt:
-            raise ValueError("truncated_strip")
-        rows = min(rows_per_strip, h - y)
-        out = decompress(raw, rows * stride)
-        plane[y : y + rows] = np.frombuffer(out, np.uint8).reshape(rows, stride)
-        y += rows
-    if y < h:
-        raise ValueError("missing_strips")
-    if predictor == 2:  # horizontal differencing: undo per row, per sample
-        px = plane.reshape(h, w, spp).astype(np.uint32)
-        px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
-    elif predictor == 1:
-        px = plane.reshape(h, w, spp)
+            raise ValueError("truncated_block")
+        return decompress(raw, expect)
+
+    if tiled:
+        tw = tags.get("tile_width", [0])[0]
+        th = tags.get("tile_length", [0])[0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("bad_tile_dimensions")
+        if tw * th * spp_eff > _MAX_RASTER:
+            raise ValueError("image_too_large")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) != across * down * n_planes or len(counts) != len(offsets):
+            raise ValueError("bad_tile_count")
+        i = 0
+        for p in range(n_planes):
+            for ty in range(down):
+                for tx in range(across):
+                    # tiles are always padded to full tw x th
+                    out = fetch(offsets[i], counts[i], th * tw * spp_eff)
+                    i += 1
+                    tile = undo_predictor(out, th, tw, spp_eff)
+                    ys, xs = ty * th, tx * tw
+                    hh, ww = min(th, h - ys), min(tw, w - xs)
+                    if planar == 2:
+                        px[ys : ys + hh, xs : xs + ww, p] = tile[:hh, :ww, 0]
+                    else:
+                        px[ys : ys + hh, xs : xs + ww] = tile[:hh, :ww]
     else:
-        raise NotImplementedError(f"tiff predictor={predictor}")
+        per_plane = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != per_plane * n_planes or len(counts) != len(offsets):
+            raise ValueError("bad_strip_count")
+        i = 0
+        for p in range(n_planes):
+            y = 0
+            for _ in range(per_plane):
+                rows = min(rows_per_strip, h - y)
+                out = fetch(offsets[i], counts[i], rows * w * spp_eff)
+                i += 1
+                strip = undo_predictor(out, rows, w, spp_eff)
+                if planar == 2:
+                    px[y : y + rows, :, p] = strip[:, :, 0]
+                else:
+                    px[y : y + rows] = strip
+                y += rows
     if photometric == 3:  # palette-color via ColorMap (16-bit entries)
         cm = tags.get("colormap")
         if not cm or spp != 1:
@@ -299,10 +348,11 @@ def decode_tiff(payload: bytes):
 
 def encode_tiff(
     arr, compression=1, predictor=1, byte_order="<", rows_per_strip=None,
-    colormap=None, photometric=None,
+    colormap=None, photometric=None, planar=1, tile=None,
 ) -> bytes:
-    """Synthesis twin: little/big endian, strip-based, chunky, 8-bit.
-    `arr` is (h, w) gray / (h, w, c) / (h, w) indices with colormap(n,3)."""
+    """Synthesis twin: little/big endian, strip- or tile-based, chunky or
+    planar, 8-bit. `arr` is (h, w) gray / (h, w, c) / (h, w) indices with
+    colormap(n,3); `tile=(tw, th)` switches to padded tiles."""
     import numpy as np
 
     from .pdf import lzw_encode_pdf
@@ -320,9 +370,11 @@ def encode_tiff(
     if photometric is None:
         photometric = 1 if spp == 1 else 2
     rows_per_strip = rows_per_strip or h
-    stride = w * spp
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
+    spp_eff = 1 if planar == 2 else spp
 
-    def compress(block):
+    def compress(block, row_bytes):
         if compression == 1:
             return block
         if compression == 5:
@@ -333,20 +385,36 @@ def encode_tiff(
             from .pdf import run_length_encode
 
             out = bytearray()
-            for i in range(0, len(block), stride):
-                row = run_length_encode(block[i : i + stride])
+            for i in range(0, len(block), row_bytes):
+                row = run_length_encode(block[i : i + row_bytes])
                 out += row[:-1]  # strip RunLength's EOD; PackBits has none
             return bytes(out)
         raise ValueError(f"unsupported encode compression={compression}")
 
-    src = a.astype(np.uint8)
-    if predictor == 2:
-        d = src.astype(np.int16)
-        d[:, 1:] -= src[:, :-1].astype(np.int16)
-        src = (d & 0xFF).astype(np.uint8)
-    strips = []
-    for y in range(0, h, rows_per_strip):
-        strips.append(compress(src[y : y + rows_per_strip].tobytes()))
+    def diff(block):
+        # horizontal differencing within each block row
+        if predictor != 2:
+            return block
+        d = block.astype(np.int16)
+        d[:, 1:] -= block[:, :-1].astype(np.int16)
+        return (d & 0xFF).astype(np.uint8)
+
+    planes = [a[:, :, p : p + 1] for p in range(spp)] if planar == 2 else [a]
+    blocks = []
+    if tile:
+        tw, th = tile
+        for src in planes:
+            for ty in range(0, h, th):
+                for tx in range(0, w, tw):
+                    t = np.zeros((th, tw, spp_eff), np.uint8)  # padded
+                    part = src[ty : ty + th, tx : tx + tw]
+                    t[: part.shape[0], : part.shape[1]] = part
+                    blocks.append(compress(diff(t).tobytes(), tw * spp_eff))
+    else:
+        for src in planes:
+            for y in range(0, h, rows_per_strip):
+                s = diff(src[y : y + rows_per_strip])
+                blocks.append(compress(s.tobytes(), w * spp_eff))
 
     entries = []  # (tag, type, count, packed_or_data)
 
@@ -359,15 +427,25 @@ def encode_tiff(
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])
-    entry(278, 4, [rows_per_strip])
-    entry(279, 4, [len(s) for s in strips])
+    if tile:
+        entry(322, 4, [tile[0]])
+        entry(323, 4, [tile[1]])
+        entry(325, 4, [len(s) for s in blocks])
+        data_tag = 324
+    else:
+        entry(278, 4, [rows_per_strip])
+        entry(279, 4, [len(s) for s in blocks])
+        data_tag = 273
+    if planar == 2:
+        entry(284, 3, [2])
     if predictor != 1:
         entry(317, 3, [predictor])
     if colormap is not None:
         cm = np.asarray(colormap, np.uint8).astype(np.uint16)
         n = len(cm)
         entry(320, 3, list((cm[:, 0] << 8)) + list((cm[:, 1] << 8)) + list((cm[:, 2] << 8)))
-    entry(273, 4, [0] * len(strips))  # patched below
+    entry(data_tag, 4, [0] * len(blocks))  # patched below
+    strips = blocks
 
     header = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
     n_ent = len(entries)
@@ -380,7 +458,7 @@ def encode_tiff(
         size = _TYPE_SIZE[typ] * len(vals)
         fmt = {1: "B", 3: "H", 4: "I"}[typ]
         raw = struct.pack(bo + fmt * len(vals), *vals)
-        if tag == 273:
+        if tag == data_tag:
             strip_off_entry_idx = i
         if size <= 4:
             packed.append((tag, typ, len(vals), raw + b"\x00" * (4 - size), None))
@@ -402,12 +480,12 @@ def encode_tiff(
     fmt = "I"
     raw = struct.pack(bo + fmt * len(strip_offsets), *strip_offsets)
     if len(raw) <= 4:
-        packed[strip_off_entry_idx] = (273, 4, len(strip_offsets), raw + b"\x00" * (4 - len(raw)), None)
+        packed[strip_off_entry_idx] = (data_tag, 4, len(strip_offsets), raw + b"\x00" * (4 - len(raw)), None)
     else:
         off = heap_base + len(heap)
         heap += raw
         offsets_in_heap[strip_off_entry_idx] = off
-        packed[strip_off_entry_idx] = (273, 4, len(strip_offsets), None, raw)
+        packed[strip_off_entry_idx] = (data_tag, 4, len(strip_offsets), None, raw)
     ifd = struct.pack(bo + "H", len(packed))
     for i, (tag, typ, cnt, inline, raw) in enumerate(packed):
         if inline is not None:

@@ -114,3 +114,50 @@ def test_dispatch_and_sniff():
     assert image_dimensions(tif) == (7, 6)
     assert (decode_image(bmp) == a).all()
     assert (decode_image(tif) == a).all()
+
+
+def test_tiff_tiled_roundtrips():
+    rnd = np.random.RandomState(6)
+    # edge tiles crop: 13x7 image, 5x4 tiles -> 3x2 grid with padding
+    for shape, tile in (((7, 13, 3), (5, 4)), ((7, 13), (5, 4)),
+                        ((4, 4), (16, 16)), ((9, 5, 4), (5, 9))):
+        a = rnd.randint(0, 256, shape).astype(np.uint8)
+        want = a if a.ndim == 3 else a[:, :, None]
+        for comp in (1, 5, 8, 32773):
+            for pred in (1, 2):
+                got = decode_tiff(encode_tiff(a, compression=comp,
+                                              predictor=pred, tile=tile))
+                assert (got == want).all(), (shape, tile, comp, pred)
+
+
+def test_tiff_planar_roundtrips():
+    rnd = np.random.RandomState(7)
+    a = rnd.randint(0, 256, (7, 13, 3)).astype(np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            # planar strips (3-row) and planar tiles
+            got = decode_tiff(encode_tiff(a, compression=comp, predictor=pred,
+                                          planar=2, rows_per_strip=3))
+            assert (got == a).all(), ("strips", comp, pred)
+            got = decode_tiff(encode_tiff(a, compression=comp, predictor=pred,
+                                          planar=2, tile=(5, 4), byte_order=">"))
+            assert (got == a).all(), ("tiles", comp, pred)
+
+
+def test_tiff_predictor_restarts_per_tile():
+    # a gradient whose cumsum differs if the predictor leaks across the
+    # tile boundary: constant-difference rows inside each tile
+    a = (np.arange(8 * 8).reshape(8, 8) * 3 % 256).astype(np.uint8)
+    got = decode_tiff(encode_tiff(a, predictor=2, tile=(4, 4)))
+    assert (got[:, :, 0] == a).all()
+
+
+def test_tiff_block_count_validation():
+    a = np.zeros((6, 6), np.uint8)
+    payload = bytearray(encode_tiff(a, tile=(4, 4)))
+    # corrupt the tile count indirectly: claim a bigger image than the
+    # provided tiles cover
+    grown = encode_tiff(np.zeros((12, 12), np.uint8), tile=(4, 4))
+    truncated = grown[: len(grown) - 16]  # drop trailing tile bytes
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(truncated))
