@@ -679,11 +679,13 @@ FROM documents
 def q_media_pixel_decode(spark, sf_dir):
     """REAL pixel decode across the image-container matrix: byte i of the
     raster is (doc_id*31 + i*7) % 256 and doc_id % 6 picks the container —
-    PNG gray sequential (filters y%5) / PNG RGBA Adam7 / PNG palette
-    (gray-identity PLTE) / PNG RGB Adam7 / BMP 24-bit alternating with
-    TIFF RGB planar-config strips / TIFF gray alternating LZW+predictor
-    big-endian strips with Deflate+predictor 5x4 tiles (edge tiles
-    cropped) — then recover pixel-level features. The oracle
+    PNG gray sequential (filters y%5) / RGBA alternating PNG Adam7 with
+    WebP VP8L (cycling predictor modes, subtract-green, color cache,
+    LZ77) / PNG palette (gray-identity PLTE) / PNG RGB Adam7 / BMP 24-bit
+    alternating with TIFF RGB planar-config strips / TIFF gray
+    alternating LZW+predictor big-endian strips with Deflate+predictor
+    5x4 tiles (edge tiles cropped) — then recover pixel-level features.
+    The oracle
     recomputes the features from the generation formula, so a single
     wrong reconstructed byte in ANY container flips the digest."""
     import pandas as pd
@@ -729,6 +731,17 @@ def q_media_pixel_decode(spark, sf_dir):
                             raw.reshape(h, w), compression=5, predictor=2,
                             byte_order=">", rows_per_strip=3,
                         )
+                elif mode == 1 and (d // 6) % 2:  # WebP VP8L (lossless RGBA)
+                    from .vp8l import encode_vp8l
+
+                    raw = ((d * 31 + np.arange(w * h * 4) * 7) % 256).astype(np.uint8)
+                    payload = encode_vp8l(
+                        raw.reshape(h, w, 4),
+                        predictor_mode=(d // 12) % 14,
+                        subtract_green=d % 3 == 0,
+                        cache_bits=4 if d % 5 == 0 else 0,
+                        lz77=True,
+                    )
                 else:
                     c = {0: 1, 1: 4, 3: 3}[mode]
                     raw = ((d * 31 + np.arange(w * h * c) * 7) % 256).astype(np.uint8)

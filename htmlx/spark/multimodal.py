@@ -402,12 +402,13 @@ def encode_png(arr, row_filter=None, palette=None, interlace=0, depth=8) -> byte
 
 
 def decode_image(payload: bytes):
-    """Image decode dispatch: PNG, GIF and baseline JPEG decode for REAL
-    (stdlib zlib + numpy unfiltering; pure-Python LZW + palette; numpy
-    huffman+dequant+IDCT, baseline + progressive — see decode_png /
-    decode_gif / jpeg.decode_jpeg); WebP and JPEG's arithmetic/lossless/
-    hierarchical modes genuinely need an external codec and stay stubbed — the Spark plumbing calls this behind
-    a try/except so those rows degrade to metadata-only with
+    """Image decode dispatch: PNG, GIF, baseline+progressive JPEG, BMP,
+    TIFF and lossless WebP (VP8L) decode for REAL (stdlib zlib + numpy
+    unfiltering; pure-Python LZW + palette; numpy huffman+dequant+IDCT;
+    canonical-huffman VP8L with all four transforms — see vp8l.py); lossy
+    VP8 and JPEG's arithmetic/lossless/hierarchical modes genuinely need
+    an external codec and stay stubbed — the Spark plumbing calls this
+    behind a try/except so those rows degrade to metadata-only with
     error='decoder_unavailable'."""
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
@@ -425,7 +426,11 @@ def decode_image(payload: bytes):
         from .tiffbmp import decode_tiff
 
         return decode_tiff(payload)
-    raise NotImplementedError("WebP decode requires PIL/libvips (not in container)")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        return decode_webp(payload)
+    raise NotImplementedError("unknown image container (no codec available)")
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:

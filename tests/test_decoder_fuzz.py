@@ -190,3 +190,16 @@ def test_pdf_text_string_roundtrip_property(text):
         + encode_pdf_text_string(text) + b") Tj ET\nendstream\nendobj\n"
     )
     assert extract_pdf_text(doc) == text
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_vp8l_decoder_never_crashes(blob):
+    import numpy as np
+
+    from htmlx.spark.vp8l import decode_alpha_plane, decode_webp, encode_vp8l
+
+    good = encode_vp8l(np.zeros((4, 4, 4), np.uint8))
+    for prefix in (b"", b"RIFF", good[:21]):  # bare / riff tag / valid header
+        _attempt(decode_webp, prefix + blob)
+    _attempt(lambda b: decode_alpha_plane(b, 8, 8), blob)

@@ -44,14 +44,17 @@ def test_dimensions():
 
 def test_decode_dispatch_error_classes():
     # JPEG is real now: a bare header with no scan is malformed, not
-    # "unavailable"; same for a PNG header without scanlines. WebP is the
-    # remaining genuinely-external format.
+    # "unavailable"; same for a PNG header without scanlines and a WebP
+    # container without an image chunk. Lossy VP8 frames are the
+    # remaining genuinely-external image format.
     with pytest.raises(ValueError):
         decode_image(_jpeg(1, 1))
     with pytest.raises(ValueError):
         decode_image(_png(1, 1))
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x04\x00\x00\x00WEBP")
+    with pytest.raises(NotImplementedError):  # well-formed lossy VP8 chunk
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
 
 
 # ---------------------------------------------------------------------------
