@@ -1312,14 +1312,19 @@ FROM documents
 
 
 def q_gif_pixel_decode(spark, sf_dir):
-    """REAL GIF decode (multimodal.decode_gif — pure-Python LZW + palette):
-    synthesize GIFs whose index raster follows the pixel formula with a
-    grayscale-identity palette (odd ids 4-pass interlaced), decode to RGB,
-    recover pixel features. The oracle expands index i -> (v, v, v) bytes
-    from the formula — row misordering flips the digest."""
+    """REAL GIF decode (multimodal.decode_gif / decode_gif_frames —
+    pure-Python LZW + palette + animation compositing): synthesize GIFs
+    whose first-frame index raster follows the pixel formula with a
+    grayscale-identity palette. doc_id % 3 picks the tier: plain
+    sequential / 4-pass interlaced / 3-frame ANIMATION (base frame;
+    patch1 erased by disposal 3 restore-to-previous; patch2 with
+    transparent index 0 composited into the final canvas). The oracle
+    recomputes the first frame AND the final composited canvas from the
+    formulas — a wrong disposal, transparency skip, or placement flips
+    anim_md5."""
     import pandas as pd
 
-    from .multimodal import encode_gif, extract_pixel_features
+    from .multimodal import encode_gif, encode_gif_animation, extract_pixel_features
 
     docs = _docs(spark, sf_dir)
 
@@ -1333,16 +1338,24 @@ def q_gif_pixel_decode(spark, sf_dir):
                 d = int(doc_id)
                 w, h = 6 + d % 6, 3 + d % 5
                 idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
-                rows.append(
-                    {
-                        "media_id": d,
-                        # odd ids ship 4-pass interlaced: the stream carries
-                        # rows in 0%8/4%8/2%4/1%2 order, decode must reorder
-                        "payload": encode_gif(
-                            idx.reshape(h, w), pal, interlace=(d % 2 == 1)
-                        ),
-                    }
-                )
+                if d % 3 == 2:  # animated: base + erased patch1 + patch2
+                    p1 = ((d * 13 + np.arange((w - 2) * (h - 2)) * 5) % 256)
+                    p2 = ((d * 17 + np.arange((w - 3) * (h - 2)) * 11) % 256)
+                    p2 = np.where(p2 % 4 == 0, 0, p2)  # 0 is the transparent index
+                    payload = encode_gif_animation(pal, (w, h), [
+                        dict(indices=idx.reshape(h, w), disposal=1, delay_cs=3),
+                        dict(x=1, y=1, indices=p1.astype(np.uint8).reshape(h - 2, w - 2),
+                             disposal=3, delay_cs=4),
+                        dict(x=2, y=1, indices=p2.astype(np.uint8).reshape(h - 2, w - 3),
+                             transparent=0, delay_cs=5),
+                    ])
+                else:
+                    # interlaced tier: the stream carries rows in
+                    # 0%8/4%8/2%4/1%2 order, decode must reorder
+                    payload = encode_gif(
+                        idx.reshape(h, w), pal, interlace=(d % 3 == 1)
+                    )
+                rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
@@ -1353,22 +1366,38 @@ def q_gif_pixel_decode(spark, sf_dir):
         F.col("channels").cast("long").alias("channels"),
         "px_md5",
         "mean_x1000",
+        "n_frames",
+        "anim_ms",
+        "anim_md5",
         "error",
     )
 
 
 O_GIF_PIXEL_DECODE = """
 WITH d AS (
-  SELECT doc_id, 6 + doc_id % 6 AS w, 3 + doc_id % 5 AS h FROM documents),
+  SELECT doc_id, 6 + doc_id % 6 AS w, 3 + doc_id % 5 AS h, doc_id % 3 AS m
+  FROM documents),
 v AS (
-  SELECT doc_id, w, h,
-         [(doc_id * 31 + i * 7) % 256 FOR i IN generate_series(0, w * h - 1)] AS px
+  SELECT doc_id, w, h, m,
+         [(doc_id * 31 + i * 7) % 256 FOR i IN generate_series(0, w * h - 1)] AS px,
+         -- final composited canvas: patch2 (transparent where val%4=0)
+         -- over the base frame restored by patch1's disposal-3
+         [CASE WHEN m = 2
+                AND (i // w) BETWEEN 1 AND h - 2
+                AND (i % w) BETWEEN 2 AND w - 2
+                AND ((doc_id * 17 + (((i // w) - 1) * (w - 3) + (i % w) - 2) * 11) % 256) % 4 != 0
+               THEN (doc_id * 17 + (((i // w) - 1) * (w - 3) + (i % w) - 2) * 11) % 256
+               ELSE (doc_id * 31 + i * 7) % 256 END
+          FOR i IN generate_series(0, w * h - 1)] AS fin
   FROM d)
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS channels,
        md5(array_to_string([repeat(lpad(lower(to_hex(x)), 2, '0'), 3) FOR x IN px], '')) AS px_md5,
        CAST(list_sum(px) * 3 * 1000 // (w * h * 3) AS BIGINT) AS mean_x1000,
+       CAST(CASE WHEN m = 2 THEN 3 ELSE 1 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN m = 2 THEN 120 ELSE 0 END AS BIGINT) AS anim_ms,
+       md5(array_to_string([repeat(lpad(lower(to_hex(x)), 2, '0'), 3) FOR x IN fin], '')) AS anim_md5,
        '' AS error
 FROM v
 """

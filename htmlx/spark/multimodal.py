@@ -430,6 +430,10 @@ def decode_image(payload: bytes):
         from .vp8l import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] == b"\x00\x00\x01\x00":
+        from .tiffbmp import decode_ico
+
+        return decode_ico(payload)
     raise NotImplementedError("unknown image container (no codec available)")
 
 
@@ -554,6 +558,9 @@ PIXEL_FEATURES_SCHEMA = StructType(
         StructField("channels", IntegerType()),
         StructField("px_md5", StringType()),
         StructField("mean_x1000", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("anim_ms", LongType()),
+        StructField("anim_md5", StringType()),
         StructField("error", StringType()),
     ]
 )
@@ -564,7 +571,11 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
     (PNG decodes in-container; other formats degrade per decode_image),
     then compute pixel-level features — digest of the raw pixel bytes
     (md5 over the lowercase-hex basis, the engine's cross-engine-verifiable
-    convention) and floor(1000 * mean byte value)."""
+    convention) and floor(1000 * mean byte value). GIFs additionally run
+    the full animation composite (decode_gif_frames): frame count, total
+    duration, and the digest of the FINAL composited canvas (RGB part) —
+    wrong disposal or transparency handling flips anim_md5. Single-frame
+    containers report n_frames=1 and anim_md5 = px_md5's raster."""
     import binascii
     import hashlib
 
@@ -578,7 +589,8 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 row = {
                     "media_id": media_id, "width": 0, "height": 0,
-                    "channels": 0, "px_md5": "", "mean_x1000": 0, "error": "",
+                    "channels": 0, "px_md5": "", "mean_x1000": 0,
+                    "n_frames": 0, "anim_ms": 0, "anim_md5": "", "error": "",
                 }
                 try:
                     px = decode_image(b)
@@ -588,7 +600,17 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
                         width=w, height=h, channels=c,
                         px_md5=hashlib.md5(binascii.hexlify(raw)).hexdigest(),
                         mean_x1000=int(px.astype("int64").sum() * 1000 // len(raw)),
+                        n_frames=1,
+                        anim_md5=hashlib.md5(binascii.hexlify(raw)).hexdigest(),
                     )
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        frames, delays = decode_gif_frames(b)
+                        final = frames[-1][:, :, :3].tobytes()
+                        row.update(
+                            n_frames=len(frames),
+                            anim_ms=sum(delays),
+                            anim_md5=hashlib.md5(binascii.hexlify(final)).hexdigest(),
+                        )
                 except NotImplementedError:
                     row["error"] = "decoder_unavailable"
                 except (ValueError, zlib.error):
@@ -849,12 +871,159 @@ def _gif_interlace_order(h: int):
     return order
 
 
+def decode_gif_frames(payload: bytes, max_frames: int = 256):
+    """REAL animated-GIF decode: full canvas compositing per GIF89a —
+    frame placement rects, per-frame local palettes, transparency index,
+    and disposal methods 0/1 (keep), 2 (restore to transparent
+    background), 3 (restore to previous canvas). Returns (frames, delays)
+    where frames is a list of (canvas_h, canvas_w, 4) uint8 RGBA
+    snapshots (one per image descriptor, composited) and delays the
+    per-frame GCE delay in ms. Malformed data raises ValueError."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not_a_gif")
+    if len(payload) < 13:
+        raise ValueError("truncated_gif_header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if sw <= 0 or sh <= 0:
+        raise ValueError("bad_dimensions")
+    if sw * sh * 4 > _MAX_RASTER_BYTES:
+        raise ValueError("image_too_large")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if pos + n * 3 > len(payload):
+            raise ValueError("truncated_color_table")
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 4), np.uint8)
+    frames = []
+    delays = []
+    disposal = 0
+    transparent = None
+    delay_ms = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("truncated_extension")
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                gce_flags = payload[pos + 1]
+                delay_ms = struct.unpack("<H", payload[pos + 2 : pos + 4])[0] * 10
+                disposal = (gce_flags >> 2) & 7
+                transparent = payload[pos + 4] if gce_flags & 1 else None
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if len(frames) >= max_frames:
+                break
+            if pos + 10 > len(payload):
+                raise ValueError("truncated_image_descriptor")
+            fx, fy, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if fx + w > sw or fy + h > sh or w == 0 or h == 0:
+                raise ValueError("frame_outside_canvas")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                if pos + n * 3 > len(payload):
+                    raise ValueError("truncated_color_table")
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("missing_color_table")
+            if pos >= len(payload):
+                raise ValueError("truncated_image_data")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("short_pixel_data")
+            indices = np.asarray(idx[: w * h], np.int64)
+            if indices.max(initial=0) >= len(pal):
+                raise ValueError("palette_index_out_of_range")
+            raster = indices.reshape(h, w)
+            if iflags & 0x40:
+                out = np.empty_like(raster)
+                out[_gif_interlace_order(h)] = raster
+                raster = out
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[fy : fy + h, fx : fx + w]
+            opaque = (
+                np.ones((h, w), bool) if transparent is None else raster != transparent
+            )
+            region[opaque, :3] = pal[raster[opaque]]
+            region[opaque, 3] = 255
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            if disposal == 2:  # restore to background = transparent
+                canvas[fy : fy + h, fx : fx + w] = 0
+            elif disposal == 3 and before is not None:
+                canvas = before
+            disposal = 0
+            transparent = None
+            delay_ms = 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError("bad_gif_block")
+    if not frames:
+        raise ValueError("no_image_data")
+    return frames, delays
+
+
+def _gif_pixel_stream(flat, bits: int) -> bytes:
+    """Per-pixel-clear LZW stream: a clear code before every literal pixel
+    code, so the table never grows and the code width stays fixed —
+    inefficient but spec-valid, and it exercises the decoder's clear-code
+    handling on every pixel."""
+    clear = 1 << bits
+    width = bits + 1
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for px in flat:
+        emit(clear)
+        emit(int(px))
+    emit(clear + 1)  # end
+    if nbits:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def _gif_sub_blocks(stream: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return bytes(out) + b"\x00"
+
+
 def encode_gif(indices, palette, interlace=False) -> bytes:
-    """Minimal deterministic GIF encoder (synthesis/tests twin): emits a
-    clear code before every literal pixel code, so the LZW table never
-    grows and the code width stays fixed — inefficient but spec-valid,
-    and it exercises the decoder's clear-code handling on every pixel.
-    `interlace=True` writes rows in 4-pass order with the interlace flag."""
+    """Minimal deterministic GIF encoder (synthesis/tests twin); see
+    _gif_pixel_stream for the LZW discipline. `interlace=True` writes
+    rows in 4-pass order with the interlace flag."""
     import numpy as np
 
     a = np.asarray(indices, np.uint8)
@@ -864,33 +1033,45 @@ def encode_gif(indices, palette, interlace=False) -> bytes:
     pal = np.asarray(palette, np.uint8)
     npal = len(pal)
     bits = max(2, int(npal - 1).bit_length())
-    clear = 1 << bits
-    width = bits + 1
-    acc = 0
-    nbits = 0
-    stream = bytearray()
-    def emit(code):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            stream.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    for px in a.ravel():
-        emit(clear)
-        emit(int(px))
-    emit(clear + 1)  # end
-    if nbits:
-        stream.append(acc & 0xFF)
     out = bytearray(b"GIF89a")
     table = bytearray(pal.tobytes()) + b"\x00" * ((1 << bits) - npal) * 3
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + table
     out += b"\x2c" + struct.pack(
         "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
     ) + bytes([bits])
-    for i in range(0, len(stream), 255):
-        chunk = stream[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
-    return bytes(out)
+    out += _gif_sub_blocks(_gif_pixel_stream(a.ravel(), bits))
+    return bytes(out) + b"\x3b"
+
+
+def encode_gif_animation(palette, size, frames) -> bytes:
+    """Synthesis twin for animated GIFs: `size` is (canvas_w, canvas_h),
+    `frames` a list of dicts with keys x, y, indices ((h, w) array),
+    disposal (0-3), transparent (index or None), delay_cs (centiseconds),
+    interlace (bool). Each frame gets a Graphic Control Extension."""
+    import numpy as np
+
+    pal = np.asarray(palette, np.uint8)
+    npal = len(pal)
+    bits = max(2, int(npal - 1).bit_length())
+    sw, sh = size
+    out = bytearray(b"GIF89a")
+    table = bytearray(pal.tobytes()) + b"\x00" * ((1 << bits) - npal) * 3
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (bits - 1), 0, 0) + table
+    for f in frames:
+        a = np.asarray(f["indices"], np.uint8)
+        h, w = a.shape
+        if f.get("interlace"):
+            a = a[_gif_interlace_order(h)]
+        transparent = f.get("transparent")
+        gce_flags = ((f.get("disposal", 0) & 7) << 2) | (
+            1 if transparent is not None else 0
+        )
+        out += b"\x21\xf9\x04" + bytes([gce_flags]) + struct.pack(
+            "<H", f.get("delay_cs", 0)
+        ) + bytes([transparent or 0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("x", 0), f.get("y", 0), w, h,
+            0x40 if f.get("interlace") else 0,
+        ) + bytes([bits])
+        out += _gif_sub_blocks(_gif_pixel_stream(a.ravel(), bits))
+    return bytes(out) + b"\x3b"

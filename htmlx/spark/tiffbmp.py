@@ -495,3 +495,162 @@ def encode_tiff(
         ifd += struct.pack(bo + "HHI", tag, typ, cnt) + val4
     ifd += struct.pack(bo + "I", 0)  # no next IFD
     return header + ifd + bytes(heap)
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicons: BMP DIBs with AND masks, or embedded PNGs)
+# ---------------------------------------------------------------------------
+
+def decode_ico(payload: bytes):
+    """Decode an ICO container to (h, w, 4) uint8 RGBA, picking the
+    largest image. Entries are either embedded PNGs (decoded via
+    multimodal.decode_png) or headerless BMP DIBs whose BITMAPINFOHEADER
+    height covers XOR+AND planes; 32-bit entries carry alpha directly,
+    24/8/4/1-bit entries take alpha from the 1-bit AND mask."""
+    import numpy as np
+
+    if len(payload) < 6 or payload[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not_an_ico")
+    (count,) = struct.unpack("<H", payload[4:6])
+    if count == 0 or count > 64:
+        raise ValueError("bad_ico_count")
+    best = None
+    for i in range(count):
+        e = payload[6 + i * 16 : 22 + i * 16]
+        if len(e) != 16:
+            raise ValueError("truncated_ico_directory")
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, size, off)
+    _, w, h, size, off = best
+    body = payload[off : off + size]
+    if len(body) != size:
+        raise ValueError("truncated_ico_image")
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        from .multimodal import decode_png
+
+        px = decode_png(body)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        if px.shape[2] == 3:
+            px = np.concatenate(
+                [px, np.full(px.shape[:2] + (1,), 255, np.uint8)], axis=2
+            )
+        return px
+    # BMP DIB: header height is XOR + AND planes combined
+    if len(body) < 40:
+        raise ValueError("truncated_dib")
+    hdr_size = struct.unpack("<I", body[0:4])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("ico core-header dib")
+    dw = struct.unpack("<i", body[4:8])[0]
+    dh = struct.unpack("<i", body[8:12])[0] // 2
+    bpp = struct.unpack("<H", body[14:16])[0]
+    compression = struct.unpack("<I", body[16:20])[0]
+    if compression != 0:
+        raise NotImplementedError(f"ico dib compression={compression}")
+    if dw != w or dh != h:
+        w, h = dw, dh  # the DIB is authoritative; directory bytes are hints
+    if w <= 0 or h <= 0 or w * h * 4 > _MAX_RASTER:
+        raise ValueError("bad_dimensions")
+    pos = hdr_size
+    palette = None
+    if bpp <= 8:
+        n_colors = struct.unpack("<I", body[32:36])[0] or (1 << bpp)
+        pal = body[pos : pos + n_colors * 4]
+        if len(pal) != n_colors * 4:
+            raise ValueError("truncated_palette")
+        palette = np.frombuffer(pal, np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
+        pos += n_colors * 4
+    if bpp in (24, 32):
+        stride = (w * (bpp // 8) + 3) & ~3
+        need = stride * h
+        if len(body) < pos + need:
+            raise ValueError("truncated_pixel_data")
+        rows = np.frombuffer(body, np.uint8, need, pos).reshape(h, stride)
+        px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)[::-1]  # bottom-up
+        pos += need
+        if bpp == 32:
+            return px[:, :, [2, 1, 0, 3]].copy()  # BGRA -> RGBA, own alpha
+        rgb = px[:, :, [2, 1, 0]]
+    elif bpp in (1, 4, 8):
+        row_bits = w * bpp
+        stride = ((row_bits + 31) // 32) * 4
+        need = stride * h
+        if len(body) < pos + need:
+            raise ValueError("truncated_pixel_data")
+        rows = np.frombuffer(body, np.uint8, need, pos).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 1:
+                idx = bits[:, :w]
+            else:  # 4-bit: each nibble is an index, MSB nibble first
+                nib = bits.reshape(h, -1, 4)
+                idx = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                       + nib[:, :, 2] * 2 + nib[:, :, 3])[:, :w]
+        idx = idx[::-1]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette_index_out_of_range")
+        rgb = palette[idx]
+        pos += need
+    else:
+        raise NotImplementedError(f"ico bpp={bpp}")
+    # AND mask: 1 bit per pixel, rows padded to 32 bits, bottom-up; 1=transparent
+    mask_stride = ((w + 31) // 32) * 4
+    mask_need = mask_stride * h
+    if len(body) < pos + mask_need:
+        raise ValueError("truncated_and_mask")
+    mrows = np.frombuffer(body, np.uint8, mask_need, pos).reshape(h, mask_stride)
+    mbits = np.unpackbits(mrows, axis=1)[:, :w][::-1]
+    alpha = np.where(mbits.astype(bool), 0, 255).astype(np.uint8)
+    return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+
+
+def encode_ico(images) -> bytes:
+    """Synthesis twin: each entry is ('png', png_bytes) or ('bmp', rgba
+    (h, w, 4) array) — BMP entries get a 32-bit DIB plus an AND mask
+    derived from alpha==0."""
+    import numpy as np
+
+    out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", len(images)))
+    bodies = []
+    for kind, img in images:
+        if kind == "png":
+            body = img
+            w = struct.unpack(">I", img[16:20])[0]
+            h = struct.unpack(">I", img[20:24])[0]
+        else:
+            a = np.asarray(img, np.uint8)
+            h, w = a.shape[:2]
+            stride = (w * 4 + 3) & ~3
+            xor = bytearray()
+            for row in a[::-1]:
+                line = row[:, [2, 1, 0, 3]].tobytes()
+                xor += line + b"\x00" * (stride - len(line))
+            mask_stride = ((w + 31) // 32) * 4
+            mask = bytearray()
+            for row in a[::-1]:
+                bits = np.where(row[:, 3] == 0, 1, 0).astype(np.uint8)
+                packed = np.packbits(bits)
+                line = packed.tobytes()
+                mask += line + b"\x00" * (mask_stride - len(line))
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                len(xor) + len(mask), 0, 0, 0, 0,
+            )
+            body = dib + bytes(xor) + bytes(mask)
+        bodies.append((w, h, body))
+    off = 6 + 16 * len(images)
+    for w, h, body in bodies:
+        out += bytes([w % 256, h % 256, 0, 0]) + struct.pack(
+            "<HHII", 1, 32, len(body), off
+        )
+        off += len(body)
+    for _, _, body in bodies:
+        out += body
+    return bytes(out)

@@ -203,3 +203,15 @@ def test_vp8l_decoder_never_crashes(blob):
     for prefix in (b"", b"RIFF", good[:21]):  # bare / riff tag / valid header
         _attempt(decode_webp, prefix + blob)
     _attempt(lambda b: decode_alpha_plane(b, 8, 8), blob)
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_ico_and_gif_animation_never_crash(blob):
+    from htmlx.spark.multimodal import decode_gif_frames
+    from htmlx.spark.tiffbmp import decode_ico
+
+    for prefix in (b"", b"\x00\x00\x01\x00", b"\x00\x00\x01\x00\x02\x00"):
+        _attempt(decode_ico, prefix + blob)
+    for prefix in (b"", b"GIF89a", b"GIF89a\x08\x00\x06\x00\x00\x00\x00"):
+        _attempt(decode_gif_frames, prefix + blob)

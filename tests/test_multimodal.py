@@ -376,3 +376,97 @@ def test_png_bit_depths_palette_and_interlace():
         raw = rnd.randint(0, 1 << d, (13, 5)).astype(np.uint8)
         out = decode_png(encode_png(raw, depth=d, interlace=1))
         assert (out[:, :, 0] == raw * (255 // ((1 << d) - 1))).all(), d
+
+
+# ---------------------------------------------------------------------------
+# animated GIF compositing + ICO favicons
+# ---------------------------------------------------------------------------
+
+def test_gif_animation_disposal_and_transparency():
+    import numpy as np
+
+    from htmlx.spark.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animation,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    rnd = np.random.RandomState(8)
+    base = rnd.randint(0, 256, (8, 10)).astype(np.uint8)
+    p1 = rnd.randint(0, 256, (4, 5)).astype(np.uint8)
+    p2 = rnd.randint(0, 256, (3, 4)).astype(np.uint8)
+    anim = encode_gif_animation(pal, (10, 8), [
+        dict(indices=base, disposal=1, delay_cs=3),
+        dict(x=2, y=1, indices=p1, disposal=3, transparent=0, delay_cs=4),
+        dict(x=3, y=2, indices=p2, disposal=2, transparent=7, delay_cs=5),
+    ])
+    frames, delays = decode_gif_frames(anim)
+    assert delays == [30, 40, 50] and len(frames) == 3
+    assert (frames[0][:, :, :3] == pal[base]).all()
+    exp1 = pal[base].copy()
+    m = p1 != 0  # transparent pixels keep the base
+    exp1[1:5, 2:7][m] = pal[p1][m]
+    assert (frames[1][:, :, :3] == exp1).all()
+    exp2 = pal[base].copy()  # disposal 3 restored the base under patch2
+    m2 = p2 != 7
+    exp2[2:5, 3:7][m2] = pal[p2][m2]
+    assert (frames[2][:, :, :3] == exp2).all()
+    # disposal 2 clears the frame rect to transparent for a following frame
+    anim2 = encode_gif_animation(pal, (6, 4), [
+        dict(indices=np.full((4, 6), 9, np.uint8), disposal=2, delay_cs=1),
+        dict(x=0, y=0, indices=np.full((1, 1), 5, np.uint8)),
+    ])
+    f2, _ = decode_gif_frames(anim2)
+    assert f2[1][0, 0, 3] == 255 and (f2[1][1:, :, 3] == 0).all()
+    # single-frame equivalence with decode_gif (plus opaque alpha)
+    idx = rnd.randint(0, 256, (5, 7)).astype(np.uint8)
+    g = encode_gif(idx, pal, interlace=True)
+    frames, delays = decode_gif_frames(g)
+    assert len(frames) == 1 and delays == [0]
+    assert (frames[0][:, :, :3] == decode_gif(g)).all()
+    assert (frames[0][:, :, 3] == 255).all()
+
+
+def test_gif_animation_error_paths():
+    import numpy as np
+    import pytest as _pytest
+
+    from htmlx.spark.multimodal import decode_gif_frames, encode_gif_animation
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    with _pytest.raises(ValueError, match="frame_outside_canvas"):
+        decode_gif_frames(encode_gif_animation(pal, (4, 4), [
+            dict(x=2, y=2, indices=np.zeros((3, 3), np.uint8)),
+        ]))
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"GIF89a\x00\x00")
+
+
+def test_ico_roundtrips_and_dispatch():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_image, encode_png
+    from htmlx.spark.tiffbmp import decode_ico, encode_ico
+
+    rnd = np.random.RandomState(9)
+    a = rnd.randint(0, 256, (7, 9, 4)).astype(np.uint8)
+    ico = encode_ico([("bmp", a)])
+    assert (decode_ico(ico) == a).all()
+    assert (decode_image(ico) == a).all()  # dispatch on 00 00 01 00
+    p = rnd.randint(0, 256, (6, 5, 4)).astype(np.uint8)
+    assert (decode_ico(encode_ico([("png", encode_png(p))])) == p).all()
+    # largest-entry selection
+    assert (decode_ico(encode_ico([("png", encode_png(p)), ("bmp", a)])) == a).all()
+
+
+def test_ico_error_paths():
+    import pytest as _pytest
+
+    from htmlx.spark.tiffbmp import decode_ico
+
+    with _pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x02\x00")  # CUR, not ICO
+    with _pytest.raises(ValueError):
+        decode_ico(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 10)
