@@ -355,6 +355,7 @@ class _BitsW:
         while self.n >= 8:
             self.out.append((self.acc >> (self.n - 8)) & 0xFF)
             self.n -= 8
+        self.acc &= (1 << self.n) - 1  # keep the accumulator bounded
 
     def write_unary(self, q: int):
         while q >= 32:

@@ -151,7 +151,9 @@ class _BitReader:
         if not self.nbits:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1  # keep the accumulator bounded
+        return bit
 
     def receive(self, n: int) -> int:
         v = 0
@@ -457,7 +459,11 @@ def decode_jpeg(payload: bytes):
                 (huff_ac if cls else huff_dc)[tid] = _HuffDecoder(bits, vals)
                 i += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("bad_sof")
             depth, h0, w0, nc0 = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if len(seg) < 6 + 3 * nc0:
+                raise ValueError("bad_sof")
             if depth != 8:
                 raise NotImplementedError(f"jpeg depth={depth}")
             progressive = marker == 0xC2
@@ -469,12 +475,16 @@ def decode_jpeg(payload: bytes):
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"jpeg sof={marker:#x} (non-baseline)")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("bad_dri")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("missing_sof_or_sos")
             if plan is None:
                 alloc_plan()
+            if not seg or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError("bad_sos")
             ns = seg[0]
             scomps = []
             for si in range(ns):
@@ -532,6 +542,7 @@ class _BitWriter:
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
             self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1  # keep the accumulator bounded
 
     def flush(self):
         if self.nbits:

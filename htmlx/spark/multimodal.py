@@ -218,6 +218,8 @@ def decode_png(payload: bytes):
             if len(data) < 13:
                 raise ValueError("truncated_ihdr")
             header = struct.unpack(">IIBBBBB", data[:13])
+            if header[0] <= 0 or header[1] <= 0:
+                raise ValueError("bad_dimensions")
         elif typ == b"PLTE":
             if len(data) % 3:
                 raise ValueError("bad_plte")
@@ -593,24 +595,27 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
                     "n_frames": 0, "anim_ms": 0, "anim_md5": "", "error": "",
                 }
                 try:
-                    px = decode_image(b)
-                    h, w, c = px.shape
-                    raw = px.tobytes()
-                    row.update(
-                        width=w, height=h, channels=c,
-                        px_md5=hashlib.md5(binascii.hexlify(raw)).hexdigest(),
-                        mean_x1000=int(px.astype("int64").sum() * 1000 // len(raw)),
-                        n_frames=1,
-                        anim_md5=hashlib.md5(binascii.hexlify(raw)).hexdigest(),
-                    )
                     if b[:6] in (b"GIF87a", b"GIF89a"):
-                        frames, delays = decode_gif_frames(b)
+                        # one LZW pass serves both feature sets
+                        px, frames, delays = decode_gif_frames(b, _return_first=True)
                         final = frames[-1][:, :, :3].tobytes()
                         row.update(
                             n_frames=len(frames),
                             anim_ms=sum(delays),
                             anim_md5=hashlib.md5(binascii.hexlify(final)).hexdigest(),
                         )
+                    else:
+                        px = decode_image(b)
+                        frames = None
+                    h, w, c = px.shape
+                    raw = px.tobytes()
+                    row.update(
+                        width=w, height=h, channels=c,
+                        px_md5=hashlib.md5(binascii.hexlify(raw)).hexdigest(),
+                        mean_x1000=int(px.astype("int64").sum() * 1000 // len(raw)),
+                    )
+                    if frames is None:
+                        row.update(n_frames=1, anim_md5=row["px_md5"])
                 except NotImplementedError:
                     row["error"] = "decoder_unavailable"
                 except (ValueError, zlib.error):
@@ -871,14 +876,16 @@ def _gif_interlace_order(h: int):
     return order
 
 
-def decode_gif_frames(payload: bytes, max_frames: int = 256):
+def decode_gif_frames(payload: bytes, max_frames: int = 256, _return_first=False):
     """REAL animated-GIF decode: full canvas compositing per GIF89a —
     frame placement rects, per-frame local palettes, transparency index,
     and disposal methods 0/1 (keep), 2 (restore to transparent
     background), 3 (restore to previous canvas). Returns (frames, delays)
     where frames is a list of (canvas_h, canvas_w, 4) uint8 RGBA
     snapshots (one per image descriptor, composited) and delays the
-    per-frame GCE delay in ms. Malformed data raises ValueError."""
+    per-frame GCE delay in ms. `_return_first=True` prepends the first
+    descriptor's raw (h, w, 3) raster (== decode_gif's result) so feature
+    stages need only one LZW pass. Malformed data raises ValueError."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -912,6 +919,8 @@ def decode_gif_frames(payload: bytes, max_frames: int = 256):
             label = payload[pos + 1]
             pos += 2
             if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                if pos + 5 > len(payload):
+                    raise ValueError("truncated_extension")
                 gce_flags = payload[pos + 1]
                 delay_ms = struct.unpack("<H", payload[pos + 2 : pos + 4])[0] * 10
                 disposal = (gce_flags >> 2) & 7
@@ -958,6 +967,8 @@ def decode_gif_frames(payload: bytes, max_frames: int = 256):
                 out = np.empty_like(raster)
                 out[_gif_interlace_order(h)] = raster
                 raster = out
+            if not frames:
+                first_raster = pal[raster.reshape(-1)].reshape(h, w, 3)
             before = canvas.copy() if disposal == 3 else None
             region = canvas[fy : fy + h, fx : fx + w]
             opaque = (
@@ -980,6 +991,8 @@ def decode_gif_frames(payload: bytes, max_frames: int = 256):
             raise ValueError("bad_gif_block")
     if not frames:
         raise ValueError("no_image_data")
+    if _return_first:
+        return first_raster, frames, delays
     return frames, delays
 
 

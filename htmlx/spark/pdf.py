@@ -142,6 +142,7 @@ def lzw_decode_pdf(data: bytes, cap: int = MAX_INFLATE, early_change: int = 1) -
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            acc &= (1 << nbits) - 1  # keep the accumulator bounded
             if code == 256:  # clear
                 table = [bytes([i]) for i in range(256)] + [b"", b""]
                 width = 9
@@ -197,6 +198,7 @@ def lzw_encode_pdf(data: bytes, early_change: int = 1) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded
 
     emit(256)
     w = b""

@@ -205,7 +205,9 @@ def decode_tiff(payload: bytes):
         tag, typ, count = struct.unpack(bo + "HHI", e[:8])
         name = _TIFF_TAGS.get(tag)
         if name:
-            tags[name] = _read_ifd_values(payload, bo, typ, count, e[8:12])
+            v = _read_ifd_values(payload, bo, typ, count, e[8:12])
+            if v:  # unknown value type / zero count == tag absent
+                tags[name] = v
     tiled = "tile_width" in tags or "tile_offsets" in tags
     try:
         w = tags["width"][0]

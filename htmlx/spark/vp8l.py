@@ -427,7 +427,9 @@ def _inv_predictor(px, w, h, size_bits, modes):
             left = out[pos - 1]
             top = out[pos - w]
             tl = out[pos - w - 1]
-            tr = out[pos - w + 1] if x + 1 < w else out[pos - w - x]  # wraps to row start
+            # contiguous addressing (libwebp): for the rightmost column this
+            # wraps to the CURRENT row's already-decoded leftmost pixel
+            tr = out[pos - w + 1]
             if mode == 0:
                 pred = 0xFF000000
             elif mode == 1:
@@ -766,7 +768,7 @@ def _predict_forward(px, w, h, mode):
             pred = px[pos - w]
         else:
             left, top, tl = px[pos - 1], px[pos - w], px[pos - w - 1]
-            tr = px[pos - w + 1] if x + 1 < w else px[pos - w - x]
+            tr = px[pos - w + 1]  # contiguous: wraps to current row start
             pred = {
                 0: 0xFF000000, 1: left, 2: top, 3: tr, 4: tl,
                 5: _avg2(_avg2(left, tr), top), 6: _avg2(left, tl),

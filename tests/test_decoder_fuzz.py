@@ -215,3 +215,64 @@ def test_ico_and_gif_animation_never_crash(blob):
         _attempt(decode_ico, prefix + blob)
     for prefix in (b"", b"GIF89a", b"GIF89a\x08\x00\x06\x00\x00\x00\x00"):
         _attempt(decode_gif_frames, prefix + blob)
+
+
+def test_review_crash_payloads_degrade_declared():
+    """Specific malformed payloads found by review: short JPEG SOF/DRI/SOS
+    segments, TIFF IFD entries with unknown value types or zero counts,
+    GIFs truncated inside a Graphic Control Extension, zero-dimension
+    PNGs — all must raise a DECLARED error type."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.jpeg import decode_jpeg
+    from htmlx.spark.multimodal import decode_gif_frames, decode_png, encode_png
+    from htmlx.spark.tiffbmp import decode_tiff, encode_tiff
+
+    for p in (b"\xff\xd8\xff\xc0\x00\x02", b"\xff\xd8\xff\xc0\x00\x05abc",
+              b"\xff\xd8\xff\xdd\x00\x03a", b"\xff\xd8\xff\xda\x00\x03a"):
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode_jpeg(p)
+    good = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
+    ifd_off = struct.unpack("<I", good[4:8])[0]
+    n = struct.unpack("<H", good[ifd_off : ifd_off + 2])[0]
+    for probe in range(n):
+        e = ifd_off + 2 + probe * 12
+        for newtyp, newcnt in ((7, 1), (3, 0)):
+            bad = bytearray(good)
+            struct.pack_into("<HI", bad, e + 2, newtyp, newcnt)
+            try:
+                decode_tiff(bytes(bad))
+            except (ValueError, NotImplementedError):
+                pass
+    for p in (b"GIF89a\x02\x00\x02\x00\x00\x00\x00\x21\xf9\x04",
+              b"GIF89a\x02\x00\x02\x00\x00\x00\x00\x21\xf9\x04\x00"):
+        with pytest.raises(ValueError):
+            decode_gif_frames(p)
+    zero = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    struct.pack_into(">I", zero, 20, 0)  # IHDR height = 0 (crc ignored later)
+    with pytest.raises(ValueError):
+        decode_png(bytes(zero))
+
+
+def test_bit_io_scales_linearly():
+    """The bit-IO accumulators must stay bounded: decode time for a 4x
+    larger JPEG entropy stream must grow far less than the quadratic
+    ~15x observed before the fix (generous 8x bound for host noise)."""
+    import time
+
+    import numpy as np
+
+    from htmlx.spark.jpeg import decode_jpeg, encode_jpeg
+
+    rnd = np.random.RandomState(3)
+    times = []
+    for side in (96, 192):  # ~4x the entropy bits
+        j = encode_jpeg(rnd.randint(0, 256, (side, side, 3)).astype(np.uint8))
+        decode_jpeg(j)  # warm
+        t0 = time.monotonic()
+        decode_jpeg(j)
+        times.append(time.monotonic() - t0)
+    assert times[1] < times[0] * 8, times
