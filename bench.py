@@ -130,6 +130,8 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         "pdf_text_extract",
         "media_pixel_decode",
         "corpus_filter_production",
+        # round-4 addition: benchmark decontamination (broadcast eval grams)
+        "decontaminate",
         # round-4 addition: baseline JPEG decode tier
         "jpeg_pixel_decode",
         # oracle-mode companions (md5 basis / uncapped buckets) — the

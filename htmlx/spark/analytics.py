@@ -613,17 +613,45 @@ def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
 
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band, type-token ratio, stopword
-    ratio, mean token length — integer outputs (scaled pct) for stable
-    cross-engine comparison."""
+    ratio, mean token length, and a Gopher-style repetition signal — the
+    share of bigrams taken by the single most frequent bigram (Rae et
+    al. 2021's "top n-gram fraction" class of filters). All integer
+    outputs (scaled pct) for stable cross-engine comparison; the bigram
+    mode count is computed shuffle-free inside Catalyst by sorting the
+    per-doc bigram array and folding a longest-equal-run accumulator."""
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     stopwords = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "in")))
+    grams2 = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tokens - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top2 = F.aggregate(
+        F.array_sort(grams2),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
     return documents.select(
         F.col("doc_id").cast("long"),
         F.floor(n_distinct * 100 / n_tokens).cast("long").alias("ttr_pct"),
         F.floor(stopwords * 100 / n_tokens).cast("long").alias("stopword_pct"),
         F.floor(F.length("text") * 10 / n_tokens).cast("long").alias("mean_token_len_x10"),
+        F.floor(top2 * 100 / F.greatest(n_tokens - 1, F.lit(1)))
+        .cast("long")
+        .alias("top_2gram_pct"),
         (F.length("text") >= 100).cast("boolean").alias("len_ok"),
     )
 
@@ -883,4 +911,63 @@ def weighted_sample(
     return documents.withColumn(
         "sample_keep",
         (bucket < F.floor(weight_expr * resolution).cast("long")).cast("boolean"),
+    )
+
+
+def _word_ngram_hashes(df: DataFrame, n: int, hash_basis: str):
+    """Distinct whitespace-word n-gram hashes per row: (doc_id, gram).
+    Pure Catalyst — sequence + slice + array_join, hashed xxhash64
+    (production) or md5 (oracle basis, DuckDB-shared)."""
+    toks = F.split(F.col("text"), " ")
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    grams = F.when(F.size(toks) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+    hashed = F.transform(
+        F.array_distinct(grams),
+        (lambda g: F.xxhash64(g)) if hash_basis == "xxhash64" else (lambda g: F.md5(g)),
+    )
+    return df.select(F.col("doc_id"), F.explode(hashed).alias("gram"))
+
+
+def decontaminate(
+    documents: DataFrame, eval_docs: DataFrame, n: int = 13,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    whitespace-word n-gram (default 13, the standard eval-overlap window)
+    with an evaluation set. `eval_docs` needs a `text` column.
+
+    100 TB plan: the eval side is tiny (benchmark suites are KBs-MBs), so
+    its distinct gram set BROADCASTS; the corpus side is a single pruned
+    scan -> n-gram projection -> broadcast semi-join -> partial-agg
+    groupBy of the (small) hit set, which then broadcasts back onto the
+    corpus — the corpus itself is never shuffled."""
+    if hash_basis not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
+    eval_grams = (
+        _word_ngram_hashes(
+            eval_docs.select(F.monotonically_increasing_id().alias("doc_id"), "text"),
+            n, hash_basis,
+        )
+        .select("gram")
+        .distinct()
+    )
+    doc_grams = _word_ngram_hashes(documents, n, hash_basis)
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gram_hits"))
+    )
+    return (
+        documents.select(F.col("doc_id").cast("long"))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
+            (F.coalesce("n_gram_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
     )

@@ -429,12 +429,17 @@ def q_quality_scores(spark, sf_dir):
 
 
 O_QUALITY_SCORES = """
+WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+t1 AS (SELECT doc_id, text, t,
+              [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)] AS g2
+       FROM t0)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(floor(len(list_distinct(string_split(text, ' '))) * 100 / len(string_split(text, ' '))) AS BIGINT) AS ttr_pct,
-       CAST(floor(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in'))) * 100 / len(string_split(text, ' '))) AS BIGINT) AS stopword_pct,
-       CAST(floor(length(text) * 10 / len(string_split(text, ' '))) AS BIGINT) AS mean_token_len_x10,
+       CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
+       CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
+       CAST(floor(length(text) * 10 / len(t)) AS BIGINT) AS mean_token_len_x10,
+       CAST(floor(coalesce(list_max([len(list_filter(g2, x -> x = d)) FOR d IN list_distinct(g2)]), 0) * 100 / greatest(len(g2), 1)) AS BIGINT) AS top_2gram_pct,
        length(text) >= 100 AS len_ok
-FROM documents
+FROM t1
 """
 
 
@@ -447,12 +452,48 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fingerprint FROM documents
 """
 
 
-def q_lang_distribution(spark, sf_dir):
-    return analytics.lang_distribution(_docs(spark, sf_dir))
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (analytics.decontaminate): the eval set is
+    synthesized as words 4..40 of the doc BELOW each doc_id % 97 == 0 (so
+    planted contamination lands on NON-eval docs), plus whatever other
+    corpus docs naturally share a 13-gram. Eval grams broadcast; the
+    corpus is never shuffled. Driver oracle runs the md5 hash basis
+    (production default is xxhash64; basis equivalence pinned in
+    tests/test_hash_basis.py)."""
+    docs = _docs(spark, sf_dir)
+    src = docs.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text"))
+    ev = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.greatest(F.col("doc_id") - 1, F.lit(0)).alias("src_id"))
+        .join(src, "src_id")
+        .select(F.array_join(F.slice(F.split("src_text", " "), 4, 37), " ").alias("text"))
+    )
+    out = analytics.decontaminate(docs, ev, n=13, hash_basis="md5")
+    return out.select(
+        "doc_id", "n_gram_hits", "contaminated",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+    )
 
 
-O_LANG_DISTRIBUTION = """
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+O_DECONTAMINATE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ev_src AS (
+  SELECT s.text AS text
+  FROM documents e JOIN documents s ON s.doc_id = greatest(e.doc_id - 1, 0)
+  WHERE e.doc_id % 97 = 0),
+ev_tok AS (SELECT (string_split(text, ' '))[4:40] AS t FROM ev_src),
+ev_g AS (SELECT DISTINCT unnest([md5(array_to_string(t[i:i+12], ' '))
+                                 FOR i IN generate_series(1, len(t) - 12)]) AS g
+         FROM ev_tok),
+doc_g AS (SELECT doc_id, unnest(list_distinct([md5(array_to_string(t[i:i+12], ' '))
+                                               FOR i IN generate_series(1, len(t) - 12)])) AS g
+          FROM tok),
+hits AS (SELECT doc_id, count(*) AS n FROM doc_g JOIN ev_g USING (g) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_gram_hits,
+       coalesce(h.n, 0) > 0 AS contaminated,
+       d.doc_id % 97 = 0 AS is_eval
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
 
@@ -1231,7 +1272,10 @@ SELECT doc_id, reason, reason = '' AS keep FROM (
 
 
 def q_doc_length_percentiles(spark, sf_dir):
-    """Exact per-group percentiles (p50/p95 of doc length per language):
+    """Exact per-group percentiles (p50/p95 of doc length per language),
+    carrying per-lang n_docs — this row also covers the
+    analytics.lang_distribution surface (the standalone row was swapped
+    for decontaminate under the driver's 50-row cap):
     Spark's `percentile` and DuckDB's `quantile_cont` share the same
     linear-interpolation definition (index = (n-1)*p over the sorted
     values), verified bit-identical on this corpus — the exact-quantile
@@ -1552,7 +1596,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "doc_fingerprints": q_doc_fingerprints,
-    "lang_distribution": q_lang_distribution,
+    "decontaminate": q_decontaminate,
     "ann_cosine_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "events_hourly_rollup": q_events_hourly,
@@ -1605,7 +1649,7 @@ ORACLES = {
     "token_stats": O_TOKEN_STATS,
     "quality_scores": O_QUALITY_SCORES,
     "doc_fingerprints": O_DOC_FINGERPRINTS,
-    "lang_distribution": O_LANG_DISTRIBUTION,
+    "decontaminate": O_DECONTAMINATE,
     "ann_cosine_topk": O_ANN_TOPK,
     "events_hourly_rollup": O_EVENTS_HOURLY,
     "token_topk": O_TOKEN_TOPK,

@@ -161,3 +161,66 @@ def test_corpus_filter_plan_all_jvm(spark, docs):
         "BroadcastNestedLoop",
     ):
         assert marker not in p, marker
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, docs):
+    """The decontamination plan must broadcast the (tiny) eval-gram set and
+    never sort-merge-join the corpus: the corpus side is scan -> n-gram
+    projection -> broadcast joins, with shuffles only on the small hit
+    set."""
+    from htmlx.spark.analytics import decontaminate
+
+    ev = spark.createDataFrame(
+        [(docs.select("text").first().text[:200],)], "text string"
+    )
+    plan = decontaminate(docs, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_semantics(spark, docs):
+    """A doc sharing a 13-gram with the eval set is flagged with the exact
+    distinct-hit count; unrelated docs are not."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.analytics import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(30))),          # 18 hit grams
+            (1, " ".join(f"w{i}" for i in range(13)) + " zz"),  # 1 hit gram
+            (2, " ".join(f"x{i}" for i in range(30))),          # clean
+            (3, "short text"),                                  # < 13 words
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(30)),)], "text string"
+    )
+    for basis in ("xxhash64", "md5"):
+        out = {r.doc_id: r for r in decontaminate(corpus, ev, hash_basis=basis).collect()}
+        assert out[0].n_gram_hits == 18 and out[0].contaminated
+        assert out[1].n_gram_hits == 1 and out[1].contaminated
+        assert out[2].n_gram_hits == 0 and not out[2].contaminated
+        assert out[3].n_gram_hits == 0 and not out[3].contaminated
+
+
+def test_quality_top_2gram_repetition_signal(spark):
+    """Gopher-style repetition: the most frequent bigram's share of all
+    bigrams, exact, computed without any shuffle."""
+    from htmlx.spark.analytics import quality_scores
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),      # "a b" 4x + "b a" 3x of 7 -> 57%
+            (1, "p q r s t u v w"),      # all bigrams unique of 7 -> 14%
+            (2, "solo"),                 # no bigrams -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_scores(corpus).collect()}
+    assert out[0].top_2gram_pct == 57
+    assert out[1].top_2gram_pct == 14
+    assert out[2].top_2gram_pct == 0
+    plan = quality_scores(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
