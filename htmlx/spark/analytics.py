@@ -971,3 +971,33 @@ def decontaminate(
             (F.coalesce("n_gram_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# PII patterns (training-data hygiene: the C4/Dolma/FineWeb redaction
+# class). Deliberately restricted to a regex subset with identical
+# semantics in Java (Spark) and RE2 (DuckDB oracle) — char classes, bounded
+# repetition, \b, \d — so redaction is cross-engine byte-identical.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_LONG_DIGITS = r"\b\d{7,}\b"  # phone-ish runs; after IPs are consumed
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: emails -> <EMAIL>, IPv4s -> <IP>, 7+-digit runs ->
+    <NUM> (in that order, so IP octets aren't re-matched as digit runs),
+    plus per-kind match counts. Pure Catalyst regexp projections — zero
+    shuffle, scan-side at 100 TB."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_LONG_DIGITS,
+        "<NUM>",
+    )
+    return documents.select(
+        F.col("doc_id").cast("long"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        redacted.alias("clean_text"),
+    )

@@ -444,11 +444,51 @@ FROM t1
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    return analytics.doc_fingerprints(_docs(spark, sf_dir))
+    """Content fingerprint + PII redaction (analytics.pii_scrub) on one
+    row (driver caps at 50 queries). The corpus is PII-free, so each doc
+    gets deterministic synthetic PII appended — an email, an IPv4 and a
+    long digit run derived from doc_id, built with identical string
+    expressions on both engines — and the oracle recomputes the redacted
+    text verbatim: one regex-dialect divergence flips clean_md5."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"), d.cast("string"), F.lit("@mail.example.com"),
+            F.lit(" from 10."), (d % 200).cast("string"), F.lit(".0."),
+            (d % 250).cast("string"),
+            F.lit(" ref 00"), (d + 1234567).cast("string"),
+        ).alias("text"),
+    )
+    scrub = analytics.pii_scrub(pii)
+    return analytics.doc_fingerprints(docs).join(
+        scrub.select(
+            "doc_id", "n_emails", "n_ips", F.md5("clean_text").alias("clean_md5")
+        ),
+        "doc_id",
+    )
 
 
 O_DOC_FINGERPRINTS = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS fingerprint FROM documents
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+              || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 AS VARCHAR)
+              || ' ref 00' || CAST(doc_id + 1234567 AS VARCHAR) AS t
+  FROM documents)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       md5(d.text) AS fingerprint,
+       CAST(len(regexp_extract_all(p.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(p.t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(p.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{7,}\\b', '<NUM>', 'g')) AS clean_md5
+FROM documents d JOIN pii p ON p.doc_id = d.doc_id
 """
 
 

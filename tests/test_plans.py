@@ -224,3 +224,26 @@ def test_quality_top_2gram_repetition_signal(spark):
     assert out[2].top_2gram_pct == 0
     plan = quality_scores(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pii_scrub_semantics_and_plan(spark):
+    """Redaction order (emails, then IPs, then digit runs), counts, and a
+    zero-shuffle scan-side plan."""
+    from htmlx.spark.analytics import pii_scrub
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "write bob.smith+x@ex.co or x@y.io from 10.2.3.44 call 0012345678"),
+            (1, "no pii here"),
+            (2, "edge 999.999.999.999 and 123456 short"),  # IP-shaped + 6 digits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(corpus).collect()}
+    assert out[0].n_emails == 2 and out[0].n_ips == 1
+    assert out[0].clean_text == "write <EMAIL> or <EMAIL> from <IP> call <NUM>"
+    assert out[1].clean_text == "no pii here" and out[1].n_emails == 0
+    # the naive-octet pattern redacts IP-shaped strings; 6 digits survive
+    assert out[2].clean_text == "edge <IP> and 123456 short"
+    plan = pii_scrub(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
