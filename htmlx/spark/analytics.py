@@ -1001,3 +1001,50 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
         redacted.alias("clean_text"),
     )
+
+
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 512, num_buckets: int = 8
+) -> DataFrame:
+    """Greedy no-split sequence packing (the pretraining batch-prep op):
+    docs are assigned to fixed-capacity token bins, first-fit in doc_id
+    order, a doc that would overflow the open bin starts the next one
+    (docs longer than seq_len get a bin of their own). Packing is
+    inherently sequential, so the corpus is split into `num_buckets`
+    independent units (doc_id % num_buckets) packed in parallel with
+    applyInPandas — at 100 TB num_buckets scales to O(cores) and the only
+    corpus shuffle is the bucket repartition of (doc_id, n_tokens) pairs,
+    never the text. Returns (doc_id, pack_bucket, pack_bin, pack_offset)."""
+    import pandas as pd
+
+    sized = documents.select(
+        F.col("doc_id").cast("long"),
+        (F.col("doc_id") % num_buckets).cast("long").alias("pack_bucket"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, offs = [], []
+        bin_id, fill = 0, 0
+        first = True
+        for n in pdf.n_tokens:
+            if not first and fill + n > seq_len:
+                bin_id += 1
+                fill = 0
+            first = False
+            offs.append(fill)
+            bins.append(bin_id)
+            fill += int(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf.doc_id,
+                "pack_bucket": pdf.pack_bucket,
+                "pack_bin": bins,
+                "pack_offset": offs,
+            }
+        )
+
+    return sized.groupBy("pack_bucket").applyInPandas(
+        pack, "doc_id long, pack_bucket long, pack_bin long, pack_offset long"
+    )

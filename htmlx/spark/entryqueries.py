@@ -407,20 +407,43 @@ FROM documents GROUP BY text
 
 def q_token_stats(spark, sf_dir):
     """Whitespace AND BPE-ish pre-tokenizer counting, one scan-side
-    projection (the two token-budget estimates a corpus-accounting pass
-    needs; merged into one driver row — the driver's correctness artifact
-    records at most 50 queries, observed round 3)."""
-    return analytics.token_stats(_docs(spark, sf_dir), include_bpe=True)
+    projection, PLUS greedy sequence packing (analytics.pack_sequences:
+    first-fit doc_id-ordered bins of 512 whitespace tokens across 8
+    parallel buckets) — three token-accounting surfaces merged into one
+    driver row (the driver's correctness artifact records at most 50
+    queries, observed round 3). The oracle replays the packing with a
+    recursive CTE, so one wrong bin boundary flips the hash."""
+    docs = _docs(spark, sf_dir)
+    stats = analytics.token_stats(docs, include_bpe=True)
+    packed = analytics.pack_sequences(docs, seq_len=512, num_buckets=8)
+    return stats.join(
+        packed.select("doc_id", "pack_bucket", "pack_bin", "pack_offset"), "doc_id"
+    )
 
 
 O_TOKEN_STATS = """
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
-       CAST(floor(length(text) * 10 / len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS chars_per_token_x10
-FROM documents
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id % 8 AS bucket, len(string_split(text, ' ')) AS n,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+packed AS (
+  SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n,
+         CASE WHEN p.fill + d.n <= 512 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.n <= 512 THEN p.fill + d.n ELSE d.n END
+  FROM packed p JOIN sized d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(t.text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(t.text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(t.text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(length(t.text) * 10 / len(regexp_extract_all(t.text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS chars_per_token_x10,
+       CAST(p.bucket AS BIGINT) AS pack_bucket,
+       CAST(p.bin AS BIGINT) AS pack_bin,
+       CAST(p.fill - p.n AS BIGINT) AS pack_offset
+FROM documents t JOIN packed p ON p.doc_id = t.doc_id
 """
 
 

@@ -247,3 +247,29 @@ def test_pii_scrub_semantics_and_plan(spark):
     assert out[2].clean_text == "edge <IP> and 123456 short"
     plan = pii_scrub(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_semantics(spark):
+    """Greedy no-split first-fit in doc_id order within a bucket: exact
+    bin/offset assignments, oversized docs get their own bin."""
+    from htmlx.spark.analytics import pack_sequences
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([300, 200, 100, 600, 10, 500, 5])],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           pack_sequences(corpus, seq_len=512, num_buckets=1).collect()}
+    # 300 -> bin0@0; 200 -> bin0@300 (500<=512); 100 -> bin1@0; 600 ->
+    # bin2@0 (oversized, own bin since 100+600>512); 10 -> bin3@0;
+    # 500 -> bin3... 10+500=510 <= 512 -> bin3@10; 5 -> bin4@0
+    exp = {0: (0, 0), 1: (0, 300), 2: (1, 0), 3: (2, 0), 4: (3, 0),
+           5: (3, 10), 6: (4, 0)}
+    for d, (b, o) in exp.items():
+        assert (out[d].pack_bin, out[d].pack_offset) == (b, o), (d, out[d])
+    # bucket independence: same docs, 2 buckets -> each bucket packs alone
+    out2 = pack_sequences(corpus, seq_len=512, num_buckets=2).collect()
+    assert {r.pack_bucket for r in out2} == {0, 1}
+    for r in out2:
+        assert r.pack_bucket == r.doc_id % 2
