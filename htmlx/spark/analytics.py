@@ -942,15 +942,18 @@ def decontaminate(
     with an evaluation set. `eval_docs` needs a `text` column.
 
     100 TB plan: the eval side is tiny (benchmark suites are KBs-MBs), so
-    its distinct gram set BROADCASTS; the corpus side is a single pruned
-    scan -> n-gram projection -> broadcast semi-join -> partial-agg
-    groupBy of the (small) hit set, which then broadcasts back onto the
-    corpus — the corpus itself is never shuffled."""
+    its distinct gram set BROADCASTS (bounded by the eval suite) and the
+    corpus side is a single pruned scan -> n-gram projection ->
+    broadcast semi-join -> partial-agg groupBy. The HIT set is bounded
+    by the corpus contamination rate, not the eval size, so it is NOT
+    force-broadcast — AQE broadcasts it in the common low-contamination
+    case and falls back to a shuffle join of (doc_id, count) pairs
+    (never the text) when contamination is pathological."""
     if hash_basis not in ("xxhash64", "md5"):
         raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
     eval_grams = (
         _word_ngram_hashes(
-            eval_docs.select(F.monotonically_increasing_id().alias("doc_id"), "text"),
+            eval_docs.select(F.lit(0).cast("long").alias("doc_id"), "text"),
             n, hash_basis,
         )
         .select("gram")
@@ -964,7 +967,7 @@ def decontaminate(
     )
     return (
         documents.select(F.col("doc_id").cast("long"))
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_gram_hits", F.lit(0)).cast("long").alias("n_gram_hits"),
@@ -985,30 +988,32 @@ PII_LONG_DIGITS = r"\b\d{7,}\b"  # phone-ish runs; after IPs are consumed
 def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction: emails -> <EMAIL>, IPv4s -> <IP>, 7+-digit runs ->
     <NUM> (in that order, so IP octets aren't re-matched as digit runs),
-    plus per-kind match counts. Pure Catalyst regexp projections — zero
+    plus per-kind match counts. Each count is taken on the PREVIOUS
+    redaction stage's output, so counts agree exactly with what
+    clean_text redacts (an IP inside an email is consumed by <EMAIL> and
+    never counted as an IP). Pure Catalyst regexp projections — zero
     shuffle, scan-side at 100 TB."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
-        ),
-        PII_LONG_DIGITS,
-        "<NUM>",
-    )
+    s1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_IPV4, "<IP>")
+    s3 = F.regexp_replace(s2, PII_LONG_DIGITS, "<NUM>")
     return documents.select(
         F.col("doc_id").cast("long"),
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
-        redacted.alias("clean_text"),
+        F.regexp_count(s1, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(s2, F.lit(PII_LONG_DIGITS)).cast("long").alias("n_nums"),
+        s3.alias("clean_text"),
     )
 
 
 def pack_sequences(
     documents: DataFrame, seq_len: int = 512, num_buckets: int = 8
 ) -> DataFrame:
-    """Greedy no-split sequence packing (the pretraining batch-prep op):
-    docs are assigned to fixed-capacity token bins, first-fit in doc_id
-    order, a doc that would overflow the open bin starts the next one
+    """Greedy no-split NEXT-FIT sequence packing (the pretraining
+    batch-prep op): docs fill fixed-capacity token bins in doc_id order;
+    a doc that would overflow the open bin closes it and starts the next
+    (closed bins are never revisited — next-fit, the streaming choice,
+    trades some density for a single sequential pass)
     (docs longer than seq_len get a bin of their own). Packing is
     inherently sequential, so the corpus is split into `num_buckets`
     independent units (doc_id % num_buckets) packed in parallel with

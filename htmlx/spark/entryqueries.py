@@ -407,9 +407,9 @@ FROM documents GROUP BY text
 
 def q_token_stats(spark, sf_dir):
     """Whitespace AND BPE-ish pre-tokenizer counting, one scan-side
-    projection, PLUS greedy sequence packing (analytics.pack_sequences:
-    first-fit doc_id-ordered bins of 512 whitespace tokens across 8
-    parallel buckets) — three token-accounting surfaces merged into one
+    projection, PLUS greedy next-fit sequence packing
+    (analytics.pack_sequences: doc_id-ordered bins of 512 whitespace
+    tokens across 8 parallel buckets) — three token-accounting surfaces merged into one
     driver row (the driver's correctness artifact records at most 50
     queries, observed round 3). The oracle replays the packing with a
     recursive CTE, so one wrong bin boundary flips the hash."""
@@ -468,8 +468,9 @@ FROM t1
 
 def q_doc_fingerprints(spark, sf_dir):
     """Content fingerprint + PII redaction (analytics.pii_scrub) on one
-    row (driver caps at 50 queries). The corpus is PII-free, so each doc
-    gets deterministic synthetic PII appended — an email, an IPv4 and a
+    row (driver caps at 50 queries; clean_text itself is exercised via
+    clean_md5, and the n_nums count via the digit-run tier). The corpus
+    is PII-free, so each doc gets deterministic synthetic PII appended — an email, an IPv4 and a
     long digit run derived from doc_id, built with identical string
     expressions on both engines — and the oracle recomputes the redacted
     text verbatim: one regex-dialect divergence flips clean_md5."""
@@ -488,7 +489,8 @@ def q_doc_fingerprints(spark, sf_dir):
     scrub = analytics.pii_scrub(pii)
     return analytics.doc_fingerprints(docs).join(
         scrub.select(
-            "doc_id", "n_emails", "n_ips", F.md5("clean_text").alias("clean_md5")
+            "doc_id", "n_emails", "n_ips", "n_nums",
+            F.md5("clean_text").alias("clean_md5"),
         ),
         "doc_id",
     )
@@ -501,24 +503,31 @@ WITH pii AS (
               || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
               || CAST(doc_id % 250 AS VARCHAR)
               || ' ref 00' || CAST(doc_id + 1234567 AS VARCHAR) AS t
-  FROM documents)
+  FROM documents),
+staged AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s1
+  FROM pii),
+staged2 AS (
+  SELECT doc_id, t, s1,
+         regexp_replace(s1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s2
+  FROM staged)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        md5(d.text) AS fingerprint,
        CAST(len(regexp_extract_all(p.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(p.t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
-       md5(regexp_replace(
-             regexp_replace(
-               regexp_replace(p.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-             '\\b\\d{7,}\\b', '<NUM>', 'g')) AS clean_md5
-FROM documents d JOIN pii p ON p.doc_id = d.doc_id
+       CAST(len(regexp_extract_all(p.s1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(p.s2, '\\b\\d{7,}\\b')) AS BIGINT) AS n_nums,
+       md5(regexp_replace(p.s2, '\\b\\d{7,}\\b', '<NUM>', 'g')) AS clean_md5
+FROM documents d JOIN staged2 p ON p.doc_id = d.doc_id
 """
 
 
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (analytics.decontaminate): the eval set is
     synthesized as words 4..40 of the doc BELOW each doc_id % 97 == 0 (so
-    planted contamination lands on NON-eval docs), plus whatever other
+    planted contamination lands on NON-eval docs — except doc 0, whose
+    eval slice comes from itself at the greatest(-1, 0) boundary), plus
+    whatever other
     corpus docs naturally share a 13-gram. Eval grams broadcast; the
     corpus is never shuffled. Driver oracle runs the md5 hash basis
     (production default is xxhash64; basis equivalence pinned in
