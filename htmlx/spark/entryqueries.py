@@ -586,8 +586,11 @@ QUALIFY rank <= 5
 
 
 def q_media_sniff(spark, sf_dir):
-    """Multimodal metadata plumbing: synthesize PNG payloads (dimensions
-    derived from doc_id), run the binary sniff + header-dimension stage."""
+    """Multimodal metadata plumbing: synthesize header payloads (dims
+    derived from doc_id) across a 4-container matrix — PNG IHDR / WebP
+    VP8L header bits / WebP VP8X canvas (the lossy-file shape whose PIXEL
+    decode degrades but whose metadata must still come out) / ICO
+    directory — and run the binary sniff + header-dimension stage."""
     import struct
 
     import pandas as pd
@@ -600,12 +603,38 @@ def q_media_sniff(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id in pdf.doc_id:
-                w = 100 + int(doc_id) % 500
-                h = 50 + int(doc_id) % 300
-                payload = (
-                    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x08"
-                )
-                rows.append({"media_id": int(doc_id), "kind": "image", "payload": payload,
+                d = int(doc_id)
+                w = 100 + d % 500
+                h = 50 + d % 300
+                mode = d % 4
+                if mode == 0:  # PNG IHDR
+                    payload = (
+                        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                        + struct.pack(">II", w, h) + b"\x08"
+                    )
+                elif mode == 1:  # WebP VP8L: 14-bit minus-one dims, LSB-first
+                    bits = (w - 1) | ((h - 1) << 14)
+                    body = b"\x2f" + bits.to_bytes(4, "little")
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 4 + 8 + len(body))
+                        + b"WEBPVP8L" + struct.pack("<I", len(body)) + body
+                    )
+                elif mode == 2:  # WebP VP8X: 24-bit minus-one canvas
+                    body = (
+                        b"\x00\x00\x00\x00"
+                        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+                    )
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 4 + 8 + len(body))
+                        + b"WEBPVP8X" + struct.pack("<I", len(body)) + body
+                    )
+                else:  # ICO directory (single-byte dims, 1..255)
+                    wi, hi = 1 + d % 255, 1 + d % 200
+                    payload = (
+                        b"\x00\x00\x01\x00\x01\x00"
+                        + bytes([wi, hi, 0, 0]) + struct.pack("<HHII", 1, 32, 0, 22)
+                    )
+                rows.append({"media_id": d, "kind": "image", "payload": payload,
                              "mime": "", "source_url": ""})
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime", "source_url"])
 
@@ -622,9 +651,14 @@ def q_media_sniff(spark, sf_dir):
 
 
 O_MEDIA_SNIFF = """
-SELECT CAST(doc_id AS BIGINT) AS media_id, 'image/png' AS mime_sniffed,
-       CAST(100 + doc_id % 500 AS BIGINT) AS width,
-       CAST(50 + doc_id % 300 AS BIGINT) AS height,
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png'
+                       WHEN 3 THEN 'image/x-icon'
+                       ELSE 'image/webp' END AS mime_sniffed,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 255
+                 ELSE 100 + doc_id % 500 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 200
+                 ELSE 50 + doc_id % 300 END AS BIGINT) AS height,
        '' AS error
 FROM documents
 """

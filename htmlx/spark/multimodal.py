@@ -17,9 +17,13 @@ Codec tiers, by what the container can decode:
 - WAV/PCM and FLAC audio decode FOR REAL (``decode_wav``;
   ``flac.decode_flac``: Rice residuals, FIXED/LPC predictors, stereo
   decorrelation, CRC-8/16 + PCM-MD5 verification).
-- WebP, MP3/OGG and audio/video resampling genuinely require external
-  codecs (PIL/ffmpeg/torchaudio) absent here; those paths degrade to
-  metadata-only rows with error='decoder_unavailable'.
+- WebP LOSSLESS (VP8L) decodes FOR REAL (``vp8l.decode_webp``: canonical
+  huffman, LZ77, color cache, all four transforms; ALPH alpha planes of
+  lossy files too); ICO favicons decode via ``tiffbmp.decode_ico``.
+- Lossy VP8 frames, MP3/OGG and audio/video resampling genuinely require
+  external codecs (libwebp/ffmpeg/torchaudio) absent here; those paths
+  degrade to metadata-only rows with error='decoder_unavailable' (header
+  dims still come out for lossy WebP via VP8X/keyframe headers).
 - Codec-free fast paths (magic-byte sniffing, header dimensions,
   byte-level features) always run.
 """
@@ -75,6 +79,7 @@ _MAGIC = (
     (b"\xff\xfb", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
 )
 
 
@@ -95,7 +100,9 @@ def sniff_mime(payload: bytes) -> str:
 
 
 def image_dimensions(payload: bytes) -> tuple[int, int]:
-    """Header-only dimension extraction for PNG/GIF/JPEG/BMP/TIFF (no decoder)."""
+    """Header-only dimension extraction for PNG/GIF/JPEG/BMP/TIFF/WebP/ICO
+    (no decoder; WebP covers VP8X canvas, VP8L header bits and the lossy
+    VP8 keyframe header — dims come out even where pixel decode degrades)."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n") and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
         return w, h
@@ -122,6 +129,36 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
         from .tiffbmp import tiff_dimensions
 
         return tiff_dimensions(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (n,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + n]
+            if tag == b"VP8X" and len(body) >= 10:  # 24-bit canvas minus one
+                w = 1 + int.from_bytes(body[4:7], "little")
+                h = 1 + int.from_bytes(body[7:10], "little")
+                return w, h
+            if tag == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if tag == b"VP8 " and len(body) >= 10:
+                if body[3:6] == b"\x9d\x01\x2a":  # keyframe start code
+                    w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+                    h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+                    return w, h
+            pos += 8 + n + (n & 1)
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
+        (count,) = struct.unpack("<H", payload[4:6])
+        best = (0, 0)
+        for i in range(min(count, 64)):
+            e = payload[6 + i * 16 : 8 + i * 16]
+            if len(e) != 2:
+                break
+            w, h = e[0] or 256, e[1] or 256  # 0 encodes 256
+            if w * h > best[0] * best[1]:
+                best = (w, h)
+        return best
     return 0, 0
 
 

@@ -470,3 +470,35 @@ def test_ico_error_paths():
         decode_ico(b"\x00\x00\x02\x00")  # CUR, not ICO
     with _pytest.raises(ValueError):
         decode_ico(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 10)
+
+
+def test_webp_and_ico_dimensions_and_sniff():
+    """Header-only dims for all three WebP shapes (VP8L bits, VP8X canvas,
+    lossy VP8 keyframe) and ICO directories — metadata comes out even
+    where pixel decode degrades (lossy VP8)."""
+    import struct
+
+    import numpy as np
+
+    from htmlx.spark.multimodal import image_dimensions, sniff_mime
+    from htmlx.spark.tiffbmp import encode_ico
+    from htmlx.spark.vp8l import encode_vp8l
+
+    p = encode_vp8l(np.zeros((7, 11, 4), np.uint8))
+    assert image_dimensions(p) == (11, 7) and sniff_mime(p) == "image/webp"
+    vp8x = b"\x00" * 4 + (15).to_bytes(3, "little") + (9).to_bytes(3, "little")
+    w = (b"RIFF" + struct.pack("<I", 22) + b"WEBPVP8X"
+         + struct.pack("<I", 10) + vp8x)
+    assert image_dimensions(w) == (16, 10)
+    body = b"\x00\x00\x00\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    w2 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBPVP8 "
+          + struct.pack("<I", len(body)) + body)
+    assert image_dimensions(w2) == (640, 480)
+    ico = encode_ico([("bmp", np.zeros((9, 12, 4), np.uint8))])
+    assert image_dimensions(ico) == (12, 9)
+    assert sniff_mime(ico) == "image/x-icon"
+    # real libwebp file (VP8X): 16x16 canvas
+    import glob
+    anchors = glob.glob("/root/.pyenv/versions/3.13*/lib/python*/test/*/data/python.webp")
+    if anchors:
+        assert image_dimensions(open(anchors[0], "rb").read()) == (16, 16)
