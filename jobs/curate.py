@@ -2,8 +2,9 @@
 
   spark-submit --py-files htmlx.zip jobs/curate.py \
       --input <documents table/parquet path> --output <keep-list root> \
-      [--mode filter|dedup|components] [--threshold 0.9] \
-      [--min-chars 100] [--hash-basis xxhash64] [--iters 0]
+      [--mode filter|dedup|components|split|decontaminate|pii|pack] \
+      [--threshold 0.9] [--min-chars 100] [--hash-basis xxhash64] \
+      [--iters 0] [--eval-input <eval parquet>] [--seq-len 2048]
 
 Modes:
   filter      full keep/drop decision per document with a precedence-
@@ -15,6 +16,13 @@ Modes:
               --pairs (doc_a, doc_b).
   split       deterministic train/val/test assignment by md5 id buckets
               (reproducible across engines and cluster sizes).
+  decontaminate  flag docs sharing any 13-gram with the eval set at
+              --eval-input (a parquet with a text column); eval grams
+              broadcast, the corpus is never shuffled.
+  pii         redact emails/IPv4s/long digit runs to typed tokens with
+              per-kind counts (clean_text column).
+  pack        next-fit sequence packing into --seq-len token bins,
+              parallel across --pack-buckets hash buckets.
 
 --iters 0 (default) iterates label propagation to convergence (one scalar
 count() per round); a positive value pins a fixed round budget.
@@ -29,7 +37,15 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--pairs", default=None, help="precomputed pairs table (components mode)")
-    ap.add_argument("--mode", choices=["filter", "dedup", "components", "split"], default="filter")
+    ap.add_argument(
+        "--mode",
+        choices=["filter", "dedup", "components", "split", "decontaminate",
+                 "pii", "pack"],
+        default="filter",
+    )
+    ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
+    ap.add_argument("--seq-len", type=int, default=2048, help="token bin size (pack mode)")
+    ap.add_argument("--pack-buckets", type=int, default=256, help="parallel packing units (pack mode)")
     ap.add_argument("--threshold", type=float, default=0.9, help="Jaccard verify threshold")
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
@@ -39,6 +55,8 @@ def main():
         ap.error("--iters must be >= 0 (0 = iterate to convergence)")
     if args.mode == "components" and not args.pairs:
         ap.error("--mode components requires --pairs")
+    if args.mode == "decontaminate" and not args.eval_input:
+        ap.error("--mode decontaminate requires --eval-input")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -65,6 +83,15 @@ def main():
 
     if args.mode == "split":
         out = analytics.hash_split(docs)
+    elif args.mode == "decontaminate":
+        ev = spark.read.parquet(args.eval_input)
+        out = analytics.decontaminate(docs, ev, hash_basis=args.hash_basis)
+    elif args.mode == "pii":
+        out = analytics.pii_scrub(docs)
+    elif args.mode == "pack":
+        out = analytics.pack_sequences(
+            docs, seq_len=args.seq_len, num_buckets=args.pack_buckets
+        )
     elif args.mode == "components":
         pairs = spark.read.parquet(args.pairs)
         out = keep_list(pairs)
