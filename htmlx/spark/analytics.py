@@ -914,11 +914,11 @@ def weighted_sample(
     )
 
 
-def _word_ngram_hashes(df: DataFrame, n: int, hash_basis: str):
-    """Distinct whitespace-word n-gram hashes per row: (doc_id, gram).
+def word_ngram_hash_col(n: int, hash_basis: str, text_col: str = "text"):
+    """Column of distinct whitespace-word n-gram hashes for a text column.
     Pure Catalyst — sequence + slice + array_join, hashed xxhash64
     (production) or md5 (oracle basis, DuckDB-shared)."""
-    toks = F.split(F.col("text"), " ")
+    toks = F.split(F.col(text_col), " ")
     joined = F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -926,11 +926,17 @@ def _word_ngram_hashes(df: DataFrame, n: int, hash_basis: str):
     grams = F.when(F.size(toks) >= n, joined).otherwise(
         F.array().cast("array<string>")
     )
-    hashed = F.transform(
+    return F.transform(
         F.array_distinct(grams),
         (lambda g: F.xxhash64(g)) if hash_basis == "xxhash64" else (lambda g: F.md5(g)),
     )
-    return df.select(F.col("doc_id"), F.explode(hashed).alias("gram"))
+
+
+def _word_ngram_hashes(df: DataFrame, n: int, hash_basis: str):
+    """Exploded (doc_id, gram) form of word_ngram_hash_col."""
+    return df.select(
+        F.col("doc_id"), F.explode(word_ngram_hash_col(n, hash_basis)).alias("gram")
+    )
 
 
 def decontaminate(

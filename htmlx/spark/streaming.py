@@ -264,3 +264,42 @@ def start_extraction_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def decontaminate_stream(
+    docs_stream: DataFrame, eval_docs: DataFrame, n: int = 13,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Streaming benchmark decontamination: flag documents in an ingest
+    stream that share any whitespace-word n-gram with a static eval set —
+    the streaming analogue of analytics.decontaminate, so contaminated
+    docs are dropped at ingest instead of by a later batch sweep.
+
+    Stateless by construction (append-mode safe, no watermark needed):
+    all of a document's n-grams live in its own row, so the per-doc hit
+    count is a JVM array_intersect against the eval gram set — aggregated
+    ONCE into a single-row static frame (bounded by the eval suite, the
+    same boundedness argument as the batch op's broadcast) and
+    broadcast-cross-joined into every micro-batch."""
+    from pyspark.sql import functions as F
+
+    from .analytics import word_ngram_hash_col
+
+    ev = (
+        eval_docs.select(
+            F.explode(word_ngram_hash_col(n, hash_basis)).alias("gram")
+        )
+        .distinct()
+        .agg(F.collect_set("gram").alias("eval_grams"))
+    )
+    hits = F.size(
+        F.array_intersect(word_ngram_hash_col(n, hash_basis), F.col("eval_grams"))
+    )
+    return (
+        docs_stream.crossJoin(F.broadcast(ev))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            hits.cast("long").alias("n_gram_hits"),
+            (hits > 0).alias("contaminated"),
+        )
+    )

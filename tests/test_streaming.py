@@ -267,3 +267,53 @@ def test_event_time_session_stream(spark, tmp_path_factory):
     # times out — u3's events put the watermark at 191 > 120+30. Only
     # u3's own session (200-201, timeout 231 > watermark) stays open.
     assert got == {(1, 0, 5, 2), (2, 0, 3, 2), (1, 120, 120, 1)}
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path_factory):
+    """decontaminate_stream over a file stream == analytics.decontaminate
+    over the same rows (stateless stream-static design), including docs
+    arriving in different micro-batches."""
+    import pandas as pd
+
+    from htmlx.spark.analytics import decontaminate
+    from htmlx.spark.streaming import decontaminate_stream
+
+    tmp = tmp_path_factory.mktemp("decon_stream")
+    src, out_dir, ckpt = tmp / "src", tmp / "out", tmp / "ckpt"
+    src.mkdir()
+    docs = [
+        (0, " ".join(f"w{i}" for i in range(30))),
+        (1, " ".join(f"w{i}" for i in range(13)) + " zz"),
+        (2, " ".join(f"x{i}" for i in range(30))),
+        (3, "short text"),
+    ]
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(docs[:2], "doc_id long, text string").write.parquet(
+        str(src / "a")
+    )
+    spark.createDataFrame(docs[2:], "doc_id long, text string").write.parquet(
+        str(src / "b")
+    )
+    ev = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(30)),)], "text string"
+    )
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = {r.doc_id: (r.n_gram_hits, r.contaminated)
+                for r in decontaminate(batch_df, ev).collect()}
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        decontaminate_stream(stream, ev)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: (r.n_gram_hits, r.contaminated)
+           for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == expected, (got, expected)
