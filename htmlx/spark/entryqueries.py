@@ -587,10 +587,11 @@ QUALIFY rank <= 5
 
 def q_media_sniff(spark, sf_dir):
     """Multimodal metadata plumbing: synthesize header payloads (dims
-    derived from doc_id) across a 4-container matrix — PNG IHDR / WebP
+    derived from doc_id) across a 6-container matrix — PNG IHDR / WebP
     VP8L header bits / WebP VP8X canvas (the lossy-file shape whose PIXEL
     decode degrades but whose metadata must still come out) / ICO
-    directory — and run the binary sniff + header-dimension stage."""
+    directory / SVG root-tag attributes / AVIF ispe property box — and
+    run the binary sniff + header-dimension stage."""
     import struct
 
     import pandas as pd
@@ -606,7 +607,7 @@ def q_media_sniff(spark, sf_dir):
                 d = int(doc_id)
                 w = 100 + d % 500
                 h = 50 + d % 300
-                mode = d % 4
+                mode = d % 6
                 if mode == 0:  # PNG IHDR
                     payload = (
                         b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
@@ -628,11 +629,28 @@ def q_media_sniff(spark, sf_dir):
                         b"RIFF" + struct.pack("<I", 4 + 8 + len(body))
                         + b"WEBPVP8X" + struct.pack("<I", len(body)) + body
                     )
-                else:  # ICO directory (single-byte dims, 1..255)
+                elif mode == 3:  # ICO directory (single-byte dims, 1..255)
                     wi, hi = 1 + d % 255, 1 + d % 200
                     payload = (
                         b"\x00\x00\x01\x00\x01\x00"
                         + bytes([wi, hi, 0, 0]) + struct.pack("<HHII", 1, 32, 0, 22)
+                    )
+                elif mode == 4:  # SVG root tag
+                    payload = (
+                        b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg"'
+                        b' width="' + str(w).encode() + b'px" height="'
+                        + str(h).encode() + b'"><rect/></svg>'
+                    )
+                else:  # AVIF: ftyp + meta{iprp{ipco{ispe}}}
+                    def _box(t, body):
+                        return (8 + len(body)).to_bytes(4, "big") + t + body
+                    ispe = _box(
+                        b"ispe",
+                        b"\x00\x00\x00\x00" + w.to_bytes(4, "big") + h.to_bytes(4, "big"),
+                    )
+                    payload = _box(b"ftyp", b"avifmif1") + _box(
+                        b"meta",
+                        b"\x00\x00\x00\x00" + _box(b"iprp", _box(b"ipco", ispe)),
                     )
                 rows.append({"media_id": d, "kind": "image", "payload": payload,
                              "mime": "", "source_url": ""})
@@ -652,12 +670,14 @@ def q_media_sniff(spark, sf_dir):
 
 O_MEDIA_SNIFF = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
-       CASE doc_id % 4 WHEN 0 THEN 'image/png'
+       CASE doc_id % 6 WHEN 0 THEN 'image/png'
                        WHEN 3 THEN 'image/x-icon'
+                       WHEN 4 THEN 'image/svg+xml'
+                       WHEN 5 THEN 'image/avif'
                        ELSE 'image/webp' END AS mime_sniffed,
-       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 255
+       CAST(CASE WHEN doc_id % 6 = 3 THEN 1 + doc_id % 255
                  ELSE 100 + doc_id % 500 END AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 200
+       CAST(CASE WHEN doc_id % 6 = 3 THEN 1 + doc_id % 200
                  ELSE 50 + doc_id % 300 END AS BIGINT) AS height,
        '' AS error
 FROM documents

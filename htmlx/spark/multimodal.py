@@ -30,6 +30,7 @@ Codec tiers, by what the container can decode:
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from typing import Iterator
@@ -95,7 +96,15 @@ def sniff_mime(payload: bytes) -> str:
             if mime != "riff":
                 return mime
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        brand = payload[8:12]
+        if brand in (b"avif", b"avis"):
+            return "image/avif"
+        if brand in (b"heic", b"heix", b"mif1", b"msf1"):
+            return "image/heic"
         return "video/mp4"
+    head = payload[3:1027] if payload[:3] == b"\xef\xbb\xbf" else payload[:1024]
+    if head.lstrip()[:1] == b"<" and b"<svg" in head:
+        return "image/svg+xml"
     return "application/octet-stream"
 
 
@@ -148,6 +157,12 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
                     h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
                     return w, h
             pos += 8 + n + (n & 1)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp" and payload[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"
+    ):
+        return _isobmff_dimensions(payload)
+    if sniff_mime(payload) == "image/svg+xml":
+        return _svg_dimensions(payload)
     if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 6:
         (count,) = struct.unpack("<H", payload[4:6])
         best = (0, 0)
@@ -159,6 +174,77 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
             if w * h > best[0] * best[1]:
                 best = (w, h)
         return best
+    return 0, 0
+
+
+def _isobmff_dimensions(payload: bytes) -> tuple[int, int]:
+    """AVIF/HEIC dims from the ispe property box (meta -> iprp -> ipco ->
+    ispe; full boxes carry 4 version/flags bytes). Pixel decode genuinely
+    needs an AV1/HEVC codec; the metadata does not."""
+    FULL = {b"meta", b"ispe"}  # full boxes: 4 extra header bytes
+    CONTAINERS = {b"meta", b"iprp", b"ipco"}
+
+    def walk(lo: int, hi: int, depth: int = 0) -> tuple[int, int]:
+        if depth > 8:
+            return 0, 0
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(payload[pos : pos + 4], "big")
+            typ = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                if body + 8 > hi:
+                    return 0, 0
+                size = int.from_bytes(payload[body : body + 8], "big")
+                body += 8
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                return 0, 0
+            if typ in FULL:
+                body += 4
+            if typ == b"ispe":
+                if body + 8 <= pos + size:
+                    w = int.from_bytes(payload[body : body + 4], "big")
+                    h = int.from_bytes(payload[body + 4 : body + 8], "big")
+                    return w, h
+                return 0, 0
+            if typ in CONTAINERS:
+                got = walk(body, pos + size, depth + 1)
+                if got != (0, 0):
+                    return got
+            pos += size
+        return 0, 0
+
+    return walk(0, len(payload))
+
+
+_SVG_TAG = re.compile(rb"<svg\b[^>]*>", re.DOTALL)
+_SVG_ATTR = {
+    "width": re.compile(rb'width\s*=\s*["\']\s*(\d+)(?:px)?\s*["\']'),
+    "height": re.compile(rb'height\s*=\s*["\']\s*(\d+)(?:px)?\s*["\']'),
+    "viewbox": re.compile(
+        rb'viewBox\s*=\s*["\']\s*[\d.+-]+[\s,]+[\d.+-]+[\s,]+(\d+)[\s,]+(\d+)\s*["\']'
+    ),
+}
+
+
+def _svg_dimensions(payload: bytes) -> tuple[int, int]:
+    """SVG dims from the root tag's integer width/height attributes (px),
+    falling back to the viewBox extent; non-integer/relative units give
+    (0, 0) — rendering genuinely needs a rasterizer, the metadata does
+    not."""
+    m = _SVG_TAG.search(payload[:4096])
+    if not m:
+        return 0, 0
+    tag = m.group(0)
+    wm = _SVG_ATTR["width"].search(tag)
+    hm = _SVG_ATTR["height"].search(tag)
+    if wm and hm:
+        return int(wm.group(1)), int(hm.group(1))
+    vb = _SVG_ATTR["viewbox"].search(tag)
+    if vb:
+        return int(vb.group(1)), int(vb.group(2))
     return 0, 0
 
 

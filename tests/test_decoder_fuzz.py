@@ -276,3 +276,17 @@ def test_bit_io_scales_linearly():
         decode_jpeg(j)
         times.append(time.monotonic() - t0)
     assert times[1] < times[0] * 8, times
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
+def test_metadata_sniff_never_crashes(blob):
+    """sniff_mime / image_dimensions are total functions: any bytes in,
+    (mime, dims) out — including the SVG regex and ISO-BMFF box-walk
+    paths."""
+    from htmlx.spark.multimodal import image_dimensions, sniff_mime
+
+    for prefix in (b"", b"<svg ", b"\x00\x00\x00\x14ftypavif",
+                   b"\x00\x00\x00\x14ftypheic", b"RIFF\x00\x00\x00\x00WEBP"):
+        sniff_mime(prefix + blob)
+        image_dimensions(prefix + blob)

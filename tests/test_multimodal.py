@@ -502,3 +502,31 @@ def test_webp_and_ico_dimensions_and_sniff():
     anchors = glob.glob("/root/.pyenv/versions/3.13*/lib/python*/test/*/data/python.webp")
     if anchors:
         assert image_dimensions(open(anchors[0], "rb").read()) == (16, 16)
+
+
+def test_svg_and_avif_sniff_and_dimensions():
+    """Modern web image formats whose PIXEL decode genuinely needs a codec
+    but whose classification and dims must still come out: SVG (root-tag
+    attrs + viewBox fallback), AVIF/HEIC (ispe box walk; ftyp brands no
+    longer mis-sniffed as video/mp4)."""
+    from htmlx.spark.multimodal import image_dimensions, sniff_mime
+
+    svg = (b'<?xml version="1.0"?>\n<svg xmlns="x" width="120px" '
+           b'height="45" viewBox="0 0 120 45"><rect/></svg>')
+    assert sniff_mime(svg) == "image/svg+xml"
+    assert image_dimensions(svg) == (120, 45)
+    assert image_dimensions(b'<svg viewBox="0 0 300 150"/>') == (300, 150)
+    assert image_dimensions(b'<svg width="100%" height="5em"/>') == (0, 0)
+    assert sniff_mime(b"\xef\xbb\xbf  <svg/>") == "image/svg+xml"
+    assert sniff_mime(b"plain text with <svg inside") != "image/svg+xml"
+
+    def box(t, body):
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + (640).to_bytes(4, "big")
+               + (360).to_bytes(4, "big"))
+    meta = box(b"meta", b"\x00\x00\x00\x00" + box(b"iprp", box(b"ipco", ispe)))
+    assert sniff_mime(box(b"ftyp", b"avifmif1") + meta) == "image/avif"
+    assert image_dimensions(box(b"ftyp", b"avifmif1") + meta) == (640, 360)
+    assert sniff_mime(box(b"ftyp", b"heicmif1") + meta) == "image/heic"
+    assert sniff_mime(box(b"ftyp", b"isomiso2")) == "video/mp4"  # unchanged
