@@ -80,7 +80,6 @@ _MAGIC = (
     (b"\xff\xfb", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
-    (b"\x00\x00\x01\x00", "image/x-icon"),
 )
 
 
@@ -102,10 +101,44 @@ def sniff_mime(payload: bytes) -> str:
         if brand in (b"heic", b"heix", b"mif1", b"msf1"):
             return "image/heic"
         return "video/mp4"
-    head = payload[3:1027] if payload[:3] == b"\xef\xbb\xbf" else payload[:1024]
-    if head.lstrip()[:1] == b"<" and b"<svg" in head:
+    # ICO's magic is weak (a 256-byte first MP4 box collides), so it is
+    # only consulted AFTER ftyp, mirroring image_dimensions' order
+    if payload[:4] == b"\x00\x00\x01\x00" and len(payload) >= 22:
+        return "image/x-icon"
+    if _svg_root(payload):
         return "image/svg+xml"
     return "application/octet-stream"
+
+
+def _svg_root(payload: bytes) -> bool:
+    """True only when the FIRST element (after BOM, whitespace, XML decl,
+    doctype and comments) is <svg — an HTML page with an inline <svg>
+    icon is NOT an SVG image."""
+    head = payload[3:2051] if payload[:3] == b"\xef\xbb\xbf" else payload[:2048]
+    i, n = 0, len(head)
+    while i < n:
+        while i < n and head[i] in b" \t\r\n":
+            i += 1
+        if head.startswith(b"<?", i):
+            j = head.find(b"?>", i)
+            if j < 0:
+                return False
+            i = j + 2
+        elif head.startswith(b"<!--", i):
+            j = head.find(b"-->", i)
+            if j < 0:
+                return False
+            i = j + 3
+        elif head.startswith(b"<!", i):  # doctype
+            j = head.find(b">", i)
+            if j < 0:
+                return False
+            i = j + 1
+        else:
+            return head.startswith(b"<svg", i) and (
+                len(head) <= i + 4 or head[i + 4 : i + 5] in (b" ", b"\t", b"\r", b"\n", b">", b"/")
+            )
+    return False
 
 
 def image_dimensions(payload: bytes) -> tuple[int, int]:
@@ -167,8 +200,8 @@ def image_dimensions(payload: bytes) -> tuple[int, int]:
         (count,) = struct.unpack("<H", payload[4:6])
         best = (0, 0)
         for i in range(min(count, 64)):
-            e = payload[6 + i * 16 : 8 + i * 16]
-            if len(e) != 2:
+            e = payload[6 + i * 16 : 6 + (i + 1) * 16]
+            if len(e) != 16:  # structurally truncated directory: no dims
                 break
             w, h = e[0] or 256, e[1] or 256  # 0 encodes 256
             if w * h > best[0] * best[1]:
@@ -221,8 +254,8 @@ def _isobmff_dimensions(payload: bytes) -> tuple[int, int]:
 
 _SVG_TAG = re.compile(rb"<svg\b[^>]*>", re.DOTALL)
 _SVG_ATTR = {
-    "width": re.compile(rb'width\s*=\s*["\']\s*(\d+)(?:px)?\s*["\']'),
-    "height": re.compile(rb'height\s*=\s*["\']\s*(\d+)(?:px)?\s*["\']'),
+    "width": re.compile(rb'(?<![-\w])width\s*=\s*["\']\s*(\d+)(?:px)?\s*["\']'),
+    "height": re.compile(rb'(?<![-\w])height\s*=\s*["\']\s*(\d+)(?:px)?\s*["\']'),
     "viewbox": re.compile(
         rb'viewBox\s*=\s*["\']\s*[\d.+-]+[\s,]+[\d.+-]+[\s,]+(\d+)[\s,]+(\d+)\s*["\']'
     ),
@@ -584,6 +617,8 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                             decode_image(b)
                         except NotImplementedError:
                             err = "decoder_unavailable"
+                        except (ValueError, zlib.error):
+                            err = "corrupt_image"
                 rows.append(
                     {
                         "media_id": media_id,

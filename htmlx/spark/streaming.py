@@ -285,12 +285,16 @@ def decontaminate_stream(
 
     from .analytics import word_ngram_hash_col
 
+    if hash_basis not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
+    # the static side of a stream-static join re-evaluates per micro-batch;
+    # persist so eval grams are computed once (collect_set already dedups)
     ev = (
         eval_docs.select(
             F.explode(word_ngram_hash_col(n, hash_basis)).alias("gram")
         )
-        .distinct()
         .agg(F.collect_set("gram").alias("eval_grams"))
+        .persist()
     )
     hits = F.size(
         F.array_intersect(word_ngram_hash_col(n, hash_basis), F.col("eval_grams"))

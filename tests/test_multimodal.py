@@ -530,3 +530,21 @@ def test_svg_and_avif_sniff_and_dimensions():
     assert image_dimensions(box(b"ftyp", b"avifmif1") + meta) == (640, 360)
     assert sniff_mime(box(b"ftyp", b"heicmif1") + meta) == "image/heic"
     assert sniff_mime(box(b"ftyp", b"isomiso2")) == "video/mp4"  # unchanged
+
+
+def test_metadata_probe_degrades_malformed_payloads():
+    """Review finding: the metadata stage's decode probe must catch
+    declared corruption (ValueError/zlib.error), not just
+    decoder_unavailable — a truncated known-mime payload previously
+    killed the mapInPandas task. Also pins: weak ICO magic loses to
+    ftyp; HTML with inline <svg> is not an SVG; stroke-width doesn't
+    shadow width."""
+    import pandas as pd
+
+    from htmlx.spark.multimodal import image_dimensions, sniff_mime
+
+    assert sniff_mime(b"<!DOCTYPE html><html><svg width='1'>") == "application/octet-stream"
+    assert image_dimensions(b'<svg stroke-width="2" width="120" height="45">') == (120, 45)
+    big_ftyp = (256).to_bytes(4, "big") + b"ftypavif" + b"\x00" * 248
+    assert sniff_mime(big_ftyp) == "image/avif"
+    assert image_dimensions(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 10) == (0, 0)
