@@ -886,12 +886,20 @@ def q_media_pixel_decode(spark, sf_dir):
                         )
                     else:
                         payload = encode_bmp(raw.reshape(h, w, 3))
-                elif mode == 5:  # TIFF gray: LZW strips / Deflate tiles
+                elif mode == 5:  # TIFF gray: LZW strips / Deflate tiles /
+                    # 16-bit big-endian (high byte carries the formula)
                     raw = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
-                    if (d // 6) % 2:
+                    variant = (d // 6) % 3
+                    if variant == 1:
                         payload = encode_tiff(
                             raw.reshape(h, w), compression=8, predictor=2,
                             tile=(5, 4),
+                        )
+                    elif variant == 2:
+                        deep = (raw.astype(np.uint16) << 8) | ((d + np.arange(w * h)) % 256)
+                        payload = encode_tiff(
+                            deep.reshape(h, w), compression=8, predictor=2,
+                            byte_order=">", rows_per_strip=2, bit_depth=16,
                         )
                     else:
                         payload = encode_tiff(

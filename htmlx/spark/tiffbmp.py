@@ -10,11 +10,15 @@ Scope:
 - BMP: BITMAPINFOHEADER (and the larger V4/V5 headers), uncompressed
   8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or top-down, with
   4-byte row padding. RLE and bitfield compressions degrade.
-- TIFF: both byte orders, single-image IFD walk, chunky planar config,
-  8-bit samples, 1 or 3+ samples/pixel (extra samples kept as alpha),
-  strip-based layout, compressions None(1) / LZW(5, with horizontal
-  predictor) / Deflate(8, 32946) / PackBits(32773), grayscale (both
-  photometric polarities), RGB, and palette-color via ColorMap.
+- TIFF: both byte orders, single-image IFD walk, chunky AND planar
+  configs, 8- and 16-bit samples (16-bit decodes to the high byte, the
+  PNG convention; the horizontal predictor is undone at sample width),
+  1 or 3+ samples/pixel (extra samples kept as alpha), strip- AND
+  tile-based layouts (edge tiles cropped, per-block predictor restart),
+  compressions None(1) / LZW(5) / Deflate(8, 32946) / PackBits(32773),
+  grayscale (both photometric polarities), RGB, palette-color via
+  ColorMap, plus ICO favicons (BMP DIBs w/ AND-mask alpha or embedded
+  PNGs).
 
 Each decoder has a deterministic synthesis twin for tests and the
 media_pixel_decode formula-oracle corpus. Malformed data raises
@@ -231,8 +235,16 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"bad_planar_config_{planar}")
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff predictor={predictor}")
-    if any(b != 8 for b in bits) or spp < 1 or spp > 4:
-        raise NotImplementedError(f"tiff bits={bits} spp={spp}")
+    if bits and all(b == 8 for b in bits):
+        sample_bytes = 1
+    elif bits and all(b == 16 for b in bits):
+        sample_bytes = 2  # decoded to the high byte (PNG convention)
+    else:
+        raise NotImplementedError(f"tiff bits={bits}")
+    if spp < 1 or spp > 4:
+        raise NotImplementedError(f"tiff spp={spp}")
+    if sample_bytes == 2 and photometric == 3:
+        raise NotImplementedError("tiff 16-bit palette")
     if w <= 0 or h <= 0:
         raise ValueError("bad_dimensions")
     if w * h * spp > _MAX_RASTER:
@@ -273,7 +285,14 @@ def decode_tiff(payload: bytes):
 
     def undo_predictor(raw, rows, cols, samples):
         # horizontal differencing restarts at each block row's left edge,
-        # so it must be undone per strip/tile block, not post-assembly
+        # so it must be undone per strip/tile block, not post-assembly;
+        # for 16-bit samples it operates on 16-bit VALUES in the file's
+        # byte order, and the decoded output keeps the high byte
+        if sample_bytes == 2:
+            a = np.frombuffer(raw, np.dtype(bo + "u2")).reshape(rows, cols, samples)
+            if predictor == 2:
+                a = np.cumsum(a.astype(np.uint32), axis=1, dtype=np.uint32) & 0xFFFF
+            return (a >> 8).astype(np.uint8)
         a = np.frombuffer(raw, np.uint8).reshape(rows, cols, samples)
         if predictor == 2:
             a = np.cumsum(a.astype(np.uint32), axis=1, dtype=np.uint32).astype(np.uint8)
@@ -307,7 +326,7 @@ def decode_tiff(payload: bytes):
             for ty in range(down):
                 for tx in range(across):
                     # tiles are always padded to full tw x th
-                    out = fetch(offsets[i], counts[i], th * tw * spp_eff)
+                    out = fetch(offsets[i], counts[i], th * tw * spp_eff * sample_bytes)
                     i += 1
                     tile = undo_predictor(out, th, tw, spp_eff)
                     ys, xs = ty * th, tx * tw
@@ -325,7 +344,7 @@ def decode_tiff(payload: bytes):
             y = 0
             for _ in range(per_plane):
                 rows = min(rows_per_strip, h - y)
-                out = fetch(offsets[i], counts[i], rows * w * spp_eff)
+                out = fetch(offsets[i], counts[i], rows * w * spp_eff * sample_bytes)
                 i += 1
                 strip = undo_predictor(out, rows, w, spp_eff)
                 if planar == 2:
@@ -350,17 +369,19 @@ def decode_tiff(payload: bytes):
 
 def encode_tiff(
     arr, compression=1, predictor=1, byte_order="<", rows_per_strip=None,
-    colormap=None, photometric=None, planar=1, tile=None,
+    colormap=None, photometric=None, planar=1, tile=None, bit_depth=8,
 ) -> bytes:
     """Synthesis twin: little/big endian, strip- or tile-based, chunky or
-    planar, 8-bit. `arr` is (h, w) gray / (h, w, c) / (h, w) indices with
-    colormap(n,3); `tile=(tw, th)` switches to padded tiles."""
+    planar, 8- or 16-bit. `arr` is (h, w) gray / (h, w, c) / (h, w)
+    indices with colormap(n,3) (uint16 when bit_depth=16); `tile=(tw,
+    th)` switches to padded tiles."""
     import numpy as np
 
     from .pdf import lzw_encode_pdf
 
     bo = byte_order
-    a = np.asarray(arr, np.uint8)
+    dt = np.uint8 if bit_depth == 8 else np.uint16
+    a = np.asarray(arr, dt)
     if colormap is not None:
         if a.ndim != 2:
             raise ValueError("palette tiff takes (h, w) indices")
@@ -394,12 +415,19 @@ def encode_tiff(
         raise ValueError(f"unsupported encode compression={compression}")
 
     def diff(block):
-        # horizontal differencing within each block row
+        # horizontal differencing within each block row, at sample width
         if predictor != 2:
             return block
-        d = block.astype(np.int16)
-        d[:, 1:] -= block[:, :-1].astype(np.int16)
-        return (d & 0xFF).astype(np.uint8)
+        d = block.astype(np.int32)
+        d[:, 1:] -= block[:, :-1].astype(np.int32)
+        mask = 0xFF if bit_depth == 8 else 0xFFFF
+        return (d & mask).astype(dt)
+
+    def raw_bytes(block):
+        # samples serialized in the chosen byte order
+        if bit_depth == 8:
+            return block.astype(np.uint8).tobytes()
+        return block.astype(np.dtype(bo + "u2")).tobytes()
 
     planes = [a[:, :, p : p + 1] for p in range(spp)] if planar == 2 else [a]
     blocks = []
@@ -408,15 +436,19 @@ def encode_tiff(
         for src in planes:
             for ty in range(0, h, th):
                 for tx in range(0, w, tw):
-                    t = np.zeros((th, tw, spp_eff), np.uint8)  # padded
+                    t = np.zeros((th, tw, spp_eff), dt)  # padded
                     part = src[ty : ty + th, tx : tx + tw]
                     t[: part.shape[0], : part.shape[1]] = part
-                    blocks.append(compress(diff(t).tobytes(), tw * spp_eff))
+                    blocks.append(
+                        compress(raw_bytes(diff(t)), tw * spp_eff * (bit_depth // 8))
+                    )
     else:
         for src in planes:
             for y in range(0, h, rows_per_strip):
                 s = diff(src[y : y + rows_per_strip])
-                blocks.append(compress(s.tobytes(), w * spp_eff))
+                blocks.append(
+                    compress(raw_bytes(s), w * spp_eff * (bit_depth // 8))
+                )
 
     entries = []  # (tag, type, count, packed_or_data)
 
@@ -425,7 +457,7 @@ def encode_tiff(
 
     entry(256, 4, [w])
     entry(257, 4, [h])
-    entry(258, 3, [8] * spp)
+    entry(258, 3, [bit_depth] * spp)
     entry(259, 3, [compression])
     entry(262, 3, [photometric])
     entry(277, 3, [spp])

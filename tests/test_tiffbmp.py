@@ -161,3 +161,29 @@ def test_tiff_block_count_validation():
     truncated = grown[: len(grown) - 16]  # drop trailing tile bytes
     with pytest.raises(ValueError):
         decode_tiff(bytes(truncated))
+
+
+def test_tiff_16bit_roundtrips():
+    """16-bit samples decode to the high byte (PNG convention); the
+    horizontal predictor is undone at 16-bit sample width in the file's
+    byte order, across strips/tiles/planar and every compression."""
+    rnd = np.random.RandomState(11)
+    a16 = rnd.randint(0, 65536, (7, 13, 3)).astype(np.uint16)
+    want = (a16 >> 8).astype(np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for bo in ("<", ">"):
+                for kw in ({}, {"tile": (5, 4)}, {"planar": 2, "rows_per_strip": 3}):
+                    got = decode_tiff(encode_tiff(
+                        a16, compression=comp, predictor=pred,
+                        byte_order=bo, bit_depth=16, **kw))
+                    assert (got == want).all(), (comp, pred, bo, kw)
+    # a 16-bit gradient whose LOW bytes vary: high-byte output must ignore
+    # them, and predictor math must NOT be done bytewise
+    g = (np.arange(5 * 9, dtype=np.uint16).reshape(5, 9) * 300) & 0xFFFF
+    got = decode_tiff(encode_tiff(g, bit_depth=16, predictor=2))
+    assert (got[:, :, 0] == (g >> 8)).all()
+    import pytest as _p
+    with _p.raises(NotImplementedError):  # 16-bit palette stays out of scope
+        decode_tiff(encode_tiff(np.zeros((2, 2), np.uint16), bit_depth=16,
+                                colormap=np.zeros((4, 3), np.uint8)))
