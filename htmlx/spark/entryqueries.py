@@ -848,7 +848,8 @@ def q_media_pixel_decode(spark, sf_dir):
     raster is (doc_id*31 + i*7) % 256 and doc_id % 6 picks the container —
     PNG gray sequential (filters y%5) / RGBA alternating PNG Adam7 with
     WebP VP8L (cycling predictor modes, subtract-green, color cache,
-    LZ77) / PNG palette (gray-identity PLTE) / PNG RGB Adam7 / BMP 24-bit
+    LZ77) / palette alternating PNG PLTE with BMP RLE8 (runs + absolute
+    segments) / PNG RGB Adam7 / BMP 24-bit
     alternating with TIFF RGB planar-config strips / TIFF gray
     alternating LZW+predictor big-endian strips with Deflate+predictor
     5x4 tiles (edge tiles cropped) — then recover pixel-level features.
@@ -872,11 +873,15 @@ def q_media_pixel_decode(spark, sf_dir):
                 d = int(doc_id)
                 w, h = 8 + d % 8, 4 + d % 4
                 mode = d % 6
-                if mode == 2:  # PNG palette: index raster follows the formula
+                if mode == 2:  # palette tier: PNG / BMP RLE8 (alternating),
+                    # index raster follows the formula, gray-identity PLTE
                     idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
-                    payload = encode_png(
-                        idx.reshape(h, w), palette=pal, row_filter=lambda y: y % 5
-                    )
+                    if (d // 6) % 2:
+                        payload = encode_bmp(idx.reshape(h, w), palette=pal, rle=True)
+                    else:
+                        payload = encode_png(
+                            idx.reshape(h, w), palette=pal, row_filter=lambda y: y % 5
+                        )
                 elif mode == 4:  # BMP 24-bit / TIFF RGB planar (alternating)
                     raw = ((d * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
                     if (d // 6) % 2:

@@ -9,7 +9,8 @@ RunLength scheme with a no-op 128, and Deflate is stdlib zlib.
 Scope:
 - BMP: BITMAPINFOHEADER (and the larger V4/V5 headers), uncompressed
   8-bit palette / 24-bit BGR / 32-bit BGRA, bottom-up or top-down, with
-  4-byte row padding. RLE and bitfield compressions degrade.
+  4-byte row padding, plus BI_RLE8 (runs, absolute segments, EOL/EOF/
+  delta escapes). RLE4 and bitfield compressions degrade.
 - TIFF: both byte orders, single-image IFD walk, chunky AND planar
   configs, 8- and 16-bit samples (16-bit decodes to the high byte, the
   PNG convention; the horizontal predictor is undone at sample width),
@@ -57,8 +58,10 @@ def decode_bmp(payload: bytes):
     h = -h_signed if top_down else h_signed
     if w <= 0 or h <= 0:
         raise ValueError("bad_dimensions")
-    if compression != 0:
+    if compression not in (0, 1):
         raise NotImplementedError(f"bmp compression={compression}")
+    if compression == 1 and (bpp != 8 or top_down):
+        raise ValueError("rle8_requires_8bit_bottom_up")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"bmp bpp={bpp}")
     if w * h * 4 > _MAX_RASTER:
@@ -73,6 +76,11 @@ def decode_bmp(payload: bytes):
         # BGRA quads -> RGB
         palette = np.frombuffer(pal, np.uint8).reshape(-1, 4)[:, [2, 1, 0]]
     nchan = bpp // 8
+    if compression == 1:  # BI_RLE8: runs + escapes (EOL/EOF/delta/absolute)
+        idx = _decode_rle8(payload[data_off:], w, h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette_index_out_of_range")
+        return palette[idx[::-1]]  # RLE bitmaps are bottom-up
     stride = (w * nchan + 3) & ~3  # rows pad to 4 bytes
     need = stride * h
     if len(payload) < data_off + need:
@@ -91,12 +99,85 @@ def decode_bmp(payload: bytes):
     return px[:, :, [2, 1, 0, 3]]  # BGRA -> RGBA
 
 
-def encode_bmp(arr, palette=None, top_down=False) -> bytes:
+def _decode_rle8(data: bytes, w: int, h: int):
+    """BI_RLE8 decode to an (h, w) index raster in STORED (bottom-up) row
+    order: (count, value) runs; escape 0 + {0: end of line, 1: end of
+    bitmap, 2: delta (dx, dy), n>=3: n absolute bytes padded to 16 bits}.
+    Pixels skipped by EOL/delta stay index 0 (the spec's background)."""
+    import numpy as np
+
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if y >= h or x + cnt > w:
+                raise ValueError("rle8_run_out_of_bounds")
+            out[y, x : x + cnt] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated_rle8")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("rle8_delta_out_of_bounds")
+        else:  # absolute mode: val literal bytes, word-aligned
+            if y >= h or x + val > w or i + val > n:
+                raise ValueError("rle8_absolute_out_of_bounds")
+            out[y, x : x + val] = np.frombuffer(data, np.uint8, val, i)
+            x += val
+            i += val + (val & 1)
+    raise ValueError("rle8_missing_end_of_bitmap")
+
+
+def encode_bmp(arr, palette=None, top_down=False, rle=False) -> bytes:
     """Synthesis twin: (h, w) indices + palette(n,3), or (h, w, 3) RGB /
-    (h, w, 4) RGBA arrays."""
+    (h, w, 4) RGBA arrays; rle=True emits BI_RLE8 (requires a palette,
+    bottom-up) mixing encoded runs with absolute segments."""
     import numpy as np
 
     a = np.asarray(arr, np.uint8)
+    if rle:
+        if palette is None or a.ndim != 2 or top_down:
+            raise ValueError("rle bmp takes (h, w) indices, bottom-up")
+        h, w = a.shape
+        body = bytearray()
+        for row in a[::-1]:  # stored bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3 or w - x <= 2:
+                    body += bytes([run, row[x]])
+                    x += run
+                else:  # short mixed stretch: absolute mode
+                    lit = min(255, w - x)
+                    seg = bytes(row[x : x + lit])
+                    body += bytes([0, lit]) + seg + (b"\x00" if lit & 1 else b"")
+                    x += lit
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        pal = np.asarray(palette, np.uint8)
+        n_colors = len(pal)
+        quads = np.zeros((n_colors, 4), np.uint8)
+        quads[:, :3] = pal[:, [2, 1, 0]]
+        pal_bytes = quads.tobytes()
+        data_off = 14 + 40 + len(pal_bytes)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, n_colors, 0,
+        )
+        hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        return hdr + info + pal_bytes + bytes(body)
     if palette is not None:
         if a.ndim != 2:
             raise ValueError("palette bmp takes (h, w) indices")

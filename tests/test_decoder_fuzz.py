@@ -290,3 +290,18 @@ def test_metadata_sniff_never_crashes(blob):
                    b"\x00\x00\x00\x14ftypheic", b"RIFF\x00\x00\x00\x00WEBP"):
         sniff_mime(prefix + blob)
         image_dimensions(prefix + blob)
+
+
+@given(st.binary(max_size=1024))
+@_SETTINGS
+def test_bmp_rle8_fuzz(blob):
+    """Biased at the RLE8 branch: a valid RLE8 header + palette, arbitrary
+    run data — must degrade to declared errors only."""
+    import struct as _s
+
+    from htmlx.spark.tiffbmp import decode_bmp
+
+    pal = bytes(1024)
+    info = _s.pack("<IiiHHIIiiII", 40, 8, 4, 1, 8, 1, len(blob), 0, 0, 256, 0)
+    hdr = b"BM" + _s.pack("<IHHI", 54 + 1024 + len(blob), 0, 0, 54 + 1024)
+    _attempt(decode_bmp, hdr + info + pal + blob)

@@ -43,7 +43,11 @@ def test_bmp_error_paths():
     with pytest.raises(ValueError):
         decode_bmp(good[: len(good) - 4])  # truncated pixel data
     rle = bytearray(good)
-    rle[30] = 1  # compression = BI_RLE8
+    rle[30] = 1  # BI_RLE8 on a 24-bit bmp is malformed, not unsupported
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(rle))
+    rle[30] = 2  # BI_RLE4 stays the declared stub
+    rle[28] = 4
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(rle))
 
@@ -187,3 +191,20 @@ def test_tiff_16bit_roundtrips():
     with _p.raises(NotImplementedError):  # 16-bit palette stays out of scope
         decode_tiff(encode_tiff(np.zeros((2, 2), np.uint16), bit_depth=16,
                                 colormap=np.zeros((4, 3), np.uint8)))
+
+
+def test_bmp_rle8_roundtrips_and_errors():
+    rnd = np.random.RandomState(12)
+    pal = rnd.randint(0, 256, (256, 3)).astype(np.uint8)
+    for shape in ((7, 13), (1, 1), (4, 255)):
+        idx = np.where(rnd.rand(*shape) < 0.5,
+                       rnd.randint(0, 256, shape),
+                       np.full(shape, 9)).astype(np.uint8)
+        got = decode_bmp(encode_bmp(idx, palette=pal, rle=True))
+        assert (got == pal[idx]).all(), shape
+    good = bytearray(encode_bmp(np.full((3, 4), 7, np.uint8), palette=pal, rle=True))
+    with pytest.raises(ValueError):  # missing end-of-bitmap escape
+        decode_bmp(bytes(good[:-2]))
+    run_oob = bytes(good[: 54 + 1024]) + bytes([200, 1, 0, 1])  # run past row end
+    with pytest.raises(ValueError):
+        decode_bmp(run_oob)
