@@ -874,11 +874,14 @@ def q_media_pixel_decode(spark, sf_dir):
                 w, h = 8 + d % 8, 4 + d % 4
                 mode = d % 6
                 if mode == 2:  # palette tier: PNG / BMP RLE8 (alternating),
-                    # index raster follows the formula, gray-identity PLTE
-                    idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
+                    # index raster follows the formula, gray-identity PLTE;
+                    # the RLE variant repeats each value 3x so the stream
+                    # mixes ENCODED RUNS with absolute segments
                     if (d // 6) % 2:
+                        idx = ((d * 31 + (np.arange(w * h) // 3) * 7) % 256).astype(np.uint8)
                         payload = encode_bmp(idx.reshape(h, w), palette=pal, rle=True)
                     else:
+                        idx = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
                         payload = encode_png(
                             idx.reshape(h, w), palette=pal, row_filter=lambda y: y % 5
                         )
@@ -953,9 +956,15 @@ WITH d AS (
   FROM documents),
 v AS (
   SELECT doc_id, w, h, c,
-         CASE WHEN mode = 2
-              -- palette tier: index v expands to (v, v, v) via the
-              -- gray-identity PLTE
+         CASE WHEN mode = 2 AND (doc_id // 6) % 2 = 1
+              -- BMP RLE8 variant: values repeat 3x (run-friendly), index
+              -- v expands to (v, v, v) via the gray-identity PLTE
+              THEN flatten([[(doc_id * 31 + (i // 3) * 7) % 256,
+                             (doc_id * 31 + (i // 3) * 7) % 256,
+                             (doc_id * 31 + (i // 3) * 7) % 256]
+                            FOR i IN generate_series(0, w * h - 1)])
+              WHEN mode = 2
+              -- PNG palette variant: index v expands to (v, v, v)
               THEN flatten([[(doc_id * 31 + i * 7) % 256,
                              (doc_id * 31 + i * 7) % 256,
                              (doc_id * 31 + i * 7) % 256]

@@ -113,6 +113,10 @@ def _decode_rle8(data: bytes, w: int, h: int):
     while i + 1 < n:
         cnt, val = data[i], data[i + 1]
         i += 2
+        if x >= w and (cnt > 0 or val >= 3):
+            # encoders may omit the EOL escape when a row fills exactly
+            # (Pillow/GDI accept this); advance implicitly
+            x, y = 0, y + 1
         if cnt > 0:  # encoded run
             if y >= h or x + cnt > w:
                 raise ValueError("rle8_run_out_of_bounds")
@@ -167,33 +171,25 @@ def encode_bmp(arr, palette=None, top_down=False, rle=False) -> bytes:
                     x += lit
             body += b"\x00\x00"  # end of line
         body += b"\x00\x01"  # end of bitmap
-        pal = np.asarray(palette, np.uint8)
-        n_colors = len(pal)
-        quads = np.zeros((n_colors, 4), np.uint8)
-        quads[:, :3] = pal[:, [2, 1, 0]]
-        pal_bytes = quads.tobytes()
-        data_off = 14 + 40 + len(pal_bytes)
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, n_colors, 0,
-        )
-        hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
-        return hdr + info + pal_bytes + bytes(body)
-    if palette is not None:
-        if a.ndim != 2:
-            raise ValueError("palette bmp takes (h, w) indices")
-        h, w = a.shape
-        bpp = 8
-        rows = a[:, :, None]
+        bpp, compression = 8, 1
     else:
-        h, w, nchan = a.shape
-        bpp = nchan * 8
-        rows = a[:, :, [2, 1, 0]] if nchan == 3 else a[:, :, [2, 1, 0, 3]]
-    stride = (w * bpp // 8 + 3) & ~3
-    body = bytearray()
-    ordered = rows if top_down else rows[::-1]
-    for y in range(h):
-        line = ordered[y].tobytes()
-        body += line + b"\x00" * (stride - len(line))
+        compression = 0
+        if palette is not None:
+            if a.ndim != 2:
+                raise ValueError("palette bmp takes (h, w) indices")
+            h, w = a.shape
+            bpp = 8
+            rows = a[:, :, None]
+        else:
+            h, w, nchan = a.shape
+            bpp = nchan * 8
+            rows = a[:, :, [2, 1, 0]] if nchan == 3 else a[:, :, [2, 1, 0, 3]]
+        stride = (w * bpp // 8 + 3) & ~3
+        body = bytearray()
+        ordered = rows if top_down else rows[::-1]
+        for y in range(h):
+            line = ordered[y].tobytes()
+            body += line + b"\x00" * (stride - len(line))
     pal_bytes = b""
     n_colors = 0
     if palette is not None:
@@ -204,7 +200,7 @@ def encode_bmp(arr, palette=None, top_down=False, rle=False) -> bytes:
         pal_bytes = quads.tobytes()
     data_off = 14 + 40 + len(pal_bytes)
     info = struct.pack(
-        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, 0,
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, compression,
         len(body), 2835, 2835, n_colors, 0,
     )
     hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
@@ -328,7 +324,7 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError("tiff 16-bit palette")
     if w <= 0 or h <= 0:
         raise ValueError("bad_dimensions")
-    if w * h * spp > _MAX_RASTER:
+    if w * h * spp * sample_bytes > _MAX_RASTER:
         raise ValueError("image_too_large")
 
     def decompress(raw, expect):
@@ -396,7 +392,7 @@ def decode_tiff(payload: bytes):
         th = tags.get("tile_length", [0])[0]
         if tw <= 0 or th <= 0:
             raise ValueError("bad_tile_dimensions")
-        if tw * th * spp_eff > _MAX_RASTER:
+        if tw * th * spp_eff * sample_bytes > _MAX_RASTER:
             raise ValueError("image_too_large")
         across = (w + tw - 1) // tw
         down = (h + th - 1) // th

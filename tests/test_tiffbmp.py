@@ -208,3 +208,33 @@ def test_bmp_rle8_roundtrips_and_errors():
     run_oob = bytes(good[: 54 + 1024]) + bytes([200, 1, 0, 1])  # run past row end
     with pytest.raises(ValueError):
         decode_bmp(run_oob)
+
+
+def test_bmp_rle8_delta_and_implicit_rows():
+    """Hand-built RLE8 payloads pin the delta escape (skipped pixels stay
+    background index 0, position advances by (dx, dy)) and the implicit
+    row advance when a row fills exactly without an EOL escape."""
+    import struct as _s
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    def rle_bmp(w, h, stream):
+        quads = np.zeros((256, 4), np.uint8)
+        quads[:, :3] = pal[:, [2, 1, 0]]
+        info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, 256, 0)
+        off = 54 + 1024
+        return (b"BM" + _s.pack("<IHHI", off + len(stream), 0, 0, off)
+                + info + quads.tobytes() + stream)
+
+    # 4x3 bottom-up: run of 2 at (0,0), delta (1,1), run of 1 at (3,1), EOF
+    stream = bytes([2, 5]) + b"\x00\x02" + bytes([1, 1]) + bytes([1, 9]) + b"\x00\x01"
+    got = decode_bmp(rle_bmp(4, 3, stream))
+    exp_idx = np.zeros((3, 4), np.uint8)     # stored rows, bottom-up
+    exp_idx[0, 0] = exp_idx[0, 1] = 5        # the run
+    exp_idx[1, 3] = 9                        # after delta (dx=1, dy=1)
+    assert (got == pal[exp_idx[::-1]]).all()
+    # two 3-wide rows as back-to-back runs with NO end-of-line escapes
+    stream = bytes([3, 7, 3, 8]) + b"\x00\x01"
+    got = decode_bmp(rle_bmp(3, 2, stream))
+    exp_idx = np.array([[7, 7, 7], [8, 8, 8]], np.uint8)
+    assert (got == pal[exp_idx[::-1]]).all()
