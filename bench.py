@@ -421,6 +421,8 @@ def main():
 
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         ev = scaling_evidence(SF_DIR, max(CPUS // 4, 2), CPUS)
+        ev["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        ev["provenance"] = "same-JVM mode (confounded by shared JVM/GC; NOT the headline)"
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/scaling.json", "w") as f:
             json.dump(ev, f, indent=1)
@@ -450,7 +452,21 @@ def main():
         p = os.path.join(bench_dir, fname)
         if os.path.exists(p):
             with open(p) as f:
-                payload[key] = json.load(f)
+                block = json.load(f)
+            # Every block carries explicit provenance: stamp the artifact's
+            # file mtime so a carried-over measurement can never read as
+            # fresh (VERDICT r4 item 6 — BENCH_r04 shipped r3's same-JVM
+            # numbers verbatim with nothing marking them stale).
+            block["artifact_written_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime(os.path.getmtime(p))
+            )
+            if "measured_at" not in block:
+                block["provenance"] = (
+                    block.get("provenance", "")
+                    + " [carried-over artifact: measured in an earlier round, "
+                    "see artifact_written_at]"
+                ).strip()
+            payload[key] = block
     if "executor_scaling_latest" in payload:
         payload["scaling_efficiency_headline"] = payload["executor_scaling_latest"].get(
             "scaling_efficiency"

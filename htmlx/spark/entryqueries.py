@@ -1596,18 +1596,25 @@ FROM v
 
 
 def q_audio_pcm_decode(spark, sf_dir):
-    """REAL audio decode (multimodal.decode_audio): synthesize
-    deterministic PCM-16 — sample i is (doc_id*7 + i*13) % 2048 - 1024,
-    frames/channels/rate vary with doc_id — as WAV for even doc_ids and
-    FLAC for odd (lossless: Rice-coded FIXED/LPC subframes, stereo
-    decorrelation cycling left/mid/right-side, CRC + PCM-MD5 verified on
-    decode), then recover duration, RMS and peak from the decoded
-    samples. FLAC being lossless is the point: ONE oracle recomputes the
-    features from the formula for both containers, so one wrong decoded
-    sample in either flips RMS."""
+    """REAL audio decode + header-walk ladder (multimodal.decode_audio /
+    audio_stream_info) over a 4-container matrix on doc_id % 4:
+      0 -> WAV   (PCM-16, mono/stereo by (d//4)%2) — full decode
+      1 -> FLAC  (Rice FIXED/LPC, stereo decorrelation cycling
+                  left/mid/right-side, CRC + PCM-MD5 verified) — full decode
+      2 -> MP3   (CBR MPEG1 Layer III frame sequence) — header_only walk
+      3 -> OGG   (Vorbis ident header + EOS granule) — header_only walk
+    PCM sample i is (doc_id*7 + i*13) % 2048 - 1024; FLAC being lossless
+    means ONE oracle recomputes RMS/peak from the formula for both PCM
+    containers, and the MP3/OGG tiers oracle-check the frame-header math
+    (duration/rate/channels/bitrate) without any codec."""
     import pandas as pd
 
-    from .multimodal import encode_wav, extract_audio_features
+    from .multimodal import (
+        encode_mp3_headers,
+        encode_ogg_vorbis,
+        encode_wav,
+        extract_audio_features,
+    )
 
     docs = _docs(spark, sf_dir)
 
@@ -1620,19 +1627,32 @@ def q_audio_pcm_decode(spark, sf_dir):
             rows = []
             for doc_id in pdf.doc_id:
                 d = int(doc_id)
-                c = 1 + d % 2
-                frames = 256 + d % 128
-                rate = 8000 + (d % 4) * 4000
-                flat = ((d * 7 + np.arange(frames * c) * 13) % 2048) - 1024
-                pcm = flat.reshape(frames, c)
-                if d % 2 == 1:
-                    mode = ("left_side", "mid_side", "right_side")[(d // 2) % 3]
-                    payload = encode_flac(
-                        pcm, rate, block_size=128,
-                        stereo_mode=mode, lpc=(d % 4 == 3),
+                k = d // 4
+                mode = d % 4
+                if mode in (0, 1):
+                    c = 2 if mode == 1 else 1 + k % 2
+                    frames = 256 + d % 128
+                    rate = 8000 + (k % 4) * 4000
+                    flat = ((d * 7 + np.arange(frames * c) * 13) % 2048) - 1024
+                    pcm = flat.reshape(frames, c)
+                    if mode == 1:
+                        smode = ("left_side", "mid_side", "right_side")[k % 3]
+                        payload = encode_flac(
+                            pcm, rate, block_size=128,
+                            stereo_mode=smode, lpc=(k % 2 == 1),
+                        )
+                    else:
+                        payload = encode_wav(pcm, rate)
+                elif mode == 2:
+                    payload = encode_mp3_headers(
+                        n_mp3_frames=6 + k % 6, kbps_idx=1 + k % 14,
+                        rate_idx=k % 3, mono=(k % 2 == 0),
                     )
                 else:
-                    payload = encode_wav(pcm, rate)
+                    payload = encode_ogg_vorbis(
+                        granule=1000 + d % 500, rate=8000 + (k % 4) * 4000,
+                        channels=1 + k % 2, nominal_bps=(32 + k % 64) * 1000,
+                    )
                 rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -1643,6 +1663,7 @@ def q_audio_pcm_decode(spark, sf_dir):
         F.col("channels").cast("long").alias("channels"),
         "n_frames",
         "duration_ms",
+        "bitrate_kbps",
         "rms_x1000",
         "peak",
         "error",
@@ -1651,22 +1672,49 @@ def q_audio_pcm_decode(spark, sf_dir):
 
 O_AUDIO_PCM_DECODE = """
 WITH d AS (
-  SELECT doc_id, 1 + doc_id % 2 AS c, 256 + doc_id % 128 AS frames,
-         8000 + (doc_id % 4) * 4000 AS rate
-  FROM documents),
-v AS (
+  SELECT doc_id, doc_id // 4 AS k, doc_id % 4 AS mode FROM documents),
+pcm AS (
+  SELECT doc_id,
+         CASE WHEN mode = 1 THEN 2 ELSE 1 + k % 2 END AS c,
+         256 + doc_id % 128 AS frames,
+         8000 + (k % 4) * 4000 AS rate
+  FROM d WHERE mode IN (0, 1)),
+pcm_v AS (
   SELECT doc_id, c, frames, rate,
          [(doc_id * 7 + i * 13) % 2048 - 1024 FOR i IN generate_series(0, frames * c - 1)] AS s
-  FROM d)
-SELECT CAST(doc_id AS BIGINT) AS media_id,
+  FROM pcm),
+pcm_rows AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(rate AS BIGINT) AS sample_rate,
        CAST(c AS BIGINT) AS channels,
        CAST(frames AS BIGINT) AS n_frames,
        CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(rate * c * 16 // 1000 AS BIGINT) AS bitrate_kbps,
        CAST(floor(1000 * sqrt(list_sum(list_transform(s, x -> x * x)) * 1.0 / (frames * c))) AS BIGINT) AS rms_x1000,
        CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
        '' AS error
-FROM v
+  FROM pcm_v),
+mp3_rows AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(([44100, 48000, 32000])[1 + k % 3] AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+       CAST((6 + k % 6) * 1152 AS BIGINT) AS n_frames,
+       CAST((6 + k % 6) * 1152 * 1000 // ([44100, 48000, 32000])[1 + k % 3] AS BIGINT) AS duration_ms,
+       CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[1 + k % 14] AS BIGINT) AS bitrate_kbps,
+       CAST(0 AS BIGINT) AS rms_x1000, CAST(0 AS BIGINT) AS peak,
+       'header_only' AS error
+  FROM d WHERE mode = 2),
+ogg_rows AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(8000 + (k % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST(1 + k % 2 AS BIGINT) AS channels,
+       CAST(1000 + doc_id % 500 AS BIGINT) AS n_frames,
+       CAST((1000 + doc_id % 500) * 1000 // (8000 + (k % 4) * 4000) AS BIGINT) AS duration_ms,
+       CAST(32 + k % 64 AS BIGINT) AS bitrate_kbps,
+       CAST(0 AS BIGINT) AS rms_x1000, CAST(0 AS BIGINT) AS peak,
+       'header_only' AS error
+  FROM d WHERE mode = 3)
+SELECT * FROM pcm_rows UNION ALL SELECT * FROM mp3_rows UNION ALL SELECT * FROM ogg_rows
 """
 
 

@@ -846,6 +846,7 @@ AUDIO_FEATURES_SCHEMA = StructType(
         StructField("channels", IntegerType()),
         StructField("n_frames", LongType()),
         StructField("duration_ms", LongType()),
+        StructField("bitrate_kbps", LongType()),
         StructField("rms_x1000", LongType()),
         StructField("peak", LongType()),
         StructField("error", StringType()),
@@ -856,8 +857,9 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def decode_audio(payload: bytes):
     """Audio decode dispatch: WAV/PCM and FLAC decode for REAL (RIFF walk;
     pure-Python FLAC with CRC-8/16 + PCM-MD5 verification — see
-    flac.decode_flac); MP3/OGG genuinely need an external codec and stay
-    stubbed. Returns (rate, channels, (frames, channels) int array)."""
+    flac.decode_flac); MP3/OGG full PCM decode genuinely needs an external
+    codec and stays stubbed (their header-walk METADATA is real — see
+    audio_stream_info). Returns (rate, channels, (frames, channels) ints)."""
     if payload[:4] == b"fLaC":
         from .flac import decode_flac
 
@@ -865,6 +867,203 @@ def decode_audio(payload: bytes):
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
     raise NotImplementedError("MP3/OGG decode requires ffmpeg (not in container)")
+
+
+# MPEG audio (ISO/IEC 11172-3 / 13818-3) frame-header tables. Bitrates in
+# kbps by [version][layer]; sample rates by version bits. Public-spec facts.
+_MP3_BITRATES = {
+    # version key: 3 = MPEG1, 2 = MPEG2, 0 = MPEG2.5 (header version bits)
+    (3, 1): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),  # V1 L3
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),  # V1 L2
+    (3, 3): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),  # V1 L1
+    (2, 1): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),  # V2 L3
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),  # V2 L2
+    (2, 3): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),  # V2 L1
+}
+_MP3_BITRATES[(0, 1)] = _MP3_BITRATES[(2, 1)]  # MPEG2.5 shares MPEG2 tables
+_MP3_BITRATES[(0, 2)] = _MP3_BITRATES[(2, 2)]
+_MP3_BITRATES[(0, 3)] = _MP3_BITRATES[(2, 3)]
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _parse_mp3(b: bytes) -> dict:
+    """MP3/MPEG-audio metadata from a pure frame-header walk — no codec.
+    Skips ID3v2 (syncsafe size + optional footer) and trailing ID3v1; walks
+    frame headers summing per-frame samples (so VBR durations are exact);
+    detects a Xing/Info tag in the first frame (LAME-style VBR header
+    carries no audio) and excludes it from the sample count. Reference
+    context: the Go reference treats audio as first-class media metadata
+    (media.go type detection); full PCM decode stays a declared
+    degradation. Raises ValueError when no valid frame is found."""
+    pos, n = 0, len(b)
+    if b[:3] == b"ID3" and n >= 10:
+        size = ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        pos = 10 + size + (10 if b[5] & 0x10 else 0)
+    end = n - 128 if n >= 128 and b[n - 128 : n - 125] == b"TAG" else n
+    frames = samples = kbps_sum = 0
+    rate = channels = None
+    first_frame = None
+    while pos + 4 <= end:
+        if b[pos] != 0xFF or (b[pos + 1] & 0xE0) != 0xE0:
+            pos += 1
+            continue
+        ver = (b[pos + 1] >> 3) & 3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+        layer = (b[pos + 1] >> 1) & 3  # 1=III 2=II 3=I 0=reserved
+        br_idx = b[pos + 2] >> 4
+        sr_idx = (b[pos + 2] >> 2) & 3
+        if ver == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+            pos += 1  # free-format/reserved: not a frame we can size — resync
+            continue
+        kbps = _MP3_BITRATES[(ver, layer)][br_idx]
+        frate = _MP3_RATES[ver][sr_idx]
+        pad = (b[pos + 2] >> 1) & 1
+        mono = (b[pos + 3] >> 6) == 3
+        if layer == 3:  # Layer I
+            flen = (12000 * kbps // frate + pad) * 4
+            spf = 384
+        else:  # Layer II/III
+            spf = 576 if (layer == 1 and ver != 3) else 1152
+            flen = spf // 8 * 1000 * kbps // frate + pad
+        if flen < 4 or pos + flen > end:
+            break  # truncated final frame: keep what we walked
+        if rate is None:
+            rate, channels = frate, 1 if mono else 2
+            first_frame = (pos, spf, kbps)
+        frames += 1
+        samples += spf
+        kbps_sum += kbps
+        pos += flen
+    if frames == 0 or rate is None:
+        raise ValueError("no_mp3_frames")
+    fpos, fspf, fkbps = first_frame
+    side = (17 if channels == 1 else 32) if ((b[fpos + 1] >> 3) & 3) == 3 else (9 if channels == 1 else 17)
+    if b[fpos + 4 + side : fpos + 8 + side] in (b"Xing", b"Info") and frames > 1:
+        frames -= 1
+        samples -= fspf
+        kbps_sum -= fkbps
+    return {
+        "container": "mp3",
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": samples,  # PCM frames (samples per channel), like decode_audio
+        "duration_ms": samples * 1000 // rate,
+        "bitrate_kbps": kbps_sum // frames,
+    }
+
+
+def _parse_ogg(b: bytes) -> dict:
+    """OGG metadata from a pure page walk — no codec. Reads the Vorbis
+    identification header (rate/channels/nominal bitrate) or OpusHead
+    (channels/pre-skip; granule clock is fixed 48 kHz), then walks page
+    headers to the highest granule position = total PCM frames. Page CRCs
+    are not verified (metadata walk, not a decode). ValueError on
+    malformed pages, NotImplementedError for non-Vorbis/Opus codecs."""
+    pos, n = 0, len(b)
+    rate = channels = None
+    codec = ""
+    kbps = 0
+    preskip = 0
+    last_granule = 0
+    while pos + 27 <= n and b[pos : pos + 4] == b"OggS":
+        if b[pos + 4] != 0:
+            raise ValueError("ogg_version")
+        granule = int.from_bytes(b[pos + 6 : pos + 14], "little", signed=True)
+        nseg = b[pos + 26]
+        seg_table = b[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            raise ValueError("truncated_ogg_page")
+        body_len = sum(seg_table)
+        if pos + 27 + nseg + body_len > n:
+            raise ValueError("truncated_ogg_page")
+        body = b[pos + 27 + nseg : pos + 27 + nseg + body_len]
+        if codec == "":
+            if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                nominal = int.from_bytes(body[20:24], "little", signed=True)
+                kbps = max(nominal, 0) // 1000
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                channels = body[9]
+                preskip = int.from_bytes(body[10:12], "little")
+                rate = 48000  # opus granule clock is always 48 kHz
+            else:
+                raise NotImplementedError("ogg codec beyond vorbis/opus")
+        if granule > last_granule:
+            last_granule = granule
+        pos += 27 + nseg + body_len
+    if codec == "" or not rate or not channels:
+        raise ValueError("no_ogg_stream")
+    samples = max(last_granule - preskip, 0)
+    return {
+        "container": "ogg-" + codec,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": samples,
+        "duration_ms": samples * 1000 // rate,
+        "bitrate_kbps": kbps,
+    }
+
+
+def audio_stream_info(payload: bytes) -> dict:
+    """Header-walk audio metadata for containers whose PCM decode needs an
+    external codec: MP3 (MPEG frame headers) and OGG (Vorbis/Opus ident +
+    granule). Returns {container, sample_rate, channels, n_frames,
+    duration_ms, bitrate_kbps}. This is the middle rung of the audio
+    ladder: decode_audio (full PCM) -> audio_stream_info (header_only) ->
+    decoder_unavailable."""
+    if payload[:4] == b"OggS":
+        return _parse_ogg(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return _parse_mp3(payload)
+    raise ValueError("not_mp3_or_ogg")
+
+
+def encode_mp3_headers(n_mp3_frames: int, kbps_idx: int, rate_idx: int, mono: bool) -> bytes:
+    """Synthesis twin for _parse_mp3 (tests/oracle): a CBR MPEG1 Layer III
+    frame sequence with valid headers and zero-filled audio payloads —
+    structurally valid for a header walk (the payload is not decodable
+    audio, which is exactly the contract header_only promises)."""
+    kbps = _MP3_BITRATES[(3, 1)][kbps_idx]
+    rate = _MP3_RATES[3][rate_idx]
+    flen = 144 * 1000 * kbps // rate
+    hdr = bytes([0xFF, 0xFB, (kbps_idx << 4) | (rate_idx << 2), 0xC0 if mono else 0x00])
+    return (hdr + b"\x00" * (flen - 4)) * n_mp3_frames
+
+
+def encode_ogg_vorbis(granule: int, rate: int, channels: int, nominal_bps: int) -> bytes:
+    """Synthesis twin for _parse_ogg: BOS page carrying a Vorbis
+    identification header + an EOS page whose granule is the total sample
+    count. CRC left zero (the walk doesn't verify CRCs, documented)."""
+    ident = (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + bytes([channels])
+        + rate.to_bytes(4, "little")
+        + (0).to_bytes(4, "little", signed=True)
+        + nominal_bps.to_bytes(4, "little", signed=True)
+        + (0).to_bytes(4, "little", signed=True)
+        + b"\xb8\x01"
+    )
+
+    def page(htype: int, granule_pos: int, body: bytes, seq: int) -> bytes:
+        segs = bytes([len(body)]) if body else b"\x00"
+        return (
+            b"OggS\x00"
+            + bytes([htype])
+            + granule_pos.to_bytes(8, "little", signed=True)
+            + (1234).to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + bytes([1])
+            + segs
+            + body
+        )
+
+    return page(0x02, 0, ident, 0) + page(0x04, granule, b"", 1)
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
@@ -883,8 +1082,8 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 row = {
                     "media_id": media_id, "sample_rate": 0, "channels": 0,
-                    "n_frames": 0, "duration_ms": 0, "rms_x1000": 0,
-                    "peak": 0, "error": "",
+                    "n_frames": 0, "duration_ms": 0, "bitrate_kbps": 0,
+                    "rms_x1000": 0, "peak": 0, "error": "",
                 }
                 try:
                     rate, channels, s = decode_audio(b)
@@ -892,11 +1091,26 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     row.update(
                         sample_rate=rate, channels=channels, n_frames=s.shape[0],
                         duration_ms=s.shape[0] * 1000 // rate,
+                        # PCM-equivalent bitrate (decoded samples are
+                        # 16-bit range): container-independent, so the
+                        # formula oracle can recompute it exactly
+                        bitrate_kbps=rate * channels * 16 // 1000,
                         rms_x1000=math.floor(1000 * math.sqrt(int((flat * flat).sum()) / len(flat))) if len(flat) else 0,
                         peak=int(abs(flat).max()) if len(flat) else 0,
                     )
                 except NotImplementedError:
-                    row["error"] = "decoder_unavailable"
+                    # middle rung of the ladder: MP3/OGG PCM decode needs an
+                    # external codec, but duration/rate/channels/bitrate come
+                    # from a pure header walk (audio_stream_info)
+                    try:
+                        info = audio_stream_info(b)
+                        row.update(
+                            sample_rate=info["sample_rate"], channels=info["channels"],
+                            n_frames=info["n_frames"], duration_ms=info["duration_ms"],
+                            bitrate_kbps=info["bitrate_kbps"], error="header_only",
+                        )
+                    except (ValueError, NotImplementedError):
+                        row["error"] = "decoder_unavailable"
                 except ValueError:
                     row["error"] = "corrupt_audio"
                 rows.append(row)
