@@ -727,48 +727,147 @@ FROM e
 
 
 def q_pdf_metadata(spark, sf_dir):
-    """PDF structural-parse plumbing: synthesize minimal PDFs (page count
-    derived from doc_id), run the codec-free structural stage."""
+    """PDF structural parse + EMBEDDED IMAGE XOBJECT decode in ONE pass
+    (pdf.extract_pdf_profile): each synthesized PDF carries one image
+    stream, doc_id % 4 picking the tier —
+      0 -> DCTDecode baseline grayscale (in-repo jpeg.decode_jpeg)
+      1 -> DCTDecode PROGRESSIVE color 4:4:4 (SOF2; gray triplets)
+      2 -> FlateDecode raw DeviceRGB samples
+      3 -> JPXDecode (genuinely external: per-image decoder_unavailable,
+           structural fields still real)
+    DCT rasters are block-constant JFIFs (8x8 luma block b follows
+    v = (doc_id*31 + b*7) % 256, all-ones quant => bit-exact), so the
+    oracle recomputes the pixel digest from the formula with no codec."""
     import pandas as pd
 
-    from .pdf import extract_pdf_metadata
+    from .pdf import extract_pdf_profile
 
     docs = _docs(spark, sf_dir)
 
     def build(batches):
+        import numpy as np
+
+        from .jpeg import encode_jpeg
+
         for pdf in batches:
             rows = []
             for doc_id, source in zip(pdf.doc_id, pdf.source):
-                pages = 1 + int(doc_id) % 5
+                d = int(doc_id)
+                k = d // 4
+                pages = 1 + d % 5
                 body = b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
                 for i in range(pages):
                     body += b"%d 0 obj\n<< /Type /Page >>\nendobj\n" % (2 + i)
-                body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n%%%%EOF\n" % int(doc_id)
+                mode = d % 4
+                if mode in (0, 1):
+                    w, h = 8 * (1 + k % 4), 8 * (1 + k % 3)
+                    bw = w // 8
+                    bi = np.arange((h // 8) * bw)
+                    vals = ((d * 31 + bi * 7) % 256).astype(np.uint8).reshape(h // 8, bw)
+                    y = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+                    if mode == 0:
+                        data = encode_jpeg(y)
+                    else:
+                        ycc = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], 2)
+                        data = encode_jpeg(ycc, subsampling=(1, 1), progressive=True)
+                    filt = b" /Filter /DCTDecode"
+                    geom = b""
+                elif mode == 2:
+                    import zlib
+
+                    w, h = 5 + k % 9, 3 + k % 5
+                    raw = ((d * 31 + np.arange(w * h * 3) * 7) % 256).astype(np.uint8)
+                    data = zlib.compress(raw.tobytes())
+                    filt = b" /Filter /FlateDecode"
+                    geom = (
+                        b" /Width " + str(w).encode() + b" /Height " + str(h).encode()
+                        + b" /BitsPerComponent 8 /ColorSpace /DeviceRGB"
+                    )
+                else:
+                    data = b"\x00jp2-not-decodable" + bytes([d % 256]) * 16
+                    filt = b" /Filter /JPXDecode"
+                    geom = b" /Width 4 /Height 4"
+                body += (
+                    b"8 0 obj\n<< /Subtype /Image" + geom + filt
+                    + b" /Length " + str(len(data)).encode()
+                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
+                )
+                body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n%%%%EOF\n" % d
                 rows.append(
                     {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
                 )
             yield pd.DataFrame(rows, columns=["url", "payload"])
 
     pdfs = docs.mapInPandas(build, "url string, payload binary")
-    return extract_pdf_metadata(pdfs).select(
+    return extract_pdf_profile(pdfs).select(
         "url",
         "pdf_version",
         F.col("n_pages").cast("long").alias("n_pages"),
         F.col("n_objects").cast("long").alias("n_objects"),
+        F.col("n_streams").cast("long").alias("n_streams"),
         "title",
+        F.col("n_images").cast("long").alias("n_images"),
+        "img_width",
+        "img_height",
+        "img_channels",
+        "img_filter",
+        "img_px_md5",
+        "img_error",
         "error",
     )
 
 
 O_PDF_METADATA = """
+WITH d AS (
+  SELECT doc_id, source, doc_id // 4 AS k, doc_id % 4 AS mode FROM documents),
+geom AS (
+  SELECT *, CASE WHEN mode IN (0, 1) THEN 8 * (1 + k % 4)
+                 WHEN mode = 2 THEN 5 + k % 9 ELSE 0 END AS w,
+            CASE WHEN mode IN (0, 1) THEN 8 * (1 + k % 3)
+                 WHEN mode = 2 THEN 3 + k % 5 ELSE 0 END AS h,
+            CASE WHEN mode = 0 THEN 1 WHEN mode = 3 THEN 0 ELSE 3 END AS c
+  FROM d),
+px AS (
+  SELECT *, CASE
+     WHEN mode = 0 THEN
+       [(doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256
+        FOR i IN generate_series(0, w * h - 1)]
+     WHEN mode = 1 THEN
+       flatten([[(doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256,
+                 (doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256,
+                 (doc_id * 31 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 7) % 256]
+                FOR i IN generate_series(0, w * h - 1)])
+     WHEN mode = 2 THEN
+       [(doc_id * 31 + i * 7) % 256 FOR i IN generate_series(0, w * h * 3 - 1)]
+     ELSE [] END AS raster
+  FROM geom)
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
        '1.7' AS pdf_version,
        CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
-       CAST(3 + doc_id % 5 AS BIGINT) AS n_objects,
+       CAST(4 + doc_id % 5 AS BIGINT) AS n_objects,
+       CAST(1 AS BIGINT) AS n_streams,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(1 AS BIGINT) AS n_images,
+       CAST(w AS BIGINT) AS img_width,
+       CAST(h AS BIGINT) AS img_height,
+       CAST(c AS BIGINT) AS img_channels,
+       CASE WHEN mode IN (0, 1) THEN 'dct' WHEN mode = 2 THEN 'raw' ELSE '' END AS img_filter,
+       CASE WHEN mode = 3 THEN ''
+            ELSE md5(array_to_string([lpad(lower(to_hex(x)), 2, '0') FOR x IN raster], ''))
+       END AS img_px_md5,
+       CASE WHEN mode = 3 THEN 'decoder_unavailable' ELSE '' END AS img_error,
        '' AS error
-FROM documents
+FROM px
 """
+
+
+def _tiny_dct_jpeg(d: int) -> bytes:
+    """One flat 8x8 DCT-baseline JFIF (block-constant => bit-exact)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(np.full((8, 8), (d * 31) % 256, np.uint8))
 
 
 def q_pdf_text(spark, sf_dir):
@@ -819,11 +918,23 @@ def q_pdf_text(spark, sf_dir):
                 else:
                     data = content
                     filt = b""
+                # every third doc also carries a DCT image XObject: the text
+                # walk must SKIP image streams (a real PDF full of photos
+                # still yields its text), so these rows pin n_streams=2 with
+                # identical text
+                img = b""
+                if did % 3 == 0:
+                    jp = _tiny_dct_jpeg(did)
+                    img = (
+                        b"4 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length "
+                        + str(len(jp)).encode() + b" >>\nstream\n" + jp
+                        + b"\nendstream\nendobj\n"
+                    )
                 body = (
                     b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
                     b"2 0 obj\n<< /Type /Page /Contents 3 0 R >>\nendobj\n"
                     b"3 0 obj\n<< /Length " + str(len(data)).encode() + filt
-                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n" + img + b"%%EOF\n"
                 )
                 rows.append(
                     {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
@@ -838,7 +949,9 @@ def q_pdf_text(spark, sf_dir):
 
 O_PDF_TEXT = """
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
-       text, CAST(1 AS BIGINT) AS n_streams, '' AS error
+       text,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_streams,
+       '' AS error
 FROM documents
 """
 
@@ -851,9 +964,10 @@ def q_media_pixel_decode(spark, sf_dir):
     LZ77) / palette alternating PNG PLTE with BMP RLE8 (runs + absolute
     segments) / PNG RGB Adam7 / BMP 24-bit
     alternating with TIFF RGB planar-config strips / TIFF gray
-    alternating LZW+predictor big-endian strips with Deflate+predictor
-    5x4 tiles (edge tiles cropped) — then recover pixel-level features.
-    The oracle
+    cycling LZW+predictor big-endian strips, Deflate+predictor 5x4 tiles
+    (edge tiles cropped), 16-bit big-endian, and CCITT bitonal (T.6/T.4/MH
+    in turn — real T.4/T.6 run-length Huffman decode, ccitt.py) — then
+    recover pixel-level features. The oracle
     recomputes the features from the generation formula, so a single
     wrong reconstructed byte in ANY container flips the digest."""
     import pandas as pd
@@ -895,10 +1009,19 @@ def q_media_pixel_decode(spark, sf_dir):
                     else:
                         payload = encode_bmp(raw.reshape(h, w, 3))
                 elif mode == 5:  # TIFF gray: LZW strips / Deflate tiles /
-                    # 16-bit big-endian (high byte carries the formula)
+                    # 16-bit big-endian (high byte carries the formula) /
+                    # CCITT bitonal (T.6, T.4, MH cycling by d % 3; ink
+                    # where the formula byte < 128, decoded 0/255 gray)
                     raw = ((d * 31 + np.arange(w * h) * 7) % 256).astype(np.uint8)
-                    variant = (d // 6) % 3
-                    if variant == 1:
+                    variant = (d // 6) % 4
+                    if variant == 3:
+                        from .ccitt import encode_tiff_ccitt
+
+                        ink = (raw < 128).astype(np.uint8)
+                        payload = encode_tiff_ccitt(
+                            ink.reshape(h, w), compression=(4, 3, 2)[d % 3]
+                        )
+                    elif variant == 1:
                         payload = encode_tiff(
                             raw.reshape(h, w), compression=8, predictor=2,
                             tile=(5, 4),
@@ -969,6 +1092,12 @@ v AS (
                              (doc_id * 31 + i * 7) % 256,
                              (doc_id * 31 + i * 7) % 256]
                             FOR i IN generate_series(0, w * h - 1)])
+              WHEN mode = 5 AND (doc_id // 6) % 4 = 3
+              -- CCITT bitonal variant: ink where formula byte < 128,
+              -- decoded to 0/255 gray (WhiteIsZero)
+              THEN [CASE WHEN (doc_id * 31 + i * 7) % 256 < 128
+                         THEN 0 ELSE 255 END
+                    FOR i IN generate_series(0, w * h - 1)]
               ELSE [(doc_id * 31 + i * 7) % 256
                     FOR i IN generate_series(0, w * h * c - 1)] END AS px
   FROM d)

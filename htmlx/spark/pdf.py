@@ -1,7 +1,7 @@
 """PDF/layout-parse surface (north_rule: "HTML boilerplate strip, PDF/layout
 parse, DOM heuristics").
 
-Two tiers, by what the container can decode:
+Three tiers, by what the container can decode:
 
 - TEXT EXTRACTION (real): content streams stored uncompressed,
   FlateDecode-compressed (stdlib zlib), or LZWDecode-compressed (pure-
@@ -9,12 +9,20 @@ Two tiers, by what the container can decode:
   cases for machine-generated PDFs. ``extract_pdf_text`` walks the object
   table, decodes each content stream, and evaluates the text-show
   operators (Tj / TJ / ' / ") with full PDF string-escape handling.
-  Streams using filters that genuinely need an external codec (DCTDecode,
-  JBIG2, CCITT, ...) raise ``UnsupportedFilterError`` and the row
-  degrades to error='decoder_unavailable'.
+  Image XObject streams are skipped by the text walk (no text operators);
+  non-image streams using a filter that genuinely needs an external codec
+  raise ``UnsupportedFilterError`` and the row degrades to
+  error='decoder_unavailable'.
+- IMAGE XOBJECT DECODE (real): ``extract_pdf_images`` decodes embedded
+  /Subtype /Image streams — DCTDecode via the in-repo baseline+progressive
+  JPEG decoder (jpeg.decode_jpeg), CCITTFaxDecode G3/G4 via the in-repo
+  T.4/T.6 decoder (ccitt.decode_ccitt), raw/Flate/LZW sample streams by
+  geometry. Only JPX (JPEG2000) and JBIG2 remain per-image
+  'decoder_unavailable' degradations.
 - STRUCTURAL PARSE (real, codec-free): header/version sniffing, page
   counting, object/stream census, embedded-metadata extraction via raw
-  byte scanning.
+  byte scanning. ``extract_pdf_profile`` fuses structural + first-image
+  features in one mapInPandas pass.
 
 The mapInPandas stage shape (schema, batching, error rows, lineage) is
 identical to the HTML extraction stage.
@@ -409,6 +417,140 @@ def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
     return data
 
 
+_IMAGE_DICT_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_CS_RE = re.compile(rb"/ColorSpace\s*/(\w+)")
+# image filters that genuinely need an external codec in this container
+# (JPX = JPEG2000 wavelets, JBIG2 = arithmetic-coded bitonal); CCITT G3/G4
+# is pure T.4/T.6 run-length Huffman and decodes in-repo (ccitt.py)
+_EXTERNAL_IMAGE_FILTERS = {b"JPXDecode", b"JBIG2Decode"}
+MAX_IMAGE_RASTER = 128 * 1024 * 1024  # decoded-raster cap (bomb guard)
+
+
+def _decode_image_stream(obj_dict: bytes, raw: bytes):
+    """Decode one image XObject stream to an (h, w, c) uint8 raster.
+
+    DCTDecode routes to the in-repo baseline/progressive JPEG decoder
+    (jpeg.decode_jpeg) — DCT is the most common image filter in real PDFs
+    and needs no external codec here. Non-image filters ahead of it in the
+    chain (ASCII85, Flate, ...) are applied first. Raw/Flate/LZW sample
+    streams reshape by /Width /Height /BitsPerComponent /ColorSpace.
+    Returns (raster, filter_label). Reference context: images are
+    first-class media in the reference (extract.go:1044-1089, media.go)."""
+    import numpy as np
+
+    fm = _FILTER_RE.search(obj_dict)
+    names = []
+    if fm:
+        names = fm.group(1).split() if fm.group(1) else [fm.group(2)]
+        names = [x.lstrip(b"/") for x in names]
+    data = raw
+    for i, name in enumerate(names):
+        if name in (b"DCTDecode", b"DCT"):
+            if i != len(names) - 1:
+                raise ValueError("dct_not_last_filter")
+            from .jpeg import decode_jpeg
+
+            px = decode_jpeg(data)
+            if px.size > MAX_IMAGE_RASTER:
+                raise ValueError("image_too_large")
+            return px, "dct"
+        if name == b"CCITTFaxDecode" or name == b"CCF":
+            if i != len(names) - 1:
+                raise ValueError("ccitt_not_last_filter")
+            from .ccitt import decode_ccitt
+
+            # CCITT geometry comes from /DecodeParms (falling back to the
+            # image dict for /Width /Height); /Columns defaults to 1728
+            cm = re.search(rb"/Columns\s+(\d+)", obj_dict)
+            hm = _HEIGHT_RE.search(obj_dict)
+            rm = re.search(rb"/Rows\s+(\d+)", obj_dict)
+            wm = _WIDTH_RE.search(obj_dict)
+            w = int(cm.group(1)) if cm else (int(wm.group(1)) if wm else 1728)
+            h = int(rm.group(1)) if rm else (int(hm.group(1)) if hm else 0)
+            if h <= 0:
+                raise ValueError("missing_image_dims")
+            km = re.search(rb"/K\s+(-?\d+)", obj_dict)
+            black1 = re.search(rb"/BlackIs1\s+true", obj_dict) is not None
+            ink = decode_ccitt(
+                data, w, h, k=int(km.group(1)) if km else 0,
+                byte_align=re.search(rb"/EncodedByteAlign\s+true", obj_dict) is not None,
+            )
+            # filter-output sample convention (PDF /BlackIs1 default false:
+            # sample 0 = black), scaled to 8-bit gray
+            sample = ink if black1 else (1 - ink)
+            return (sample * 255).astype(np.uint8)[:, :, None], "ccitt"
+        if name in _EXTERNAL_IMAGE_FILTERS:
+            raise UnsupportedFilterError(name.decode("latin-1"))
+        if name in _ZLIB_FILTERS:
+            data = inflate_bounded(data)
+        elif name in _LZW_FILTERS:
+            em = _EARLY_CHANGE_RE.search(obj_dict)
+            data = lzw_decode_pdf(data, early_change=int(em.group(1)) if em else 1)
+        elif name in _SIMPLE_FILTERS:
+            data = _SIMPLE_FILTERS[name](data)
+        else:
+            raise UnsupportedFilterError(name.decode("latin-1"))
+    # raw sample stream: reshape by the image dict geometry
+    wm, hm = _WIDTH_RE.search(obj_dict), _HEIGHT_RE.search(obj_dict)
+    if not (wm and hm):
+        raise ValueError("missing_image_dims")
+    w, h = int(wm.group(1)), int(hm.group(1))
+    bpc = int(_BPC_RE.search(obj_dict).group(1)) if _BPC_RE.search(obj_dict) else 8
+    if bpc != 8:
+        raise NotImplementedError(f"image bpc {bpc}")
+    cs = _CS_RE.search(obj_dict)
+    channels = {b"DeviceRGB": 3, b"DeviceGray": 1, b"CalRGB": 3, b"CalGray": 1}.get(
+        cs.group(1) if cs else b"DeviceGray", 1
+    )
+    if w * h * channels > MAX_IMAGE_RASTER:
+        raise ValueError("image_too_large")
+    if len(data) < w * h * channels:
+        raise ValueError("truncated_image_samples")
+    return (
+        np.frombuffer(data, np.uint8, w * h * channels).reshape(h, w, channels),
+        "raw",
+    )
+
+
+def extract_pdf_images(payload: bytes, max_images: int = 64) -> list:
+    """Per-image decode walk: every /Subtype /Image stream object yields a
+    feature dict (dims, channels, pixel digest in the engine's standard
+    md5-over-lowercase-hex basis, mean). Filters needing a genuinely
+    external codec (JPX/JBIG2) degrade per-image to
+    error='decoder_unavailable'; malformed payloads to 'corrupt_image'."""
+    import binascii
+    import hashlib
+
+    out = []
+    for obj_dict, raw in _iter_streams(payload):
+        if not _IMAGE_DICT_RE.search(obj_dict):
+            continue
+        row = {
+            "image_index": len(out), "width": 0, "height": 0, "channels": 0,
+            "img_filter": "", "px_md5": "", "mean_x1000": 0, "error": "",
+        }
+        try:
+            px, label = _decode_image_stream(obj_dict, raw)
+            h, w, c = px.shape
+            rb = px.tobytes()
+            row.update(
+                width=w, height=h, channels=c, img_filter=label,
+                px_md5=hashlib.md5(binascii.hexlify(rb)).hexdigest(),
+                mean_x1000=int(px.astype("int64").sum()) * 1000 // len(rb),
+            )
+        except (UnsupportedFilterError, NotImplementedError):
+            row["error"] = "decoder_unavailable"
+        except (ValueError, zlib.error):
+            row["error"] = "corrupt_image"
+        out.append(row)
+        if len(out) >= max_images:
+            break
+    return out
+
+
 def _pdf_string(body: bytes, i: int) -> tuple[bytes, int]:
     """Decode a PDF literal string starting at the '(' at index i; returns
     (decoded bytes, index just past the closing paren). Handles balanced
@@ -533,10 +675,15 @@ def _decode_text_string(b: bytes) -> str:
 def extract_pdf_text(payload: bytes) -> str:
     """Text extraction over uncompressed/Flate content streams (stdlib zlib
     — no external codec). Text shows within one stream concatenate in
-    order; streams are separated by newlines. Raises UnsupportedFilterError
-    when a stream needs a codec this container lacks."""
+    order; streams are separated by newlines. Image XObject streams carry
+    no text operators and are SKIPPED here (they get their own decode walk,
+    extract_pdf_images) — a real-world PDF full of DCT photos must still
+    yield its text, not degrade whole-row. Raises UnsupportedFilterError
+    when a non-image stream needs a codec this container lacks."""
     parts: list[str] = []
     for obj_dict, raw in _iter_streams(payload):
+        if _IMAGE_DICT_RE.search(obj_dict):
+            continue
         data = _decode_stream(obj_dict, raw)
         shows = _content_text(data)
         if shows:
@@ -610,3 +757,92 @@ def extract_pdf_documents(pdfs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return pdfs.mapInPandas(text_batch, PDF_TEXT_SCHEMA)
+
+PDF_IMAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("image_index", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("img_filter", StringType()),
+        StructField("px_md5", StringType()),
+        StructField("mean_x1000", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_pdf_image_features(pdfs: DataFrame) -> DataFrame:
+    """mapInPandas stage: (url, payload binary) -> ONE ROW PER embedded
+    image XObject (exploded worker-side, so the fat raster never leaves the
+    task — only the digest row shuffles). DCT images decode via the in-repo
+    JPEG decoder; CCITT G3/G4 via the in-repo T.4/T.6 decoder; JPX/JBIG2
+    degrade per-image."""
+    import pandas as pd
+
+    def img_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_IMAGE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                for img in extract_pdf_images(b):
+                    rows.append({"url": url, **img})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pdfs.mapInPandas(img_batch, PDF_IMAGE_SCHEMA)
+
+
+PDF_PROFILE_SCHEMA = StructType(
+    list(PDF_META_SCHEMA.fields[:-1])  # url..producer (error re-added last)
+    + [
+        StructField("n_images", IntegerType()),
+        StructField("img_width", LongType()),
+        StructField("img_height", LongType()),
+        StructField("img_channels", LongType()),
+        StructField("img_filter", StringType()),
+        StructField("img_px_md5", StringType()),
+        StructField("img_error", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_pdf_profile(pdfs: DataFrame) -> DataFrame:
+    """ONE-PASS structural + image profile: a single mapInPandas walk per
+    document emits the structural census AND the first embedded image's
+    decoded features (dims/channels/pixel digest) — no second scan, no
+    join, the 100 TB-correct shape for a per-document profile row."""
+    import pandas as pd
+
+    def prof_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_PROFILE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                meta = parse_pdf_structure(b)
+                if not meta["error"]:
+                    try:
+                        extract_pdf_text(b)
+                    except (UnsupportedFilterError, zlib.error):
+                        meta["error"] = "decoder_unavailable"
+                images = [] if meta["error"] == "not_a_pdf" else extract_pdf_images(b)
+                first = images[0] if images else {}
+                rows.append(
+                    {
+                        "url": url,
+                        **meta,
+                        "n_images": len(images),
+                        "img_width": first.get("width", 0),
+                        "img_height": first.get("height", 0),
+                        "img_channels": first.get("channels", 0),
+                        "img_filter": first.get("img_filter", ""),
+                        "img_px_md5": first.get("px_md5", ""),
+                        "img_error": first.get("error", ""),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pdfs.mapInPandas(prof_batch, PDF_PROFILE_SCHEMA)

@@ -215,6 +215,7 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar",
+    292: "t4_options", 293: "t6_options",
     317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_byte_counts",
 }
@@ -264,7 +265,7 @@ def decode_tiff(payload: bytes):
     """Decode the first IFD of a TIFF payload to (h, w, channels) uint8."""
     import numpy as np
 
-    from .pdf import lzw_decode_pdf
+    from .pdf import StreamCorruptError, lzw_decode_pdf
 
     if payload[:4] == b"II*\x00":
         bo = "<"
@@ -312,6 +313,51 @@ def decode_tiff(payload: bytes):
         raise ValueError(f"bad_planar_config_{planar}")
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff predictor={predictor}")
+    if compression in (2, 3, 4):
+        # CCITT bilevel (the dominant scanned/fax archive format): pure
+        # T.4/T.6 run-length Huffman, decoded in-repo (ccitt.py). Each
+        # strip is an independently-coded block of rows.
+        #   2 = Modified Huffman: 1D, rows byte-aligned, no EOLs
+        #   3 = T.4 (G3): T4Options bit0 selects mixed 2D coding
+        #   4 = T.6 (G4): pure 2D
+        from .ccitt import decode_ccitt
+
+        if tiled:
+            raise NotImplementedError("tiff ccitt tiles")
+        # BitsPerSample defaults to 1 when absent (TIFF 6.0) — bilevel
+        # writers (javax.imageio among them) routinely omit the tag
+        if spp != 1 or tags.get("bits_per_sample", [1])[0] != 1:
+            raise ValueError("ccitt_requires_bilevel")
+        if w <= 0 or h <= 0:
+            raise ValueError("bad_dimensions")
+        if w * h > _MAX_RASTER:
+            raise ValueError("image_too_large")
+        if compression == 2:
+            k, byte_align = 0, True
+        elif compression == 3:
+            k = 1 if (tags.get("t4_options", [0])[0] & 1) else 0
+            byte_align = bool(tags.get("t4_options", [0])[0] & 4)
+        else:
+            k, byte_align = -1, False
+        bands = []
+        y = 0
+        for i in range(len(offsets)):
+            rows = min(rows_per_strip, h - y)
+            if rows <= 0:
+                break
+            raw = payload[offsets[i] : offsets[i] + counts[i]]
+            if len(raw) != counts[i]:
+                raise ValueError("truncated_strip")
+            bands.append(decode_ccitt(raw, w, rows, k=k, byte_align=byte_align))
+            y += rows
+        if y != h:
+            raise ValueError("short_strip")
+        ink = np.concatenate(bands, axis=0)
+        # PhotometricInterpretation 0 = WhiteIsZero (the standard fax
+        # pairing): decoded white runs -> gray 255; the rare inverted
+        # pairing (1) flips the display mapping.
+        gray = 255 * (1 - ink) if photometric == 0 else 255 * ink
+        return gray.astype(np.uint8)[:, :, None]
     if bits and all(b == 8 for b in bits):
         sample_bytes = 1
     elif bits and all(b == 16 for b in bits):
@@ -331,7 +377,15 @@ def decode_tiff(payload: bytes):
         if compression == 1:
             out = raw
         elif compression == 5:
-            out = lzw_decode_pdf(raw, cap=expect + 8)  # TIFF LZW == EarlyChange=1
+            # TIFF 6.0 specifies early code-width change (PDF EarlyChange=1),
+            # but real writers disagree — javax.imageio (and some historical
+            # encoders) switch one code LATE; libtiff's reader famously
+            # tolerates both. Caught by the real-encoder anchor fixture
+            # (tests/test_real_anchors.py): try spec mode, retry late mode.
+            try:
+                out = lzw_decode_pdf(raw, cap=expect + 8, early_change=1)
+            except StreamCorruptError:
+                out = lzw_decode_pdf(raw, cap=expect + 8, early_change=0)
         elif compression in (8, 32946):
             d = zlib.decompressobj()
             out = d.decompress(raw, expect)

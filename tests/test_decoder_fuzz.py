@@ -305,3 +305,55 @@ def test_bmp_rle8_fuzz(blob):
     info = _s.pack("<IiiHHIIiiII", 40, 8, 4, 1, 8, 1, len(blob), 0, 0, 256, 0)
     hdr = b"BM" + _s.pack("<IHHI", 54 + 1024 + len(blob), 0, 0, 54 + 1024)
     _attempt(decode_bmp, hdr + info + pal + blob)
+
+
+def test_vp8l_exhaustive_truncation_and_bitflips():
+    """VERDICT r4 item 8: adversarial truncations at code-length-code
+    boundaries. A VALID VP8L stream (meta-huffman code-length codes, LZ77
+    back-references, color cache) is truncated at EVERY byte position and
+    single-bit-flipped across the entropy-coded region; decode must yield
+    a raster or a declared degradation — never IndexError/KeyError/hang.
+    (The GIF/PDF versions of this test each caught real escapes.)"""
+    import numpy as np
+
+    from htmlx.spark.vp8l import decode_webp, encode_vp8l
+
+    raw = ((np.arange(12 * 9 * 4) * 37 + 11) % 256).astype(np.uint8).reshape(9, 12, 4)
+    seeds = [
+        encode_vp8l(raw, lz77=True, cache_bits=4, predictor_mode=5),
+        encode_vp8l(raw, subtract_green=True, lz77=True),
+    ]
+    for good in seeds:
+        ok = decode_webp(good)
+        assert ok.shape == (9, 12, 4)
+        for cut in range(len(good)):
+            _attempt(decode_webp, good[:cut])
+        for pos in range(20, len(good)):  # entropy-coded region
+            for bit in (0, 3, 7):
+                b = bytearray(good)
+                b[pos] ^= 1 << bit
+                _attempt(decode_webp, bytes(b))
+
+
+def test_flac_exhaustive_truncation_and_bitflips():
+    """Same adversarial treatment for FLAC's bit-IO: Rice escapes, LPC
+    headers, CRC boundaries. CRC verification makes most flips land in
+    'corrupt' — the assertion is that NOTHING lands outside the declared
+    set."""
+    import numpy as np
+
+    from htmlx.spark.flac import decode_flac, encode_flac
+
+    pcm = (((np.arange(300 * 2) * 13 + 7) % 2048) - 1024).reshape(300, 2)
+    seeds = [
+        encode_flac(pcm, 8000, block_size=64, stereo_mode="mid_side", lpc=True),
+        encode_flac(pcm, 16000, block_size=32, stereo_mode="left_side", lpc=False),
+    ]
+    for good in seeds:
+        decode_flac(good)  # sanity: seed is valid
+        for cut in range(len(good)):
+            _attempt(decode_flac, good[:cut])
+        for pos in range(8, len(good), 2):
+            b = bytearray(good)
+            b[pos] ^= 1 << (pos % 8)
+            _attempt(decode_flac, bytes(b))

@@ -330,3 +330,108 @@ def test_filter_corrupt_data_degrades_to_corrupt_stream():
         with pytest.raises(zlib.error):
             fn(bad)
     assert issubclass(StreamCorruptError, zlib.error)
+
+
+# --- image XObject decode (DCT wiring, r5) ----------------------------------
+
+
+def _img_pdf(data, dict_extra):
+    return (
+        b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+        b"2 0 obj\n<< /Subtype /Image " + dict_extra
+        + b" /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_pdf_dct_image_decodes_via_inrepo_jpeg():
+    import binascii
+    import hashlib
+
+    import numpy as np
+
+    from htmlx.spark.jpeg import encode_jpeg
+    from htmlx.spark.pdf import extract_pdf_images
+
+    y = np.repeat(np.repeat(np.array([[10, 200], [77, 140]], np.uint8), 8, 0), 8, 1)
+    for progressive in (False, True):
+        jp = encode_jpeg(y, progressive=progressive)
+        out = extract_pdf_images(_img_pdf(jp, b"/Filter /DCTDecode"))
+        assert len(out) == 1
+        row = out[0]
+        assert (row["width"], row["height"], row["channels"]) == (16, 16, 1)
+        assert row["img_filter"] == "dct" and row["error"] == ""
+        expect = hashlib.md5(binascii.hexlify(y[:, :, None].tobytes())).hexdigest()
+        assert row["px_md5"] == expect  # block-constant JFIF: bit-exact
+
+
+def test_pdf_raw_flate_image():
+    import zlib as z
+
+    import numpy as np
+
+    from htmlx.spark.pdf import extract_pdf_images
+
+    raw = (np.arange(5 * 3 * 3) % 256).astype(np.uint8)
+    data = z.compress(raw.tobytes())
+    out = extract_pdf_images(
+        _img_pdf(data, b"/Width 5 /Height 3 /BitsPerComponent 8 "
+                 b"/ColorSpace /DeviceRGB /Filter /FlateDecode")
+    )
+    assert out[0]["error"] == "" and out[0]["channels"] == 3
+    assert (out[0]["width"], out[0]["height"]) == (5, 3)
+
+
+def test_pdf_jpx_jbig2_degrade_per_image():
+    from htmlx.spark.pdf import extract_pdf_images
+
+    for filt in (b"/Filter /JPXDecode", b"/Filter /JBIG2Decode"):
+        out = extract_pdf_images(_img_pdf(b"\x00opaque", filt + b" /Width 4 /Height 4"))
+        assert out[0]["error"] == "decoder_unavailable"
+        assert out[0]["px_md5"] == ""
+
+
+def test_pdf_text_walk_skips_image_streams():
+    """A PDF whose only binary stream is a DCT photo must still yield its
+    text — image XObjects carry no text operators and must not degrade
+    the row (r4 behavior: whole-row decoder_unavailable)."""
+    import numpy as np
+
+    from htmlx.spark.jpeg import encode_jpeg
+    from htmlx.spark.pdf import extract_pdf_text
+
+    jp = encode_jpeg(np.full((8, 8), 99, np.uint8))
+    body = (
+        b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+        b"2 0 obj\n<< /Length 35 >>\nstream\nBT (Hello photos) Tj ET\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length "
+        + str(len(jp)).encode() + b" >>\nstream\n" + jp + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_text(body) == "Hello photos"
+
+
+def test_pdf_corrupt_image_degrades_not_raises():
+    from htmlx.spark.pdf import extract_pdf_images
+
+    out = extract_pdf_images(_img_pdf(b"\xff\xd8\xff\xee garbage", b"/Filter /DCTDecode"))
+    assert out[0]["error"] == "corrupt_image"
+
+
+def test_pdf_profile_one_pass_merges_structural_and_image():
+    import numpy as np
+
+    from htmlx.spark.session import get_spark
+
+    from htmlx.spark.jpeg import encode_jpeg
+    from htmlx.spark.pdf import extract_pdf_profile
+
+    spark = get_spark(cores=2, app_name="htmlx-pdf-profile-test")
+    jp = encode_jpeg(np.full((8, 8), 42, np.uint8))
+    body = _img_pdf(jp, b"/Filter /DCTDecode")
+    pdfs = spark.createDataFrame([("u1", bytearray(body)), ("u2", bytearray(b"nope"))],
+                                 "url string, payload binary")
+    rows = {r["url"]: r for r in extract_pdf_profile(pdfs).collect()}
+    assert rows["u1"]["n_images"] == 1
+    assert rows["u1"]["img_filter"] == "dct" and rows["u1"]["img_width"] == 8
+    assert rows["u1"]["error"] == ""
+    assert rows["u2"]["error"] == "not_a_pdf" and rows["u2"]["n_images"] == 0

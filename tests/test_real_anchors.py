@@ -1,0 +1,132 @@
+"""REAL-ENCODER conformance anchors (VERDICT r4 item 2).
+
+Every codec in this repo is otherwise validated by synthesis twins
+(decode(encode(x)) == x) plus formula oracles — a shared spec misreading
+on both twin sides would pass those gates. These fixtures were produced
+by a genuinely independent codec suite, javax.imageio (JDK 17), via
+tools/FixGen.java:
+
+- real_baseline.jpg / real_progressive.jpg: a REAL photograph (Spark's
+  mllib kitten sample, downscaled) encoded by ImageIO's JPEG writer
+  (baseline SOF0 and progressive scripts), with ImageIO's own DECODED
+  rasters frozen alongside (*.raster: >i4 h, w then RGB byte triples).
+- real_imageio.gif: same photo through ImageIO's GIF encoder (palette
+  quantization + LZW); tk_logo64.raster: ImageIO's decode of a
+  REAL-WORLD tcl/tk GIF shipped by the OS.
+- real_lzw.tif: ImageIO TIFF LZW — which writes the historical
+  LATE code-width change (PDF EarlyChange=0), unlike the TIFF 6.0 spec
+  wording; this anchor CAUGHT the repo's early-change-only decode and
+  pinned the tolerant retry in tiffbmp.decompress.
+- real_g4/g3/mh.tif: CCITT T.6 / T.4 / Modified-Huffman encodings of a
+  deterministic bitonal pattern (bitonal.raster carries ImageIO's raw
+  sample dump of the same pattern).
+
+FLAC has NO independent encoder in this container (no ffmpeg/flac/sox;
+javax doesn't do FLAC) — it remains twin+CRC+MD5-gated, with adversarial
+bit-IO fuzz in test_decoder_fuzz.py, and is the one codec still carrying
+the documented synthesis-twin residual risk.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+DIR = os.path.join(os.path.dirname(__file__), "fixtures", "real_anchors")
+
+
+def _raster(name):
+    """RGB dump written by FixGen.dumpRaster (getRGB)."""
+    with open(os.path.join(DIR, name), "rb") as f:
+        h, w = struct.unpack(">II", f.read(8))
+        return np.frombuffer(f.read(), np.uint8).reshape(h, w, 3)
+
+
+def _samples(name):
+    """Raw band-sample dump written by FixGen.dumpSamples."""
+    with open(os.path.join(DIR, name), "rb") as f:
+        h, w, b = struct.unpack(">III", f.read(12))
+        return np.frombuffer(f.read(), np.uint8).reshape(h, w, b)
+
+
+def _bytes(name):
+    with open(os.path.join(DIR, name), "rb") as f:
+        return f.read()
+
+
+def _bitonal_pattern():
+    h, w = 29, 71
+    ys, xs = np.mgrid[0:h, 0:w]
+    return (((xs * 7 + ys * 13) % 11 < 4) | (ys == 5) | ((xs > 60) & (ys % 2 == 0))).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize("name", ["baseline", "progressive"])
+def test_real_jpeg_vs_imageio_decode(name):
+    """Our JPEG decode of a REAL-encoder photographic file must agree with
+    ImageIO's decode within DCT-conformance tolerance (T.81 allows small
+    per-sample IDCT variation between conforming decoders; measured max
+    delta on these fixtures is 3)."""
+    from htmlx.spark.jpeg import decode_jpeg
+
+    ref = _raster(f"{name}.raster")
+    px = decode_jpeg(_bytes(f"real_{name}.jpg"))
+    assert px.shape == ref.shape
+    delta = np.abs(px.astype(int) - ref.astype(int))
+    assert delta.max() <= 4, delta.max()
+    assert delta.mean() < 1.0
+
+
+def test_real_gif_imageio_exact():
+    from htmlx.spark.multimodal import decode_gif
+
+    ref = _raster("imageio_gif.raster")
+    px = decode_gif(_bytes("real_imageio.gif"))
+    assert px.shape == ref.shape and (px == ref).all()
+
+
+def test_real_world_tk_gif_exact():
+    """A GIF shipped by the OS (tcl/tk logo64.gif), decoded by ImageIO vs
+    by this repo — both lossless, must agree byte-for-byte."""
+    from htmlx.spark.multimodal import decode_gif
+
+    ref = _raster("tk_logo64.raster")
+    px = decode_gif(open("/usr/share/tcltk/tk8.6/images/logo64.gif", "rb").read())
+    assert px.shape == ref.shape and (px == ref).all()
+
+
+def test_real_tiff_lzw_late_change_exact():
+    """ImageIO's TIFF LZW switches code width one code LATE (the
+    historical interop split the PDF /EarlyChange parameter exists for).
+    The spec-mode-then-retry in tiffbmp must decode it exactly."""
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ref = _samples("gray.raster")
+    px = decode_tiff(_bytes("real_lzw.tif"))
+    assert px.shape == (23, 37, 1)
+    assert (px[:, :, 0] == ref[:, :, 0]).all()
+    # and the pattern formula holds end-to-end (value = (x*31 + y*97) % 256)
+    ys, xs = np.mgrid[0:23, 0:37]
+    assert (px[:, :, 0] == ((xs * 31 + ys * 97) % 256).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("name", ["real_g4.tif", "real_g3.tif", "real_mh.tif"])
+def test_real_ccitt_tiff_exact(name):
+    """CCITT T.6 / T.4 / MH streams from a REAL encoder decode bit-exact
+    (bitonal coding is lossless)."""
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ink = _bitonal_pattern()
+    # Java's TYPE_BYTE_BINARY raw sample dump: sample 1 = white
+    assert ((1 - _samples("bitonal.raster")[:, :, 0]) == ink).all()
+    px = decode_tiff(_bytes(name))
+    assert px.shape == (29, 71, 1)
+    assert (px[:, :, 0] == 255 * (1 - ink)).all()
+
+
+def test_real_mp3_anchor_exists():
+    # the LAME-encoded MPEG2 anchor lives in test_audio_headers.py; keep a
+    # cross-reference so the anchor inventory is greppable in one file
+    assert os.path.exists(os.path.join(os.path.dirname(__file__), "fixtures", "real_lame_mpeg2.mp3"))

@@ -95,14 +95,20 @@ def test_tiff_dimensions_and_errors():
     # splice in a TileWidth tag marker by re-encoding is complex; instead
     # assert the declared degradation for an unsupported compression id
     bad = bytearray(encode_tiff(a))
-    # compression tag value lives in the IFD; flipping it to 4 (CCITT G4)
+    # compression tag value lives in the IFD; flip it to 7 (TIFF-JPEG,
+    # genuinely external here). CCITT 2/3/4 are now REAL decodes
+    # (ccitt.py) — claiming CCITT on this RGB image is a bilevel
+    # violation, a ValueError not a degradation.
     import struct
 
     idx = bad.find(struct.pack("<HHI", 259, 3, 1))
     assert idx > 0
-    bad[idx + 8 : idx + 10] = struct.pack("<H", 4)
+    bad[idx + 8 : idx + 10] = struct.pack("<H", 7)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
+    bad[idx + 8 : idx + 10] = struct.pack("<H", 4)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))  # ccitt requires bilevel (spp=1, 1-bit)
 
 
 def test_dispatch_and_sniff():
