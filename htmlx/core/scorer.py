@@ -168,6 +168,30 @@ def _calculate_pattern_score(value: str, patterns: dict) -> int:
     return score
 
 
+# class/id attribute values repeat massively across a corpus ("nav",
+# "header", "article-body", ...); the 31-pattern word-boundary scan is a
+# pure function of the lowercased value, so memoize it. Bounded so an
+# adversarial flood of unique class names can't grow the worker's memory.
+_ATTR_SCORE_CACHE: dict = {}
+_ATTR_SCORE_CACHE_MAX = 20000
+
+
+def _class_id_score(lower: str) -> int:
+    s = _ATTR_SCORE_CACHE.get(lower)
+    if s is None:
+        s = (
+            _calculate_pattern_score(lower, POSITIVE_STRONG_PATTERNS)
+            + _calculate_pattern_score(lower, POSITIVE_MEDIUM_PATTERNS)
+            + _calculate_pattern_score(lower, NEGATIVE_STRONG_PATTERNS)
+            + _calculate_pattern_score(lower, NEGATIVE_MEDIUM_PATTERNS)
+            + _calculate_pattern_score(lower, NEGATIVE_WEAK_PATTERNS)
+        )
+        if len(_ATTR_SCORE_CACHE) >= _ATTR_SCORE_CACHE_MAX:
+            _ATTR_SCORE_CACHE.clear()
+        _ATTR_SCORE_CACHE[lower] = s
+    return s
+
+
 class DefaultScorer:
     """Port of DefaultScorer (scorer.go:107-436). Stateless and reusable."""
 
@@ -178,12 +202,7 @@ class DefaultScorer:
         score = 0
         for key, val in node.attrs:
             if key == "class" or key == "id":
-                lower = val.lower()
-                score += _calculate_pattern_score(lower, POSITIVE_STRONG_PATTERNS)
-                score += _calculate_pattern_score(lower, POSITIVE_MEDIUM_PATTERNS)
-                score += _calculate_pattern_score(lower, NEGATIVE_STRONG_PATTERNS)
-                score += _calculate_pattern_score(lower, NEGATIVE_MEDIUM_PATTERNS)
-                score += _calculate_pattern_score(lower, NEGATIVE_WEAK_PATTERNS)
+                score += _class_id_score(val.lower())
             elif key == "role":
                 lower = val.lower()
                 if lower in ("main", "article"):
@@ -317,46 +336,58 @@ def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
             c = c.prev_sibling
 
     # post-order accumulation (reverse pre-order works for these sums);
-    # per-node accumulator: [tag_count, para, heading, text_len, link_text, commas]
-    acc = [[0, 0, 0, 0, 0, 0] for _ in preorder]
-    for i in range(len(preorder) - 1, -1, -1):
+    # flat accumulator, 6 ints per node at base 6*i:
+    # [tag_count, para, heading, text_len, link_text, commas] — one flat
+    # list beats 27-odd small-list allocations per document measurably
+    N = len(preorder)
+    acc = [0] * (6 * N)
+    for i in range(N - 1, -1, -1):
         node, in_link, pidx = preorder[i]
-        a = acc[i]
+        b = 6 * i
         t = node.type
         if t == ELEMENT:
-            a[0] += 1
+            acc[b] += 1
             d = node.data
             if d == "p":
-                a[1] += 1
+                acc[b + 1] += 1
             elif d in _HEADINGS:
-                a[2] += 1
+                acc[b + 2] += 1
         elif t == TEXT:
             text = normalize_nbsp(node.data).strip()
             if text:
-                blen = len(text.encode("utf-8"))
-                a[3] += blen
-                a[5] += text.count(",") + text.count("，")
+                # caps are UTF-8 BYTE lengths (Go len()); for pure-ASCII
+                # text (the dominant case) byte length == char length and
+                # the full-width comma cannot occur — skip the encode
+                # allocation and the second count
+                if text.isascii():
+                    blen = len(text)
+                    acc[b + 5] += text.count(",")
+                else:
+                    blen = len(text.encode("utf-8"))
+                    acc[b + 5] += text.count(",") + text.count("，")
+                acc[b + 3] += blen
                 if in_link:
-                    a[4] += blen
+                    acc[b + 4] += blen
         if pidx >= 0:
-            pa = acc[pidx]
-            pa[0] += a[0]
-            pa[1] += a[1]
-            pa[2] += a[2]
-            pa[3] += a[3]
-            pa[4] += a[4]
-            pa[5] += a[5]
+            pb = 6 * pidx
+            acc[pb] += acc[b]
+            acc[pb + 1] += acc[b + 1]
+            acc[pb + 2] += acc[b + 2]
+            acc[pb + 3] += acc[b + 3]
+            acc[pb + 4] += acc[b + 4]
+            acc[pb + 5] += acc[b + 5]
 
     candidates: dict = {}
-    for i, (node, _, _) in enumerate(preorder):
+    for i in range(N):
+        node = preorder[i][0]
         if node.type != ELEMENT or is_non_content_element(node.data) or node.data == "p":
             continue
-        a = acc[i]
+        b = 6 * i
         m = ContentMetrics()
-        m.tag_count, m.paragraph_count, m.heading_count = a[0], a[1], a[2]
-        m.text_length = m.total_text_length = a[3]
-        m.link_text_length = a[4]
-        m.comma_count = a[5]
+        m.tag_count, m.paragraph_count, m.heading_count = acc[b], acc[b + 1], acc[b + 2]
+        m.text_length = m.total_text_length = acc[b + 3]
+        m.link_text_length = acc[b + 4]
+        m.comma_count = acc[b + 5]
         score = _score_from_metrics(scorer, node, m)
         if score > 0:
             candidates[node] = score

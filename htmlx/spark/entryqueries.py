@@ -33,7 +33,17 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _extract(spark, sf_dir, template: str, config: Config | None = None) -> DataFrame:
     pages = pages_from_documents(_docs(spark, sf_dir), template)
-    return run_extraction(pages, config or Config())
+    # the documents table is a single small parquet file -> ONE input
+    # split; without an explicit repartition the mapInPandas extraction
+    # stage runs on one core (measured: extract_text 2.1s at local[32]
+    # with 31 idle workers). Salted repartition to 2x parallelism is the
+    # production job's own skew-defeating shape (job.salted_repartition) —
+    # at 10^12 rows the scan has millions of splits, but the explicit
+    # spread must not depend on the input layout.
+    return run_extraction(
+        pages, config or Config(),
+        num_partitions=spark.sparkContext.defaultParallelism * 2,
+    )
 
 
 _ORACLE_URL = URL_SQL
