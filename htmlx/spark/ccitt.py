@@ -423,75 +423,114 @@ def encode_ccitt_g3_1d(bits, byte_align: bool = False, with_eol: bool = False) -
 def encode_ccitt_g4(bits) -> bytes:
     """T.6 (G4) encoder twin: pass / horizontal / vertical mode selection
     per the standard coder, EOFB-terminated."""
-    import bisect
-
     w = _BitWriter()
     width = len(bits[0])
     ref: list = []
     for row in bits:
-        row = list(row)
-        cur = []
-        pos = 0
-        color = 0
-        n = width
-        while pos < n:
-            end = pos
-            while end < n and row[end] == color:
-                end += 1
-            if end < n:
-                cur.append(end)
-            pos = end
-            color ^= 1
-        if row[0] == 1 and (not cur or cur[0] != 0):
-            cur.insert(0, 0)
-        # encode cur against ref
-        a0 = -1
-        color = 0
-        ci = 0
-        while a0 < width:
-            a1 = cur[ci] if ci < len(cur) else width
-            i = bisect.bisect_right(ref, a0)
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            if b2 < a1:
-                w.write("0001")  # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                w.write({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                         -1: "010", -2: "000010", -3: "0000010"}[d])
-                a0 = a1
-                color ^= 1
-                ci += 1
-            else:
-                a2 = cur[ci + 1] if ci + 1 < len(cur) else width
-                w.write("001")
-                a0p = max(a0, 0)
-                _write_run(w, a1 - a0p, WHITE_CODES if color == 0 else BLACK_CODES)
-                _write_run(w, a2 - a1, BLACK_CODES if color == 0 else WHITE_CODES)
-                a0 = a2
-                ci += 2
-        ref = cur
+        ref = _encode_2d_row(w, row, ref, width)
     w.write(_EOL + _EOL)  # EOFB
     return w.done()
 
 
-def encode_tiff_ccitt(ink, compression: int = 4) -> bytes:
+def _encode_2d_row(w: _BitWriter, row, ref: list, width: int) -> list:
+    """Encode one row in 2D mode against reference transitions; returns
+    this row's transition list (shared by the G4 encoder and the G3 mixed
+    encoder)."""
+    import bisect
+
+    row = list(row)
+    cur = []
+    pos = 0
+    color = 0
+    while pos < width:
+        end = pos
+        while end < width and row[end] == color:
+            end += 1
+        if end < width:
+            cur.append(end)
+        pos = end
+        color ^= 1
+    a0 = -1
+    color = 0
+    ci = 0
+    while a0 < width:
+        a1 = cur[ci] if ci < len(cur) else width
+        i = bisect.bisect_right(ref, a0)
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        if b2 < a1:
+            w.write("0001")  # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            w.write({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                     -1: "010", -2: "000010", -3: "0000010"}[d])
+            a0 = a1
+            color ^= 1
+            ci += 1
+        else:
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+            w.write("001")
+            a0p = max(a0, 0)
+            _write_run(w, a1 - a0p, WHITE_CODES if color == 0 else BLACK_CODES)
+            _write_run(w, a2 - a1, BLACK_CODES if color == 0 else WHITE_CODES)
+            a0 = a2
+            ci += 2
+    return cur
+
+
+def encode_ccitt_g3_mixed(bits, pattern: str = "alternate") -> bytes:
+    """G3 mixed 1D/2D encoder twin (PDF CCITTFaxDecode /K > 0, TIFF
+    Compression=3 with T4Options bit 0): every row is EOL + 1 tag bit
+    (1 = 1D MH row, 0 = 2D row against the previous row). pattern:
+    'alternate' codes odd rows 2D, 'all2d' codes every row after the
+    first 2D (a 1D row must open the stream — there is no reference
+    line yet)."""
+    w = _BitWriter()
+    ref: list = []
+    for y, row in enumerate(bits):
+        w.write(_EOL)
+        one_d = y == 0 or (pattern == "alternate" and y % 2 == 0)
+        w.write("1" if one_d else "0")
+        if one_d:
+            color = 0
+            runs = _runs_of(list(row))
+            for run in runs:
+                _write_run(w, run, WHITE_CODES if color == 0 else BLACK_CODES)
+                color ^= 1
+            # rebuild transitions for the next row's reference
+            ref = []
+            pos = 0
+            for run in runs:
+                pos += run
+                if pos < len(row):
+                    ref.append(pos)
+        else:
+            ref = _encode_2d_row(w, row, ref, len(row))
+    return w.done()
+
+
+def encode_tiff_ccitt(ink, compression: int = 4, mixed: bool = False) -> bytes:
     """Wrap an encoder-twin CCITT stream in a minimal single-strip TIFF
     (little-endian, PhotometricInterpretation=0/WhiteIsZero) for the
-    synthesis corpora. compression: 4 = T.6, 3 = T.4 1D+EOL, 2 = MH
-    byte-aligned."""
+    synthesis corpora. compression: 4 = T.6, 3 = T.4 (1D+EOL, or mixed
+    1D/2D with T4Options bit 0 when mixed=True), 2 = MH byte-aligned."""
     import struct
 
     rows = len(ink)
     cols = len(ink[0])
+    t4_options = 0
     if compression == 4:
         data = encode_ccitt_g4(ink)
     elif compression == 3:
-        data = encode_ccitt_g3_1d(ink, with_eol=True)
+        if mixed:
+            data = encode_ccitt_g3_mixed(ink)
+            t4_options = 1
+        else:
+            data = encode_ccitt_g3_1d(ink, with_eol=True)
     elif compression == 2:
         data = encode_ccitt_g3_1d(ink, byte_align=True)
     else:
@@ -502,6 +541,9 @@ def encode_tiff_ccitt(ink, compression: int = 4) -> bytes:
         (273, 4, 1, 0),  # strip offset patched below
         (277, 3, 1, 1), (278, 3, 1, rows), (279, 4, 1, len(data)),
     ]
+    if t4_options:
+        entries.append((292, 4, 1, t4_options))
+        entries.sort()
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * len(entries) + 4
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))

@@ -9,6 +9,7 @@ import pytest
 from htmlx.spark.ccitt import (
     decode_ccitt,
     encode_ccitt_g3_1d,
+    encode_ccitt_g3_mixed,
     encode_ccitt_g4,
     encode_tiff_ccitt,
 )
@@ -154,3 +155,40 @@ def test_fuzz_declared_degradations_only():
                     assert out.shape == (8, 40)
                 except ValueError:
                     pass
+
+
+def test_g3_mixed_mode_roundtrip_battery():
+    """PDF /K > 0 route: EOL + tag bit per row, alternating and all-2D
+    row coding (encode_ccitt_g3_mixed twin)."""
+    rng = np.random.default_rng(21)
+    for img in _images(rng):
+        h, w = img.shape
+        for pattern in ("alternate", "all2d"):
+            enc = encode_ccitt_g3_mixed(img, pattern)
+            assert (decode_ccitt(enc, w, h, k=1) == img).all()
+
+
+def test_tiff_t4_2d_flag():
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ink = (np.add.outer(np.arange(11), np.arange(37)) % 6 < 3).astype(np.uint8)
+    px = decode_tiff(encode_tiff_ccitt(ink, compression=3, mixed=True))
+    assert (px[:, :, 0] == 255 * (1 - ink)).all()
+
+
+def test_pdf_ccitt_k_positive():
+    from htmlx.spark.pdf import extract_pdf_images
+
+    ink = (np.add.outer(np.arange(6), np.arange(23)) % 5 < 2).astype(np.uint8)
+    h, w = ink.shape
+    data = encode_ccitt_g3_mixed(ink)
+    body = (
+        b"%PDF-1.7\n1 0 obj\n<< /Subtype /Image /Width " + str(w).encode()
+        + b" /Height " + str(h).encode()
+        + b" /Filter /CCITTFaxDecode /DecodeParms << /K 1 /Columns "
+        + str(w).encode() + b" /Rows " + str(h).encode() + b" >>"
+        + b" /Length " + str(len(data)).encode()
+        + b" >>\nstream\n" + data + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    out = extract_pdf_images(body)
+    assert out[0]["error"] == "" and (out[0]["width"], out[0]["height"]) == (w, h)

@@ -20,6 +20,10 @@ tools/FixGen.java:
 - real_g4/g3/mh.tif: CCITT T.6 / T.4 / Modified-Huffman encodings of a
   deterministic bitonal pattern (bitonal.raster carries ImageIO's raw
   sample dump of the same pattern).
+- real_imageio.bmp: the photo through ImageIO's BMP writer (lossless,
+  byte-exact decode required).
+- pluck-pcm16.wav: a REAL recording from CPython's test audio (PSF
+  licence), cross-decoded against the stdlib wave module bit-exact.
 
 FLAC has NO independent encoder in this container (no ffmpeg/flac/sox;
 javax doesn't do FLAC) — it remains twin+CRC+MD5-gated, with adversarial
@@ -130,3 +134,49 @@ def test_real_mp3_anchor_exists():
     # the LAME-encoded MPEG2 anchor lives in test_audio_headers.py; keep a
     # cross-reference so the anchor inventory is greppable in one file
     assert os.path.exists(os.path.join(os.path.dirname(__file__), "fixtures", "real_lame_mpeg2.mp3"))
+
+
+def test_real_bmp_imageio_exact():
+    """ImageIO's BMP writer (24-bit bottom-up) on the photographic image;
+    lossless, must decode byte-for-byte."""
+    from htmlx.spark.tiffbmp import decode_bmp
+
+    ref = _raster("imageio_bmp.raster")
+    px = decode_bmp(_bytes("real_imageio.bmp"))
+    assert px.shape == ref.shape and (px == ref).all()
+
+
+def test_real_wav_vs_stdlib_wave_exact():
+    """A REAL PCM recording (CPython's pluck-pcm16.wav test audio, PSF
+    licence) decoded by this repo's RIFF walk vs the stdlib wave module —
+    bit-exact sample agreement on a third-party-authored file."""
+    import wave
+
+    from htmlx.spark.multimodal import decode_wav
+
+    path = os.path.join(DIR, "pluck-pcm16.wav")
+    rate, ch, s = decode_wav(open(path, "rb").read())
+    wf = wave.open(path)
+    assert (rate, ch, s.shape[0]) == (wf.getframerate(), wf.getnchannels(), wf.getnframes())
+    ref = np.frombuffer(wf.readframes(wf.getnframes()), "<i2").astype(np.int32).reshape(
+        -1, wf.getnchannels()
+    )
+    assert (s == ref).all()
+
+
+def test_real_wav_pcm8_in_place():
+    # 8-bit variant read from the interpreter's own test data (skip if the
+    # layout differs on another host)
+    import wave
+
+    from htmlx.spark.multimodal import decode_wav
+
+    path = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata/pluck-pcm8.wav"
+    if not os.path.exists(path):
+        pytest.skip("pyenv test audio not present")
+    rate, ch, s = decode_wav(open(path, "rb").read())
+    wf = wave.open(path)
+    ref = np.frombuffer(wf.readframes(wf.getnframes()), np.uint8).astype(np.int32).reshape(
+        -1, wf.getnchannels()
+    ) - 128
+    assert (s == ref).all() and rate == wf.getframerate()

@@ -100,6 +100,10 @@ public class FixGen {
         dumpRaster(ImageIO.read(new File(dir, "real_progressive.jpg")), new File(dir, "progressive.raster"));
         dumpRaster(ImageIO.read(new File(dir, "real_imageio.gif")), new File(dir, "imageio_gif.raster"));
 
+        // 3b) same photo through ImageIO's BMP writer (24-bit, bottom-up)
+        writeWith(small, "bmp", null, false, new File(dir, "real_imageio.bmp"));
+        dumpRaster(ImageIO.read(new File(dir, "real_imageio.bmp")), new File(dir, "imageio_bmp.raster"));
+
         // 4) third-party decode of a real-world giflib-era GIF (tcl/tk ships it)
         BufferedImage tk = ImageIO.read(new File("/usr/share/tcltk/tk8.6/images/logo64.gif"));
         dumpRaster(tk, new File(dir, "tk_logo64.raster"));
