@@ -296,6 +296,17 @@ def _skip_eol(r: _BitReader) -> bool:
     return False
 
 
+def _starts_with_eol(r: _BitReader) -> bool:
+    """EOL-presence sniff at stream start, tolerating fill bits BEFORE the
+    first EOL (T4Options fill pads EOLs to byte boundaries): >=11 leading
+    zeros then a 1 can only be fill+EOL — no legal run code starts with
+    more than 8 zeros."""
+    zeros = 0
+    while zeros < 64 and not (r.peek_bits(zeros + 1) & 1):
+        zeros += 1
+    return 11 <= zeros < 64
+
+
 def decode_ccitt(
     data: bytes,
     columns: int,
@@ -322,7 +333,7 @@ def decode_ccitt(
     if k == 0:
         # G3 1D: data may start with an EOL (T.4 streams) or not (TIFF
         # Compression=2). Detect once and stay consistent.
-        has_eol = r.bits_left() >= 12 and r.peek_bits(12) == 1
+        has_eol = _starts_with_eol(r)
         for y in range(rows):
             if byte_align:
                 r.byte_align()
@@ -330,7 +341,7 @@ def decode_ccitt(
                 raise ValueError("ccitt_missing_eol")
             out[y] = _row_bits(_decode_1d_row(r, columns), columns)
     elif k > 0:
-        has_eol = r.bits_left() >= 12 and r.peek_bits(12) == 1
+        has_eol = _starts_with_eol(r)
         for y in range(rows):
             if byte_align:
                 r.byte_align()

@@ -937,6 +937,9 @@ def _parse_mp3(b: bytes) -> dict:
         raise ValueError("no_mp3_frames")
     fpos, fspf, fkbps = first_frame
     side = (17 if channels == 1 else 32) if ((b[fpos + 1] >> 3) & 3) == 3 else (9 if channels == 1 else 17)
+    # protection bit 0 => a 16-bit CRC sits between header and side info,
+    # shifting the Xing/Info tag by 2 (review finding r5)
+    side += 0 if (b[fpos + 1] & 1) else 2
     if b[fpos + 4 + side : fpos + 8 + side] in (b"Xing", b"Info") and frames > 1:
         frames -= 1
         samples -= fspf

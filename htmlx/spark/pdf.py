@@ -470,8 +470,10 @@ def _decode_image_stream(obj_dict: bytes, raw: bytes):
             wm = _WIDTH_RE.search(obj_dict)
             w = int(cm.group(1)) if cm else (int(wm.group(1)) if wm else 1728)
             h = int(rm.group(1)) if rm else (int(hm.group(1)) if hm else 0)
-            if h <= 0:
+            if h <= 0 or w <= 0:
                 raise ValueError("missing_image_dims")
+            if w * h > MAX_IMAGE_RASTER:
+                raise ValueError("image_too_large")  # same bomb cap as DCT/raw
             km = re.search(rb"/K\s+(-?\d+)", obj_dict)
             black1 = re.search(rb"/BlackIs1\s+true", obj_dict) is not None
             ink = decode_ccitt(
@@ -498,6 +500,8 @@ def _decode_image_stream(obj_dict: bytes, raw: bytes):
     if not (wm and hm):
         raise ValueError("missing_image_dims")
     w, h = int(wm.group(1)), int(hm.group(1))
+    if w <= 0 or h <= 0:
+        raise ValueError("bad_image_dims")  # 0-area: degrade, don't div/0
     bpc = int(_BPC_RE.search(obj_dict).group(1)) if _BPC_RE.search(obj_dict) else 8
     if bpc != 8:
         raise NotImplementedError(f"image bpc {bpc}")
@@ -515,37 +519,49 @@ def _decode_image_stream(obj_dict: bytes, raw: bytes):
     )
 
 
+def _image_feature_row(obj_dict: bytes, raw: bytes) -> dict:
+    """Decode one image stream to its feature dict with the engine's
+    per-row degradation contract (decoder_unavailable / corrupt_image)."""
+    import binascii
+    import hashlib
+
+    row = {
+        "width": 0, "height": 0, "channels": 0,
+        "img_filter": "", "px_md5": "", "mean_x1000": 0, "error": "",
+    }
+    try:
+        px, label = _decode_image_stream(obj_dict, raw)
+        h, w, c = px.shape
+        rb = px.tobytes()
+        if not rb:
+            raise ValueError("empty_image_raster")
+        row.update(
+            width=w, height=h, channels=c, img_filter=label,
+            px_md5=hashlib.md5(binascii.hexlify(rb)).hexdigest(),
+            mean_x1000=int(px.astype("int64").sum()) * 1000 // len(rb),
+        )
+    except (UnsupportedFilterError, NotImplementedError):
+        row["error"] = "decoder_unavailable"
+    except (ValueError, zlib.error):
+        row["error"] = "corrupt_image"
+    return row
+
+
+def _iter_image_streams(payload: bytes):
+    for obj_dict, raw in _iter_streams(payload):
+        if _IMAGE_DICT_RE.search(obj_dict):
+            yield obj_dict, raw
+
+
 def extract_pdf_images(payload: bytes, max_images: int = 64) -> list:
     """Per-image decode walk: every /Subtype /Image stream object yields a
     feature dict (dims, channels, pixel digest in the engine's standard
     md5-over-lowercase-hex basis, mean). Filters needing a genuinely
     external codec (JPX/JBIG2) degrade per-image to
     error='decoder_unavailable'; malformed payloads to 'corrupt_image'."""
-    import binascii
-    import hashlib
-
     out = []
-    for obj_dict, raw in _iter_streams(payload):
-        if not _IMAGE_DICT_RE.search(obj_dict):
-            continue
-        row = {
-            "image_index": len(out), "width": 0, "height": 0, "channels": 0,
-            "img_filter": "", "px_md5": "", "mean_x1000": 0, "error": "",
-        }
-        try:
-            px, label = _decode_image_stream(obj_dict, raw)
-            h, w, c = px.shape
-            rb = px.tobytes()
-            row.update(
-                width=w, height=h, channels=c, img_filter=label,
-                px_md5=hashlib.md5(binascii.hexlify(rb)).hexdigest(),
-                mean_x1000=int(px.astype("int64").sum()) * 1000 // len(rb),
-            )
-        except (UnsupportedFilterError, NotImplementedError):
-            row["error"] = "decoder_unavailable"
-        except (ValueError, zlib.error):
-            row["error"] = "corrupt_image"
-        out.append(row)
+    for obj_dict, raw in _iter_image_streams(payload):
+        out.append({"image_index": len(out), **_image_feature_row(obj_dict, raw)})
         if len(out) >= max_images:
             break
     return out
@@ -828,13 +844,25 @@ def extract_pdf_profile(pdfs: DataFrame) -> DataFrame:
                         extract_pdf_text(b)
                     except (UnsupportedFilterError, zlib.error):
                         meta["error"] = "decoder_unavailable"
-                images = [] if meta["error"] == "not_a_pdf" else extract_pdf_images(b)
-                first = images[0] if images else {}
+                # the profile row carries the FIRST image's features plus a
+                # count — so only the first image is decoded; the rest are
+                # counted from the (already walked) stream dicts (review
+                # finding r5: a 64-photo PDF must not pay 64 DCT decodes
+                # for a 1-image profile row)
+                n_images = 0
+                first: dict = {}
+                if meta["error"] != "not_a_pdf":
+                    for obj_dict, raw in _iter_image_streams(b):
+                        n_images += 1
+                        if n_images == 1:
+                            first = _image_feature_row(obj_dict, raw)
+                        if n_images >= 64:
+                            break
                 rows.append(
                     {
                         "url": url,
                         **meta,
-                        "n_images": len(images),
+                        "n_images": n_images,
                         "img_width": first.get("width", 0),
                         "img_height": first.get("height", 0),
                         "img_channels": first.get("channels", 0),

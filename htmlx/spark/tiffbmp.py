@@ -336,9 +336,16 @@ def decode_tiff(payload: bytes):
             k, byte_align = 0, True
         elif compression == 3:
             k = 1 if (tags.get("t4_options", [0])[0] & 1) else 0
-            byte_align = bool(tags.get("t4_options", [0])[0] & 4)
+            # T4Options bit 2 means the ENCODER padded fill bits so EOLs
+            # end on byte boundaries — the EOL scan already tolerates fill
+            # zeros, so no reader-side mode change is needed; forcing
+            # byte_align here would snap PAST the fill+EOL prefix and
+            # reject valid fax TIFFs (review finding r5)
+            byte_align = False
         else:
             k, byte_align = -1, False
+        if len(counts) != len(offsets):
+            raise ValueError("bad_strip_count")
         bands = []
         y = 0
         for i in range(len(offsets)):
@@ -382,10 +389,21 @@ def decode_tiff(payload: bytes):
             # encoders) switch one code LATE; libtiff's reader famously
             # tolerates both. Caught by the real-encoder anchor fixture
             # (tests/test_real_anchors.py): try spec mode, retry late mode.
+            # A wrong-mode decode can also end WITHOUT an invalid code
+            # (misaligned reads mostly land on valid table entries), so a
+            # too-short early result triggers the late retry as well.
             try:
                 out = lzw_decode_pdf(raw, cap=expect + 8, early_change=1)
             except StreamCorruptError:
-                out = lzw_decode_pdf(raw, cap=expect + 8, early_change=0)
+                out = None
+            if out is None or len(out) < expect:
+                try:
+                    late = lzw_decode_pdf(raw, cap=expect + 8, early_change=0)
+                    if out is None or len(late) > len(out):
+                        out = late
+                except StreamCorruptError:
+                    if out is None:
+                        raise
         elif compression in (8, 32946):
             d = zlib.decompressobj()
             out = d.decompress(raw, expect)

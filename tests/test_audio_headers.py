@@ -184,3 +184,17 @@ def test_ladder_in_extract_audio_features_schema():
 
     names = [f.name for f in AUDIO_FEATURES_SCHEMA.fields]
     assert "bitrate_kbps" in names
+
+
+def test_mp3_crc_protected_xing_frame_excluded():
+    """With protection bit 0 a 16-bit CRC precedes the side info, shifting
+    the Xing tag by 2 (review finding r5): the VBR header frame must still
+    be excluded from the sample count."""
+    kbps, rate = 64, 44100
+    flen = 144000 * kbps // rate
+    # header with protection_bit=0 (0xFA instead of 0xFB)
+    first = bytearray(bytes([0xFF, 0xFA, (5 << 4), 0xC0]) + b"\x00" * (flen - 4))
+    first[4 + 2 + 17 : 4 + 2 + 21] = b"Xing"  # CRC(2) + mono MPEG1 side info(17)
+    audio = bytes([0xFF, 0xFA, (5 << 4), 0xC0]) + b"\x00" * (flen - 4)
+    info = audio_stream_info(bytes(first) + audio * 3)
+    assert info["n_frames"] == 3 * 1152

@@ -192,3 +192,110 @@ def test_pdf_ccitt_k_positive():
     )
     out = extract_pdf_images(body)
     assert out[0]["error"] == "" and (out[0]["width"], out[0]["height"]) == (w, h)
+
+
+# --- review-finding regressions (r5) ----------------------------------------
+
+
+def test_t4_fill_bit_option_byte_aligned_eols_decode():
+    """T4Options bit 2 (encoder padded fill bits so each EOL ends on a
+    byte boundary) needs NO reader-side mode switch — the EOL scan
+    tolerates fill zeros; forcing byte_align used to reject these (review
+    finding)."""
+    import struct
+
+    from htmlx.spark.ccitt import WHITE_CODES, BLACK_CODES, _BitWriter, _runs_of, _write_run
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ink = (np.add.outer(np.arange(5), np.arange(21)) % 4 < 2).astype(np.uint8)
+    h, w = ink.shape
+    bw = _BitWriter()
+    for row in ink:
+        # pad fill zeros so the 12-bit EOL ENDS on a byte boundary
+        while (bw.nbits + 12) % 8 != 0:
+            bw.write("0")
+        bw.write("000000000001")
+        color = 0
+        for run in _runs_of(list(row)):
+            _write_run(bw, run, WHITE_CODES if color == 0 else BLACK_CODES)
+            color ^= 1
+    data = bw.done()
+    # minimal TIFF with Compression=3 and T4Options=4 (fill-bit flag)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1), (259, 3, 1, 3),
+        (262, 3, 1, 0), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, h),
+        (279, 4, 1, len(data)), (292, 4, 1, 4),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", len(entries)))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, data_off if tag == 273 else val)
+    out += struct.pack("<I", 0) + data
+    px = decode_tiff(bytes(out))
+    assert (px[:, :, 0] == 255 * (1 - ink)).all()
+
+
+def test_ccitt_strip_count_mismatch_is_valueerror():
+    import struct
+
+    from htmlx.spark.ccitt import encode_tiff_ccitt
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ink = np.zeros((4, 10), np.uint8)
+    t = bytearray(encode_tiff_ccitt(ink))
+    # corrupt StripOffsets count to 2 while StripByteCounts stays 1
+    idx = t.find(struct.pack("<HHI", 273, 4, 1))
+    assert idx > 0
+    t[idx + 4 : idx + 8] = struct.pack("<I", 2)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t))
+
+
+def test_pdf_zero_area_and_oversized_images_degrade():
+    from htmlx.spark.pdf import extract_pdf_images
+
+    # 0x0 raw image: must be a per-image corrupt row, not ZeroDivisionError
+    body = (
+        b"%PDF-1.7\n1 0 obj\n<< /Subtype /Image /Width 0 /Height 0"
+        b" /BitsPerComponent 8 /Length 0 >>\nstream\n\nendstream\nendobj\n%%EOF\n"
+    )
+    out = extract_pdf_images(body)
+    assert out[0]["error"] == "corrupt_image"
+    # CCITT bomb: geometry passing decode_ccitt's 2^30 guard must still be
+    # capped by MAX_IMAGE_RASTER (128 MB) at the PDF layer
+    body2 = (
+        b"%PDF-1.7\n1 0 obj\n<< /Subtype /Image /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns 32000 /Rows 33000 >>"
+        b" /Length 4 >>\nstream\n\x00\x00\x00\x00\nendstream\nendobj\n%%EOF\n"
+    )
+    out2 = extract_pdf_images(body2)
+    assert out2[0]["error"] == "corrupt_image"
+
+
+def test_pdf_profile_counts_but_decodes_only_first(monkeypatch):
+    import htmlx.spark.pdf as P
+    from htmlx.spark.jpeg import encode_jpeg
+
+    jp = encode_jpeg(np.full((8, 8), 50, np.uint8))
+    img_obj = (
+        b"<< /Subtype /Image /Filter /DCTDecode /Length "
+        + str(len(jp)).encode() + b" >>\nstream\n" + jp + b"\nendstream\nendobj\n"
+    )
+    body = b"%PDF-1.7\n" + b"".join(
+        b"%d 0 obj\n" % (i + 1) + img_obj for i in range(3)
+    ) + b"%%EOF\n"
+    calls = []
+    real = P._decode_image_stream
+    monkeypatch.setattr(P, "_decode_image_stream", lambda d, r: calls.append(1) or real(d, r))
+    # the profile walk must decode exactly ONE image but count all three
+    rows = []
+    for obj_dict, raw in P._iter_image_streams(body):
+        rows.append((obj_dict, raw))
+    assert len(rows) == 3
+    # emulate the profile stage's walk contract via the public stage
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=2, app_name="pdf-profile-count")
+    pdfs = spark.createDataFrame([("u", bytearray(body))], "url string, payload binary")
+    out = P.extract_pdf_profile(pdfs).collect()[0]
+    assert out["n_images"] == 3 and out["img_filter"] == "dct"
