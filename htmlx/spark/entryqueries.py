@@ -27,6 +27,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Spread a docs frame across the cluster before a Python decode
+    stage: the documents table is ONE small parquet file -> one input
+    split, which would serialize every mapInPandas decode tier onto a
+    single core (the input-split lesson, BENCH/BASELINE.md r5). JVM-only
+    zero-shuffle queries deliberately do NOT use this (their plans are
+    asserted exchange-free; at real scale the scan has many splits)."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism * 2)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -261,7 +272,7 @@ def q_extract_encoding(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "html"])
 
-    pages = docs.mapInPandas(build, "url string, html binary")
+    pages = _spread(docs).mapInPandas(build, "url string, html binary")
     return run_extraction(pages).select("url", "title", "text", "error")
 
 
@@ -666,7 +677,7 @@ def q_media_sniff(spark, sf_dir):
                              "mime": "", "source_url": ""})
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "mime", "source_url"])
 
-    media = docs.mapInPandas(
+    media = _spread(docs).mapInPandas(
         build, "media_id long, kind string, payload binary, mime string, source_url string"
     )
     return extract_media_metadata(media).select(
@@ -808,7 +819,7 @@ def q_pdf_metadata(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "payload"])
 
-    pdfs = docs.mapInPandas(build, "url string, payload binary")
+    pdfs = _spread(docs).mapInPandas(build, "url string, payload binary")
     return extract_pdf_profile(pdfs).select(
         "url",
         "pdf_version",
@@ -951,7 +962,7 @@ def q_pdf_text(spark, sf_dir):
                 )
             yield pd.DataFrame(rows, columns=["url", "payload"])
 
-    pdfs = docs.mapInPandas(build, "url string, payload binary")
+    pdfs = _spread(docs).mapInPandas(build, "url string, payload binary")
     return extract_pdf_documents(pdfs).select(
         "url", "text", F.col("n_streams").cast("long").alias("n_streams"), "error"
     )
@@ -1069,7 +1080,7 @@ def q_media_pixel_decode(spark, sf_dir):
                 rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(build, "media_id long, payload binary")
+    media = _spread(docs).mapInPandas(build, "media_id long, payload binary")
     return extract_pixel_features(media).select(
         "media_id",
         F.col("width").cast("long").alias("width"),
@@ -1170,7 +1181,7 @@ def q_jpeg_pixel_decode(spark, sf_dir):
                 rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(build, "media_id long, payload binary")
+    media = _spread(docs).mapInPandas(build, "media_id long, payload binary")
     return extract_pixel_features(media).select(
         "media_id",
         F.col("width").cast("long").alias("width"),
@@ -1689,7 +1700,7 @@ def q_gif_pixel_decode(spark, sf_dir):
                 rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(build, "media_id long, payload binary")
+    media = _spread(docs).mapInPandas(build, "media_id long, payload binary")
     return extract_pixel_features(media).select(
         "media_id",
         F.col("width").cast("long").alias("width"),
@@ -1795,7 +1806,7 @@ def q_audio_pcm_decode(spark, sf_dir):
                 rows.append({"media_id": d, "payload": payload})
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(build, "media_id long, payload binary")
+    media = _spread(docs).mapInPandas(build, "media_id long, payload binary")
     return extract_audio_features(media).select(
         "media_id",
         F.col("sample_rate").cast("long").alias("sample_rate"),
