@@ -322,8 +322,6 @@ def decode_tiff(payload: bytes):
         #   4 = T.6 (G4): pure 2D
         from .ccitt import decode_ccitt
 
-        if tiled:
-            raise NotImplementedError("tiff ccitt tiles")
         # BitsPerSample defaults to 1 when absent (TIFF 6.0) — bilevel
         # writers (javax.imageio among them) routinely omit the tag
         if spp != 1 or tags.get("bits_per_sample", [1])[0] != 1:
@@ -346,20 +344,45 @@ def decode_tiff(payload: bytes):
             k, byte_align = -1, False
         if len(counts) != len(offsets):
             raise ValueError("bad_strip_count")
-        bands = []
-        y = 0
-        for i in range(len(offsets)):
-            rows = min(rows_per_strip, h - y)
-            if rows <= 0:
-                break
-            raw = payload[offsets[i] : offsets[i] + counts[i]]
-            if len(raw) != counts[i]:
-                raise ValueError("truncated_strip")
-            bands.append(decode_ccitt(raw, w, rows, k=k, byte_align=byte_align))
-            y += rows
-        if y != h:
-            raise ValueError("short_strip")
-        ink = np.concatenate(bands, axis=0)
+        if tiled:
+            # tiled CCITT (scanned maps/plans): each tile is an
+            # independently-coded full-width block padded to the tile
+            # grid; edge tiles crop on paste
+            tw = tags.get("tile_width", [0])[0]
+            th = tags.get("tile_length", [0])[0]
+            if tw <= 0 or th <= 0:
+                raise ValueError("bad_tile_geometry")
+            tiles_x = (w + tw - 1) // tw
+            tiles_y = (h + th - 1) // th
+            if len(offsets) < tiles_x * tiles_y:
+                raise ValueError("bad_tile_count")
+            ink = np.zeros((h, w), np.uint8)
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    i = ty * tiles_x + tx
+                    raw = payload[offsets[i] : offsets[i] + counts[i]]
+                    if len(raw) != counts[i]:
+                        raise ValueError("truncated_tile")
+                    block = decode_ccitt(raw, tw, th, k=k, byte_align=byte_align)
+                    y0, x0 = ty * th, tx * tw
+                    ink[y0 : y0 + th, x0 : x0 + tw] = block[
+                        : min(th, h - y0), : min(tw, w - x0)
+                    ]
+        else:
+            bands = []
+            y = 0
+            for i in range(len(offsets)):
+                rows = min(rows_per_strip, h - y)
+                if rows <= 0:
+                    break
+                raw = payload[offsets[i] : offsets[i] + counts[i]]
+                if len(raw) != counts[i]:
+                    raise ValueError("truncated_strip")
+                bands.append(decode_ccitt(raw, w, rows, k=k, byte_align=byte_align))
+                y += rows
+            if y != h:
+                raise ValueError("short_strip")
+            ink = np.concatenate(bands, axis=0)
         # PhotometricInterpretation 0 = WhiteIsZero (the standard fax
         # pairing): decoded white runs -> gray 255; the rare inverted
         # pairing (1) flips the display mapping.

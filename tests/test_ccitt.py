@@ -299,3 +299,18 @@ def test_pdf_profile_counts_but_decodes_only_first(monkeypatch):
     pdfs = spark.createDataFrame([("u", bytearray(body))], "url string, payload binary")
     out = P.extract_pdf_profile(pdfs).collect()[0]
     assert out["n_images"] == 3 and out["img_filter"] == "dct"
+
+
+def test_tiled_ccitt_tiff_all_compressions():
+    """Tiled CCITT layout (scanned maps/plans): each tile independently
+    coded, padded to the grid, edge-cropped on paste."""
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    rng = np.random.default_rng(31)
+    for trial in range(10):
+        h, w = int(rng.integers(3, 40)), int(rng.integers(3, 90))
+        ink = (rng.random((h, w)) < 0.3).astype(np.uint8)
+        for comp in (2, 3, 4):
+            for tile in ((16, 8), (8, 8)):
+                px = decode_tiff(encode_tiff_ccitt(ink, comp, tile=tile))
+                assert (px[:, :, 0] == 255 * (1 - ink)).all()

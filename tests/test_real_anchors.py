@@ -235,3 +235,14 @@ def test_tiff_lzw_short_output_triggers_late_retry():
     t2 = t2[: j + 8] + struct.pack("<I", len(late)) + t2[j + 12 :]
     px = decode_tiff(t2)
     assert (px[0, :, 0] == img[0]).all()
+
+
+def test_real_tiled_ccitt_tiff_exact():
+    """ImageIO TIFF writer with explicit 32x16 tiling + CCITT T.6: tiled
+    bilevel layout from a REAL encoder decodes bit-exact."""
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ink = _bitonal_pattern()
+    px = decode_tiff(_bytes("real_g4_tiled.tif"))
+    assert px.shape == (29, 71, 1)
+    assert (px[:, :, 0] == 255 * (1 - ink)).all()

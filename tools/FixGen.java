@@ -15,12 +15,21 @@ import javax.imageio.metadata.*;
 public class FixGen {
     static void writeWith(BufferedImage img, String format, String compression,
                           boolean progressive, File out) throws Exception {
+        writeWith(img, format, compression, progressive, 0, 0, out);
+    }
+
+    static void writeWith(BufferedImage img, String format, String compression,
+                          boolean progressive, int tileW, int tileH, File out) throws Exception {
         Iterator<ImageWriter> it = ImageIO.getImageWritersByFormatName(format);
         ImageWriter w = it.next();
         ImageWriteParam p = w.getDefaultWriteParam();
         if (compression != null) {
             p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
             p.setCompressionType(compression);
+        }
+        if (tileW > 0) {
+            p.setTilingMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setTiling(tileW, tileH, 0, 0);
         }
         if (progressive) p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
         try (ImageOutputStream ios = ImageIO.createImageOutputStream(out)) {
@@ -73,6 +82,7 @@ public class FixGen {
         writeWith(bin, "tiff", "CCITT T.6", false, new File(dir, "real_g4.tif"));
         writeWith(bin, "tiff", "CCITT T.4", false, new File(dir, "real_g3.tif"));
         writeWith(bin, "tiff", "CCITT RLE", false, new File(dir, "real_mh.tif"));
+        writeWith(bin, "tiff", "CCITT T.6", false, 32, 16, new File(dir, "real_g4_tiled.tif"));
         dumpSamples(bin, new File(dir, "bitonal.raster"));
 
         // 2) deterministic gray gradient -> LZW TIFF
