@@ -314,3 +314,23 @@ def test_tiled_ccitt_tiff_all_compressions():
             for tile in ((16, 8), (8, 8)):
                 px = decode_tiff(encode_tiff_ccitt(ink, comp, tile=tile))
                 assert (px[:, :, 0] == 255 * (1 - ink)).all()
+
+
+def test_tiled_tiff_fuzz_declared_degradations_only():
+    import random
+
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    img = (np.add.outer(np.arange(20), np.arange(50)) % 7 < 3).astype(np.uint8)
+    seed = encode_tiff_ccitt(img, 4, tile=(16, 8))
+    rng = random.Random(17)
+    for _ in range(250):
+        b = bytearray(seed)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cut = rng.randrange(len(b) + 1)
+        for payload in (bytes(b), bytes(b[:cut])):
+            try:
+                decode_tiff(payload)
+            except (ValueError, NotImplementedError):
+                pass
