@@ -454,7 +454,11 @@ def main():
     # per-worker codec imports), reported separately — a long-running
     # cluster app runs warm, so warm-up is not a headline cost.
     payload = {
-        "metric": "headline query wall time (full HTML extraction + dedup/ANN) at local[%d]" % CPUS,
+        "metric": (
+            "headline per-query wall-time SUM, warm workers, warm-up excluded "
+            "(full HTML extraction + dedup/ANN) at local[%d] — accounting "
+            "changed r5: rounds <=4 reported session wall incl. warm-up" % CPUS
+        ),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

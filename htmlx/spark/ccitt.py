@@ -594,7 +594,6 @@ def encode_tiff_ccitt(ink, compression: int = 4, mixed: bool = False,
             for b in blocks:
                 out += struct.pack("<I", len(b))
         else:
-            out += b"\x00" * 0
             # single tile: values inline in the IFD entries; arrays_off
             # region is unused but data must still start at data_off
             out += b"\x00" * (data_off - len(out))

@@ -727,7 +727,9 @@ def q_media_frame_features(spark, sf_dir):
         F.col("doc_id").cast("long").alias("media_id"),
         F.unhex(F.expr(_MEDIA_PAYLOAD_HEX.replace("AS VARCHAR", "AS STRING"))).alias("payload"),
     )
-    return extract_media_features(media)
+    # extract_media_features is a Python (mapInPandas) stage: spread it
+    # off the single input split like every other decode tier
+    return extract_media_features(_spread(media))
 
 
 O_MEDIA_FRAME_FEATURES = f"""

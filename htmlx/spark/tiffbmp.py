@@ -352,6 +352,12 @@ def decode_tiff(payload: bytes):
             th = tags.get("tile_length", [0])[0]
             if tw <= 0 or th <= 0:
                 raise ValueError("bad_tile_geometry")
+            if tw * th > _MAX_RASTER:
+                # per-tile allocation cap: declared tile dims are attacker-
+                # controlled and independent of the (already-capped) image
+                # dims — a 30000x30000 tile claim on a 100x100 image would
+                # otherwise allocate ~900 MB per task (review finding r5)
+                raise ValueError("image_too_large")
             tiles_x = (w + tw - 1) // tw
             tiles_y = (h + th - 1) // th
             if len(offsets) < tiles_x * tiles_y:

@@ -334,3 +334,20 @@ def test_tiled_tiff_fuzz_declared_degradations_only():
                 decode_tiff(payload)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_tiled_ccitt_tile_dim_bomb_capped():
+    """Declared tile dims are attacker-controlled: a huge TileWidth/Length
+    claim on a tiny image must degrade, not allocate ~900 MB per task."""
+    import struct
+
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    ink = np.zeros((4, 10), np.uint8)
+    t = bytearray(encode_tiff_ccitt(ink, 4, tile=(8, 8)))
+    for tag in (322, 323):  # TileWidth / TileLength -> 30000
+        i = t.find(struct.pack("<HHI", tag, 3, 1))
+        assert i > 0
+        t[i + 8 : i + 12] = struct.pack("<I", 30000)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(t))
