@@ -1144,7 +1144,11 @@ def q_jpeg_pixel_decode(spark, sf_dir):
     tier: baseline grayscale / PROGRESSIVE color 4:4:4 (SOF2: DC
     first+refine, AC first+refine scans; Cb=Cr=128 so RGB decodes to
     exact gray triplets) / baseline color 4:2:0 with restart intervals
-    every 2 MCUs / PROGRESSIVE grayscale."""
+    every 2 MCUs / PROGRESSIVE grayscale. Half of the grayscale docs
+    (doc_id % 8 in {4, 7}) encode at 12-BIT precision (SOF1 extended
+    sequential / 12-bit SOF2) with samples v<<4 — the decoder emits the
+    high byte (16-bit-TIFF convention), so the oracle formula is
+    unchanged while any 12-bit decode error breaks the digest."""
     import pandas as pd
 
     from .jpeg import encode_jpeg
@@ -1169,9 +1173,17 @@ def q_jpeg_pixel_decode(spark, sf_dir):
                 vals = ((d * 31 + bi * 7) % 256).astype(np.uint8).reshape(h // 8, bw)
                 y = np.repeat(np.repeat(vals, 8, 0), 8, 1)
                 if mode == 0:
-                    payload = encode_jpeg(y)
+                    if d % 8 == 4:
+                        payload = encode_jpeg(y.astype(np.uint16) << 4, precision=12)
+                    else:
+                        payload = encode_jpeg(y)
                 elif mode == 3:
-                    payload = encode_jpeg(y, progressive=True)
+                    if d % 8 == 7:
+                        payload = encode_jpeg(
+                            y.astype(np.uint16) << 4, progressive=True, precision=12
+                        )
+                    else:
+                        payload = encode_jpeg(y, progressive=True)
                 else:
                     ycc = np.stack([y, np.full_like(y, 128), np.full_like(y, 128)], 2)
                     payload = encode_jpeg(

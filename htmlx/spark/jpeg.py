@@ -8,12 +8,16 @@ for tests and formula oracles.
 
 Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2:
 spectral selection + successive approximation — DC first/refine, AC first
-with EOB runs, AC refine with correction bits), 8-bit, 1 or 3 components,
-any sampling factors (chroma upsampled by replication), restart
-intervals, multi-segment DQT/DHT. Arithmetic coding, 12-bit, lossless and
-hierarchical modes raise NotImplementedError and degrade to
-error='decoder_unavailable' at the Spark layer; malformed data raises
-ValueError.
+with EOB runs, AC refine with correction bits), 8-bit AND 12-bit sample
+precision (12-bit legal on SOF1/SOF2 only, per T.81 Table B.2; decoded
+samples emit their high byte, the same convention as the 16-bit TIFF
+tier), 1 or 3 components, any sampling factors (chroma upsampled by
+replication), restart intervals, multi-segment DQT/DHT. Arithmetic
+coding, lossless and hierarchical modes raise NotImplementedError and
+degrade to error='decoder_unavailable' at the Spark layer (their exact
+conditioning/probability tables are not reproducible here, and a guessed
+table would be silently wrong rather than honestly degraded); malformed
+data raises ValueError.
 
 Exactness note for oracles: JPEG is lossy in general, but a raster that
 is CONSTANT within each 8x8 block has only a DC coefficient (exactly
@@ -203,6 +207,7 @@ def decode_jpeg(payload: bytes):
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     progressive = False
+    precision = 8
     restart_interval = 0
     pos = 2
     n = len(payload)
@@ -264,7 +269,9 @@ def decode_jpeg(payload: bytes):
             dct = tabs[cid][0]
             if ah == 0:
                 size = br.decode_huff(dct)
-                if size > 11:
+                # T.81 F.1.2.1.2: DC size category caps at 11 for 8-bit
+                # samples, 15 for 12-bit
+                if size > (15 if precision == 12 else 11):
                     raise ValueError("bad_dc_size")
                 diff = _extend(br.receive(size), size) if size else 0
                 preds[cid] += diff
@@ -464,8 +471,11 @@ def decode_jpeg(payload: bytes):
             depth, h0, w0, nc0 = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if len(seg) < 6 + 3 * nc0:
                 raise ValueError("bad_sof")
-            if depth != 8:
+            # T.81 Table B.2: SOF0 (baseline) is 8-bit only; extended
+            # sequential (SOF1) and progressive (SOF2) also allow 12-bit
+            if not (depth == 8 or (depth == 12 and marker != 0xC0)):
                 raise NotImplementedError(f"jpeg depth={depth}")
+            precision = depth
             progressive = marker == 0xC2
             comps = []
             for ci in range(nc0):
@@ -502,6 +512,8 @@ def decode_jpeg(payload: bytes):
 
     # dequant + batch IDCT per component, assemble, upsample, crop
     C = _dct_matrix()
+    shift = 1 << (precision - 1)  # level shift: 128 (8-bit) / 2048 (12-bit)
+    maxv = (1 << precision) - 1
     planes = []
     for cid, _hs, _vs, _tq in comps:
         hs, vs, q, coefs, _nbw, _nbh = plan[cid]
@@ -509,18 +521,22 @@ def decode_jpeg(payload: bytes):
         spatial = np.einsum("ij,byjk,kl->byil", C.T, deq, C)
         by, bx = coefs.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        plane = np.clip(np.rint(plane + 128), 0, 255)
+        plane = np.clip(np.rint(plane + shift), 0, maxv)
         if hs != hmax or vs != vmax:
             plane = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
         planes.append(plane[:h, :w])
     if nc == 1:
-        return planes[0].astype(np.uint8)[:, :, None]
-    y, cb, cr = planes
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b = y + 1.772 * (cb - 128)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        out = np.clip(np.rint(planes[0]), 0, maxv).astype(np.uint16)[:, :, None]
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - shift)
+        g = y - 0.344136 * (cb - shift) - 0.714136 * (cr - shift)
+        b = y + 1.772 * (cb - shift)
+        rgb = np.stack([r, g, b], axis=2)
+        out = np.clip(np.rint(rgb), 0, maxv).astype(np.uint16)
+    if precision == 12:
+        out >>= 4  # emit the high byte (16-bit-TIFF convention)
+    return out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +589,15 @@ _FLAT_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
 _FLAT_AC = (
     [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
     [(r << 4) | s for r in range(16) for s in range(11)],
+)
+# 12-bit variants: DC size categories reach 15 (T.81 F.1.2.1.2) and AC
+# magnitude categories reach 14 — 16 DC symbols at 5 bits, 240 AC symbols
+# (r 0..15, s 0..14) at 8 bits; both leave the all-ones code unused as the
+# spec's canonical-code rule requires.
+_FLAT_DC12 = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+_FLAT_AC12 = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
 )
 
 
@@ -747,7 +772,7 @@ def _progressive_scans(comps, nc, w, h, enc_dc, enc_ac) -> bytes:
 
 def encode_jpeg(
     arr, quality_table=None, subsampling=(1, 1), restart_interval=0,
-    progressive=False,
+    progressive=False, precision=8,
 ) -> bytes:
     """Deterministic JFIF encoder (synthesis/tests twin): forward DCT +
     quant + Annex-K Huffman tables. `arr` is (h, w) or (h, w, 1)
@@ -762,10 +787,16 @@ def encode_jpeg(
     first (Al=1) and DC refine, then per-component AC first (Ss=1..63,
     Al=1, EOB-run coded) and AC refine (correction bits) — exercising
     every progressive decode path. Restart intervals apply to the
-    baseline mode only."""
+    baseline mode only. `precision=12` takes uint16 samples in 0..4095
+    and emits SOF1 (extended sequential) or SOF2 with 12-bit-range flat
+    Huffman tables — SOF0 is 8-bit-only per T.81 Table B.2."""
     import numpy as np
 
-    a = np.asarray(arr, np.uint8)
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    a = np.asarray(arr, np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and a.size and int(a.max()) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, nc = a.shape
@@ -781,7 +812,9 @@ def encode_jpeg(
 
     def block_coefs(plane):
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64) - 128
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(
+            np.float64
+        ) - (1 << (precision - 1))
         S = np.einsum("ij,byjk,kl->byil", C, blocks, C.T)
         return np.rint(S / q[None, None]).astype(np.int32)
 
@@ -801,11 +834,17 @@ def encode_jpeg(
     # DQT (table 0, 8-bit)
     zz = bytes(int(q[r, c]) & 0xFF for r, c in _ZIGZAG)
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz
-    # SOF0 (baseline) / SOF2 (progressive)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    # SOF0 (baseline 8-bit) / SOF1 (extended sequential, 12-bit) /
+    # SOF2 (progressive, either precision)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci, (hs, vs, _) in enumerate(comps):
         sof += bytes([ci + 1, (hs << 4) | vs, 0])
-    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    if progressive:
+        sof_marker = b"\xff\xc2"
+    elif precision == 12:
+        sof_marker = b"\xff\xc1"
+    else:
+        sof_marker = b"\xff\xc0"
     out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
     # DHT: lum tables always; chrom tables for color
     def dht(cls, tid, bits, vals):
@@ -813,21 +852,28 @@ def encode_jpeg(
         return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
     if progressive:
-        out += dht(0, 0, *_FLAT_DC) + dht(1, 0, *_FLAT_AC)
+        dc_t, ac_t = (_FLAT_DC12, _FLAT_AC12) if precision == 12 else (_FLAT_DC, _FLAT_AC)
+        out += dht(0, 0, *dc_t) + dht(1, 0, *ac_t)
         if nc == 3:
-            out += dht(0, 1, *_FLAT_DC) + dht(1, 1, *_FLAT_AC)
-        flat_dc = [_enc_lut(*_FLAT_DC)] * 2
-        flat_ac = [_enc_lut(*_FLAT_AC)] * 2
+            out += dht(0, 1, *dc_t) + dht(1, 1, *ac_t)
+        flat_dc = [_enc_lut(*dc_t)] * 2
+        flat_ac = [_enc_lut(*ac_t)] * 2
         out += _progressive_scans(comps, nc, w, h, flat_dc, flat_ac)
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
-    out += dht(0, 0, *_STD_DC_LUM) + dht(1, 0, *_STD_AC_LUM)
-    if nc == 3:
-        out += dht(0, 1, *_STD_DC_CHR) + dht(1, 1, *_STD_AC_CHR)
-
-    enc_dc = [_enc_lut(*_STD_DC_LUM), _enc_lut(*_STD_DC_CHR)]
-    enc_ac = [_enc_lut(*_STD_AC_LUM), _enc_lut(*_STD_AC_CHR)]
+    if precision == 12:
+        out += dht(0, 0, *_FLAT_DC12) + dht(1, 0, *_FLAT_AC12)
+        if nc == 3:
+            out += dht(0, 1, *_FLAT_DC12) + dht(1, 1, *_FLAT_AC12)
+        enc_dc = [_enc_lut(*_FLAT_DC12)] * 2
+        enc_ac = [_enc_lut(*_FLAT_AC12)] * 2
+    else:
+        out += dht(0, 0, *_STD_DC_LUM) + dht(1, 0, *_STD_AC_LUM)
+        if nc == 3:
+            out += dht(0, 1, *_STD_DC_CHR) + dht(1, 1, *_STD_AC_CHR)
+        enc_dc = [_enc_lut(*_STD_DC_LUM), _enc_lut(*_STD_DC_CHR)]
+        enc_ac = [_enc_lut(*_STD_AC_LUM), _enc_lut(*_STD_AC_CHR)]
 
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)

@@ -65,6 +65,10 @@ def test_jpeg_crafted_scan_fragments(blob):
     good = encode_jpeg(np.full((8, 8), 128, np.uint8))
     sos_end = good.index(b"\xff\xda") + 14
     _attempt(decode_jpeg, good[:sos_end] + blob)
+    # 12-bit SOF1 headers reach the extended DC-size path (cap 15 not 11)
+    good12 = encode_jpeg(np.full((8, 8), 2048, np.uint16), precision=12)
+    sos12 = good12.index(b"\xff\xda") + 14
+    _attempt(decode_jpeg, good12[:sos12] + blob)
 
 
 @given(st.binary(max_size=2048))

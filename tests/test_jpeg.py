@@ -150,3 +150,78 @@ def test_byte_stuffing_survives():
     payload = encode_jpeg(img)
     out = decode_jpeg(payload)[:, :, 0].astype(int)
     assert np.abs(out - img.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision (SOF1 extended sequential / 12-bit SOF2 progressive)
+# ---------------------------------------------------------------------------
+
+def _blocky12(bh, bw, seed=0):
+    """Block-constant 12-bit raster with values v8<<4: the decoded high
+    byte (16-bit-TIFF convention) must equal v8 exactly."""
+    rnd = np.random.RandomState(seed)
+    v8 = rnd.randint(0, 256, (bh, bw)).astype(np.uint16)
+    return v8, np.repeat(np.repeat(v8 << 4, 8, 0), 8, 1)
+
+
+def test_12bit_gray_baseline_and_progressive_bit_exact():
+    for bh, bw in ((1, 1), (3, 2), (4, 5)):
+        v8, y12 = _blocky12(bh, bw, bh * 7 + bw)
+        exp = np.repeat(np.repeat(v8, 8, 0), 8, 1).astype(np.uint8)
+        for prog in (False, True):
+            payload = encode_jpeg(y12, progressive=prog, precision=12)
+            assert (b"\xff\xc2" if prog else b"\xff\xc1") in payload[:256]
+            out = decode_jpeg(payload)
+            assert out.shape == (bh * 8, bw * 8, 1)
+            assert (out[:, :, 0] == exp).all()
+
+
+def test_12bit_color_444_and_420_exact_gray_triplets():
+    for sub in ((1, 1), (2, 2)):
+        v8, y12 = _blocky12(2 * sub[1], 2 * sub[0], 13)
+        exp = np.repeat(np.repeat(v8, 8, 0), 8, 1).astype(np.uint8)
+        ycc = np.stack([y12, np.full_like(y12, 2048), np.full_like(y12, 2048)], 2)
+        out = decode_jpeg(encode_jpeg(ycc, subsampling=sub, precision=12))
+        assert out.shape[2] == 3
+        for c in range(3):
+            assert (out[:, :, c] == exp).all()
+
+
+def test_12bit_general_content_high_byte_within_one():
+    """Non-block-constant 12-bit data: quant-1 encode+decode is exact to
+    DCT float rounding; the emitted high byte is within 1 of source>>4."""
+    rnd = np.random.RandomState(21)
+    img12 = rnd.randint(0, 4096, (16, 24)).astype(np.uint16)
+    out = decode_jpeg(encode_jpeg(img12, precision=12))[:, :, 0].astype(int)
+    assert np.abs(out - (img12 >> 4).astype(int)).max() <= 1
+
+
+def test_12bit_dc_size_categories_above_11():
+    """Adjacent blocks at the 12-bit extremes force DC diffs of magnitude
+    ~32760 — size category 15, rejected for 8-bit, legal for 12-bit."""
+    v12 = np.array([[0, 4095, 0, 4095]], np.uint16)
+    y12 = np.repeat(np.repeat(v12, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(y12, precision=12))
+    exp = np.repeat(np.repeat((v12 >> 4).astype(np.uint8), 8, 0), 8, 1)
+    assert (out[:, :, 0] == exp).all()
+
+
+def test_12bit_sof0_degrades_and_bad_precision_rejected():
+    v8, y12 = _blocky12(1, 1, 3)
+    payload = encode_jpeg(y12, precision=12)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(payload.replace(b"\xff\xc1", b"\xff\xc0", 1))
+    with pytest.raises(ValueError):
+        encode_jpeg(y12, precision=10)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.full((8, 8), 4096, np.uint16), precision=12)
+
+
+def test_12bit_decode_image_dispatch():
+    from htmlx.spark.multimodal import decode_image, image_dimensions
+
+    v8, y12 = _blocky12(2, 3, 9)
+    payload = encode_jpeg(y12, precision=12)
+    exp = np.repeat(np.repeat(v8, 8, 0), 8, 1).astype(np.uint8)
+    assert (decode_image(payload)[:, :, 0] == exp).all()
+    assert image_dimensions(payload) == (24, 16)
