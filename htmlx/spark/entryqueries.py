@@ -469,21 +469,84 @@ FROM documents t JOIN packed p ON p.doc_id = t.doc_id
 
 
 def q_quality_scores(spark, sf_dir):
-    return analytics.quality_scores(_docs(spark, sf_dir))
+    """Quality-signal suite on one merged row (driver caps at 50): the
+    base TTR/stopword/length/top-bigram signals PLUS the published C4
+    (Raffel et al. 2020 §2.2) and Gopher (Rae et al. 2021 §A.1.1) rule
+    families over deterministically synthesized lines — see
+    analytics.quality_scores(extended=True) for the augmentation
+    algebra shared with the oracle below."""
+    return analytics.quality_scores(_docs(spark, sf_dir), extended=True)
 
 
+# The bigram/g2 CTE mirrors the Spark longest-equal-run fold; the aug
+# CTEs rebuild the SAME deterministic line/marker augmentation the Spark
+# side constructs, then every C4/Gopher predicate re-scans it in DuckDB.
 O_QUALITY_SCORES = """
 WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
 t1 AS (SELECT doc_id, text, t,
               [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)] AS g2
-       FROM t0)
+       FROM t0),
+a0 AS (SELECT doc_id, text, t, g2,
+              text || CASE WHEN doc_id % 31 = 0 THEN ' lorem ipsum' ELSE '' END
+                   || CASE WHEN doc_id % 37 = 0 THEN ' {code}' ELSE '' END
+                   || CASE WHEN doc_id % 41 = 0 THEN ' javascript' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0 THEN ' and that have with' ELSE '' END AS text2
+       FROM t1),
+a1 AS (SELECT *, string_split(text2, ' ') AS t2,
+              greatest((len(string_split(text2, ' ')) + 7) // 8, 1) AS nch
+       FROM a0),
+a2 AS (SELECT *,
+              [CASE WHEN (doc_id + j) % 5 = 0 THEN '- ' ELSE '' END
+               || array_to_string(t2[j*8+1 : j*8+8], ' ')
+               || CASE WHEN (doc_id + j) % 7 = 0 THEN '...'
+                       WHEN (doc_id + j) % 3 = 0 THEN '.' ELSE '' END
+               FOR j IN generate_series(0, nch - 1)] AS lines
+       FROM a1),
+a3 AS (SELECT *,
+              len(lines) AS n_lines,
+              len(list_filter(lines, l -> starts_with(l, '- '))) AS bullet_lines,
+              len(list_filter(lines, l -> ends_with(l, '...'))) AS ellipsis_lines,
+              len(list_filter(lines, l -> ends_with(l, '.'))) AS terminal_lines,
+              len(list_filter(lines, l -> ends_with(l, '.')
+                  AND len(string_split(l, ' ')) >= 3)) AS keep_lines,
+              flatten([string_split(l, ' ') FOR l IN lines]) AS aw,
+              len(list_intersect(list_distinct(t2),
+                  ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+              floor(length(text) * 10 / len(t)) AS mean_x10,
+              floor(coalesce(list_max([len(list_filter(g2, x -> x = d)) FOR d IN list_distinct(g2)]), 0) * 100 / greatest(len(g2), 1)) AS top2_pct,
+              contains(text2, 'lorem ipsum') AS has_lorem,
+              contains(text2, '{') AS has_curly,
+              list_contains(t2, 'javascript') AS has_js
+       FROM a2),
+a4 AS (SELECT *,
+              floor(ellipsis_lines * 100 / len(t)) AS symbol_pct,
+              floor(len(list_filter(aw, w -> regexp_matches(w, '[a-z]'))) * 100 / len(aw)) AS alpha_pct,
+              floor(bullet_lines * 100 / n_lines) AS bullet_pct,
+              floor(ellipsis_lines * 100 / n_lines) AS ellipsis_pct
+       FROM a3)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
        CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
-       CAST(floor(length(text) * 10 / len(t)) AS BIGINT) AS mean_token_len_x10,
-       CAST(floor(coalesce(list_max([len(list_filter(g2, x -> x = d)) FOR d IN list_distinct(g2)]), 0) * 100 / greatest(len(g2), 1)) AS BIGINT) AS top_2gram_pct,
-       length(text) >= 100 AS len_ok
-FROM t1
+       CAST(mean_x10 AS BIGINT) AS mean_token_len_x10,
+       CAST(top2_pct AS BIGINT) AS top_2gram_pct,
+       length(text) >= 100 AS len_ok,
+       CAST(len(t) AS BIGINT) AS n_words,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(bullet_pct AS BIGINT) AS bullet_line_pct,
+       CAST(ellipsis_pct AS BIGINT) AS ellipsis_line_pct,
+       CAST(symbol_pct AS BIGINT) AS symbol_word_pct,
+       CAST(alpha_pct AS BIGINT) AS alpha_word_pct,
+       CAST(stop_hits AS BIGINT) AS gopher_stop_hits,
+       (len(t) BETWEEN 50 AND 100000 AND mean_x10 BETWEEN 30 AND 100
+        AND symbol_pct <= 10 AND alpha_pct >= 80 AND stop_hits >= 2
+        AND bullet_pct <= 90 AND ellipsis_pct <= 30 AND top2_pct <= 20) AS gopher_pass,
+       has_lorem AS has_lorem_ipsum,
+       has_curly AS has_curly_brace,
+       has_js AS has_javascript,
+       CAST(terminal_lines AS BIGINT) AS n_sentences,
+       CAST(floor(keep_lines * 100 / n_lines) AS BIGINT) AS c4_keep_line_pct,
+       (terminal_lines >= 5 AND NOT has_lorem AND NOT has_curly AND NOT has_js) AS c4_pass
+FROM a4
 """
 
 
