@@ -37,6 +37,31 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def split_paragraphs(documents: DataFrame, delimiter: str = "\n") -> DataFrame:
+    """Explode documents into (doc_id, para_idx, paragraph) rows — the
+    unit CCNet-style paragraph dedup operates on. Real corpora split on
+    newlines/blank lines; the driver corpus synthesizes delimiters
+    deterministically (see q_dedup_exact). posexplode keeps the in-doc
+    position so the keep decision can be (doc, position)-stable."""
+    return documents.select(
+        F.col("doc_id").cast("long"),
+        F.posexplode(F.split(F.col("text"), delimiter)).alias("para_idx", "paragraph"),
+    )
+
+
+def dedup_paragraphs(paras: DataFrame) -> DataFrame:
+    """CCNet-style (Wenzek et al. 2020) paragraph-level dedup: one row
+    per distinct paragraph digest with the kept (minimum) doc_id and the
+    occurrence count — the cross-document shape that strips boilerplate
+    (nav/footer/subscribe blocks) repeated across a crawl. Same
+    uniform-digest-key shuffle as dedup_exact: scales to 100 TB because
+    only (digest, doc_id) pairs move, never the corpus text order."""
+    return paras.groupBy(F.md5(F.col("paragraph")).alias("content_md5")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count("*").cast("long").alias("dup_count"),
+    )
+
+
 def shingles_col(text_col: str = "text", k: int = 3):
     """k-word shingles as an array<string> column (pure SQL, no Python)."""
     return F.expr(

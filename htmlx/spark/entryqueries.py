@@ -415,14 +415,64 @@ O_LINEAGE_ROLLUP = _lineage_rollup_oracle()
 # training-data pipeline queries
 # ---------------------------------------------------------------------------
 
+_BOILER_PARA = "subscribe to our newsletter for updates and offers today"
+
+
 def q_dedup_exact(spark, sf_dir):
-    return analytics.dedup_exact(_docs(spark, sf_dir))
+    """Document-level AND CCNet-style paragraph-level exact dedup merged
+    into one level-tagged row (driver caps at 50 queries). The corpus
+    has no paragraph structure, so paragraphs are synthesized as
+    20-token chunks joined by newlines, and every doc with
+    doc_id % 11 == 0 gets a SHARED boilerplate paragraph appended — the
+    cross-document repeated nav/footer/subscribe block paragraph dedup
+    exists to strip (Wenzek et al. 2020). The oracle rebuilds the same
+    chunking and grouping; the planted paragraph must collapse to ONE
+    row with keep_doc_id=0 and dup_count = |{d : d%11==0}|."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.floor((F.size(toks) + 19) / 20).cast("int"), F.lit(1)) - 1,
+        ),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * 20 + 1, 20)),
+    )
+    para_text = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(
+                d % 11 == 0, F.concat(chunks, F.array(F.lit(_BOILER_PARA)))
+            ).otherwise(chunks),
+        ).alias("text"),
+    )
+    paras = analytics.dedup_paragraphs(analytics.split_paragraphs(para_text))
+    doc_level = analytics.dedup_exact(docs).select(
+        F.lit("doc").alias("level"),
+        F.col("text_md5").alias("content_md5"),
+        "keep_doc_id",
+        "dup_count",
+    )
+    return doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
 
 
 O_DEDUP_EXACT = """
-SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+SELECT 'doc' AS level, md5(text) AS content_md5,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS dup_count
 FROM documents GROUP BY text
+UNION ALL
+SELECT 'para', md5(para), CAST(min(doc_id) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM (
+  SELECT doc_id, unnest(
+           [array_to_string(t[j*20+1 : j*20+20], ' ')
+            FOR j IN generate_series(0, greatest((len(t) + 19) // 20, 1) - 1)]
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ['subscribe to our newsletter for updates and offers today']
+                   ELSE []::VARCHAR[] END) AS para
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+) GROUP BY para
 """
 
 

@@ -51,6 +51,38 @@ def test_dedup_scan_pruned(docs):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
+def test_paragraph_dedup_semantics_and_plan(spark):
+    """CCNet-style paragraph dedup: a paragraph shared by 3 docs
+    collapses to one row keeping the minimum doc_id; unique paragraphs
+    keep dup_count 1. One partial-agg'd digest-key shuffle, no corpus
+    broadcast."""
+    from htmlx.spark.analytics import dedup_paragraphs, split_paragraphs
+
+    boiler = "subscribe now"
+    corpus = spark.createDataFrame(
+        [
+            (7, f"alpha beta\n{boiler}"),
+            (3, f"gamma delta\n{boiler}"),
+            (5, f"{boiler}\nepsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    paras = split_paragraphs(corpus)
+    assert paras.count() == 6
+    out = {r.content_md5: r for r in dedup_paragraphs(paras).collect()}
+    import hashlib
+
+    key = hashlib.md5(boiler.encode()).hexdigest()
+    assert out[key].keep_doc_id == 3 and out[key].dup_count == 3
+    assert len(out) == 4  # 3 unique paragraphs + the shared one
+    assert all(r.dup_count == 1 for k, r in out.items() if k != key)
+
+    p = plan_of(dedup_paragraphs(split_paragraphs(corpus)))
+    assert "partial_" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" not in p
+
+
 def test_token_stats_no_shuffle(docs):
     # pure per-row projection: zero exchanges
     p = plan_of(token_stats(docs))
