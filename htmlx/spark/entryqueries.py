@@ -1874,19 +1874,28 @@ FROM v
 
 def q_audio_pcm_decode(spark, sf_dir):
     """REAL audio decode + header-walk ladder (multimodal.decode_audio /
-    audio_stream_info) over a 4-container matrix on doc_id % 4:
-      0 -> WAV   (PCM-16, mono/stereo by (d//4)%2) — full decode
+    audio_stream_info) over a 6-container matrix on doc_id % 4:
+      0 -> WAV / AIFF / AU cycling on (d//4)//2 % 3 (PCM-16, mono/stereo
+           by (d//4)%2; AIFF is the big-endian IFF walk with the 80-bit
+           extended rate, AU the Sun .snd header) — full decode; features
+           are container-independent so the oracle formula is SHARED and
+           any AIFF/AU parse error breaks the row
       1 -> FLAC  (Rice FIXED/LPC, stereo decorrelation cycling
                   left/mid/right-side, CRC + PCM-MD5 verified) — full decode
       2 -> MP3   (CBR MPEG1 Layer III frame sequence) — header_only walk
       3 -> OGG   (Vorbis ident header + EOS granule) — header_only walk
-    PCM sample i is (doc_id*7 + i*13) % 2048 - 1024; FLAC being lossless
-    means ONE oracle recomputes RMS/peak from the formula for both PCM
-    containers, and the MP3/OGG tiers oracle-check the frame-header math
-    (duration/rate/channels/bitrate) without any codec."""
+    PCM sample i is (doc_id*7 + i*13) % 2048 - 1024; the PCM containers
+    being lossless means ONE oracle recomputes RMS/peak from the formula,
+    and the MP3/OGG tiers oracle-check the frame-header math
+    (duration/rate/channels/bitrate) without any codec. The G.711 mu-law
+    AU path is lossy so it stays off the formula row — it is pinned
+    bit-exactly against the JDK's independent UlawCodec decode instead
+    (tests/test_real_anchors.py)."""
     import pandas as pd
 
     from .multimodal import (
+        encode_aiff,
+        encode_au,
         encode_mp3_headers,
         encode_ogg_vorbis,
         encode_wav,
@@ -1919,7 +1928,8 @@ def q_audio_pcm_decode(spark, sf_dir):
                             stereo_mode=smode, lpc=(k % 2 == 1),
                         )
                     else:
-                        payload = encode_wav(pcm, rate)
+                        enc = (encode_wav, encode_aiff, encode_au)[(k // 2) % 3]
+                        payload = enc(pcm, rate)
                 elif mode == 2:
                     payload = encode_mp3_headers(
                         n_mp3_frames=6 + k % 6, kbps_idx=1 + k % 14,

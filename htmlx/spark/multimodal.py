@@ -824,6 +824,172 @@ def decode_wav(payload: bytes):
     return rate, channels, samples[: frames * channels].reshape(frames, channels)
 
 
+def _ulaw_to_linear(u8):
+    """G.711 mu-law byte -> linear sample (Sun g711.c algorithm, public
+    domain; anchored against the JDK's independent javax.sound ULAW
+    converter in tests/test_real_anchors.py)."""
+    import numpy as np
+
+    u = (~u8.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84)
+
+
+def linear_to_ulaw(x):
+    """Linear sample -> G.711 mu-law byte (encoder twin of
+    _ulaw_to_linear; same segment/mantissa layout as Sun g711.c)."""
+    import numpy as np
+
+    x = np.asarray(x, np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # segment = bit_length(mag) - 8, clamped to 0..7 (mag <= 0x7FFF so
+    # frexp's exponent IS the bit length)
+    exp = np.clip(np.frexp(mag.astype(np.float64))[1] - 8, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _read_ext80(b: bytes) -> int:
+    """80-bit IEEE 754 extended float -> int (AIFF sampleRate field):
+    1 sign, 15 exponent (bias 16383), 64-bit mantissa with explicit
+    integer bit. Sample rates are small positive integers."""
+    if len(b) < 10:
+        raise ValueError("bad_ext80")
+    e = struct.unpack(">H", b[:2])[0] & 0x7FFF
+    m = struct.unpack(">Q", b[2:10])[0]
+    if e == 0 and m == 0:
+        return 0
+    shift = e - 16383 - 63
+    return m << shift if shift >= 0 else m >> -shift
+
+
+def _write_ext80(rate: int) -> bytes:
+    if rate <= 0:
+        return b"\x00" * 10
+    exp = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + exp, rate << (63 - exp))
+
+
+def decode_aiff(payload: bytes):
+    """REAL AIFF/AIFC decode (Audio IFF 1.3): FORM chunk walk, COMM
+    (channels/frames/bits/80-bit-extended rate), SSND offset handling.
+    8-bit (SIGNED, unlike WAV) and 16-bit big-endian PCM; AIFC accepted
+    for compressionType NONE only — compressed AIFC needs a codec and
+    raises NotImplementedError. Returns (rate, channels, (frames,
+    channels) int array)."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
+        raise ValueError("not_an_aiff")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    n = len(payload)
+    comm = None
+    ssnd = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("missing_aiff_chunks")
+    channels, frames, bits = struct.unpack(">HIH", comm[:8])
+    rate = _read_ext80(comm[8:18])
+    if is_aifc:
+        if len(comm) < 22 or comm[18:22] not in (b"NONE", b"sowt"):
+            raise NotImplementedError("aifc compression needs a codec")
+        if comm[18:22] == b"sowt":
+            raise NotImplementedError("aifc little-endian variant")
+    if channels < 1 or rate <= 0:
+        raise ValueError("bad_aiff_params")
+    (offset,) = struct.unpack(">I", ssnd[:4])
+    data = ssnd[8 + offset :]
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) - (len(data) % 2)], ">i2").astype(
+            np.int32
+        )
+    elif bits == 8:
+        samples = np.frombuffer(data, np.int8).astype(np.int32)
+    else:
+        raise NotImplementedError(f"aiff bit depth {bits}")
+    got = len(samples) // channels
+    return rate, channels, samples[: got * channels].reshape(got, channels)
+
+
+def encode_aiff(samples, rate: int = 8000) -> bytes:
+    """Minimal deterministic PCM-16 AIFF encoder (synthesis/tests twin)."""
+    import numpy as np
+
+    a = np.asarray(samples, np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    frames, channels = a.shape
+    data = a.astype(">i2").tobytes()
+    comm = struct.pack(">HIH", channels, frames, 16) + _write_ext80(rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_au(payload: bytes):
+    """REAL Sun AU (.snd) decode: big-endian header (offset, size,
+    encoding, rate, channels); linear PCM 8-bit signed (enc 2) and
+    16-bit (enc 3) plus G.711 mu-law (enc 1, decoded via the formula
+    above). A-law/ADPCM/float encodings raise NotImplementedError."""
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not_an_au")
+    offset, size, enc, rate, channels = struct.unpack(">IIIII", payload[4:24])
+    if offset < 24 or offset > len(payload) or channels < 1 or rate == 0:
+        raise ValueError("bad_au_header")
+    data = payload[offset:]
+    if size != 0xFFFFFFFF:
+        data = data[:size]
+    if enc == 3:
+        samples = np.frombuffer(data[: len(data) - (len(data) % 2)], ">i2").astype(
+            np.int32
+        )
+    elif enc == 2:
+        samples = np.frombuffer(data, np.int8).astype(np.int32)
+    elif enc == 1:
+        samples = _ulaw_to_linear(np.frombuffer(data, np.uint8)).astype(np.int32)
+    else:
+        raise NotImplementedError(f"au encoding {enc} needs a codec")
+    got = len(samples) // channels
+    return rate, channels, samples[: got * channels].reshape(got, channels)
+
+
+def encode_au(samples, rate: int = 8000, ulaw: bool = False) -> bytes:
+    """Minimal deterministic AU encoder (synthesis/tests twin): PCM-16
+    big-endian, or mu-law via the linear_to_ulaw twin."""
+    import numpy as np
+
+    a = np.asarray(samples, np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    frames, channels = a.shape
+    if ulaw:
+        data = linear_to_ulaw(a.ravel()).tobytes()
+        enc = 1
+    else:
+        data = a.astype(">i2").tobytes()
+        enc = 3
+    hdr = b".snd" + struct.pack(">IIIII", 24, len(data), enc, rate, channels)
+    return hdr + data
+
+
 def encode_wav(samples, rate: int = 8000) -> bytes:
     """Minimal deterministic PCM-16 WAV encoder (synthesis/tests twin of
     decode_wav). samples: (frames, channels) int array."""
@@ -855,17 +1021,22 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def decode_audio(payload: bytes):
-    """Audio decode dispatch: WAV/PCM and FLAC decode for REAL (RIFF walk;
-    pure-Python FLAC with CRC-8/16 + PCM-MD5 verification — see
-    flac.decode_flac); MP3/OGG full PCM decode genuinely needs an external
-    codec and stays stubbed (their header-walk METADATA is real — see
-    audio_stream_info). Returns (rate, channels, (frames, channels) ints)."""
+    """Audio decode dispatch: WAV, AIFF/AIFC, AU (incl. G.711 mu-law)
+    and FLAC decode for REAL (RIFF/FORM/.snd walks; pure-Python FLAC
+    with CRC-8/16 + PCM-MD5 verification — see flac.decode_flac);
+    MP3/OGG full PCM decode genuinely needs an external codec and stays
+    stubbed (their header-walk METADATA is real — see audio_stream_info).
+    Returns (rate, channels, (frames, channels) ints)."""
     if payload[:4] == b"fLaC":
         from .flac import decode_flac
 
         return decode_flac(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return decode_au(payload)
     raise NotImplementedError("MP3/OGG decode requires ffmpeg (not in container)")
 
 

@@ -80,6 +80,18 @@ def test_wav_decoder_never_crashes(blob):
 
 @given(st.binary(max_size=2048))
 @_SETTINGS
+def test_aiff_au_decoders_never_crash(blob):
+    from htmlx.spark.multimodal import decode_aiff, decode_au, decode_audio
+
+    for prefix in (b"", b"FORM\x00\x00\x08\x00AIFF", b"FORM\x00\x00\x08\x00AIFC",
+                   b".snd"):
+        _attempt(decode_aiff, prefix + blob)
+        _attempt(decode_au, prefix + blob)
+        _attempt(decode_audio, prefix + blob)
+
+
+@given(st.binary(max_size=2048))
+@_SETTINGS
 def test_flac_decoder_never_crashes(blob):
     from htmlx.spark.flac import decode_flac
 

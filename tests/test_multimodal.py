@@ -146,6 +146,62 @@ def test_wav_roundtrip_and_error_paths():
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_aiff_au_roundtrip_and_error_paths():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import (
+        _read_ext80,
+        _ulaw_to_linear,
+        _write_ext80,
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+        linear_to_ulaw,
+    )
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2):
+        a = rng.integers(-1024, 1024, (211, ch), dtype=np.int16)
+        for rate in (8000, 44100):
+            r, c, out = decode_aiff(encode_aiff(a, rate))
+            assert (r, c) == (rate, ch) and (out == a).all()
+            r, c, out = decode_au(encode_au(a, rate))
+            assert (r, c) == (rate, ch) and (out == a).all()
+    # 80-bit extended float round trip at common rates
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert _read_ext80(_write_ext80(rate)) == rate
+    # G.711 spec endpoints: silence and the +-32124 extremes
+    assert int(_ulaw_to_linear(np.array([0xFF], np.uint8))[0]) == 0
+    assert int(_ulaw_to_linear(np.array([0x80], np.uint8))[0]) == 32124
+    assert int(_ulaw_to_linear(np.array([0x00], np.uint8))[0]) == -32124
+    # mu-law is idempotent through its own twin: enc(dec(enc(x))) == enc(x)
+    flat = rng.integers(-30000, 30000, 500)
+    b = linear_to_ulaw(flat)
+    assert (linear_to_ulaw(_ulaw_to_linear(b)) == b).all()
+    # mu-law AU end-to-end stays within one quantization step
+    a = rng.integers(-2048, 2048, (100, 1), dtype=np.int16)
+    _, _, out = decode_au(encode_au(a, 8000, ulaw=True))
+    assert np.abs(out.astype(int) - a.astype(int)).max() <= 64
+    # error paths
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04NOPE")
+    with pytest.raises(ValueError):
+        decode_au(b".sndxx")
+    # compressed AIFC / exotic AU encodings degrade, never mis-decode
+    comm = struct.pack(">HIH", 1, 1, 16) + _write_ext80(8000) + b"ima4"
+    aifc = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + 8) + b"AIFC"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", 8) + b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        decode_aiff(aifc)
+    with pytest.raises(NotImplementedError):
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, 8000, 1) + b"\x00" * 4)
+
+
 def _lzw_compress_gif(indices, bits):
     """Real GIF LZW compressor (dict growth + width increases) — exists so
     the decoder's growth path is tested against a conforming encoder, not

@@ -246,3 +246,42 @@ def test_real_tiled_ccitt_tiff_exact():
     px = decode_tiff(_bytes("real_g4_tiled.tif"))
     assert px.shape == (29, 71, 1)
     assert (px[:, :, 0] == 255 * (1 - ink)).all()
+
+
+def _audio_formula_pcm():
+    """The AudioFixGen.java signal: ((i*2654435761 mod 2^32) >> 16) mod
+    4096 - 2048, 400 stereo frames at 11025 Hz."""
+    vals = ((np.arange(800, dtype=np.uint64) * 2654435761) & 0xFFFFFFFF) >> 16
+    return ((vals % 4096).astype(np.int64) - 2048).reshape(400, 2)
+
+
+def test_real_aiff_javasound_exact():
+    """javax.sound's AIFF writer (big-endian PCM16 + 80-bit extended
+    sample rate) decoded by this repo's FORM walk — bit-exact."""
+    from htmlx.spark.multimodal import decode_aiff
+
+    rate, ch, s = decode_aiff(_bytes("real_javasound.aiff"))
+    assert (rate, ch) == (11025, 2)
+    assert (s == _audio_formula_pcm()).all()
+
+
+def test_real_au_javasound_exact():
+    from htmlx.spark.multimodal import decode_au
+
+    rate, ch, s = decode_au(_bytes("real_javasound.au"))
+    assert (rate, ch) == (11025, 2)
+    assert (s == _audio_formula_pcm()).all()
+
+
+def test_real_ulaw_vs_jdk_g711_table_exact():
+    """G.711 mu-law anchor: the JDK's UlawCodec encoded the formula
+    signal into real_ulaw.au AND produced its own mu-law->PCM16 decode
+    (ulaw_ref.pcm). This repo's formula-based table must reproduce the
+    JDK's decode of the same bytes BIT-EXACTLY — two independent G.711
+    implementations agreeing on a real payload."""
+    from htmlx.spark.multimodal import decode_au
+
+    rate, ch, s = decode_au(_bytes("real_ulaw.au"))
+    ref = np.frombuffer(_bytes("ulaw_ref.pcm"), ">i2").astype(np.int32).reshape(400, 2)
+    assert (rate, ch) == (11025, 2)
+    assert (s == ref).all()
