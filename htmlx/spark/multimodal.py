@@ -850,6 +850,35 @@ def linear_to_ulaw(x):
     return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
 
 
+def _alaw_to_linear(a8):
+    """G.711 A-law byte -> linear sample (Sun g711.c algorithm, public
+    domain; anchored against the JDK's independent javax.sound ALAW
+    converter in tests/test_real_anchors.py). Sign bit SET means
+    positive — opposite of mu-law."""
+    import numpy as np
+
+    a = (a8.astype(np.int32)) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, (t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t)
+
+
+def linear_to_alaw(x):
+    """Linear sample -> G.711 A-law byte (encoder twin of
+    _alaw_to_linear; Sun g711.c segment search)."""
+    import numpy as np
+
+    x = np.asarray(x, np.int64) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    mag = np.where(x >= 0, x, -x - 1)
+    # segment = bit_length(mag >> 5) clamped to 0..7 (seg_aend thresholds)
+    seg = np.clip(np.frexp((mag >> 5).astype(np.float64))[1], 0, 7)
+    shift = np.where(seg < 2, 1, seg)
+    aval = np.where(mag >= 0x1000, 0x7F, (seg << 4) | ((mag >> shift) & 0x0F))
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
 def _read_ext80(b: bytes) -> int:
     """80-bit IEEE 754 extended float -> int (AIFF sampleRate field):
     1 sign, 15 exponent (bias 16383), 64-bit mantissa with explicit
@@ -945,8 +974,9 @@ def encode_aiff(samples, rate: int = 8000) -> bytes:
 def decode_au(payload: bytes):
     """REAL Sun AU (.snd) decode: big-endian header (offset, size,
     encoding, rate, channels); linear PCM 8-bit signed (enc 2) and
-    16-bit (enc 3) plus G.711 mu-law (enc 1, decoded via the formula
-    above). A-law/ADPCM/float encodings raise NotImplementedError."""
+    16-bit (enc 3) plus G.711 mu-law (enc 1) and A-law (enc 27), both
+    decoded via the formulas above. ADPCM/float encodings raise
+    NotImplementedError."""
     import numpy as np
 
     if len(payload) < 24 or payload[:4] != b".snd":
@@ -965,15 +995,17 @@ def decode_au(payload: bytes):
         samples = np.frombuffer(data, np.int8).astype(np.int32)
     elif enc == 1:
         samples = _ulaw_to_linear(np.frombuffer(data, np.uint8)).astype(np.int32)
+    elif enc == 27:
+        samples = _alaw_to_linear(np.frombuffer(data, np.uint8)).astype(np.int32)
     else:
         raise NotImplementedError(f"au encoding {enc} needs a codec")
     got = len(samples) // channels
     return rate, channels, samples[: got * channels].reshape(got, channels)
 
 
-def encode_au(samples, rate: int = 8000, ulaw: bool = False) -> bytes:
+def encode_au(samples, rate: int = 8000, ulaw: bool = False, alaw: bool = False) -> bytes:
     """Minimal deterministic AU encoder (synthesis/tests twin): PCM-16
-    big-endian, or mu-law via the linear_to_ulaw twin."""
+    big-endian, or G.711 via the linear_to_ulaw / linear_to_alaw twins."""
     import numpy as np
 
     a = np.asarray(samples, np.int16)
@@ -983,6 +1015,9 @@ def encode_au(samples, rate: int = 8000, ulaw: bool = False) -> bytes:
     if ulaw:
         data = linear_to_ulaw(a.ravel()).tobytes()
         enc = 1
+    elif alaw:
+        data = linear_to_alaw(a.ravel()).tobytes()
+        enc = 27
     else:
         data = a.astype(">i2").tobytes()
         enc = 3

@@ -198,8 +198,8 @@ def test_aiff_au_roundtrip_and_error_paths():
             + b"SSND" + struct.pack(">I", 8) + b"\x00" * 8)
     with pytest.raises(NotImplementedError):
         decode_aiff(aifc)
-    with pytest.raises(NotImplementedError):
-        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 27, 8000, 1) + b"\x00" * 4)
+    with pytest.raises(NotImplementedError):  # 23 = G.721 ADPCM
+        decode_au(b".snd" + struct.pack(">IIIII", 24, 4, 23, 8000, 1) + b"\x00" * 4)
 
 
 def _lzw_compress_gif(indices, bits):
@@ -604,3 +604,28 @@ def test_metadata_probe_degrades_malformed_payloads():
     big_ftyp = (256).to_bytes(4, "big") + b"ftypavif" + b"\x00" * 248
     assert sniff_mime(big_ftyp) == "image/avif"
     assert image_dimensions(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 10) == (0, 0)
+
+
+def test_alaw_twin_roundtrip_and_endpoints():
+    import numpy as np
+
+    from htmlx.spark.multimodal import (
+        _alaw_to_linear,
+        decode_au,
+        encode_au,
+        linear_to_alaw,
+    )
+
+    rng = np.random.default_rng(11)
+    flat = rng.integers(-30000, 30000, 500)
+    b = linear_to_alaw(flat)
+    # A-law is idempotent through its own twin
+    assert (linear_to_alaw(_alaw_to_linear(b)) == b).all()
+    # spec endpoints: +-max magnitude 32256, near-zero codes decode small
+    assert int(_alaw_to_linear(np.array([0xAA], np.uint8))[0]) == 32256
+    assert int(_alaw_to_linear(np.array([0x2A], np.uint8))[0]) == -32256
+    assert abs(int(_alaw_to_linear(np.array([0x55], np.uint8))[0])) == 8
+    # A-law AU end-to-end stays within one quantization step
+    a = rng.integers(-2048, 2048, (100, 2), dtype=np.int16)
+    _, _, out = decode_au(encode_au(a, 8000, alaw=True))
+    assert np.abs(out.astype(int) - a.astype(int)).max() <= 64

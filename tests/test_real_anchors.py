@@ -285,3 +285,15 @@ def test_real_ulaw_vs_jdk_g711_table_exact():
     ref = np.frombuffer(_bytes("ulaw_ref.pcm"), ">i2").astype(np.int32).reshape(400, 2)
     assert (rate, ch) == (11025, 2)
     assert (s == ref).all()
+
+
+def test_real_alaw_vs_jdk_g711_table_exact():
+    """Same two-independent-implementations anchor for G.711 A-law: this
+    repo's formula decode of real_alaw.au must match the JDK AlawCodec's
+    own PCM16 decode of the same bytes."""
+    from htmlx.spark.multimodal import decode_au
+
+    rate, ch, s = decode_au(_bytes("real_alaw.au"))
+    ref = np.frombuffer(_bytes("alaw_ref.pcm"), ">i2").astype(np.int32).reshape(400, 2)
+    assert (rate, ch) == (11025, 2)
+    assert (s == ref).all()

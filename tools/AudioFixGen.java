@@ -51,16 +51,31 @@ public class AudioFixGen {
         }
 
         // the JDK's OWN mu-law -> PCM16 reference decode of that AU
-        AudioInputStream back = AudioSystem.getAudioInputStream(
-                new ByteArrayInputStream(ub.toByteArray()));
         AudioFormat f16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
                 RATE, 16, CHANNELS, CHANNELS * 2, RATE, true);
+        dumpLinear(ub.toByteArray(), f16, new File(dir, "ulaw_ref.pcm"));
+
+        // same pair for G.711 A-law via the JDK's AlawCodec
+        AudioFormat alaw = new AudioFormat(AudioFormat.Encoding.ALAW,
+                RATE, 8, CHANNELS, CHANNELS, RATE, true);
+        AudioInputStream alawStream = AudioSystem.getAudioInputStream(alaw, pcmStream());
+        ByteArrayOutputStream ab = new ByteArrayOutputStream();
+        AudioSystem.write(alawStream, AudioFileFormat.Type.AU, ab);
+        try (FileOutputStream fo = new FileOutputStream(new File(dir, "real_alaw.au"))) {
+            fo.write(ab.toByteArray());
+        }
+        dumpLinear(ab.toByteArray(), f16, new File(dir, "alaw_ref.pcm"));
+        System.out.println("audio fixtures written to " + dir);
+    }
+
+    static void dumpLinear(byte[] au, AudioFormat f16, File out) throws Exception {
+        AudioInputStream back = AudioSystem.getAudioInputStream(
+                new ByteArrayInputStream(au));
         AudioInputStream lin = AudioSystem.getAudioInputStream(f16, back);
-        try (FileOutputStream fo = new FileOutputStream(new File(dir, "ulaw_ref.pcm"))) {
+        try (FileOutputStream fo = new FileOutputStream(out)) {
             byte[] buf = new byte[4096];
             int n;
             while ((n = lin.read(buf)) > 0) fo.write(buf, 0, n);
         }
-        System.out.println("audio fixtures written to " + dir);
     }
 }
