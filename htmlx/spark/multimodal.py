@@ -592,7 +592,73 @@ def decode_image(payload: bytes):
         from .tiffbmp import decode_ico
 
         return decode_ico(payload)
+    if payload[:2] == b"\x00\x00":
+        # WBMP carries no magic (type 0 + fix-header 0); the strict
+        # structural check inside decode_wbmp (multibyte dims + exact
+        # row-data length) is the discriminator — the standard heuristic
+        return decode_wbmp(payload)
     raise NotImplementedError("unknown image container (no codec available)")
+
+
+def _wbmp_uint(payload: bytes, pos: int):
+    """WAP multibyte integer: 7 bits per byte, high bit continues."""
+    v = 0
+    for _ in range(5):
+        if pos >= len(payload):
+            raise ValueError("truncated_wbmp")
+        b = payload[pos]
+        pos += 1
+        v = (v << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            return v, pos
+    raise ValueError("bad_wbmp_uint")
+
+
+def decode_wbmp(payload: bytes):
+    """REAL WBMP (WAP wireless bitmap, type 0) decode: multibyte
+    width/height then MSB-first 1-bit rows, 1 = white. Returns an
+    (h, w, 1) uint8 raster with 0/255 values (the bitonal convention the
+    CCITT tiers use). Anchored against javax.imageio's WBMP writer."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[0] != 0 or payload[1] != 0:
+        raise ValueError("not_a_wbmp")
+    w, pos = _wbmp_uint(payload, 2)
+    h, pos = _wbmp_uint(payload, pos)
+    if w == 0 or h == 0:
+        raise ValueError("bad_dimensions")
+    if w * h > _MAX_RASTER_BYTES:
+        raise ValueError("image_too_large")
+    stride = (w + 7) // 8
+    need = pos + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated_wbmp")
+    rows = np.frombuffer(payload[pos:need], np.uint8).reshape(h, stride)
+    bits = np.unpackbits(rows, axis=1)[:, :w]
+    return (bits * 255).astype(np.uint8)[:, :, None]
+
+
+def encode_wbmp(bitonal) -> bytes:
+    """Deterministic WBMP encoder (synthesis/tests twin): any nonzero
+    sample becomes a 1 (white) bit."""
+    import numpy as np
+
+    a = np.asarray(bitonal)
+    if a.ndim == 3:
+        a = a[:, :, 0]
+    h, w = a.shape
+
+    def mb(v):
+        out = bytearray()
+        out.append(v & 0x7F)
+        v >>= 7
+        while v:
+            out.insert(0, 0x80 | (v & 0x7F))
+            v >>= 7
+        return bytes(out)
+
+    packed = np.packbits((a != 0).astype(np.uint8), axis=1)
+    return b"\x00\x00" + mb(w) + mb(h) + packed.tobytes()
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:

@@ -629,3 +629,28 @@ def test_alaw_twin_roundtrip_and_endpoints():
     a = rng.integers(-2048, 2048, (100, 2), dtype=np.int16)
     _, _, out = decode_au(encode_au(a, 8000, alaw=True))
     assert np.abs(out.astype(int) - a.astype(int)).max() <= 64
+
+
+def test_wbmp_roundtrip_dispatch_and_error_paths():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_image, decode_wbmp, encode_wbmp
+
+    rng = np.random.default_rng(13)
+    for hw in ((1, 1), (8, 8), (23, 61), (5, 200)):
+        a = (rng.integers(0, 2, hw) * 255).astype(np.uint8)
+        payload = encode_wbmp(a)
+        assert (decode_wbmp(payload)[:, :, 0] == a).all()
+        # magic-less container: dispatch discriminates structurally
+        assert (decode_image(payload)[:, :, 0] == a).all()
+    # multibyte dims beyond one byte (w=200 exercises the 0x80 chain)
+    assert encode_wbmp(np.zeros((5, 200), np.uint8))[2] & 0x80
+    with pytest.raises(ValueError):
+        decode_wbmp(b"\x01\x00\x05\x05\x00")  # type != 0
+    with pytest.raises(ValueError):
+        decode_wbmp(b"\x00\x00\x05\x05")  # no row data
+    with pytest.raises(ValueError):
+        decode_wbmp(b"\x00\x00\x00\x05")  # zero width
+    with pytest.raises(ValueError):  # unbounded multibyte dims -> bomb guard
+        decode_wbmp(b"\x00\x00\xff\xff\xff\xff\x7f\x01" + b"\x00" * 64)

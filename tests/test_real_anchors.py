@@ -297,3 +297,14 @@ def test_real_alaw_vs_jdk_g711_table_exact():
     ref = np.frombuffer(_bytes("alaw_ref.pcm"), ">i2").astype(np.int32).reshape(400, 2)
     assert (rate, ch) == (11025, 2)
     assert (s == ref).all()
+
+
+def test_real_wbmp_imageio_exact():
+    """javax.imageio's WBMP writer on a deterministic bitonal pattern —
+    decoded bit-exact by this repo's multibyte-dims + row walk."""
+    from htmlx.spark.multimodal import decode_wbmp
+
+    px = decode_wbmp(_bytes("real_imageio.wbmp"))
+    x, y = np.meshgrid(np.arange(61), np.arange(23))
+    exp = (((x * 7 + y * 13) % 5 < 2) * 255).astype(np.uint8)[:, :, None]
+    assert px.shape == (23, 61, 1) and (px == exp).all()
