@@ -636,7 +636,7 @@ def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
     return documents.select(*cols)
 
 
-def quality_scores(documents: DataFrame, extended: bool = False) -> DataFrame:
+def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length band, type-token ratio, stopword
     ratio, mean token length, and a Gopher-style repetition signal — the
     share of bigrams taken by the single most frequent bigram (Rae et
@@ -645,24 +645,12 @@ def quality_scores(documents: DataFrame, extended: bool = False) -> DataFrame:
     mode count is computed shuffle-free inside Catalyst by sorting the
     per-doc bigram array and folding a longest-equal-run accumulator.
 
-    extended=True adds the published C4 (Raffel et al. 2020 §2.2) and
-    Gopher (Rae et al. 2021 §A.1.1) rule families. The corpus text is
-    clean single-line lowercase words, so the line/punctuation rules
-    would be degenerate on it; instead each doc is deterministically
-    augmented with the SAME algebra on both engines (the synthetic-PII
-    pattern): "lines" are 8-token chunks, chunk j of doc d gets a "- "
-    bullet prefix when (d+j)%5==0 and a "..." / "." suffix when (d+j)%7
-    / %3 == 0; docs with d%31/37/41==0 get "lorem ipsum" / "{code}" /
-    "javascript" markers appended, and even doc_ids get the Gopher
-    stopword marker " and that have with" (the synthetic vocabulary
-    carries almost none of the paper's 8 required stopwords, so without
-    planting, gopher_pass would be all-False and its pass branch
-    driver-unexercised — chunk size 8 likewise keeps the >=5-sentence
-    C4 gate reachable at the corpus's <=99-token docs). Every rule then
-    actually SCANS the augmented text (substring/suffix/regex), so a
-    dialect divergence in any predicate flips the value hash. The
-    thresholds themselves are the published ones, unmodified.
-    Everything stays a zero-shuffle scan-side projection."""
+    The published C4/Gopher rule families live in c4_gopher_quality
+    (real newline-split lines — the production filter the curate CLI
+    ships); the driver merges both onto one row, feeding
+    c4_gopher_quality deterministically synthesized multi-line text so
+    every predicate is oracle-checked (see entryqueries
+    q_quality_scores)."""
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -688,7 +676,7 @@ def quality_scores(documents: DataFrame, extended: bool = False) -> DataFrame:
         ),
         lambda acc: acc.best,
     )
-    base_cols = [
+    return documents.select(
         F.col("doc_id").cast("long"),
         F.floor(n_distinct * 100 / n_tokens).cast("long").alias("ttr_pct"),
         F.floor(stopwords * 100 / n_tokens).cast("long").alias("stopword_pct"),
@@ -697,33 +685,35 @@ def quality_scores(documents: DataFrame, extended: bool = False) -> DataFrame:
         .cast("long")
         .alias("top_2gram_pct"),
         (F.length("text") >= 100).cast("boolean").alias("len_ok"),
-    ]
-    if not extended:
-        return documents.select(*base_cols)
+    )
 
-    d = F.col("doc_id")
-    # deterministic augmentation (identical algebra in the DuckDB oracle)
-    text2 = F.concat(
-        F.col("text"),
-        F.when(d % 31 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
-        F.when(d % 37 == 0, F.lit(" {code}")).otherwise(F.lit("")),
-        F.when(d % 41 == 0, F.lit(" javascript")).otherwise(F.lit("")),
-        F.when(d % 2 == 0, F.lit(" and that have with")).otherwise(F.lit("")),
-    )
-    toks2 = F.split(text2, " ")
-    n2 = F.size(toks2)
-    n_chunks = F.greatest(F.floor((n2 + 7) / 8).cast("int"), F.lit(1))
-    lines = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda j: F.concat(
-            F.when((d + j) % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
-            F.concat_ws(" ", F.slice(toks2, j * 8 + 1, 8)),
-            F.when((d + j) % 7 == 0, F.lit("...")).otherwise(
-                F.when((d + j) % 3 == 0, F.lit(".")).otherwise(F.lit(""))
-            ),
-        ),
-    )
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def c4_gopher_quality(documents: DataFrame) -> DataFrame:
+    """The published C4 (Raffel et al. 2020 §2.2) and Gopher (Rae et
+    al. 2021 §A.1.1) quality-rule families over a document's REAL lines
+    (text split on newlines) — the production filter the curate CLI
+    ships. Thresholds are the published ones, unmodified:
+
+    Gopher: 50..100k words, mean word length 3..10, symbol-to-word
+    ('...' and '#') <= 10%, >= 80% words with an alphabetic char, >= 2
+    of 8 required stopwords, <= 90% bullet lines, <= 30% ellipsis
+    lines, top-2gram share <= 20%.
+    C4: lorem-ipsum / '{' / 'javascript' markers, lines kept when >= 3
+    words AND terminal punctuation, >= 5 terminal-punctuated lines.
+
+    Word conventions (shared with the DuckDB oracle): words are the
+    space-split tokens of every line; mean word length assumes
+    single-space/newline separation (char count = length - words + 1).
+    All-Catalyst zero-shuffle scan-side projection — the line arrays
+    never leave the JVM and nothing is corpus-global, so the filter
+    runs at any scale as a pure map."""
+    lines = F.split(F.col("text"), "\n")
     n_lines = F.size(lines)
+    words = F.flatten(F.transform(lines, lambda l: F.split(l, " ")))
+    n_words = F.size(words)
     bullet_lines = F.size(F.filter(lines, lambda l: l.startswith("- ")))
     ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
     terminal_lines = F.size(F.filter(lines, lambda l: l.endswith(".")))
@@ -731,35 +721,55 @@ def quality_scores(documents: DataFrame, extended: bool = False) -> DataFrame:
     keep_lines = F.size(
         F.filter(lines, lambda l: l.endswith(".") & (F.size(F.split(l, " ")) >= 3))
     )
-    aug_words = F.flatten(F.transform(lines, lambda l: F.split(l, " ")))
-    n_aug_words = F.size(aug_words)
-    alpha_words = F.size(F.filter(aug_words, lambda w: w.rlike("[a-z]")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
     stop_hits = F.size(
         F.array_intersect(
-            F.array_distinct(toks2),
-            F.array(*[F.lit(w) for w in
-                      ("the", "be", "to", "of", "and", "that", "have", "with")]),
+            F.array_distinct(words),
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
         )
     )
-    symbol_pct = F.floor(ellipsis_lines * 100 / n_tokens).cast("long")
-    alpha_pct = F.floor(alpha_words * 100 / n_aug_words).cast("long")
+    n_symbols = F.regexp_count(F.col("text"), F.lit(r"\.\.\.")) + F.regexp_count(
+        F.col("text"), F.lit("#")
+    )
+    symbol_pct = F.floor(n_symbols * 100 / n_words).cast("long")
+    alpha_pct = F.floor(alpha_words * 100 / n_words).cast("long")
     bullet_pct = F.floor(bullet_lines * 100 / n_lines).cast("long")
     ellipsis_pct = F.floor(ellipsis_lines * 100 / n_lines).cast("long")
-    mean_x10 = F.floor(F.length("text") * 10 / n_tokens)
-    top2_pct = F.floor(top2 * 100 / F.greatest(n_tokens - 1, F.lit(1)))
-    has_lorem = text2.contains("lorem ipsum")
-    has_curly = text2.contains("{")
-    has_js = F.array_contains(toks2, "javascript")
+    # single-space/newline separation: character sum = length - (words-1)
+    mean_x10 = F.floor((F.length("text") - n_words + 1) * 10 / n_words)
+    grams2 = F.when(
+        n_words >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_words - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top2 = F.aggregate(
+        F.array_sort(grams2),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    top2_pct = F.floor(top2 * 100 / F.greatest(n_words - 1, F.lit(1)))
+    has_lorem = F.col("text").contains("lorem ipsum")
+    has_curly = F.col("text").contains("{")
+    has_js = F.array_contains(words, "javascript")
     gopher_pass = (
-        (n_tokens >= 50) & (n_tokens <= 100000)
+        (n_words >= 50) & (n_words <= 100000)
         & (mean_x10 >= 30) & (mean_x10 <= 100)
         & (symbol_pct <= 10) & (alpha_pct >= 80) & (stop_hits >= 2)
         & (bullet_pct <= 90) & (ellipsis_pct <= 30) & (top2_pct <= 20)
     )
     c4_pass = (terminal_lines >= 5) & ~has_lorem & ~has_curly & ~has_js
     return documents.select(
-        *base_cols,
-        n_tokens.cast("long").alias("n_words"),
+        F.col("doc_id").cast("long"),
+        n_words.cast("long").alias("n_words"),
         n_lines.cast("long").alias("n_lines"),
         bullet_pct.alias("bullet_line_pct"),
         ellipsis_pct.alias("ellipsis_line_pct"),

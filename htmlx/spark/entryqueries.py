@@ -518,19 +518,66 @@ FROM documents t JOIN packed p ON p.doc_id = t.doc_id
 """
 
 
+def synth_lines_frame(docs):
+    """Deterministic multi-line corpus synthesis for the C4/Gopher rule
+    suite: the corpus text is clean single-line lowercase words, so the
+    line/punctuation rules would be degenerate on it. Each doc is
+    rebuilt with the SAME algebra on both engines (the synthetic-PII
+    pattern): "lines" are 8-token chunks joined by newlines, chunk j of
+    doc d gets a "- " bullet prefix when (d+j)%5==0 and a "..." / "."
+    suffix when (d+j)%7 / %3 == 0; docs with d%31/37/41==0 get
+    "lorem ipsum" / "{code}" / "javascript" markers appended, and even
+    doc_ids get the Gopher stopword marker " and that have with" (the
+    synthetic vocabulary carries almost none of the paper's 8 required
+    stopwords — without planting, gopher_pass would be all-False and
+    its pass branch driver-unexercised; chunk size 8 likewise keeps the
+    >=5-sentence C4 gate reachable at the corpus's <=99-token docs).
+    The PRODUCTION rule computation (analytics.c4_gopher_quality) then
+    runs on this frame exactly as it would on real multi-line pages."""
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 31 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(d % 37 == 0, F.lit(" {code}")).otherwise(F.lit("")),
+        F.when(d % 41 == 0, F.lit(" javascript")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit(" and that have with")).otherwise(F.lit("")),
+    )
+    toks2 = F.split(text2, " ")
+    n2 = F.size(toks2)
+    n_chunks = F.greatest(F.floor((n2 + 7) / 8).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat(
+            F.when((d + j) % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(toks2, j * 8 + 1, 8)),
+            F.when((d + j) % 7 == 0, F.lit("...")).otherwise(
+                F.when((d + j) % 3 == 0, F.lit(".")).otherwise(F.lit(""))
+            ),
+        ),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
 def q_quality_scores(spark, sf_dir):
     """Quality-signal suite on one merged row (driver caps at 50): the
-    base TTR/stopword/length/top-bigram signals PLUS the published C4
-    (Raffel et al. 2020 §2.2) and Gopher (Rae et al. 2021 §A.1.1) rule
-    families over deterministically synthesized lines — see
-    analytics.quality_scores(extended=True) for the augmentation
-    algebra shared with the oracle below."""
-    return analytics.quality_scores(_docs(spark, sf_dir), extended=True)
+    base TTR/stopword/length/top-bigram signals over the raw text,
+    joined with the PRODUCTION C4/Gopher rule suite
+    (analytics.c4_gopher_quality — real newline-split lines, published
+    thresholds) computed over deterministically synthesized multi-line
+    text (synth_lines_frame). Every predicate re-scans the synthesized
+    text on both engines, so a dialect divergence flips the hash."""
+    docs = _docs(spark, sf_dir)
+    base = analytics.quality_scores(docs)
+    ext = analytics.c4_gopher_quality(synth_lines_frame(docs))
+    return base.join(ext, "doc_id")
 
 
 # The bigram/g2 CTE mirrors the Spark longest-equal-run fold; the aug
-# CTEs rebuild the SAME deterministic line/marker augmentation the Spark
-# side constructs, then every C4/Gopher predicate re-scans it in DuckDB.
+# CTEs rebuild the SAME deterministic line/marker synthesis as
+# synth_lines_frame, then every C4/Gopher predicate recomputes from the
+# rebuilt multi-line text exactly as analytics.c4_gopher_quality does
+# from its `text` column (production semantics: words/markers/symbols
+# are scanned post-synthesis, decorations included).
 O_QUALITY_SCORES = """
 WITH t0 AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
 t1 AS (SELECT doc_id, text, t,
@@ -553,43 +600,50 @@ a2 AS (SELECT *,
                FOR j IN generate_series(0, nch - 1)] AS lines
        FROM a1),
 a3 AS (SELECT *,
+              array_to_string(lines, chr(10)) AS ftext,
               len(lines) AS n_lines,
               len(list_filter(lines, l -> starts_with(l, '- '))) AS bullet_lines,
               len(list_filter(lines, l -> ends_with(l, '...'))) AS ellipsis_lines,
               len(list_filter(lines, l -> ends_with(l, '.'))) AS terminal_lines,
               len(list_filter(lines, l -> ends_with(l, '.')
                   AND len(string_split(l, ' ')) >= 3)) AS keep_lines,
-              flatten([string_split(l, ' ') FOR l IN lines]) AS aw,
-              len(list_intersect(list_distinct(t2),
-                  ['the','be','to','of','and','that','have','with'])) AS stop_hits,
-              floor(length(text) * 10 / len(t)) AS mean_x10,
-              floor(coalesce(list_max([len(list_filter(g2, x -> x = d)) FOR d IN list_distinct(g2)]), 0) * 100 / greatest(len(g2), 1)) AS top2_pct,
-              contains(text2, 'lorem ipsum') AS has_lorem,
-              contains(text2, '{') AS has_curly,
-              list_contains(t2, 'javascript') AS has_js
+              flatten([string_split(l, ' ') FOR l IN lines]) AS aw
        FROM a2),
 a4 AS (SELECT *,
-              floor(ellipsis_lines * 100 / len(t)) AS symbol_pct,
+              len(aw) AS n_words,
+              len(list_intersect(list_distinct(aw),
+                  ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+              floor((length(ftext) - len(aw) + 1) * 10 / len(aw)) AS mean_x10,
+              floor((len(regexp_extract_all(ftext, '\\.\\.\\.'))
+                     + len(regexp_extract_all(ftext, '#'))) * 100 / len(aw)) AS symbol_pct,
               floor(len(list_filter(aw, w -> regexp_matches(w, '[a-z]'))) * 100 / len(aw)) AS alpha_pct,
               floor(bullet_lines * 100 / n_lines) AS bullet_pct,
-              floor(ellipsis_lines * 100 / n_lines) AS ellipsis_pct
+              floor(ellipsis_lines * 100 / n_lines) AS ellipsis_pct,
+              floor(coalesce(list_max([len(list_filter(
+                      [aw[i] || ' ' || aw[i+1] FOR i IN generate_series(1, len(aw) - 1)],
+                      x -> x = d)) FOR d IN list_distinct(
+                      [aw[i] || ' ' || aw[i+1] FOR i IN generate_series(1, len(aw) - 1)])]), 0)
+                    * 100 / greatest(len(aw) - 1, 1)) AS top2a_pct,
+              contains(ftext, 'lorem ipsum') AS has_lorem,
+              contains(ftext, '{') AS has_curly,
+              list_contains(aw, 'javascript') AS has_js
        FROM a3)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
        CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
-       CAST(mean_x10 AS BIGINT) AS mean_token_len_x10,
-       CAST(top2_pct AS BIGINT) AS top_2gram_pct,
+       CAST(floor(length(text) * 10 / len(t)) AS BIGINT) AS mean_token_len_x10,
+       CAST(floor(coalesce(list_max([len(list_filter(g2, x -> x = d)) FOR d IN list_distinct(g2)]), 0) * 100 / greatest(len(g2), 1)) AS BIGINT) AS top_2gram_pct,
        length(text) >= 100 AS len_ok,
-       CAST(len(t) AS BIGINT) AS n_words,
+       CAST(n_words AS BIGINT) AS n_words,
        CAST(n_lines AS BIGINT) AS n_lines,
        CAST(bullet_pct AS BIGINT) AS bullet_line_pct,
        CAST(ellipsis_pct AS BIGINT) AS ellipsis_line_pct,
        CAST(symbol_pct AS BIGINT) AS symbol_word_pct,
        CAST(alpha_pct AS BIGINT) AS alpha_word_pct,
        CAST(stop_hits AS BIGINT) AS gopher_stop_hits,
-       (len(t) BETWEEN 50 AND 100000 AND mean_x10 BETWEEN 30 AND 100
+       (n_words BETWEEN 50 AND 100000 AND mean_x10 BETWEEN 30 AND 100
         AND symbol_pct <= 10 AND alpha_pct >= 80 AND stop_hits >= 2
-        AND bullet_pct <= 90 AND ellipsis_pct <= 30 AND top2_pct <= 20) AS gopher_pass,
+        AND bullet_pct <= 90 AND ellipsis_pct <= 30 AND top2a_pct <= 20) AS gopher_pass,
        has_lorem AS has_lorem_ipsum,
        has_curly AS has_curly_brace,
        has_js AS has_javascript,

@@ -2,7 +2,7 @@
 
   spark-submit --py-files htmlx.zip jobs/curate.py \
       --input <documents table/parquet path> --output <keep-list root> \
-      [--mode filter|dedup|components|split|decontaminate|pii|pack] \
+      [--mode filter|dedup|components|split|decontaminate|pii|pack|quality|paradedup] \
       [--threshold 0.9] [--min-chars 100] [--hash-basis xxhash64] \
       [--iters 0] [--eval-input <eval parquet>] [--seq-len 2048]
 
@@ -23,6 +23,11 @@ Modes:
               per-kind counts (clean_text column).
   pack        next-fit sequence packing into --seq-len token bins,
               parallel across --pack-buckets hash buckets.
+  quality     published C4 + Gopher rule suites per document over real
+              newline-split lines (gopher_pass / c4_pass columns plus
+              every sub-signal) — scan-side, zero shuffle.
+  paradedup   CCNet-style paragraph-level dedup keep-list: one row per
+              distinct paragraph digest with keeper doc and count.
 
 --iters 0 (default) iterates label propagation to convergence (one scalar
 count() per round); a positive value pins a fixed round budget.
@@ -40,7 +45,7 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
-                 "pii", "pack"],
+                 "pii", "pack", "quality", "paradedup"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -81,7 +86,11 @@ def main():
             .select("doc_a", "doc_b")
         )
 
-    if args.mode == "split":
+    if args.mode == "quality":
+        out = analytics.c4_gopher_quality(docs)
+    elif args.mode == "paradedup":
+        out = analytics.dedup_paragraphs(analytics.split_paragraphs(docs))
+    elif args.mode == "split":
         out = analytics.hash_split(docs)
     elif args.mode == "decontaminate":
         ev = spark.read.parquet(args.eval_input)

@@ -263,14 +263,50 @@ def test_quality_top_2gram_repetition_signal(spark):
     assert "Exchange" not in plan
 
 
-def test_quality_extended_c4_gopher_rules(spark):
-    """The C4/Gopher rule families (quality_scores extended=True) on
-    crafted docs: doc_id 0 triggers all three C4 content markers (0 mod
-    31/37/41) plus the stopword planting and bullet/ellipsis line
-    decorations; a 52-word doc passes the Gopher numeric gates; an
-    88-word even doc passes BOTH gates (>=5 terminal-punct lines, no
-    markers). Plan stays a zero-shuffle scan-side projection."""
-    from htmlx.spark.analytics import quality_scores
+def test_c4_gopher_quality_production_semantics(spark):
+    """The PRODUCTION rule suite (analytics.c4_gopher_quality) on a doc
+    with REAL newlines — no synthesis involved: line predicates, marker
+    scans and the word conventions operate on text as a crawl pipeline
+    would see it. Plan stays a zero-shuffle scan-side projection."""
+    from htmlx.spark.analytics import c4_gopher_quality
+
+    text = "\n".join(
+        [
+            "the quick brown fox jumps over it.",  # terminal, >=3 words
+            "- a bullet line without punctuation",
+            "short one",
+            "to be continued...",
+            "curly brace here { and javascript too.",
+        ]
+    )
+    corpus = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = c4_gopher_quality(corpus).collect()[0]
+    assert r.n_lines == 5 and r.n_words == 25
+    assert r.bullet_line_pct == 20  # 1 of 5
+    assert r.ellipsis_line_pct == 20  # '...' line
+    assert r.n_sentences == 3  # '.' x2 + '...' (ends with '.')
+    assert r.c4_keep_line_pct == 60  # those 3 all have >=3 words
+    assert r.has_curly_brace and r.has_javascript and not r.has_lorem_ipsum
+    assert r.gopher_stop_hits == 4  # the, to, be, and
+    assert r.symbol_word_pct == 4  # one '...' among 25 words
+    assert r.alpha_word_pct == 92  # '-' and '{' are non-alpha words
+    assert not r.gopher_pass  # 25 words < 50
+    assert not r.c4_pass  # markers + <5 sentences
+
+    plan = (
+        c4_gopher_quality(corpus)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_c4_gopher_on_synthesized_driver_lines(spark):
+    """The driver-corpus path: synth_lines_frame builds deterministic
+    multi-line text (markers, stopword planting, bullet/ellipsis
+    decorations), then the SAME production function computes the rules.
+    doc 0 triggers all three C4 markers; a 52-word doc passes the
+    Gopher gates; an 88-word even doc passes BOTH gates."""
+    from htmlx.spark.analytics import c4_gopher_quality
+    from htmlx.spark.entryqueries import synth_lines_frame
 
     w26 = " ".join(["the", "of"] + [f"w{i:02d}" for i in range(24)])
     w52 = " ".join(["the", "and"] + [f"tok{i:03d}"[:3] + f"{i:x}" for i in range(50)])
@@ -278,43 +314,35 @@ def test_quality_extended_c4_gopher_rules(spark):
     corpus = spark.createDataFrame(
         [(0, w26), (1, w52), (2, w88)], "doc_id long, text string"
     )
-    out = {r.doc_id: r for r in quality_scores(corpus, extended=True).collect()}
+    out = {r.doc_id: r for r in c4_gopher_quality(synth_lines_frame(corpus)).collect()}
 
     d0 = out[0]
-    # markers + stopword planting for doc 0, detected by real scans
+    # markers + stopword planting for doc 0, detected by real scans of
+    # the synthesized text (production semantics: post-synthesis words)
     assert d0.has_lorem_ipsum and d0.has_curly_brace and d0.has_javascript
-    # 26 + 4 marker + 4 stopword aug tokens -> 5 lines of 8; line 0 is
-    # bulleted AND ellipsis-capped, line 3 period-capped
-    assert d0.n_lines == 5
+    # 26 + 4 marker + 4 stopword tokens -> 5 lines of 8 + one '-' token
+    assert d0.n_lines == 5 and d0.n_words == 35
     assert d0.bullet_line_pct == 20 and d0.ellipsis_line_pct == 20
     assert d0.n_sentences == 2 and d0.c4_keep_line_pct == 40
-    # 1 non-alpha '-' token among 35 aug words
-    assert d0.alpha_word_pct == 97
-    # the, of (original) + and, that, have, with (planted)
-    assert d0.gopher_stop_hits == 6
-    assert not d0.c4_pass  # markers present
-    assert not d0.gopher_pass  # 26 words < 50
+    assert d0.alpha_word_pct == 97  # 1 non-alpha '-' among 35
+    # the, of, and, have, with — planted 'that' got the '.' suffix so it
+    # does NOT count as a word match (production scan, decorations real)
+    assert d0.gopher_stop_hits == 5
+    assert not d0.c4_pass and not d0.gopher_pass
 
     d1 = out[1]
     assert not (d1.has_lorem_ipsum or d1.has_curly_brace or d1.has_javascript)
-    # one '-' bullet token (line j=4) among 53 aug words
-    assert d1.n_words == 52 and d1.alpha_word_pct == 98
+    assert d1.n_words == 53 and d1.alpha_word_pct == 98  # one '-' bullet token
     assert d1.gopher_stop_hits == 2  # odd doc_id: nothing planted
-    assert d1.gopher_pass  # all numeric gates hold
+    assert d1.gopher_pass
     assert not d1.c4_pass  # 3 terminal-punct lines < 5
 
     d2 = out[2]
-    # 88 + 4 planted -> 92 aug tokens -> 12 lines; terminal lines at
+    # 88 + 4 planted -> 92 tokens -> 12 lines; terminal lines at
     # j in {1,4,7,10} (mod 3) + j=5 (mod 7) = 5 sentences exactly
-    assert d2.n_lines == 12 and d2.n_sentences == 5
-    assert d2.gopher_stop_hits == 4  # planted only
+    assert d2.n_lines == 12 and d2.n_words == 94 and d2.n_sentences == 5
+    assert d2.gopher_stop_hits == 4  # planted, last line undecorated
     assert d2.gopher_pass and d2.c4_pass
-
-    plan = (
-        quality_scores(corpus, extended=True)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "Exchange" not in plan
 
 
 def test_pii_scrub_semantics_and_plan(spark):
