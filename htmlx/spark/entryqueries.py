@@ -619,15 +619,36 @@ a4 AS (SELECT *,
               floor(len(list_filter(aw, w -> regexp_matches(w, '[a-z]'))) * 100 / len(aw)) AS alpha_pct,
               floor(bullet_lines * 100 / n_lines) AS bullet_pct,
               floor(ellipsis_lines * 100 / n_lines) AS ellipsis_pct,
-              floor(coalesce(list_max([len(list_filter(
-                      [aw[i] || ' ' || aw[i+1] FOR i IN generate_series(1, len(aw) - 1)],
-                      x -> x = d)) FOR d IN list_distinct(
-                      [aw[i] || ' ' || aw[i+1] FOR i IN generate_series(1, len(aw) - 1)])]), 0)
-                    * 100 / greatest(len(aw) - 1, 1)) AS top2a_pct,
+              floor((n_lines - len(list_distinct(lines))) * 100 / n_lines) AS dup_line_pct,
+              floor((list_sum(list_transform(lines, l -> length(l)))
+                     - list_sum(list_transform(list_distinct(lines), l -> length(l))))
+                    * 100 / greatest(list_sum(list_transform(lines, l -> length(l))), 1)) AS dup_line_char_pct,
               contains(ftext, 'lorem ipsum') AS has_lorem,
               contains(ftext, '{') AS has_curly,
               list_contains(aw, 'javascript') AS has_js
-       FROM a3)
+       FROM a3),
+-- top n-gram counts per doc: explode + group-by (linear; the per-doc
+-- list-comprehension form is O(n^2) and was measured 6x slower here)
+gx AS (SELECT doc_id, unnest([
+          {'n': 2, 'g': [aw[i] || ' ' || aw[i+1]
+                         FOR i IN generate_series(1, len(aw) - 1)]},
+          {'n': 3, 'g': [aw[i] || ' ' || aw[i+1] || ' ' || aw[i+2]
+                         FOR i IN generate_series(1, len(aw) - 2)]},
+          {'n': 4, 'g': [aw[i] || ' ' || aw[i+1] || ' ' || aw[i+2] || ' ' || aw[i+3]
+                         FOR i IN generate_series(1, len(aw) - 3)]}
+       ]) AS e FROM a3),
+gc AS (SELECT doc_id, e.n AS n, g, count(*) AS cnt
+       FROM (SELECT doc_id, e, unnest(e.g) AS g FROM gx) GROUP BY doc_id, e.n, g),
+gt AS (SELECT doc_id,
+              coalesce(max(CASE WHEN n = 2 THEN cnt END), 0) AS top2_cnt,
+              coalesce(max(CASE WHEN n = 3 THEN cnt END), 0) AS top3_cnt,
+              coalesce(max(CASE WHEN n = 4 THEN cnt END), 0) AS top4_cnt
+       FROM gc GROUP BY doc_id),
+a5 AS (SELECT a4.*,
+              floor(gt.top2_cnt * 100 / greatest(len(aw) - 1, 1)) AS top2a_pct,
+              floor(gt.top3_cnt * 100 / greatest(len(aw) - 2, 1)) AS top3a_pct,
+              floor(gt.top4_cnt * 100 / greatest(len(aw) - 3, 1)) AS top4a_pct
+       FROM a4 JOIN gt USING (doc_id))
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
        CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
@@ -641,16 +662,23 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(symbol_pct AS BIGINT) AS symbol_word_pct,
        CAST(alpha_pct AS BIGINT) AS alpha_word_pct,
        CAST(stop_hits AS BIGINT) AS gopher_stop_hits,
+       CAST(dup_line_pct AS BIGINT) AS dup_line_pct,
+       CAST(dup_line_char_pct AS BIGINT) AS dup_line_char_pct,
+       CAST(top3a_pct AS BIGINT) AS top_3gram_pct,
+       CAST(top4a_pct AS BIGINT) AS top_4gram_pct,
        (n_words BETWEEN 50 AND 100000 AND mean_x10 BETWEEN 30 AND 100
         AND symbol_pct <= 10 AND alpha_pct >= 80 AND stop_hits >= 2
-        AND bullet_pct <= 90 AND ellipsis_pct <= 30 AND top2a_pct <= 20) AS gopher_pass,
+        AND bullet_pct <= 90 AND ellipsis_pct <= 30
+        AND dup_line_pct <= 30 AND dup_line_char_pct <= 20
+        AND top2a_pct <= 20 AND top3a_pct <= 18 AND top4a_pct <= 16) AS gopher_pass,
+       -- (reads from a5, which joins the per-doc top n-gram counts)
        has_lorem AS has_lorem_ipsum,
        has_curly AS has_curly_brace,
        has_js AS has_javascript,
        CAST(terminal_lines AS BIGINT) AS n_sentences,
        CAST(floor(keep_lines * 100 / n_lines) AS BIGINT) AS c4_keep_line_pct,
        (terminal_lines >= 5 AND NOT has_lorem AND NOT has_curly AND NOT has_js) AS c4_pass
-FROM a4
+FROM a5
 """
 
 

@@ -299,6 +299,35 @@ def test_c4_gopher_quality_production_semantics(spark):
     assert "Exchange" not in plan
 
 
+def test_gopher_repetition_signals_on_real_lines(spark):
+    """The duplicate-line and top-3/4-gram Gopher signals: a doc whose
+    boilerplate line repeats 4x fails the dup-line gates; a clean doc
+    that otherwise passes is unaffected."""
+    from htmlx.spark.analytics import c4_gopher_quality
+
+    boiler = "subscribe to our newsletter today."
+    spam = "\n".join([boiler] * 4 + ["the quick brown fox jumps over and over."] * 1
+                     + [f"filler w{i:02d} x{i:02d} y{i:02d} z{i:02d} line here ok." for i in range(12)])
+    clean = "\n".join(
+        f"the number w{i:03d} and item x{i:03d} of list y{i:03d} have value z{i:03d}."
+        for i in range(12)
+    )
+    corpus = spark.createDataFrame([(0, spam), (1, clean)], "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_gopher_quality(corpus).collect()}
+
+    d0 = out[0]
+    # 17 lines, the boilerplate one 4x -> 3 beyond-first duplicates
+    assert d0.n_lines == 17 and d0.dup_line_pct == 3 * 100 // 17
+    assert d0.dup_line_char_pct > 0
+    # the repeated 5-word line dominates the 3- and 4-gram tops
+    assert d0.top_3gram_pct >= 1 and d0.top_4gram_pct >= 1
+
+    d1 = out[1]
+    assert d1.dup_line_pct == 0 and d1.dup_line_char_pct == 0
+    assert d1.gopher_pass  # 108 words, stopword-rich, repetition-free
+    assert d1.c4_pass  # 12 terminal lines, no markers
+
+
 def test_c4_gopher_on_synthesized_driver_lines(spark):
     """The driver-corpus path: synth_lines_frame builds deterministic
     multi-line text (markers, stopword planting, bullet/ellipsis
