@@ -955,7 +955,12 @@ def q_pdf_metadata(spark, sf_dir):
            structural fields still real)
     DCT rasters are block-constant JFIFs (8x8 luma block b follows
     v = (doc_id*31 + b*7) % 256, all-ones quant => bit-exact), so the
-    oracle recomputes the pixel digest from the formula with no codec."""
+    oracle recomputes the pixel digest from the formula with no codec.
+    ODD doc_ids use the modern-PDF layout: page dicts + the Info dict
+    packed into a Flate-compressed /Type /ObjStm — n_pages and title
+    only come out if the structural parse decodes object streams, and
+    n_objects/n_streams shift to the layout's counts (oracle branches
+    on parity)."""
     import pandas as pd
 
     from .pdf import extract_pdf_profile
@@ -974,8 +979,19 @@ def q_pdf_metadata(spark, sf_dir):
                 k = d // 4
                 pages = 1 + d % 5
                 body = b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
-                for i in range(pages):
-                    body += b"%d 0 obj\n<< /Type /Page >>\nendobj\n" % (2 + i)
+                objstm = d % 2 == 1
+                if objstm:
+                    # modern-PDF layout: page dicts + the Info dict live
+                    # INSIDE a compressed /Type /ObjStm — the structural
+                    # parse must decode it or n_pages/title break
+                    from .pdf import encode_object_stream
+
+                    packed = [(2 + i, b"<< /Type /Page >>") for i in range(pages)]
+                    packed.append((9, b"<< /Title (Doc %d) >>" % d))
+                    body += b"7 0 obj\n" + encode_object_stream(packed) + b"\nendobj\n"
+                else:
+                    for i in range(pages):
+                        body += b"%d 0 obj\n<< /Type /Page >>\nendobj\n" % (2 + i)
                 mode = d % 4
                 if mode in (0, 1):
                     w, h = 8 * (1 + k % 4), 8 * (1 + k % 3)
@@ -1010,7 +1026,9 @@ def q_pdf_metadata(spark, sf_dir):
                     + b" /Length " + str(len(data)).encode()
                     + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
                 )
-                body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n%%%%EOF\n" % d
+                if not objstm:
+                    body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n" % d
+                body += b"%%EOF\n"
                 rows.append(
                     {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
                 )
@@ -1062,8 +1080,11 @@ px AS (
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
        '1.7' AS pdf_version,
        CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
-       CAST(4 + doc_id % 5 AS BIGINT) AS n_objects,
-       CAST(1 AS BIGINT) AS n_streams,
+       -- odd docs: catalog + objstm + image top-level (3) plus /N
+       -- packed objects (pages + the Info dict)
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 5 + doc_id % 5
+                 ELSE 4 + doc_id % 5 END AS BIGINT) AS n_objects,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_streams,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        CAST(1 AS BIGINT) AS n_images,
        CAST(w AS BIGINT) AS img_width,

@@ -69,8 +69,22 @@ _INFO_RE = {
 MAX_PDF_SCAN = 10 * 1024 * 1024  # structural scan cap (DoS bound)
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+
+
 def parse_pdf_structure(payload: bytes) -> dict:
-    """Codec-free structural parse of a PDF byte stream."""
+    """Codec-free structural parse of a PDF byte stream.
+
+    Modern PDFs (1.5+) pack page/Info dictionaries into COMPRESSED
+    object streams (/Type /ObjStm), invisible to a raw byte scan; each
+    ObjStm is decoded with the shared filter machinery and its contents
+    scanned too (the spec forbids stream objects inside an ObjStm, so
+    content/image streams are always top-level and never need this).
+    Packed objects carry no 'N G obj' headers — their count comes from
+    the ObjStm's /N entry. A corrupt or exotically-filtered ObjStm is
+    skipped, never fatal, and total decoded bytes stay under the same
+    scan cap as the raw pass (bomb guard)."""
     out = {
         "pdf_version": "",
         "n_pages": 0,
@@ -95,7 +109,53 @@ def parse_pdf_structure(payload: bytes) -> dict:
         m = rx.search(scan)
         if m:
             out[key] = m.group(1).decode("latin-1", errors="replace")
+    budget = MAX_PDF_SCAN
+    for obj_dict, raw in _iter_streams(scan):
+        if not _OBJSTM_RE.search(obj_dict):
+            continue
+        # packed objects carry no 'N G obj' headers, so /N is additive
+        # whether or not the stream is compressed
+        nm = _OBJSTM_N_RE.search(obj_dict)
+        if nm:
+            out["n_objects"] += int(nm.group(1))
+        if not _FILTER_RE.search(obj_dict):
+            continue  # unfiltered ObjStm content was visible to the raw scan
+        try:
+            decoded = _decode_stream(obj_dict, raw)[:budget]
+        except (UnsupportedFilterError, zlib.error, ValueError):
+            continue  # exotic filter / corrupt ObjStm: degrade to raw-scan view
+        budget -= len(decoded)
+        out["n_pages"] += len(_PAGE_RE.findall(decoded))
+        for key, rx in _INFO_RE.items():
+            if not out[key]:
+                dm = rx.search(decoded)
+                if dm:
+                    out[key] = dm.group(1).decode("latin-1", errors="replace")
+        if budget <= 0:
+            break
     return out
+
+
+def encode_object_stream(objects, compress: bool = True) -> bytes:
+    """Build a spec-layout /Type /ObjStm stream OBJECT BODY (dict +
+    stream..endstream) from [(obj_num, obj_bytes)] pairs — the synthesis
+    twin for parse_pdf_structure's ObjStm path. Header is the N pairs of
+    'objnum offset', /First points past it."""
+    offsets = []
+    content = b""
+    for num, obj in objects:
+        offsets.append((num, len(content)))
+        content += obj + b"\n"
+    header = b" ".join(b"%d %d" % (n, o) for n, o in offsets) + b"\n"
+    body = header + content
+    data = zlib.compress(body) if compress else body
+    filt = b" /Filter /FlateDecode" if compress else b""
+    return (
+        b"<< /Type /ObjStm /N %d /First %d%s /Length %d >>\nstream\n"
+        % (len(objects), len(header), filt, len(data))
+        + data
+        + b"\nendstream"
+    )
 
 
 class UnsupportedFilterError(Exception):

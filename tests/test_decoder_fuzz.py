@@ -141,6 +141,14 @@ def test_pdf_crafted_stream_fragments(blob):
             pass
         except UnsupportedFilterError:
             pass
+        # ObjStm path: arbitrary bytes behind an object-stream dict must
+        # degrade to the raw-scan view, never crash the structural parse
+        objstm = (
+            b"%PDF-1.5\n7 0 obj\n<< /Type /ObjStm /N 3 /First 9 /Filter " + filt
+            + b" /Length " + str(len(blob)).encode()
+            + b" >>\nstream\n" + blob + b"\nendstream\nendobj\n"
+        )
+        parse_pdf_structure(objstm)
 
 
 def test_gif_truncation_points_all_valueerror():

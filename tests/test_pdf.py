@@ -435,3 +435,69 @@ def test_pdf_profile_one_pass_merges_structural_and_image():
     assert rows["u1"]["img_filter"] == "dct" and rows["u1"]["img_width"] == 8
     assert rows["u1"]["error"] == ""
     assert rows["u2"]["error"] == "not_a_pdf" and rows["u2"]["n_images"] == 0
+
+
+# ---------------------------------------------------------------------------
+# object streams (modern-PDF layout: /Type /ObjStm packed dictionaries)
+# ---------------------------------------------------------------------------
+
+def _objstm_pdf(packed, compress=True, extra=b""):
+    from htmlx.spark.pdf import encode_object_stream
+
+    return (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+        + b"7 0 obj\n" + encode_object_stream(packed, compress=compress)
+        + b"\nendobj\n" + extra + b"%%EOF\n"
+    )
+
+
+def test_objstm_pages_and_title_visible():
+    """Page dicts + the Info dict inside a Flate ObjStm: invisible to a
+    raw scan, found once the structural parse decodes object streams."""
+    from htmlx.spark.pdf import parse_pdf_structure
+
+    packed = [(2 + i, b"<< /Type /Page >>") for i in range(3)]
+    packed.append((9, b"<< /Title (Packed Title) >>"))
+    out = parse_pdf_structure(_objstm_pdf(packed))
+    assert out["n_pages"] == 3
+    assert out["title"] == "Packed Title"
+    # 2 top-level 'N G obj' + 4 packed (/N)
+    assert out["n_objects"] == 6
+    assert out["n_streams"] == 1 and out["error"] == ""
+
+
+def test_objstm_uncompressed_and_top_level_mix():
+    from htmlx.spark.pdf import parse_pdf_structure
+
+    packed = [(2, b"<< /Type /Page >>")]
+    extra = b"3 0 obj\n<< /Type /Page >>\nendobj\n"
+    out = parse_pdf_structure(_objstm_pdf(packed, compress=False, extra=extra))
+    assert out["n_pages"] == 2  # one packed + one top-level
+    assert out["n_objects"] == 4  # 3 top-level + 1 packed
+
+
+def test_objstm_corrupt_degrades_to_raw_view():
+    """A truncated Flate body inside the ObjStm must not raise — the
+    parse keeps the raw-scan counts (packed objects invisible)."""
+    from htmlx.spark.pdf import encode_object_stream, parse_pdf_structure
+
+    good = encode_object_stream([(2, b"<< /Type /Page >>")])
+    # corrupt the Flate payload, keep /Length consistent via endstream scan
+    bad = good.replace(b"stream\n", b"stream\n\xff\x00", 1)
+    body = (b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n7 0 obj\n"
+            + bad + b"\nendobj\n%%EOF\n")
+    out = parse_pdf_structure(body)
+    assert out["error"] == "" and out["n_pages"] == 0
+
+
+def test_objstm_exotic_filter_skipped():
+    from htmlx.spark.pdf import parse_pdf_structure
+
+    body = (b"%PDF-1.5\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+            b"7 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Filter /JPXDecode /Length 4 >>\n"
+            b"stream\nabcd\nendstream\nendobj\n%%EOF\n")
+    out = parse_pdf_structure(body)
+    assert out["error"] == "" and out["n_pages"] == 0
+    # /N is a declared census (like /Length) and counts even when the
+    # content can't be decoded: 2 raw 'N G obj' + 2 declared packed
+    assert out["n_objects"] == 4
