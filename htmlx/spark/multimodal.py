@@ -969,10 +969,11 @@ def _write_ext80(rate: int) -> bytes:
 def decode_aiff(payload: bytes):
     """REAL AIFF/AIFC decode (Audio IFF 1.3): FORM chunk walk, COMM
     (channels/frames/bits/80-bit-extended rate), SSND offset handling.
-    8-bit (SIGNED, unlike WAV) and 16-bit big-endian PCM; AIFC accepted
-    for compressionType NONE only — compressed AIFC needs a codec and
-    raises NotImplementedError. Returns (rate, channels, (frames,
-    channels) int array)."""
+    8-bit (SIGNED, unlike WAV) and 16-bit PCM; AIFC accepted for
+    compressionType NONE (big-endian) and 'sowt' (the Mac-native
+    byte-swapped little-endian variant) — genuinely compressed AIFC
+    (ima4/ulaw/...) needs a codec and raises NotImplementedError.
+    Returns (rate, channels, (frames, channels) int array)."""
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] not in (
@@ -997,19 +998,19 @@ def decode_aiff(payload: bytes):
         raise ValueError("missing_aiff_chunks")
     channels, frames, bits = struct.unpack(">HIH", comm[:8])
     rate = _read_ext80(comm[8:18])
+    little = False
     if is_aifc:
         if len(comm) < 22 or comm[18:22] not in (b"NONE", b"sowt"):
             raise NotImplementedError("aifc compression needs a codec")
-        if comm[18:22] == b"sowt":
-            raise NotImplementedError("aifc little-endian variant")
+        little = comm[18:22] == b"sowt"  # Mac-native byte-swapped PCM
     if channels < 1 or rate <= 0:
         raise ValueError("bad_aiff_params")
     (offset,) = struct.unpack(">I", ssnd[:4])
     data = ssnd[8 + offset :]
     if bits == 16:
-        samples = np.frombuffer(data[: len(data) - (len(data) % 2)], ">i2").astype(
-            np.int32
-        )
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], "<i2" if little else ">i2"
+        ).astype(np.int32)
     elif bits == 8:
         samples = np.frombuffer(data, np.int8).astype(np.int32)
     else:
@@ -1018,19 +1019,22 @@ def decode_aiff(payload: bytes):
     return rate, channels, samples[: got * channels].reshape(got, channels)
 
 
-def encode_aiff(samples, rate: int = 8000) -> bytes:
-    """Minimal deterministic PCM-16 AIFF encoder (synthesis/tests twin)."""
+def encode_aiff(samples, rate: int = 8000, sowt: bool = False) -> bytes:
+    """Minimal deterministic PCM-16 AIFF encoder (synthesis/tests twin).
+    sowt=True emits the AIFC little-endian variant."""
     import numpy as np
 
     a = np.asarray(samples, np.int16)
     if a.ndim == 1:
         a = a[:, None]
     frames, channels = a.shape
-    data = a.astype(">i2").tobytes()
+    data = a.astype("<i2" if sowt else ">i2").tobytes()
     comm = struct.pack(">HIH", channels, frames, 16) + _write_ext80(rate)
+    if sowt:
+        comm += b"sowt" + b"\x0enot compressed\x00"
     ssnd = struct.pack(">II", 0, 0) + data
     body = (
-        b"AIFF"
+        (b"AIFC" if sowt else b"AIFF")
         + b"COMM" + struct.pack(">I", len(comm)) + comm
         + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
     )

@@ -654,3 +654,17 @@ def test_wbmp_roundtrip_dispatch_and_error_paths():
         decode_wbmp(b"\x00\x00\x00\x05")  # zero width
     with pytest.raises(ValueError):  # unbounded multibyte dims -> bomb guard
         decode_wbmp(b"\x00\x00\xff\xff\xff\xff\x7f\x01" + b"\x00" * 64)
+
+
+def test_aifc_sowt_little_endian_roundtrip():
+    import numpy as np
+
+    from htmlx.spark.multimodal import decode_aiff, decode_audio, encode_aiff
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(-20000, 20000, (150, 2), dtype=np.int16)
+    payload = encode_aiff(a, 22050, sowt=True)
+    assert payload[8:12] == b"AIFC" and b"sowt" in payload[:64]
+    r, c, out = decode_aiff(payload)
+    assert (r, c) == (22050, 2) and (out == a).all()
+    assert decode_audio(payload)[0] == 22050
