@@ -266,6 +266,22 @@ def start_extraction_stream(
     return writer.start()
 
 
+def quality_filter_stream(docs_stream: DataFrame) -> DataFrame:
+    """Streaming C4/Gopher quality filtering: the published rule suites
+    applied at ingest so low-quality documents are dropped before they
+    ever land in the corpus — the streaming face of
+    analytics.c4_gopher_quality.
+
+    Stateless by construction (append-mode safe, no watermark, no
+    state store): every signal is a pure function of the document's own
+    text, so the exact batch projection applies unchanged to each
+    micro-batch. Batch/stream equivalence is therefore structural, and
+    pinned by test_streaming_quality_filter_matches_batch."""
+    from .analytics import c4_gopher_quality
+
+    return c4_gopher_quality(docs_stream)
+
+
 def decontaminate_stream(
     docs_stream: DataFrame, eval_docs: DataFrame, n: int = 13,
     hash_basis: str = "xxhash64",

@@ -317,3 +317,49 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path_factory):
     got = {r.doc_id: (r.n_gram_hits, r.contaminated)
            for r in spark.read.parquet(str(out_dir)).collect()}
     assert got == expected, (got, expected)
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path_factory):
+    """quality_filter_stream over a file stream == c4_gopher_quality
+    over the same rows (stateless projection), docs split across
+    micro-batches; the multi-line/marker rules exercised in-stream."""
+    from htmlx.spark.analytics import c4_gopher_quality
+    from htmlx.spark.streaming import quality_filter_stream
+
+    tmp = tmp_path_factory.mktemp("quality_stream")
+    src, out_dir, ckpt = tmp / "src", tmp / "out", tmp / "ckpt"
+    src.mkdir()
+    docs = [
+        (0, "\n".join(
+            f"the number w{i:03d} and item x{i:03d} of list y{i:03d} have value z{i:03d}."
+            for i in range(12))),              # passes both gates
+        (1, "- bullet\n- bullet\nlorem ipsum here"),  # markers + bullets
+        (2, "short one"),
+        (3, "{ javascript } code..."),
+    ]
+    spark.createDataFrame(docs[:2], "doc_id long, text string").write.parquet(
+        str(src / "a")
+    )
+    spark.createDataFrame(docs[2:], "doc_id long, text string").write.parquet(
+        str(src / "b")
+    )
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    expected = {r.doc_id: r.asDict() for r in c4_gopher_quality(batch_df).collect()}
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        quality_filter_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.asDict() for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == expected, (got, expected)
+    assert expected[0]["gopher_pass"] and expected[0]["c4_pass"]
+    assert expected[1]["has_lorem_ipsum"] and not expected[1]["c4_pass"]
