@@ -592,6 +592,8 @@ def decode_image(payload: bytes):
         from .tiffbmp import decode_ico
 
         return decode_ico(payload)
+    if len(payload) >= 3 and payload[0] == 0x50 and 0x31 <= payload[1] <= 0x36:
+        return decode_pnm(payload)
     if payload[:2] == b"\x00\x00":
         # WBMP carries no magic (type 0 + fix-header 0); the strict
         # structural check inside decode_wbmp (multibyte dims + exact
@@ -636,6 +638,121 @@ def decode_wbmp(payload: bytes):
     rows = np.frombuffer(payload[pos:need], np.uint8).reshape(h, stride)
     bits = np.unpackbits(rows, axis=1)[:, :w]
     return (bits * 255).astype(np.uint8)[:, :, None]
+
+
+def _pnm_tokens(payload: bytes, pos: int, count: int):
+    """Read `count` whitespace-separated ASCII integers from a PNM
+    header/body, skipping '#' comments to end-of-line."""
+    vals = []
+    n = len(payload)
+    while len(vals) < count:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos] == 0x23:  # '#' comment
+            eol = payload.find(b"\n", pos)
+            if eol == -1:
+                raise ValueError("truncated_pnm")
+            pos = eol + 1
+            continue
+        start = pos
+        while pos < n and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("bad_pnm_token")
+        vals.append(int(payload[start:pos]))
+    return vals, pos
+
+
+def decode_pnm(payload: bytes):
+    """REAL netpbm decode, all six formats: P1/P2/P3 (ASCII bitmap/
+    gray/RGB) and P4/P5/P6 (binary). PBM polarity follows the spec
+    (1 = black -> 0, 0 = white -> 255, the opposite of WBMP); gray/RGB
+    samples scale linearly to 8 bits by maxval (2-byte big-endian
+    samples for maxval > 255, emitting the high-byte convention).
+    Returns (h, w, 1|3) uint8."""
+    import numpy as np
+
+    if len(payload) < 3 or payload[0] != 0x50 or not (0x31 <= payload[1] <= 0x36):
+        raise ValueError("not_a_pnm")
+    kind = payload[1] - 0x30
+    bitmap = kind in (1, 4)
+    channels = 3 if kind in (3, 6) else 1
+    (w, h), pos = _pnm_tokens(payload, 2, 2)
+    maxval = 1
+    if not bitmap:
+        (maxval,), pos = _pnm_tokens(payload, pos, 1)
+        if maxval < 1 or maxval > 65535:
+            raise ValueError("bad_pnm_maxval")
+    if w == 0 or h == 0 or w * h * channels > _MAX_RASTER_BYTES:
+        raise ValueError("bad_dimensions")
+    nvals = w * h * channels
+    if kind in (1, 2, 3):  # ASCII
+        if kind == 1:
+            # P1 digits may be unseparated ("0110"): read raw 0/1 chars
+            bits = [c - 0x30 for c in payload[pos:] if c in (0x30, 0x31)]
+            if len(bits) < nvals:
+                raise ValueError("truncated_pnm")
+            arr = np.array(bits[:nvals], np.int32)
+        else:
+            vals, _ = _pnm_tokens(payload, pos, nvals)
+            arr = np.array(vals, np.int32)
+    else:  # binary: exactly one whitespace byte after the header
+        pos += 1
+        if kind == 4:
+            stride = (w + 7) // 8
+            need = pos + stride * h
+            if len(payload) < need:
+                raise ValueError("truncated_pnm")
+            rows = np.frombuffer(payload[pos:need], np.uint8).reshape(h, stride)
+            arr = np.unpackbits(rows, axis=1)[:, :w].astype(np.int32).ravel()
+        elif maxval > 255:
+            need = pos + nvals * 2
+            if len(payload) < need:
+                raise ValueError("truncated_pnm")
+            arr = np.frombuffer(payload[pos:need], ">u2").astype(np.int32)
+        else:
+            need = pos + nvals
+            if len(payload) < need:
+                raise ValueError("truncated_pnm")
+            arr = np.frombuffer(payload[pos:need], np.uint8).astype(np.int32)
+    if bitmap:
+        px = np.where(arr > 0, 0, 255)  # 1 = black per PBM spec
+    else:
+        if int(arr.max(initial=0)) > maxval:
+            raise ValueError("pnm_sample_exceeds_maxval")
+        px = arr * 255 // maxval
+    return px.astype(np.uint8).reshape(h, w, channels)
+
+
+def encode_pnm(arr, kind: int = 6, maxval: int = 255) -> bytes:
+    """Deterministic netpbm encoder (synthesis/tests twin) for any of
+    the six formats. Bitmap kinds take 0/nonzero input (nonzero =
+    black, matching decode's polarity)."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    bitmap = kind in (1, 4)
+    if (kind in (3, 6)) != (c == 3) or (bitmap and c != 1):
+        raise ValueError("channel count does not match PNM kind")
+    hdr = b"P%d\n# twin\n%d %d\n" % (kind, w, h)
+    if not bitmap:
+        hdr += b"%d\n" % maxval
+    if kind == 1:
+        body = b"\n".join(
+            b" ".join(b"1" if v else b"0" for v in row) for row in (a[:, :, 0] != 0)
+        )
+    elif kind in (2, 3):
+        body = b" ".join(b"%d" % v for v in a.astype(np.int64).ravel())
+    elif kind == 4:
+        body = np.packbits((a[:, :, 0] != 0).astype(np.uint8), axis=1).tobytes()
+    elif maxval > 255:
+        body = a.astype(">u2").tobytes()
+    else:
+        body = a.astype(np.uint8).tobytes()
+    return hdr + body
 
 
 def encode_wbmp(bitonal) -> bytes:

@@ -41,12 +41,13 @@ def test_image_decoders_never_crash(blob):
     from htmlx.spark.jpeg import decode_jpeg
     from htmlx.spark.tiffbmp import decode_bmp, decode_tiff
 
-    from htmlx.spark.multimodal import decode_wbmp
+    from htmlx.spark.multimodal import decode_pnm, decode_wbmp
 
     for prefix in (b"", _PNG_SIG, b"GIF89a", b"RIFF", b"\xff\xd8", b"BM",
-                   b"II*\x00", b"MM\x00*", b"\x00\x00"):
+                   b"II*\x00", b"MM\x00*", b"\x00\x00", b"P4\n", b"P2 "):
         _attempt(decode_image, prefix + blob)
         _attempt(decode_wbmp, prefix + blob)
+        _attempt(decode_pnm, prefix + blob)
         _attempt(decode_png, prefix + blob)
         _attempt(decode_gif, prefix + blob)
         _attempt(decode_jpeg, prefix + blob)

@@ -668,3 +668,39 @@ def test_aifc_sowt_little_endian_roundtrip():
     r, c, out = decode_aiff(payload)
     assert (r, c) == (22050, 2) and (out == a).all()
     assert decode_audio(payload)[0] == 22050
+
+
+def test_pnm_all_six_formats_roundtrip_and_errors():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_image, decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(29)
+    # bitmap kinds: nonzero = black per PBM spec (opposite of WBMP)
+    for kind in (1, 4):
+        a = (rng.integers(0, 2, (13, 21)) * 255).astype(np.uint8)
+        out = decode_pnm(encode_pnm(a, kind=kind))
+        assert (out == np.where(a > 0, 0, 255)[:, :, None]).all()
+    for kind, c in ((2, 1), (3, 3), (5, 1), (6, 3)):
+        a = rng.integers(0, 256, (9, 7, c)).astype(np.uint8)
+        assert (decode_pnm(encode_pnm(a, kind=kind)) == a).all()
+    # maxval scaling + 16-bit high-byte convention
+    a = rng.integers(0, 16, (4, 4, 1)).astype(np.uint8)
+    assert (decode_pnm(encode_pnm(a, kind=5, maxval=15))
+            == a.astype(int) * 255 // 15).all()
+    a16 = rng.integers(0, 65536, (5, 6, 1))
+    assert (decode_pnm(encode_pnm(a16, kind=5, maxval=65535))
+            == a16 * 255 // 65535).all()
+    # header comments anywhere, unseparated P1 digits
+    assert decode_pnm(b"P2 # c\n2 1\n#x\n9\n4 9").tolist() == [[[113], [255]]]
+    assert decode_pnm(b"P1\n2 2\n0110").tolist() == [[[255], [0]], [[0], [255]]]
+    # dispatch
+    assert decode_image(encode_pnm(rng.integers(0, 256, (3, 3, 3)).astype(np.uint8))).shape == (3, 3, 3)
+    # error paths: truncation, sample > maxval, zero dims
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n4 4\n255\nab")
+    with pytest.raises(ValueError):
+        decode_pnm(b"P2\n1 1\n10\n11")
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5\n0 4\n255\n")
