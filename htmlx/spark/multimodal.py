@@ -1402,6 +1402,156 @@ def _parse_ogg(b: bytes) -> dict:
     }
 
 
+_ID3_TEXT_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+_ID3V22_TEXT_FRAMES = {b"TT2": "title", b"TP1": "artist", b"TAL": "album"}
+_VORBIS_COMMENT_KEYS = {"title": "title", "artist": "artist", "album": "album"}
+_MAX_TAG_SCAN = 1024 * 1024  # tag-region cap (bomb guard)
+
+
+def _id3_syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_text(data: bytes) -> str:
+    """Decode one ID3v2 text frame body: leading encoding byte then the
+    string (0 latin-1, 1 utf-16 with BOM, 2 utf-16be, 3 utf-8)."""
+    if not data:
+        return ""
+    enc, body = data[0], data[1:]
+    try:
+        if enc == 0:
+            return body.decode("latin-1").rstrip("\x00")
+        if enc == 1:
+            return body.decode("utf-16").rstrip("\x00")
+        if enc == 2:
+            return body.decode("utf-16-be").rstrip("\x00")
+        if enc == 3:
+            return body.decode("utf-8").rstrip("\x00")
+    except UnicodeDecodeError:
+        raise ValueError("bad_id3_text")
+    raise ValueError(f"bad_id3_encoding {enc}")
+
+
+def audio_tags(payload: bytes) -> dict:
+    """Header-walk tag metadata (title/artist/album) — the filter-by-
+    provenance fields a training-data pipeline wants from audio files
+    without decoding any audio:
+
+    - MP3: ID3v2.2 (3-byte frame ids/sizes), v2.3 (plain big-endian
+      frame sizes), v2.4 (syncsafe sizes); falls back to the fixed-
+      layout ID3v1 trailer. Unsynchronised v2 tags are a declared
+      NotImplementedError degradation.
+    - OGG: Vorbis comment header / OpusTags (UTF-8 KEY=value pairs,
+      case-insensitive keys) reassembled from the page stream.
+
+    Returns {container, tag_source, title, artist, album}; tag_source
+    '' when the payload carries no recognizable tags."""
+    out = {"container": "", "tag_source": "", "title": "", "artist": "", "album": ""}
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        out["container"] = "mp3"
+        ver, flags = payload[3], payload[5]
+        if flags & 0x80:
+            raise NotImplementedError("id3v2 unsynchronisation")
+        size = min(_id3_syncsafe(payload[6:10]), _MAX_TAG_SCAN)
+        body = payload[10 : 10 + size]
+        pos = 0
+        if ver in (3, 4) and flags & 0x40 and len(body) >= 4:
+            # extended header: self-sized (syncsafe in v2.4, plain in v2.3)
+            ext = _id3_syncsafe(body[0:4]) if ver == 4 else int.from_bytes(body[0:4], "big") + 4
+            pos = min(ext, len(body))
+        if ver in (3, 4):
+            while pos + 10 <= len(body):
+                fid = body[pos : pos + 4]
+                if fid == b"\x00\x00\x00\x00":
+                    break
+                fsz = (
+                    _id3_syncsafe(body[pos + 4 : pos + 8])
+                    if ver == 4
+                    else int.from_bytes(body[pos + 4 : pos + 8], "big")
+                )
+                if fsz > len(body) - pos - 10:
+                    break  # malformed size: stop, keep what parsed
+                key = _ID3_TEXT_FRAMES.get(fid)
+                if key and not out[key]:
+                    out[key] = _id3_text(body[pos + 10 : pos + 10 + fsz])
+                pos += 10 + fsz
+            out["tag_source"] = f"id3v2.{ver}"
+            return out
+        if ver == 2:
+            while pos + 6 <= len(body):
+                fid = body[pos : pos + 3]
+                if fid == b"\x00\x00\x00":
+                    break
+                fsz = int.from_bytes(body[pos + 3 : pos + 6], "big")
+                if fsz > len(body) - pos - 6:
+                    break
+                key = _ID3V22_TEXT_FRAMES.get(fid)
+                if key and not out[key]:
+                    out[key] = _id3_text(body[pos + 6 : pos + 6 + fsz])
+                pos += 6 + fsz
+            out["tag_source"] = "id3v2.2"
+            return out
+        raise NotImplementedError(f"id3v2 version {ver}")
+    if n >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        out["container"] = "mp3"
+        if n >= 128 and payload[-128:-125] == b"TAG":
+            t = payload[-128:]
+            out["tag_source"] = "id3v1"
+            out["title"] = t[3:33].decode("latin-1").rstrip("\x00 ")
+            out["artist"] = t[33:63].decode("latin-1").rstrip("\x00 ")
+            out["album"] = t[63:93].decode("latin-1").rstrip("\x00 ")
+        return out
+    if payload[:4] == b"OggS":
+        out["container"] = "ogg"
+        # reassemble page payloads (bounded) and locate the comment packet
+        data = bytearray()
+        pos = 0
+        while pos + 27 <= n and len(data) < _MAX_TAG_SCAN:
+            if payload[pos : pos + 4] != b"OggS":
+                break
+            nsegs = payload[pos + 26]
+            lace = payload[pos + 27 : pos + 27 + nsegs]
+            body_start = pos + 27 + nsegs
+            blen = sum(lace)
+            data += payload[body_start : body_start + blen]
+            pos = body_start + blen
+        for magic, source in ((b"\x03vorbis", "vorbis_comment"), (b"OpusTags", "opus_tags")):
+            at = bytes(data).find(magic)
+            if at == -1:
+                continue
+            p = at + len(magic)
+            if p + 4 > len(data):
+                raise ValueError("truncated_comment_header")
+            vlen = int.from_bytes(data[p : p + 4], "little")
+            p += 4 + vlen
+            if p + 4 > len(data):
+                raise ValueError("truncated_comment_header")
+            count = int.from_bytes(data[p : p + 4], "little")
+            p += 4
+            for _ in range(min(count, 1024)):
+                if p + 4 > len(data):
+                    raise ValueError("truncated_comment_header")
+                clen = int.from_bytes(data[p : p + 4], "little")
+                p += 4
+                item = bytes(data[p : p + clen])
+                p += clen
+                if len(item) < clen:
+                    raise ValueError("truncated_comment_header")
+                try:
+                    text = item.decode("utf-8")
+                except UnicodeDecodeError:
+                    raise ValueError("bad_comment_encoding")
+                k, sep, v = text.partition("=")
+                key = _VORBIS_COMMENT_KEYS.get(k.lower())
+                if sep and key and not out[key]:
+                    out[key] = v
+            out["tag_source"] = source
+            break
+        return out
+    raise ValueError("no_tag_container")
+
+
 def audio_stream_info(payload: bytes) -> dict:
     """Header-walk audio metadata for containers whose PCM decode needs an
     external codec: MP3 (MPEG frame headers) and OGG (Vorbis/Opus ident +
@@ -1430,23 +1580,70 @@ def encode_mp3_headers(n_mp3_frames: int, kbps_idx: int, rate_idx: int, mono: bo
     return (hdr + b"\x00" * (flen - 4)) * n_mp3_frames
 
 
-def encode_ogg_vorbis(granule: int, rate: int, channels: int, nominal_bps: int) -> bytes:
-    """Synthesis twin for _parse_ogg: BOS page carrying a Vorbis
-    identification header + an EOS page whose granule is the total sample
-    count. CRC left zero (the walk doesn't verify CRCs, documented)."""
-    ident = (
-        b"\x01vorbis"
-        + (0).to_bytes(4, "little")
-        + bytes([channels])
-        + rate.to_bytes(4, "little")
-        + (0).to_bytes(4, "little", signed=True)
-        + nominal_bps.to_bytes(4, "little", signed=True)
-        + (0).to_bytes(4, "little", signed=True)
-        + b"\xb8\x01"
-    )
+def encode_id3v2(
+    version: int = 4, title: str = "", artist: str = "", album: str = "",
+    mp3_body: bytes = b"",
+) -> bytes:
+    """Synthesis twin for audio_tags: an ID3v2.2/2.3/2.4 tag block
+    (utf-8 text frames for v2.3/4, latin-1 for v2.2) prepended to
+    `mp3_body`."""
+    frames = b""
+    if version in (3, 4):
+        for fid, value in ((b"TIT2", title), (b"TPE1", artist), (b"TALB", album)):
+            if not value:
+                continue
+            data = b"\x03" + value.encode("utf-8")
+            sz = (
+                bytes([(len(data) >> s) & 0x7F for s in (21, 14, 7, 0)])
+                if version == 4
+                else len(data).to_bytes(4, "big")
+            )
+            frames += fid + sz + b"\x00\x00" + data
+    elif version == 2:
+        for fid, value in ((b"TT2", title), (b"TP1", artist), (b"TAL", album)):
+            if not value:
+                continue
+            data = b"\x00" + value.encode("latin-1")
+            frames += fid + len(data).to_bytes(3, "big") + data
+    else:
+        raise ValueError("id3v2 version must be 2, 3 or 4")
+    size = bytes([(len(frames) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    return b"ID3" + bytes([version, 0, 0]) + size + frames + mp3_body
+
+
+def encode_ogg_vorbis(
+    granule: int, rate: int, channels: int, nominal_bps: int,
+    comments: dict | None = None, opus: bool = False,
+) -> bytes:
+    """Synthesis twin for _parse_ogg and audio_tags: BOS page carrying a
+    Vorbis identification header (or OpusHead), an optional comment page
+    (Vorbis comment / OpusTags KEY=value pairs), and an EOS page whose
+    granule is the total sample count. CRC left zero (the walk doesn't
+    verify CRCs, documented)."""
+    if opus:
+        ident = (
+            b"OpusHead\x01" + bytes([channels]) + (0).to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (0).to_bytes(2, "little") + b"\x00"
+        )
+    else:
+        ident = (
+            b"\x01vorbis"
+            + (0).to_bytes(4, "little")
+            + bytes([channels])
+            + rate.to_bytes(4, "little")
+            + (0).to_bytes(4, "little", signed=True)
+            + nominal_bps.to_bytes(4, "little", signed=True)
+            + (0).to_bytes(4, "little", signed=True)
+            + b"\xb8\x01"
+        )
 
     def page(htype: int, granule_pos: int, body: bytes, seq: int) -> bytes:
-        segs = bytes([len(body)]) if body else b"\x00"
+        if body:
+            # proper lacing: 255-byte segments + terminating short segment
+            full, last = divmod(len(body), 255)
+            segs = b"\xff" * full + bytes([last])
+        else:
+            segs = b"\x00"
         return (
             b"OggS\x00"
             + bytes([htype])
@@ -1454,12 +1651,68 @@ def encode_ogg_vorbis(granule: int, rate: int, channels: int, nominal_bps: int) 
             + (1234).to_bytes(4, "little")
             + seq.to_bytes(4, "little")
             + b"\x00\x00\x00\x00"
-            + bytes([1])
+            + bytes([len(segs)])
             + segs
             + body
         )
 
-    return page(0x02, 0, ident, 0) + page(0x04, granule, b"", 1)
+    out = page(0x02, 0, ident, 0)
+    seq = 1
+    if comments is not None:
+        vendor = b"htmlx-twin"
+        items = [
+            (k.upper() + "=" + v).encode("utf-8") for k, v in comments.items()
+        ]
+        packet = (
+            (b"OpusTags" if opus else b"\x03vorbis")
+            + len(vendor).to_bytes(4, "little") + vendor
+            + len(items).to_bytes(4, "little")
+            + b"".join(len(i).to_bytes(4, "little") + i for i in items)
+        )
+        if not opus:
+            packet += b"\x01"  # vorbis framing bit
+        out += page(0x00, -1, packet, seq)
+        seq += 1
+    return out + page(0x04, granule, b"", seq)
+
+
+AUDIO_TAGS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("tag_source", StringType()),
+        StructField("title", StringType()),
+        StructField("artist", StringType()),
+        StructField("album", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_audio_tags(media: DataFrame) -> DataFrame:
+    """mapInPandas stage over audio_tags: per-payload title/artist/album
+    provenance fields (ID3v1/v2, Vorbis comment, OpusTags) with the
+    standard per-row degradation contract."""
+    import pandas as pd
+
+    def tag_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_TAGS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf.media_id, pdf.payload):
+                b = bytes(payload) if payload is not None else b""
+                row = {"media_id": media_id, "container": "", "tag_source": "",
+                       "title": "", "artist": "", "album": "", "error": ""}
+                try:
+                    row.update(audio_tags(b))
+                except NotImplementedError:
+                    row["error"] = "decoder_unavailable"
+                except ValueError:
+                    row["error"] = "corrupt_tags"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(tag_batch, AUDIO_TAGS_SCHEMA)
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:

@@ -198,3 +198,84 @@ def test_mp3_crc_protected_xing_frame_excluded():
     audio = bytes([0xFF, 0xFA, (5 << 4), 0xC0]) + b"\x00" * (flen - 4)
     info = audio_stream_info(bytes(first) + audio * 3)
     assert info["n_frames"] == 3 * 1152
+
+
+# ---------------------------------------------------------------------------
+# tag metadata (ID3v1/v2, Vorbis comment, OpusTags)
+# ---------------------------------------------------------------------------
+
+def test_id3v2_all_versions_roundtrip():
+    from htmlx.spark.multimodal import audio_tags, encode_id3v2, encode_mp3_headers
+
+    mp3 = encode_mp3_headers(n_mp3_frames=2, kbps_idx=1, rate_idx=0, mono=True)
+    for ver in (2, 3, 4):
+        t = audio_tags(encode_id3v2(ver, "A Title", "An Artist", "An Album", mp3))
+        assert t["container"] == "mp3" and t["tag_source"] == f"id3v2.{ver}"
+        assert (t["title"], t["artist"], t["album"]) == ("A Title", "An Artist", "An Album")
+    # utf-8 text survives v2.3/2.4
+    t = audio_tags(encode_id3v2(4, "Tïtleé", "", "", mp3))
+    assert t["title"] == "Tïtleé"
+
+
+def test_id3v1_trailer_fallback():
+    from htmlx.spark.multimodal import audio_tags, encode_mp3_headers
+
+    mp3 = encode_mp3_headers(n_mp3_frames=2, kbps_idx=1, rate_idx=0, mono=True)
+    tag = (b"TAG" + b"Old Title".ljust(30, b"\x00") + b"Old Artist".ljust(30, b"\x00")
+           + b"Old Album".ljust(30, b"\x00") + b"\x00" * 35)
+    t = audio_tags(mp3 + tag)
+    assert t["tag_source"] == "id3v1"
+    assert (t["title"], t["artist"], t["album"]) == ("Old Title", "Old Artist", "Old Album")
+    # bare mp3 without any tag: container recognized, no source
+    t = audio_tags(mp3)
+    assert t["container"] == "mp3" and t["tag_source"] == ""
+
+
+def test_vorbis_comment_and_opustags():
+    from htmlx.spark.multimodal import audio_stream_info, audio_tags, encode_ogg_vorbis
+
+    ogg = encode_ogg_vorbis(1000, 8000, 1, 64000,
+                            comments={"title": "Song", "artist": "Band", "x": "y"})
+    t = audio_tags(ogg)
+    assert t["tag_source"] == "vorbis_comment"
+    assert t["title"] == "Song" and t["artist"] == "Band" and t["album"] == ""
+    # the header walk still reads the same stream info with the extra page
+    info = audio_stream_info(ogg)
+    assert info["sample_rate"] == 8000 and info["n_frames"] == 1000
+
+    op = encode_ogg_vorbis(48000, 48000, 2, 0, comments={"album": "LP"}, opus=True)
+    t = audio_tags(op)
+    assert t["tag_source"] == "opus_tags" and t["album"] == "LP"
+    assert audio_stream_info(op)["sample_rate"] == 48000
+
+
+def test_audio_tags_error_paths_and_spark_stage():
+    import pytest
+
+    from htmlx.spark.multimodal import audio_tags, encode_id3v2, encode_ogg_vorbis
+
+    with pytest.raises(ValueError):
+        audio_tags(b"RIFFxxxxWAVE")  # not a tag container
+    with pytest.raises(NotImplementedError):  # unsync flag declared
+        bad = bytearray(encode_id3v2(4, "T", "", "", b""))
+        bad[5] |= 0x80
+        audio_tags(bytes(bad))
+    # truncated comment header -> corrupt, not crash
+    ogg = encode_ogg_vorbis(10, 8000, 1, 0, comments={"title": "x"})
+    cut = ogg[: ogg.find(b"\x03vorbis") + 9]
+    with pytest.raises(ValueError):
+        audio_tags(cut)
+
+    from htmlx.spark.multimodal import extract_audio_tags
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=2, app_name="htmlx-audio-tags-test")
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_id3v2(3, "S", "B", "L",
+          b"\xff\xfb\x10\x00" + b"\x00" * 100))),
+         (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_audio_tags(media).collect()}
+    assert rows[1].title == "S" and rows[1].error == ""
+    assert rows[2].error == "corrupt_tags"

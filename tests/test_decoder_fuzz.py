@@ -87,11 +87,14 @@ def test_wav_decoder_never_crashes(blob):
 def test_aiff_au_decoders_never_crash(blob):
     from htmlx.spark.multimodal import decode_aiff, decode_au, decode_audio
 
+    from htmlx.spark.multimodal import audio_tags
+
     for prefix in (b"", b"FORM\x00\x00\x08\x00AIFF", b"FORM\x00\x00\x08\x00AIFC",
-                   b".snd"):
+                   b".snd", b"ID3\x04\x00\x00", b"ID3\x03\x00\x00", b"OggS\x00"):
         _attempt(decode_aiff, prefix + blob)
         _attempt(decode_au, prefix + blob)
         _attempt(decode_audio, prefix + blob)
+        _attempt(audio_tags, prefix + blob)
 
 
 @given(st.binary(max_size=2048))
