@@ -1402,6 +1402,42 @@ def _parse_ogg(b: bytes) -> dict:
     }
 
 
+def jpeg_exif(payload: bytes) -> dict:
+    """EXIF provenance metadata from a JPEG's APP1 segment (orientation,
+    make/model, DateTime(Original), pixel dims) — pure marker walk +
+    the shared TIFF IFD reader (tiffbmp.parse_exif); no pixel decode.
+    ValueError when the payload is not a JPEG or carries no EXIF APP1."""
+    import struct as _s
+
+    from .tiffbmp import parse_exif
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not_a_jpeg")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n and payload[pos] == 0xFF:
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:  # SOS: no EXIF past this point
+            break
+        (seglen,) = _s.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            return parse_exif(seg[6:])
+        pos += 2 + seglen
+    raise ValueError("no_exif_app1")
+
+
+def insert_exif_app1(jpeg: bytes, tiff_block: bytes) -> bytes:
+    """Twin helper: splice an EXIF APP1 segment right after SOI."""
+    import struct as _s
+
+    body = b"Exif\x00\x00" + tiff_block
+    return jpeg[:2] + b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body + jpeg[2:]
+
+
 _ID3_TEXT_FRAMES = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
 _ID3V22_TEXT_FRAMES = {b"TT2": "title", b"TP1": "artist", b"TAL": "album"}
 _VORBIS_COMMENT_KEYS = {"title": "title", "artist": "artist", "album": "album"}
@@ -1674,6 +1710,47 @@ def encode_ogg_vorbis(
         out += page(0x00, -1, packet, seq)
         seq += 1
     return out + page(0x04, granule, b"", seq)
+
+
+IMAGE_EXIF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("orientation", IntegerType()),
+        StructField("make", StringType()),
+        StructField("model", StringType()),
+        StructField("datetime", StringType()),
+        StructField("datetime_original", StringType()),
+        StructField("pixel_x", IntegerType()),
+        StructField("pixel_y", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_image_exif(media: DataFrame) -> DataFrame:
+    """mapInPandas stage over jpeg_exif: per-payload EXIF provenance
+    fields (orientation/make/model/timestamps/dims) with the standard
+    per-row degradation contract. error='no_exif' for JPEGs without an
+    APP1 EXIF block (the common case, not a corruption)."""
+    import pandas as pd
+
+    def exif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_EXIF_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf.media_id, pdf.payload):
+                b = bytes(payload) if payload is not None else b""
+                row = {"media_id": media_id, "orientation": 0, "make": "",
+                       "model": "", "datetime": "", "datetime_original": "",
+                       "pixel_x": 0, "pixel_y": 0, "error": ""}
+                try:
+                    row.update(jpeg_exif(b))
+                except ValueError as e:
+                    row["error"] = "no_exif" if str(e) == "no_exif_app1" else "corrupt_exif"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(exif_batch, IMAGE_EXIF_SCHEMA)
 
 
 AUDIO_TAGS_SCHEMA = StructType(

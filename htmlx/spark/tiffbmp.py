@@ -243,6 +243,127 @@ def _read_ifd_values(payload, bo, typ, count, value_field):
     return list(struct.unpack(bo + fmt * n, raw))
 
 
+# EXIF: a TIFF IFD structure embedded in JPEG APP1 (offsets relative to
+# the TIFF header, so the shared IFD reader applies unchanged). Core
+# provenance tags only — the fields a corpus pipeline filters on.
+_EXIF_IFD0_TAGS = {
+    0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+    0x0132: "datetime", 0x8769: "_exif_ptr",
+}
+_EXIF_SUB_TAGS = {0x9003: "datetime_original", 0xA002: "pixel_x", 0xA003: "pixel_y"}
+
+
+def _walk_ifd(payload: bytes, bo: str, ifd_off: int, tags: dict) -> dict:
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated_ifd")
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    out = {}
+    for i in range(n_entries):
+        e = payload[ifd_off + 2 + i * 12 : ifd_off + 14 + i * 12]
+        if len(e) < 12:
+            raise ValueError("truncated_ifd")
+        tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+        name = tags.get(tag)
+        if name is None:
+            continue
+        if count > 64 * 1024:
+            raise ValueError("exif_value_too_large")
+        v = _read_ifd_values(payload, bo, typ, count, e[8:12])
+        if v is None:
+            continue
+        if typ == 2:
+            out[name] = bytes(v).split(b"\x00")[0].decode("latin-1", errors="replace")
+        elif v:
+            out[name] = int(v[0])
+    return out
+
+
+def parse_exif(tiff: bytes) -> dict:
+    """Parse the provenance fields from an EXIF TIFF block (IFD0 +
+    Exif sub-IFD): orientation, make/model, DateTime(Original), pixel
+    dimensions. The IFD machinery is the same one the real-TIFF anchors
+    pin. Raises ValueError on malformed structures."""
+    if tiff[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not_exif_tiff")
+    bo = "<" if tiff[:2] == b"II" else ">"
+    try:
+        (ifd0,) = struct.unpack(bo + "I", tiff[4:8])
+        out = {"orientation": 0, "make": "", "model": "", "datetime": "",
+               "datetime_original": "", "pixel_x": 0, "pixel_y": 0}
+        vals = _walk_ifd(tiff, bo, ifd0, _EXIF_IFD0_TAGS)
+        ptr = vals.pop("_exif_ptr", None)
+        out.update(vals)
+        if ptr:
+            out.update(_walk_ifd(tiff, bo, int(ptr), _EXIF_SUB_TAGS))
+        return out
+    except struct.error:
+        raise ValueError("truncated_exif")
+
+
+def encode_exif(
+    make: str = "", model: str = "", orientation: int = 1, datetime: str = "",
+    datetime_original: str = "", pixel_x: int = 0, pixel_y: int = 0,
+    little: bool = True,
+) -> bytes:
+    """Deterministic EXIF TIFF-block builder (synthesis/tests twin of
+    parse_exif): IFD0 with the provenance tags + an Exif sub-IFD, either
+    byte order, long ASCII values spilled to the data area per spec."""
+    bo = "<" if little else ">"
+
+    def build_ifd(entries, base_off):
+        data_area = b""
+        body = b""
+        data_off = base_off + 2 + 12 * len(entries) + 4
+        for tag, typ, val in entries:
+            if typ == 2:
+                raw = val.encode("latin-1") + b"\x00"
+                count = len(raw)
+                if count <= 4:
+                    field = raw.ljust(4, b"\x00")
+                else:
+                    field = struct.pack(bo + "I", data_off + len(data_area))
+                    data_area += raw
+            elif typ == 3:
+                count = 1
+                field = struct.pack(bo + "H", val) + b"\x00\x00"
+            else:  # LONG
+                count = 1
+                field = struct.pack(bo + "I", val)
+            body += struct.pack(bo + "HHI", tag, typ, count) + field
+        return (
+            struct.pack(bo + "H", len(entries)) + body
+            + struct.pack(bo + "I", 0) + data_area
+        )
+
+    sub_entries = []
+    if datetime_original:
+        sub_entries.append((0x9003, 2, datetime_original))
+    if pixel_x:
+        sub_entries.append((0xA002, 4, pixel_x))
+    if pixel_y:
+        sub_entries.append((0xA003, 4, pixel_y))
+
+    def ifd0_entries(ptr):
+        entries = []
+        if make:
+            entries.append((0x010F, 2, make))
+        if model:
+            entries.append((0x0110, 2, model))
+        entries.append((0x0112, 3, orientation))
+        if datetime:
+            entries.append((0x0132, 2, datetime))
+        if sub_entries:
+            entries.append((0x8769, 4, ptr))
+        return entries
+
+    ifd0 = build_ifd(ifd0_entries(0), 8)
+    sub_off = 8 + len(ifd0)
+    ifd0 = build_ifd(ifd0_entries(sub_off), 8)  # same length: ptr is fixed-width
+    sub = build_ifd(sub_entries, sub_off) if sub_entries else b""
+    hdr = (b"II*\x00" if little else b"MM\x00*") + struct.pack(bo + "I", 8)
+    return hdr + ifd0 + sub
+
+
 def tiff_dimensions(payload: bytes) -> tuple[int, int]:
     """Header-only (w, h) from the first IFD; (0, 0) on any damage."""
     try:

@@ -73,6 +73,16 @@ def test_jpeg_crafted_scan_fragments(blob):
     good12 = encode_jpeg(np.full((8, 8), 2048, np.uint16), precision=12)
     sos12 = good12.index(b"\xff\xda") + 14
     _attempt(decode_jpeg, good12[:sos12] + blob)
+    # EXIF walk: arbitrary bytes behind an APP1 Exif header
+    from htmlx.spark.multimodal import jpeg_exif
+    from htmlx.spark.tiffbmp import parse_exif
+
+    app1 = b"Exif\x00\x00" + blob
+    wrapped = (b"\xff\xd8\xff\xe1"
+               + (len(app1) + 2).to_bytes(2, "big") + app1 + b"\xff\xd9")
+    _attempt(jpeg_exif, wrapped[:65537])
+    for prefix in (b"", b"II*\x00", b"MM\x00*"):
+        _attempt(parse_exif, prefix + blob)
 
 
 @given(st.binary(max_size=2048))

@@ -244,3 +244,80 @@ def test_bmp_rle8_delta_and_implicit_rows():
     got = decode_bmp(rle_bmp(3, 2, stream))
     exp_idx = np.array([[7, 7, 7], [8, 8, 8]], np.uint8)
     assert (got == pal[exp_idx[::-1]]).all()
+
+
+# ---------------------------------------------------------------------------
+# EXIF (TIFF IFD block inside JPEG APP1)
+# ---------------------------------------------------------------------------
+
+def test_exif_roundtrip_both_byte_orders():
+    from htmlx.spark.tiffbmp import encode_exif, parse_exif
+
+    for little in (True, False):
+        t = encode_exif(make="ACME", model="Cam 9000", orientation=6,
+                        datetime="2024:01:02 03:04:05",
+                        datetime_original="2023:12:31 23:59:59",
+                        pixel_x=4032, pixel_y=3024, little=little)
+        out = parse_exif(t)
+        assert out == {"orientation": 6, "make": "ACME", "model": "Cam 9000",
+                       "datetime": "2024:01:02 03:04:05",
+                       "datetime_original": "2023:12:31 23:59:59",
+                       "pixel_x": 4032, "pixel_y": 3024}
+
+
+def test_exif_inline_values_and_missing_subifd():
+    from htmlx.spark.tiffbmp import encode_exif, parse_exif
+
+    # "AB\0" fits in the 4-byte inline field; long strings spill
+    assert parse_exif(encode_exif(make="AB", orientation=1))["make"] == "AB"
+    out = parse_exif(encode_exif(model="X", orientation=3))
+    assert out["orientation"] == 3 and out["pixel_x"] == 0
+
+
+def test_exif_via_jpeg_app1_and_errors():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.jpeg import decode_jpeg, encode_jpeg
+    from htmlx.spark.multimodal import insert_exif_app1, jpeg_exif
+    from htmlx.spark.tiffbmp import encode_exif, parse_exif
+
+    jp = insert_exif_app1(
+        encode_jpeg(np.full((8, 8), 99, np.uint8)), encode_exif(make="ACME", orientation=8)
+    )
+    assert jpeg_exif(jp)["orientation"] == 8
+    # the pixel decoder skips the APP1 unchanged
+    assert (decode_jpeg(jp)[:, :, 0] == 99).all()
+    with pytest.raises(ValueError):
+        jpeg_exif(encode_jpeg(np.full((8, 8), 1, np.uint8)))  # no EXIF
+    with pytest.raises(ValueError):
+        parse_exif(b"XX*\x00")
+    with pytest.raises(ValueError):  # truncated IFD
+        parse_exif(b"II*\x00\x08\x00\x00\x00\x05\x00")
+
+
+def test_exif_spark_stage():
+    import numpy as np
+
+    from htmlx.spark.jpeg import encode_jpeg
+    from htmlx.spark.multimodal import extract_image_exif, insert_exif_app1
+    from htmlx.spark.session import get_spark
+    from htmlx.spark.tiffbmp import encode_exif
+
+    spark = get_spark(cores=2, app_name="htmlx-exif-test")
+    jp = encode_jpeg(np.full((8, 8), 7, np.uint8))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(insert_exif_app1(jp, encode_exif(
+                make="ACME", model="M1", orientation=6, pixel_x=8, pixel_y=8,
+                datetime_original="2024:05:06 07:08:09")))),
+            (2, bytearray(jp)),       # JPEG without EXIF
+            (3, bytearray(b"nope")),  # not a JPEG
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_image_exif(media).collect()}
+    assert rows[1].orientation == 6 and rows[1].make == "ACME" and rows[1].error == ""
+    assert rows[1].datetime_original == "2024:05:06 07:08:09"
+    assert rows[2].error == "no_exif"
+    assert rows[3].error == "corrupt_exif"
