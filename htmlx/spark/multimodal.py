@@ -460,6 +460,87 @@ def decode_png(payload: bytes):
     return out
 
 
+_MAX_PNG_TEXT = 64 * 1024  # per-chunk decompressed text cap (bomb guard)
+
+
+def png_text_chunks(payload: bytes) -> list:
+    """PNG textual metadata (tEXt latin-1, zTXt zlib latin-1, iTXt
+    utf-8 optionally zlib) as (keyword, text) pairs in chunk order —
+    Software/Comment/Author provenance without decoding pixels.
+    Per-chunk text capped (bomb guard); malformed chunks raise
+    ValueError."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not_a_png")
+    out = []
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated_png_chunk")
+        if typ == b"IEND":
+            break
+        if typ in (b"tEXt", b"zTXt", b"iTXt"):
+            kw, sep, rest = data.partition(b"\x00")
+            if not sep or not kw or len(kw) > 79:
+                raise ValueError("bad_png_text_keyword")
+            if typ == b"tEXt":
+                text = rest.decode("latin-1")
+            elif typ == b"zTXt":
+                if not rest or rest[0] != 0:
+                    raise ValueError("bad_ztxt_method")
+                text = inflate_png_text(rest[1:]).decode("latin-1")
+            else:  # iTXt: compflag, compmethod, langtag\0, translated\0, text
+                if len(rest) < 2:
+                    raise ValueError("bad_itxt_header")
+                compflag, compmethod = rest[0], rest[1]
+                body = rest[2:]
+                _lang, sep1, body = body.partition(b"\x00")
+                _trans, sep2, body = body.partition(b"\x00")
+                if not (sep1 and sep2):
+                    raise ValueError("bad_itxt_header")
+                if compflag:
+                    if compmethod != 0:
+                        raise ValueError("bad_itxt_method")
+                    body = inflate_png_text(body)
+                try:
+                    text = body.decode("utf-8")
+                except UnicodeDecodeError:
+                    raise ValueError("bad_itxt_encoding")
+            out.append((kw.decode("latin-1"), text))
+        pos += 12 + clen  # len + type + data + crc
+    return out
+
+
+def inflate_png_text(data: bytes) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(data, _MAX_PNG_TEXT)
+    if d.unconsumed_tail:
+        raise ValueError("png_text_too_large")
+    return out + d.flush()
+
+
+def insert_png_text(png: bytes, keyword: str, text: str, kind: bytes = b"tEXt") -> bytes:
+    """Twin helper: splice one textual chunk right after IHDR."""
+    kw = keyword.encode("latin-1")
+    if kind == b"tEXt":
+        data = kw + b"\x00" + text.encode("latin-1")
+    elif kind == b"zTXt":
+        data = kw + b"\x00\x00" + zlib.compress(text.encode("latin-1"))
+    elif kind == b"iTXt":
+        data = kw + b"\x00\x01\x00en\x00\x00" + zlib.compress(text.encode("utf-8"))
+    else:
+        raise ValueError("unknown text chunk kind")
+    chunk = (
+        struct.pack(">I", len(data)) + kind + data
+        + struct.pack(">I", zlib.crc32(kind + data) & 0xFFFFFFFF)
+    )
+    ihdr_end = 8 + 8 + 13 + 4  # sig + len/type + IHDR body + crc
+    return png[:ihdr_end] + chunk + png[ihdr_end:]
+
+
 def encode_png(arr, row_filter=None, palette=None, interlace=0, depth=8) -> bytes:
     """Minimal deterministic PNG encoder (gray/gray-alpha/RGB/RGBA;
     palette via `palette=(n,3)` with `arr` as (h,w) indices; Adam7 via

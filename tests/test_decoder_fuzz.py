@@ -55,6 +55,9 @@ def test_image_decoders_never_crash(blob):
         _attempt(decode_tiff, prefix + blob)
         sniff_mime(prefix + blob)
         image_dimensions(prefix + blob)
+    from htmlx.spark.multimodal import png_text_chunks
+
+    _attempt(png_text_chunks, _PNG_SIG + blob)
 
 
 @given(st.binary(max_size=1024))

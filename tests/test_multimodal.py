@@ -704,3 +704,42 @@ def test_pnm_all_six_formats_roundtrip_and_errors():
         decode_pnm(b"P2\n1 1\n10\n11")
     with pytest.raises(ValueError):
         decode_pnm(b"P5\n0 4\n255\n")
+
+
+def test_png_text_chunks_all_kinds():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import (
+        decode_png,
+        encode_png,
+        insert_png_text,
+        png_text_chunks,
+    )
+
+    base = encode_png(np.zeros((2, 2), np.uint8))
+    png = insert_png_text(base, "Software", "htmlx 1.0")
+    png = insert_png_text(png, "Comment", "compressed words", b"zTXt")
+    png = insert_png_text(png, "Title", "unicode — ïtxt", b"iTXt")
+    got = dict(png_text_chunks(png))
+    assert got["Software"] == "htmlx 1.0"
+    assert got["Comment"] == "compressed words"
+    assert got["Title"] == "unicode — ïtxt"
+    # pixels unaffected by the spliced chunks
+    assert (decode_png(png) == 0).all()
+    # no text chunks -> empty list; bad header -> error
+    assert png_text_chunks(base) == []
+    with pytest.raises(ValueError):
+        png_text_chunks(b"nope")
+    # zTXt bomb guard: hand-build an over-cap chunk
+    import zlib
+
+    data = b"K\x00\x00" + zlib.compress(b"y" * (70 * 1024))
+    import struct
+
+    chunk = struct.pack(">I", len(data)) + b"zTXt" + data + struct.pack(
+        ">I", zlib.crc32(b"zTXt" + data) & 0xFFFFFFFF)
+    ihdr_end = 8 + 8 + 13 + 4
+    evil = base[:ihdr_end] + chunk + base[ihdr_end:]
+    with pytest.raises(ValueError):
+        png_text_chunks(evil)
