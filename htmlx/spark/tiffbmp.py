@@ -243,6 +243,195 @@ def _read_ifd_values(payload, bo, typ, count, value_field):
     return list(struct.unpack(bo + fmt * n, raw))
 
 
+# ---------------------------------------------------------------------------
+# TGA (Truevision TARGA)
+# ---------------------------------------------------------------------------
+
+def decode_tga(payload: bytes):
+    """REAL TGA decode: uncompressed and RLE image types (1/2/3 and
+    9/10/11), 8-bit gray or color-mapped (24/32-bit palettes), 16-bit
+    ARGB1555 (5-bit channels scaled to 8, attribute bit ignored —
+    documented), 24-bit BGR and 32-bit BGRA; bottom-up default with the
+    top-to-bottom descriptor bit honored. The right-to-left bit and
+    exotic depths raise NotImplementedError. Returns (h, w, 1|3|4)
+    uint8 (BGR(A) converted to RGB(A)). The format has no magic — the
+    caller routes by extension/context; the header sanity checks below
+    reject most non-TGA payloads."""
+    import numpy as np
+
+    if len(payload) < 18:
+        raise ValueError("not_a_tga")
+    idlen, cmtype, imgtype = payload[0], payload[1], payload[2]
+    cm_first, cm_len = struct.unpack("<HH", payload[3:7])
+    cm_bpp = payload[7]
+    w, h = struct.unpack("<HH", payload[12:16])
+    bpp, desc = payload[16], payload[17]
+    if imgtype not in (1, 2, 3, 9, 10, 11) or cmtype not in (0, 1):
+        raise ValueError("bad_tga_type")
+    if w == 0 or h == 0 or w * h * 4 > _MAX_RASTER:
+        raise ValueError("bad_dimensions")
+    if desc & 0x10:
+        raise NotImplementedError("tga right-to-left ordering")
+    rle = imgtype >= 9
+    kind = imgtype - 8 if rle else imgtype
+    pos = 18 + idlen
+    palette = None
+    if cmtype == 1:
+        if kind != 1:
+            # palette present but unused by truecolor/gray: skip it
+            pos += cm_len * ((cm_bpp + 7) // 8)
+        else:
+            if cm_bpp not in (24, 32):
+                raise NotImplementedError(f"tga palette bpp {cm_bpp}")
+            cb = (cm_bpp + 7) // 8
+            raw = payload[pos : pos + cm_len * cb]
+            if len(raw) < cm_len * cb:
+                raise ValueError("truncated_tga_palette")
+            pal = np.frombuffer(raw, np.uint8).reshape(cm_len, cb)
+            palette = (cm_first, pal)
+            pos += cm_len * cb
+    elif kind == 1:
+        raise ValueError("tga mapped image without colormap")
+    if kind == 1:
+        px_bytes = 1
+        if bpp != 8:
+            raise NotImplementedError(f"tga mapped bpp {bpp}")
+    elif kind == 3:
+        px_bytes = 1
+        if bpp != 8:
+            raise NotImplementedError(f"tga gray bpp {bpp}")
+    else:
+        if bpp not in (16, 24, 32):
+            raise NotImplementedError(f"tga truecolor bpp {bpp}")
+        px_bytes = bpp // 8
+    need = w * h * px_bytes
+    if rle:
+        out = bytearray()
+        n = len(payload)
+        while len(out) < need:
+            if pos >= n:
+                raise ValueError("truncated_tga_rle")
+            hdr = payload[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                px = payload[pos : pos + px_bytes]
+                if len(px) < px_bytes:
+                    raise ValueError("truncated_tga_rle")
+                pos += px_bytes
+                out += px * count
+            else:  # raw packet
+                take = count * px_bytes
+                chunk = payload[pos : pos + take]
+                if len(chunk) < take:
+                    raise ValueError("truncated_tga_rle")
+                pos += take
+                out += chunk
+        data = bytes(out[:need])
+    else:
+        data = payload[pos : pos + need]
+        if len(data) < need:
+            raise ValueError("truncated_tga")
+    a = np.frombuffer(data, np.uint8)
+    if kind == 3:
+        img = a.reshape(h, w, 1)
+    elif kind == 1:
+        first, pal = palette
+        idx = a.astype(np.int32) - first
+        if idx.min() < 0 or idx.max() >= pal.shape[0]:
+            raise ValueError("tga_palette_index_out_of_range")
+        m = pal[idx].reshape(h, w, pal.shape[1])  # BGR(A) entries
+        if pal.shape[1] == 3:
+            img = m[:, :, ::-1]  # BGR -> RGB
+        else:
+            img = np.stack([m[:, :, 2], m[:, :, 1], m[:, :, 0], m[:, :, 3]], 2)
+    elif px_bytes == 2:
+        v = a.view("<u2").reshape(h, w).astype(np.int32)
+        r = ((v >> 10) & 0x1F) * 255 // 31
+        g = ((v >> 5) & 0x1F) * 255 // 31
+        b = (v & 0x1F) * 255 // 31
+        img = np.stack([r, g, b], 2).astype(np.uint8)
+    elif px_bytes == 3:
+        m = a.reshape(h, w, 3)
+        img = m[:, :, ::-1]  # BGR -> RGB
+    else:
+        m = a.reshape(h, w, 4)
+        img = np.stack([m[:, :, 2], m[:, :, 1], m[:, :, 0], m[:, :, 3]], 2)
+    if not desc & 0x20:  # default origin is bottom-left
+        img = img[::-1]
+    return np.ascontiguousarray(img.astype(np.uint8))
+
+
+def encode_tga(arr, rle: bool = False, top_down: bool = True, palette=None) -> bytes:
+    """Deterministic TGA encoder (synthesis/tests twin): gray (type 3),
+    truecolor 24/32 (type 2), or color-mapped via `palette` (type 1,
+    (n, 3|4) BGR(A) rows with `arr` as indices); +8 when rle."""
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if palette is not None:
+        pal = np.asarray(palette, np.uint8)
+        imgtype, bpp, cmtype = 1, 8, 1
+        body_px = a[:, :, 0]
+        cm_spec = struct.pack("<HHB", 0, pal.shape[0], pal.shape[1] * 8)
+        cm_data = pal.tobytes()
+    elif c == 1:
+        imgtype, bpp, cmtype = 3, 8, 0
+        body_px = a[:, :, 0]
+        cm_spec = struct.pack("<HHB", 0, 0, 0)
+        cm_data = b""
+    else:
+        imgtype, bpp, cmtype = 2, c * 8, 0
+        if c == 3:
+            body_px = a[:, :, ::-1]  # RGB -> BGR
+        else:
+            body_px = np.stack([a[:, :, 2], a[:, :, 1], a[:, :, 0], a[:, :, 3]], 2)
+        cm_spec = struct.pack("<HHB", 0, 0, 0)
+        cm_data = b""
+    if not top_down:
+        body_px = body_px[::-1]
+    flat = body_px.reshape(h, -1)
+    px_bytes = bpp // 8
+
+    if rle:
+        imgtype += 8
+        out = bytearray()
+        row_px = flat.reshape(h, w, px_bytes)
+        for y in range(h):
+            x = 0
+            while x < w:
+                px = row_px[y, x].tobytes()
+                run = 1
+                while x + run < w and run < 128 and row_px[y, x + run].tobytes() == px:
+                    run += 1
+                if run > 1:
+                    out += bytes([0x80 | (run - 1)]) + px
+                    x += run
+                else:
+                    start = x
+                    while (
+                        x < w and x - start < 128
+                        and not (
+                            x + 1 < w
+                            and row_px[y, x + 1].tobytes() == row_px[y, x].tobytes()
+                        )
+                    ):
+                        x += 1
+                    out += bytes([x - start - 1]) + row_px[y, start:x].tobytes()
+        body = bytes(out)
+    else:
+        body = flat.tobytes()
+    hdr = (
+        bytes([0, cmtype, imgtype]) + cm_spec
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([bpp, 0x20 if top_down else 0x00])
+    )
+    return hdr + cm_data + body
+
+
 # EXIF: a TIFF IFD structure embedded in JPEG APP1 (offsets relative to
 # the TIFF header, so the shared IFD reader applies unchanged). Core
 # provenance tags only — the fields a corpus pipeline filters on.

@@ -56,8 +56,11 @@ def test_image_decoders_never_crash(blob):
         sniff_mime(prefix + blob)
         image_dimensions(prefix + blob)
     from htmlx.spark.multimodal import png_text_chunks
+    from htmlx.spark.tiffbmp import decode_tga
 
     _attempt(png_text_chunks, _PNG_SIG + blob)
+    for prefix in (b"", b"\x00\x00\x02", b"\x00\x01\x01", b"\x00\x00\x0a"):
+        _attempt(decode_tga, prefix + blob)
 
 
 @given(st.binary(max_size=1024))

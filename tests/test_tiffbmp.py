@@ -321,3 +321,71 @@ def test_exif_spark_stage():
     assert rows[1].datetime_original == "2024:05:06 07:08:09"
     assert rows[2].error == "no_exif"
     assert rows[3].error == "corrupt_exif"
+
+
+# ---------------------------------------------------------------------------
+# TGA
+# ---------------------------------------------------------------------------
+
+def test_tga_roundtrip_matrix():
+    import numpy as np
+
+    from htmlx.spark.tiffbmp import decode_tga, encode_tga
+
+    rng = np.random.default_rng(8)
+    for c in (1, 3, 4):
+        for rle in (False, True):
+            for td in (True, False):
+                a = rng.integers(0, 256, (11, 17, c)).astype(np.uint8)
+                out = decode_tga(encode_tga(a, rle=rle, top_down=td))
+                assert out.shape == (11, 17, c) and (out == a).all(), (c, rle, td)
+    # run-heavy content exercises RLE run packets (128-cap included)
+    a = np.repeat(rng.integers(0, 4, (6, 5, 3)) * 80, 40, axis=1).astype(np.uint8)
+    assert (decode_tga(encode_tga(a, rle=True)) == a).all()
+
+
+def test_tga_colormap_and_16bit():
+    import numpy as np
+
+    from htmlx.spark.tiffbmp import decode_tga, encode_tga
+
+    rng = np.random.default_rng(9)
+    for pb in (3, 4):
+        pal = rng.integers(0, 256, (16, pb)).astype(np.uint8)  # BGR(A) entries
+        idx = rng.integers(0, 16, (7, 9)).astype(np.uint8)
+        out = decode_tga(encode_tga(idx, palette=pal))
+        m = pal[idx]
+        exp = (m[:, :, ::-1] if pb == 3
+               else np.stack([m[:, :, 2], m[:, :, 1], m[:, :, 0], m[:, :, 3]], 2))
+        assert (out == exp).all()
+    # ARGB1555: 5-bit channels scale to 8 bits
+    v = (5 << 10) | (20 << 5) | 31
+    hdr = (bytes([0, 0, 2]) + b"\x00" * 9
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little") + bytes([16, 0x20]))
+    out = decode_tga(hdr + v.to_bytes(2, "little"))
+    assert out.tolist() == [[[5 * 255 // 31, 20 * 255 // 31, 255]]]
+
+
+def test_tga_error_and_degradation_paths():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.tiffbmp import decode_tga, encode_tga
+
+    with pytest.raises(ValueError):
+        decode_tga(b"x" * 17)  # too short
+    with pytest.raises(ValueError):
+        decode_tga(bytes([0, 0, 7]) + b"\x00" * 15)  # bad image type
+    good = encode_tga(np.zeros((4, 4), np.uint8), rle=True)
+    with pytest.raises(ValueError):
+        decode_tga(good[: len(good) - 3])  # truncated RLE stream
+    # right-to-left bit: declared degradation
+    hdr = (bytes([0, 0, 2]) + b"\x00" * 9
+           + (4).to_bytes(2, "little") + (4).to_bytes(2, "little") + bytes([24, 0x30]))
+    with pytest.raises(NotImplementedError):
+        decode_tga(hdr + b"\x00" * 48)
+    # mapped image without a colormap is malformed
+    hdr = (bytes([0, 0, 1]) + b"\x00" * 9
+           + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes([8, 0x20]))
+    with pytest.raises(ValueError):
+        decode_tga(hdr + b"\x00" * 4)
