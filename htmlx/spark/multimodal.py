@@ -1483,6 +1483,92 @@ def _parse_ogg(b: bytes) -> dict:
     }
 
 
+_MAX_COMMENT_BYTES = 16 * 1024  # provenance-text cap (bomb guard)
+
+
+def gif_comments(payload: bytes) -> list:
+    """GIF comment-extension texts (0x21 0xFE sub-block chains) via a
+    block walk that skips image data — provenance strings (encoder
+    banners, watermarks) without decoding pixels. Total text capped."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not_a_gif")
+    if len(payload) < 13:
+        raise ValueError("truncated_gif")
+    flags = payload[10]
+    pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    n = len(payload)
+    out = []
+    total = 0
+
+    def skip_subblocks(p):
+        while p < n:
+            sz = payload[p]
+            p += 1
+            if sz == 0:
+                return p
+            p += sz
+        raise ValueError("truncated_gif_blocks")
+
+    while pos < n:
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos + 2 > n:
+                raise ValueError("truncated_gif_blocks")
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xFE:  # comment: collect sub-block data
+                text = bytearray()
+                while pos < n:
+                    sz = payload[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    text += payload[pos : pos + sz]
+                    pos += sz
+                else:
+                    raise ValueError("truncated_gif_blocks")
+                total += len(text)
+                if total > _MAX_COMMENT_BYTES:
+                    raise ValueError("gif_comments_too_large")
+                out.append(bytes(text).decode("latin-1", errors="replace"))
+            else:
+                pos = skip_subblocks(pos)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                raise ValueError("truncated_gif_blocks")
+            iflags = payload[pos + 9]
+            pos += 10 + (3 * (2 << (iflags & 7)) if iflags & 0x80 else 0)
+            pos += 1  # LZW min code size
+            pos = skip_subblocks(pos)
+        else:
+            raise ValueError("bad_gif_block")
+    return out
+
+
+_SVG_TITLE_RE = re.compile(rb"<title[^>]*>(.{0,1024}?)</title>", re.S | re.I)
+_SVG_DESC_RE = re.compile(rb"<desc[^>]*>(.{0,4096}?)</desc>", re.S | re.I)
+
+
+def svg_title_desc(payload: bytes) -> dict:
+    """First <title>/<desc> text from an SVG (size-capped regex scan of
+    the leading bytes — the same codec-free tier as the SVG dimension
+    sniff). Raises ValueError when the payload is not SVG."""
+    head = payload[:_MAX_TAG_SCAN]
+    low = head[:4096].lstrip().lower()
+    if not (low.startswith(b"<svg") or (low.startswith(b"<?xml") and b"<svg" in head[:4096].lower())):
+        raise ValueError("not_an_svg")
+    out = {"title": "", "desc": ""}
+    m = _SVG_TITLE_RE.search(head)
+    if m:
+        out["title"] = m.group(1).decode("utf-8", errors="replace").strip()
+    m = _SVG_DESC_RE.search(head)
+    if m:
+        out["desc"] = m.group(1).decode("utf-8", errors="replace").strip()
+    return out
+
+
 def jpeg_exif(payload: bytes) -> dict:
     """EXIF provenance metadata from a JPEG's APP1 segment (orientation,
     make/model, DateTime(Original), pixel dims) — pure marker walk +

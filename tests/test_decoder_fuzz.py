@@ -55,10 +55,12 @@ def test_image_decoders_never_crash(blob):
         _attempt(decode_tiff, prefix + blob)
         sniff_mime(prefix + blob)
         image_dimensions(prefix + blob)
-    from htmlx.spark.multimodal import png_text_chunks
+    from htmlx.spark.multimodal import gif_comments, png_text_chunks, svg_title_desc
     from htmlx.spark.tiffbmp import decode_tga
 
     _attempt(png_text_chunks, _PNG_SIG + blob)
+    _attempt(gif_comments, b"GIF89a" + blob)
+    _attempt(svg_title_desc, b"<svg " + blob)
     for prefix in (b"", b"\x00\x00\x02", b"\x00\x01\x01", b"\x00\x00\x0a"):
         _attempt(decode_tga, prefix + blob)
 

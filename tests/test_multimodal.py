@@ -743,3 +743,41 @@ def test_png_text_chunks_all_kinds():
     evil = base[:ihdr_end] + chunk + base[ihdr_end:]
     with pytest.raises(ValueError):
         png_text_chunks(evil)
+
+
+def test_gif_comments_and_svg_title_desc():
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import (
+        decode_gif,
+        encode_gif,
+        gif_comments,
+        svg_title_desc,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+    g = encode_gif(np.zeros((4, 4), np.uint8), pal)
+    assert gif_comments(g) == []
+    # splice a two-sub-block comment extension after header + GCT
+    at = 13 + 768
+    comment = b"\x21\xfe" + bytes([7]) + b"made by" + bytes([5]) + b" twin" + b"\x00"
+    g2 = g[:at] + comment + g[at:]
+    assert gif_comments(g2) == ["made by twin"]
+    # the pixel decoder is unaffected by the spliced extension
+    assert (decode_gif(g2) == decode_gif(g)).all()
+    with pytest.raises(ValueError):
+        gif_comments(b"GIF89a\x00\x00\x00\x00")  # truncated screen desc
+    with pytest.raises(ValueError):  # unterminated comment chain
+        gif_comments(g[:at] + b"\x21\xfe\x05ab")
+    # comment bomb: many max-size sub-blocks past the cap
+    bomb = g[:at] + b"\x21\xfe" + (bytes([255]) + b"x" * 255) * 100 + b"\x00" + g[at:]
+    with pytest.raises(ValueError):
+        gif_comments(bomb)
+
+    svg = (b'<?xml version="1.0"?>\n<svg xmlns="x"><title>My Icon</title>'
+           b'<desc>A test\ngraphic</desc><rect/></svg>')
+    assert svg_title_desc(svg) == {"title": "My Icon", "desc": "A test\ngraphic"}
+    assert svg_title_desc(b"<svg></svg>") == {"title": "", "desc": ""}
+    with pytest.raises(ValueError):
+        svg_title_desc(b"<html></html>")

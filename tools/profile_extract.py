@@ -4,7 +4,8 @@ Runs the full per-document extraction pipeline (the exact code mapInPandas
 executes per row) over the synthesized pages corpus single-process, and
 reports a per-STAGE CPU breakdown by aggregating cProfile tottime per
 module — structural evidence, immune to the host's 3x wall-clock noise
-band (CLAUDE.md: prefer structural metrics over sub-60 s wall-clock).
+band (per the build notes: prefer structural metrics over sub-60 s
+wall-clock comparisons).
 
 Usage: PYTHONPATH=/root/repo python tools/profile_extract.py [sf_dir] [reps]
 Prints one JSON line: {"docs": N, "cpu_sec": S, "us_per_doc": U,
