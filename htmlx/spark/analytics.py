@@ -832,7 +832,86 @@ def c4_gopher_quality(documents: DataFrame) -> DataFrame:
     )
 
 
-def doc_fingerprints(documents: DataFrame) -> DataFrame:
+GOPHER_DUP_NGRAM_THRESHOLDS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def dup_ngram_char_fractions(documents: DataFrame, ns=(5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """Gopher's duplicate-n-gram CHARACTER fractions (Rae et al. 2021
+    §A.1.1): for each n, the share of the document's characters covered
+    by any word n-gram that occurs >= 2x in the doc (overlaps counted
+    once — a positional interval union). Characters = token characters
+    (spaces excluded), documented and shared with the DuckDB oracle.
+
+    Not a scan-side fold (c4_gopher_quality documents why); instead the
+    100 TB-safe shuffle shape: posexplode grams -> per-(doc, n, gram)
+    window count -> explode covered positions of duplicated starts ->
+    distinct -> join token lengths -> per-doc sums. Every shuffle keys
+    on (doc_id, ...) — uniform, corpus never broadcast, data volume
+    bounded by ~|ns| x token count."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    base = documents.select(F.col("doc_id").cast("long"), toks.alias("toks"))
+    # token table: (doc_id, pos, len) + per-doc char totals
+    tok_tbl = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", "pos", F.length("tok").alias("tok_len"))
+    totals = tok_tbl.groupBy("doc_id").agg(F.sum("tok_len").alias("total_chars"))
+
+    gram_frames = []
+    for n in ns:
+        grams = F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice("toks", i + 1, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+        gram_frames.append(
+            base.select(
+                "doc_id", F.lit(n).alias("n"), F.explode(grams).alias("g")
+            ).select("doc_id", "n", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+        )
+    g = gram_frames[0]
+    for f in gram_frames[1:]:
+        g = g.unionByName(f)
+    cnt_w = Window.partitionBy("doc_id", "n", "gram")
+    dup_starts = (
+        g.withColumn("cnt", F.count("*").over(cnt_w))
+        .where(F.col("cnt") >= 2)
+        .select("doc_id", "n", "start")
+    )
+    covered = (
+        dup_starts.select(
+            "doc_id", "n",
+            F.explode(F.sequence(F.col("start"), F.col("start") + F.col("n") - 1)).alias("pos"),
+        )
+        .distinct()
+        .join(tok_tbl, ["doc_id", "pos"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("tok_len").alias("dup_chars"))
+    )
+    out = totals
+    pivoted = (
+        covered.groupBy("doc_id")
+        .pivot("n", list(ns))
+        .agg(F.first("dup_chars"))
+    )
+    out = out.join(pivoted, "doc_id", "left")
+    cols = [F.col("doc_id")]
+    for n in ns:
+        cols.append(
+            F.floor(
+                F.coalesce(F.col(str(n)), F.lit(0)) * 100
+                / F.greatest(F.col("total_chars"), F.lit(1))
+            )
+            .cast("long")
+            .alias(f"dup_{n}gram_char_pct")
+        )
+    return out.select(*cols)
     """Content fingerprint (md5 digest — portable across engines)."""
     return documents.select(
         F.col("doc_id").cast("long"), F.md5(F.col("text")).alias("fingerprint")

@@ -564,12 +564,37 @@ def q_quality_scores(spark, sf_dir):
     joined with the PRODUCTION C4/Gopher rule suite
     (analytics.c4_gopher_quality — real newline-split lines, published
     thresholds) computed over deterministically synthesized multi-line
-    text (synth_lines_frame). Every predicate re-scans the synthesized
-    text on both engines, so a dialect divergence flips the hash."""
+    text (synth_lines_frame), PLUS the duplicate-n-gram CHARACTER
+    fractions (analytics.dup_ngram_char_fractions, n=5..10) over text
+    where every 13th doc re-appends its own first 12 words — the corpus
+    has no natural within-doc n-gram repeats, so without planting the
+    interval-union machinery would hash as all-zeros driver-side. Every
+    predicate re-scans the synthesized text on both engines, so a
+    dialect divergence flips the hash. gopher_pass_full adds the six
+    published dup-n-gram gates (<=15/14/13/12/11/10%) on top of the
+    scan-side gopher_pass."""
     docs = _docs(spark, sf_dir)
     base = analytics.quality_scores(docs)
     ext = analytics.c4_gopher_quality(synth_lines_frame(docs))
-    return base.join(ext, "doc_id")
+    d = F.col("doc_id")
+    rep = docs.select(
+        "doc_id",
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.col("text"), F.lit(" "),
+                F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 12)),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    dup = analytics.dup_ngram_char_fractions(rep)
+    joined = base.join(ext, "doc_id").join(dup, "doc_id")
+    gates = F.lit(True)
+    for n, thr in analytics.GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        gates = gates & (F.col(f"dup_{n}gram_char_pct") <= thr)
+    return joined.withColumn(
+        "gopher_pass_full", (F.col("gopher_pass") & gates).cast("boolean")
+    )
 
 
 # The bigram/g2 CTE mirrors the Spark longest-equal-run fold; the aug
@@ -648,7 +673,38 @@ a5 AS (SELECT a4.*,
               floor(gt.top2_cnt * 100 / greatest(len(aw) - 1, 1)) AS top2a_pct,
               floor(gt.top3_cnt * 100 / greatest(len(aw) - 2, 1)) AS top3a_pct,
               floor(gt.top4_cnt * 100 / greatest(len(aw) - 3, 1)) AS top4a_pct
-       FROM a4 JOIN gt USING (doc_id))
+       FROM a4 JOIN gt USING (doc_id)),
+-- duplicate-n-gram char fractions over the repetition-planted text
+-- (every 13th doc re-appends its own first 12 words); interval-union
+-- coverage of >=2x grams, token characters only — mirrors
+-- analytics.dup_ngram_char_fractions exactly
+r0 AS (SELECT doc_id, string_split(
+          CASE WHEN doc_id % 13 = 0
+               THEN text || ' ' || array_to_string(string_split(text, ' ')[1:12], ' ')
+               ELSE text END, ' ') AS rt FROM documents),
+rtok AS (SELECT doc_id, s.i - 1 AS pos, length(rt[s.i]) AS tok_len
+         FROM r0, unnest(generate_series(1, len(rt))) AS s(i)),
+rtot AS (SELECT doc_id, sum(tok_len) AS total_chars FROM rtok GROUP BY doc_id),
+rgr AS (SELECT doc_id, nn.n AS n, s.i - 1 AS start,
+               array_to_string(rt[s.i : s.i + nn.n - 1], ' ') AS gram
+        FROM r0, unnest([5,6,7,8,9,10]) AS nn(n),
+             unnest(generate_series(1, greatest(len(rt) - nn.n + 1, 0))) AS s(i)),
+rds AS (SELECT doc_id, n, start FROM
+         (SELECT *, count(*) OVER (PARTITION BY doc_id, n, gram) AS cnt FROM rgr)
+        WHERE cnt >= 2),
+rcov AS (SELECT DISTINCT doc_id, n, p.pos
+         FROM rds, unnest(generate_series(start, start + n - 1)) AS p(pos)),
+rdch AS (SELECT doc_id, n, sum(tok_len) AS dup_chars
+         FROM rcov JOIN rtok USING (doc_id, pos) GROUP BY doc_id, n),
+rpct AS (SELECT rtot.doc_id AS doc_id,
+         CAST(floor(coalesce(max(CASE WHEN rdch.n=5 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_5gram_char_pct,
+         CAST(floor(coalesce(max(CASE WHEN rdch.n=6 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_6gram_char_pct,
+         CAST(floor(coalesce(max(CASE WHEN rdch.n=7 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_7gram_char_pct,
+         CAST(floor(coalesce(max(CASE WHEN rdch.n=8 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_8gram_char_pct,
+         CAST(floor(coalesce(max(CASE WHEN rdch.n=9 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_9gram_char_pct,
+         CAST(floor(coalesce(max(CASE WHEN rdch.n=10 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_10gram_char_pct
+         FROM rtot LEFT JOIN rdch ON rtot.doc_id = rdch.doc_id
+         GROUP BY rtot.doc_id, rtot.total_chars)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
        CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
@@ -677,8 +733,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        has_js AS has_javascript,
        CAST(terminal_lines AS BIGINT) AS n_sentences,
        CAST(floor(keep_lines * 100 / n_lines) AS BIGINT) AS c4_keep_line_pct,
-       (terminal_lines >= 5 AND NOT has_lorem AND NOT has_curly AND NOT has_js) AS c4_pass
-FROM a5
+       (terminal_lines >= 5 AND NOT has_lorem AND NOT has_curly AND NOT has_js) AS c4_pass,
+       rpct.dup_5gram_char_pct, rpct.dup_6gram_char_pct, rpct.dup_7gram_char_pct,
+       rpct.dup_8gram_char_pct, rpct.dup_9gram_char_pct, rpct.dup_10gram_char_pct,
+       ((n_words BETWEEN 50 AND 100000 AND mean_x10 BETWEEN 30 AND 100
+         AND symbol_pct <= 10 AND alpha_pct >= 80 AND stop_hits >= 2
+         AND bullet_pct <= 90 AND ellipsis_pct <= 30
+         AND dup_line_pct <= 30 AND dup_line_char_pct <= 20
+         AND top2a_pct <= 20 AND top3a_pct <= 18 AND top4a_pct <= 16)
+        AND rpct.dup_5gram_char_pct <= 15 AND rpct.dup_6gram_char_pct <= 14
+        AND rpct.dup_7gram_char_pct <= 13 AND rpct.dup_8gram_char_pct <= 12
+        AND rpct.dup_9gram_char_pct <= 11 AND rpct.dup_10gram_char_pct <= 10) AS gopher_pass_full
+FROM a5 JOIN rpct USING (doc_id)
 """
 
 

@@ -299,6 +299,41 @@ def test_c4_gopher_quality_production_semantics(spark):
     assert "Exchange" not in plan
 
 
+def test_dup_ngram_char_fractions_semantics_and_plan(spark):
+    """Gopher's duplicate-n-gram character fractions: interval-union
+    coverage of >=2x grams, exact against a brute-force reference;
+    shuffles key on doc_id only, no cartesian, no corpus broadcast."""
+    from collections import Counter
+
+    from htmlx.spark.analytics import dup_ngram_char_fractions
+
+    docs = [
+        (0, "a b c d e f g h i j a b c d e f g h i j"),  # full block twice
+        (1, " ".join(f"w{i}" for i in range(30))),        # no repeats
+        (2, ("x y z q r " * 4).strip()),                  # heavy overlap
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r.asDict() for r in dup_ngram_char_fractions(corpus).collect()}
+
+    def brute(text, n):
+        t = text.split(" ")
+        grams = [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+        c = Counter(grams)
+        cov = set()
+        for i, gm in enumerate(grams):
+            if c[gm] >= 2:
+                cov.update(range(i, i + n))
+        tot = sum(len(x) for x in t)
+        return sum(len(t[i]) for i in cov) * 100 // max(tot, 1)
+
+    for d, text in docs:
+        for n in (5, 6, 7, 8, 9, 10):
+            assert rows[d][f"dup_{n}gram_char_pct"] == brute(text, n), (d, n)
+
+    p = plan_of(dup_ngram_char_fractions(corpus))
+    assert "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_gopher_repetition_signals_on_real_lines(spark):
     """The duplicate-line and top-3/4-gram Gopher signals: a doc whose
     boilerplate line repeats 4x fails the dup-line gates; a clean doc
