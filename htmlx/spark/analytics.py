@@ -752,12 +752,16 @@ def c4_gopher_quality(documents: DataFrame) -> DataFrame:
     n_words = F.size(words)
     bullet_lines = F.size(F.filter(lines, lambda l: l.startswith("- ")))
     ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
-    terminal_lines = F.size(F.filter(lines, lambda l: l.endswith(".")))
+    # C4 terminal punctuation: period / exclamation / question mark /
+    # closing quote (Raffel 2020 §2.2)
+    terminal_lines = F.size(F.filter(lines, lambda l: l.rlike('[.!?"]$')))
     # C4 line filter: >=3 words AND terminal punctuation
     keep_lines = F.size(
-        F.filter(lines, lambda l: l.endswith(".") & (F.size(F.split(l, " ")) >= 3))
+        F.filter(lines, lambda l: l.rlike('[.!?"]$') & (F.size(F.split(l, " ")) >= 3))
     )
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    # Gopher: word has at least one alphabetic character — case matters
+    # (ALL-CAPS words count)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
     stop_hits = F.size(
         F.array_intersect(
             F.array_distinct(words),
@@ -912,6 +916,9 @@ def dup_ngram_char_fractions(documents: DataFrame, ns=(5, 6, 7, 8, 9, 10)) -> Da
             .alias(f"dup_{n}gram_char_pct")
         )
     return out.select(*cols)
+
+
+def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Content fingerprint (md5 digest — portable across engines)."""
     return documents.select(
         F.col("doc_id").cast("long"), F.md5(F.col("text")).alias("fingerprint")

@@ -629,8 +629,8 @@ a3 AS (SELECT *,
               len(lines) AS n_lines,
               len(list_filter(lines, l -> starts_with(l, '- '))) AS bullet_lines,
               len(list_filter(lines, l -> ends_with(l, '...'))) AS ellipsis_lines,
-              len(list_filter(lines, l -> ends_with(l, '.'))) AS terminal_lines,
-              len(list_filter(lines, l -> ends_with(l, '.')
+              len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) AS terminal_lines,
+              len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
                   AND len(string_split(l, ' ')) >= 3)) AS keep_lines,
               flatten([string_split(l, ' ') FOR l IN lines]) AS aw
        FROM a2),
@@ -641,7 +641,7 @@ a4 AS (SELECT *,
               floor((length(ftext) - len(aw) + 1) * 10 / len(aw)) AS mean_x10,
               floor((len(regexp_extract_all(ftext, '\\.\\.\\.'))
                      + len(regexp_extract_all(ftext, '#'))) * 100 / len(aw)) AS symbol_pct,
-              floor(len(list_filter(aw, w -> regexp_matches(w, '[a-z]'))) * 100 / len(aw)) AS alpha_pct,
+              floor(len(list_filter(aw, w -> regexp_matches(w, '[A-Za-z]'))) * 100 / len(aw)) AS alpha_pct,
               floor(bullet_lines * 100 / n_lines) AS bullet_pct,
               floor(ellipsis_lines * 100 / n_lines) AS ellipsis_pct,
               floor((n_lines - len(list_distinct(lines))) * 100 / n_lines) AS dup_line_pct,

@@ -675,11 +675,27 @@ def decode_image(payload: bytes):
         return decode_ico(payload)
     if len(payload) >= 3 and payload[0] == 0x50 and 0x31 <= payload[1] <= 0x36:
         return decode_pnm(payload)
+    # magic-less formats last, each gated by its strict structural check
+    # (the standard heuristic): a failed attempt means "not actually this
+    # container" and falls through — so random 00 00 payloads stay the
+    # honest decoder_unavailable rather than becoming corrupt_image, and
+    # a TGA (which typically also starts 00 00) isn't swallowed by WBMP.
     if payload[:2] == b"\x00\x00":
-        # WBMP carries no magic (type 0 + fix-header 0); the strict
-        # structural check inside decode_wbmp (multibyte dims + exact
-        # row-data length) is the discriminator — the standard heuristic
-        return decode_wbmp(payload)
+        try:
+            return decode_wbmp(payload)
+        except ValueError:
+            pass
+    if (
+        len(payload) >= 18
+        and payload[1] in (0, 1)
+        and payload[2] in (1, 2, 3, 9, 10, 11)
+    ):
+        from .tiffbmp import decode_tga
+
+        try:
+            return decode_tga(payload)
+        except ValueError:
+            pass
     raise NotImplementedError("unknown image container (no codec available)")
 
 

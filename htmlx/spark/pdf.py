@@ -885,6 +885,31 @@ PDF_PROFILE_SCHEMA = StructType(
 )
 
 
+def _has_unsupported_nonimage_filter(payload: bytes) -> bool:
+    """Cheap filter-name probe for the profile row: True when any
+    NON-image stream declares a filter outside the decodable set — the
+    condition under which extract_pdf_text raises
+    UnsupportedFilterError — WITHOUT decompressing anything or
+    evaluating text operators (review finding r5: the profile used to
+    run a full text extraction and throw the string away, roughly
+    doubling per-doc decode CPU on text-heavy corpora). A
+    corrupt-but-supported stream no longer flips the profile's
+    top-level error; corruption surfaces on the text/image rows that
+    actually decode the bytes."""
+    supported = _ZLIB_FILTERS | _LZW_FILTERS | set(_SIMPLE_FILTERS)
+    for obj_dict, _raw in _iter_streams(payload):
+        if _IMAGE_DICT_RE.search(obj_dict):
+            continue  # image XObjects carry no text operators
+        fm = _FILTER_RE.search(obj_dict)
+        if not fm:
+            continue
+        names = fm.group(1).split() if fm.group(1) else [fm.group(2)]
+        for name in names:
+            if name.lstrip(b"/") not in supported:
+                return True
+    return False
+
+
 def extract_pdf_profile(pdfs: DataFrame) -> DataFrame:
     """ONE-PASS structural + image profile: a single mapInPandas walk per
     document emits the structural census AND the first embedded image's
@@ -899,11 +924,8 @@ def extract_pdf_profile(pdfs: DataFrame) -> DataFrame:
             for url, payload in zip(pdf["url"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 meta = parse_pdf_structure(b)
-                if not meta["error"]:
-                    try:
-                        extract_pdf_text(b)
-                    except (UnsupportedFilterError, zlib.error):
-                        meta["error"] = "decoder_unavailable"
+                if not meta["error"] and _has_unsupported_nonimage_filter(b):
+                    meta["error"] = "decoder_unavailable"
                 # the profile row carries the FIRST image's features plus a
                 # count — so only the first image is decoded; the rest are
                 # counted from the (already walked) stream dicts (review

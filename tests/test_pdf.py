@@ -501,3 +501,34 @@ def test_objstm_exotic_filter_skipped():
     # /N is a declared census (like /Length) and counts even when the
     # content can't be decoded: 2 raw 'N G obj' + 2 declared packed
     assert out["n_objects"] == 4
+
+
+def test_profile_probes_filters_without_text_extraction(monkeypatch):
+    """The profile derives its decoder_unavailable flag from a
+    filter-name probe, not a full (discarded) text extraction: an
+    unsupported NON-image filter flips the flag, an image-only JPX does
+    not, and extract_pdf_text is never invoked on the profile path."""
+    import htmlx.spark.pdf as pdfmod
+    from htmlx.spark.pdf import _has_unsupported_nonimage_filter
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("profile must not run full text extraction")
+
+    monkeypatch.setattr(pdfmod, "extract_pdf_text", boom)
+
+    crypt = (b"%PDF-1.7\n1 0 obj\n<< /Filter /Crypt /Length 4 >>\n"
+             b"stream\nabcd\nendstream\nendobj\n%%EOF\n")
+    assert _has_unsupported_nonimage_filter(crypt)
+    jpx_img = _img_pdf(b"\x00x", b"/Filter /JPXDecode /Width 2 /Height 2")
+    assert not _has_unsupported_nonimage_filter(jpx_img)
+
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=2, app_name="htmlx-pdf-probe-test")
+    pdfs = spark.createDataFrame(
+        [("a", bytearray(crypt)), ("b", bytearray(jpx_img))],
+        "url string, payload binary",
+    )
+    rows = {r["url"]: r for r in pdfmod.extract_pdf_profile(pdfs).collect()}
+    assert rows["a"]["error"] == "decoder_unavailable"
+    assert rows["b"]["error"] == "" and rows["b"]["img_error"] == "decoder_unavailable"

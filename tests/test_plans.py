@@ -274,23 +274,24 @@ def test_c4_gopher_quality_production_semantics(spark):
         [
             "the quick brown fox jumps over it.",  # terminal, >=3 words
             "- a bullet line without punctuation",
-            "short one",
+            "REALLY? YES IT WORKS!",  # '?'/'!' ARE terminal; CAPS are alpha
             "to be continued...",
             "curly brace here { and javascript too.",
         ]
     )
     corpus = spark.createDataFrame([(0, text)], "doc_id long, text string")
     r = c4_gopher_quality(corpus).collect()[0]
-    assert r.n_lines == 5 and r.n_words == 25
+    assert r.n_lines == 5 and r.n_words == 27
     assert r.bullet_line_pct == 20  # 1 of 5
     assert r.ellipsis_line_pct == 20  # '...' line
-    assert r.n_sentences == 3  # '.' x2 + '...' (ends with '.')
-    assert r.c4_keep_line_pct == 60  # those 3 all have >=3 words
+    assert r.n_sentences == 4  # '.' x2 + '...' + the '!' line
+    assert r.c4_keep_line_pct == 80  # those 4 all have >=3 words
     assert r.has_curly_brace and r.has_javascript and not r.has_lorem_ipsum
     assert r.gopher_stop_hits == 4  # the, to, be, and
-    assert r.symbol_word_pct == 4  # one '...' among 25 words
-    assert r.alpha_word_pct == 92  # '-' and '{' are non-alpha words
-    assert not r.gopher_pass  # 25 words < 50
+    assert r.symbol_word_pct == 3  # one '...' among 27 words
+    # '-' and '{' are the only non-alpha words; ALL-CAPS count as alpha
+    assert r.alpha_word_pct == 25 * 100 // 27
+    assert not r.gopher_pass  # 27 words < 50
     assert not r.c4_pass  # markers + <5 sentences
 
     plan = (

@@ -389,3 +389,29 @@ def test_tga_error_and_degradation_paths():
            + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes([8, 0x20]))
     with pytest.raises(ValueError):
         decode_tga(hdr + b"\x00" * 4)
+
+
+def test_tga_reachable_through_decode_image_dispatch():
+    """decode_image routes magic-less containers by strict structural
+    attempts: WBMP first, then TGA — a typical TGA (idlen 0, no
+    colormap) starts 00 00 yet must NOT be swallowed by the WBMP
+    heuristic, and garbage stays NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_image, encode_wbmp
+    from htmlx.spark.tiffbmp import decode_tga, encode_tga
+
+    rng = np.random.default_rng(19)
+    for c in (1, 3, 4):
+        a = rng.integers(0, 256, (9, 13, c)).astype(np.uint8)
+        for rle in (False, True):
+            payload = encode_tga(a, rle=rle)
+            assert payload[:2] == b"\x00\x00"  # the WBMP-colliding prefix
+            assert (decode_image(payload) == a).all()
+    # WBMP still wins its own payloads
+    w = (rng.integers(0, 2, (6, 10)) * 255).astype(np.uint8)
+    assert (decode_image(encode_wbmp(w))[:, :, 0] == w).all()
+    # unknown garbage: declared unavailable, not corrupt
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x07" + b"\x99" * 40)
