@@ -690,12 +690,19 @@ def decode_image(payload: bytes):
         and payload[1] in (0, 1)
         and payload[2] in (1, 2, 3, 9, 10, 11)
     ):
-        from .tiffbmp import decode_tga
+        from .tiffbmp import decode_tga, tga_header_plausible
 
         try:
             return decode_tga(payload)
         except ValueError:
             pass
+        except NotImplementedError:
+            # a declared TGA variant (right-to-left bit, exotic palette
+            # depth) only counts as a decoder gap when the header is
+            # structurally consistent TGA; random bytes that trip the
+            # loose 3-byte gate fall through per the dispatch contract
+            if tga_header_plausible(payload):
+                raise
     raise NotImplementedError("unknown image container (no codec available)")
 
 
@@ -785,8 +792,13 @@ def decode_pnm(payload: bytes):
     nvals = w * h * channels
     if kind in (1, 2, 3):  # ASCII
         if kind == 1:
-            # P1 digits may be unseparated ("0110"): read raw 0/1 chars
-            bits = [c - 0x30 for c in payload[pos:] if c in (0x30, 0x31)]
+            # P1 digits may be unseparated ("0110"): read raw 0/1 chars.
+            # '#' comments are spec-legal inside the raster too — strip
+            # them to end-of-line first so commented digits don't shift
+            # every subsequent pixel (same rule _pnm_tokens applies to
+            # headers).
+            body = re.sub(rb"#[^\n\r]*", b"", payload[pos:])
+            bits = [c - 0x30 for c in body if c in (0x30, 0x31)]
             if len(bits) < nvals:
                 raise ValueError("truncated_pnm")
             arr = np.array(bits[:nvals], np.int32)
@@ -1570,11 +1582,12 @@ _SVG_DESC_RE = re.compile(rb"<desc[^>]*>(.{0,4096}?)</desc>", re.S | re.I)
 def svg_title_desc(payload: bytes) -> dict:
     """First <title>/<desc> text from an SVG (size-capped regex scan of
     the leading bytes — the same codec-free tier as the SVG dimension
-    sniff). Raises ValueError when the payload is not SVG."""
-    head = payload[:_MAX_TAG_SCAN]
-    low = head[:4096].lstrip().lower()
-    if not (low.startswith(b"<svg") or (low.startswith(b"<?xml") and b"<svg" in head[:4096].lower())):
+    sniff). Gates on _svg_root so the provenance extractor agrees with
+    sniff_mime about what counts as SVG (DOCTYPE/comment prefixes
+    included). Raises ValueError when the payload is not SVG."""
+    if not _svg_root(payload):
         raise ValueError("not_an_svg")
+    head = payload[:_MAX_TAG_SCAN]
     out = {"title": "", "desc": ""}
     m = _SVG_TITLE_RE.search(head)
     if m:
@@ -1967,8 +1980,13 @@ def extract_audio_tags(media: DataFrame) -> DataFrame:
                     row.update(audio_tags(b))
                 except NotImplementedError:
                     row["error"] = "decoder_unavailable"
-                except ValueError:
-                    row["error"] = "corrupt_tags"
+                except ValueError as e:
+                    # absence of a tag container (WAV/FLAC/random bytes)
+                    # is not corruption — mirror the exif stage's
+                    # no_exif/corrupt_exif distinction
+                    row["error"] = (
+                        "no_tags" if str(e) == "no_tag_container" else "corrupt_tags"
+                    )
                 rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 

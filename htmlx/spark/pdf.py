@@ -82,9 +82,13 @@ def parse_pdf_structure(payload: bytes) -> dict:
     scanned too (the spec forbids stream objects inside an ObjStm, so
     content/image streams are always top-level and never need this).
     Packed objects carry no 'N G obj' headers — their count comes from
-    the ObjStm's /N entry. A corrupt or exotically-filtered ObjStm is
-    skipped, never fatal, and total decoded bytes stay under the same
-    scan cap as the raw pass (bomb guard)."""
+    the ObjStm's /N entry, which (like /Length) is trusted as a declared
+    census even when the stream body is undecodable: a corrupt or
+    exotically-filtered ObjStm still contributes /N to n_objects while
+    its pages/title degrade to the raw-scan view (pinned by
+    test_objstm_exotic_filter_skipped). Decode failures are never fatal,
+    and total decoded bytes stay under the same scan cap as the raw pass
+    (bomb guard)."""
     out = {
         "pdf_version": "",
         "n_pages": 0,

@@ -247,6 +247,41 @@ def _read_ifd_values(payload, bo, typ, count, value_field):
 # TGA (Truevision TARGA)
 # ---------------------------------------------------------------------------
 
+def tga_header_plausible(payload: bytes) -> bool:
+    """Strict structural TGA header check for the magic-less dispatch:
+    kind/colormap consistency, a standard bpp for the kind, and (for
+    uncompressed types) enough payload bytes to hold the raster. Used to
+    decide whether a decode_tga NotImplementedError (declared variant,
+    e.g. right-to-left ordering) should surface as decoder_unavailable
+    or fall through as 'not actually a TGA'."""
+    if len(payload) < 18:
+        return False
+    idlen, cmtype, imgtype = payload[0], payload[1], payload[2]
+    cm_len = struct.unpack("<H", payload[5:7])[0]
+    cm_bpp = payload[7]
+    w, h = struct.unpack("<HH", payload[12:16])
+    bpp = payload[16]
+    if imgtype not in (1, 2, 3, 9, 10, 11) or cmtype not in (0, 1):
+        return False
+    if w == 0 or h == 0 or w * h * 4 > _MAX_RASTER:
+        return False
+    kind = imgtype - 8 if imgtype >= 9 else imgtype
+    if kind == 1:
+        if cmtype != 1 or cm_len == 0 or cm_bpp not in (15, 16, 24, 32) or bpp != 8:
+            return False
+    elif kind == 3:
+        if bpp != 8:
+            return False
+    else:
+        if bpp not in (15, 16, 24, 32):
+            return False
+    pal_bytes = cm_len * ((cm_bpp + 7) // 8) if cmtype == 1 else 0
+    if imgtype < 9:  # uncompressed: raster length is predictable
+        if len(payload) < 18 + idlen + pal_bytes + w * h * ((bpp + 7) // 8):
+            return False
+    return True
+
+
 def decode_tga(payload: bytes):
     """REAL TGA decode: uncompressed and RLE image types (1/2/3 and
     9/10/11), 8-bit gray or color-mapped (24/32-bit palettes), 16-bit

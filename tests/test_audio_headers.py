@@ -270,12 +270,16 @@ def test_audio_tags_error_paths_and_spark_stage():
     from htmlx.spark.session import get_spark
 
     spark = get_spark(cores=2, app_name="htmlx-audio-tags-test")
+    ogg_cut = bytearray(encode_ogg_vorbis(10, 8000, 1, 0, comments={"title": "x"}))
+    ogg_cut = ogg_cut[: bytes(ogg_cut).find(b"\x03vorbis") + 9]
     media = spark.createDataFrame(
         [(1, bytearray(encode_id3v2(3, "S", "B", "L",
           b"\xff\xfb\x10\x00" + b"\x00" * 100))),
-         (2, bytearray(b"junk"))],
+         (2, bytearray(b"junk")),  # no tag container at all
+         (3, bytearray(ogg_cut))],  # recognized container, corrupt tags
         "media_id long, payload binary",
     )
     rows = {r.media_id: r for r in extract_audio_tags(media).collect()}
     assert rows[1].title == "S" and rows[1].error == ""
-    assert rows[2].error == "corrupt_tags"
+    assert rows[2].error == "no_tags"
+    assert rows[3].error == "corrupt_tags"

@@ -781,3 +781,33 @@ def test_gif_comments_and_svg_title_desc():
     assert svg_title_desc(b"<svg></svg>") == {"title": "", "desc": ""}
     with pytest.raises(ValueError):
         svg_title_desc(b"<html></html>")
+
+
+def test_svg_title_desc_doctype_and_comment_prefix():
+    """ADVICE r5: svg_title_desc gates via _svg_root, so DOCTYPE- or
+    comment-prefixed SVGs that sniff_mime accepts are extracted too."""
+    import pytest
+
+    from htmlx.spark.multimodal import sniff_mime, svg_title_desc
+
+    doc = (b'<?xml version="1.0"?>\n'
+           b'<!DOCTYPE svg PUBLIC "-//W3C//DTD SVG 1.1//EN" "svg11.dtd">\n'
+           b'<!-- exported -->\n'
+           b'<svg xmlns="x"><title>Doc</title><desc>d</desc></svg>')
+    assert sniff_mime(doc) == "image/svg+xml"
+    assert svg_title_desc(doc) == {"title": "Doc", "desc": "d"}
+    # HTML with an inline <svg> stays rejected by both tiers
+    html = b"<!DOCTYPE html><html><body><svg><title>x</title></svg></body></html>"
+    assert sniff_mime(html) != "image/svg+xml"
+    with pytest.raises(ValueError):
+        svg_title_desc(html)
+
+
+def test_pnm_p1_comments_in_raster():
+    """ADVICE r5: '#' comments inside a P1 raster region (spec-legal)
+    are stripped before the 0/1 collection — commented digits must not
+    shift subsequent pixels."""
+    from htmlx.spark.multimodal import decode_pnm
+
+    img = decode_pnm(b"P1\n2 2\n01#comment 10 full of 1s and 0s\n10")
+    assert img.tolist() == [[[255], [0]], [[0], [255]]]

@@ -415,3 +415,28 @@ def test_tga_reachable_through_decode_image_dispatch():
     # unknown garbage: declared unavailable, not corrupt
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00\x00\x07" + b"\x99" * 40)
+
+
+def test_tga_declared_variant_vs_garbage_dispatch():
+    """ADVICE r5: a structurally-consistent TGA hitting a declared
+    decode gap (right-to-left bit) surfaces NotImplementedError as a
+    decoder gap, while garbage that trips the loose dispatch gate with
+    an exotic bpp falls through to 'unknown image container'."""
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.multimodal import decode_image
+    from htmlx.spark.tiffbmp import encode_tga, tga_header_plausible
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    rtl = bytearray(encode_tga(a))
+    rtl[17] |= 0x10  # right-to-left descriptor bit
+    assert tga_header_plausible(bytes(rtl))
+    with pytest.raises(NotImplementedError, match="right-to-left"):
+        decode_image(bytes(rtl))
+    # imgtype 2 / bpp 13: decode_tga raises NotImplementedError but the
+    # strict header check rejects it, so dispatch reports unknown container
+    junk = bytes([0, 0, 2]) + b"\x00" * 9 + b"\x04\x00\x04\x00" + bytes([13, 0]) + b"\x55" * 64
+    assert not tga_header_plausible(junk)
+    with pytest.raises(NotImplementedError, match="unknown image container"):
+        decode_image(junk)
