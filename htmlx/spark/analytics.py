@@ -25,39 +25,74 @@ from pyspark.sql import DataFrame, Window, functions as F
 # Deduplication
 # ---------------------------------------------------------------------------
 
-def dedup_exact(documents: DataFrame) -> DataFrame:
+def _keep_policy_agg(keep_by: str | None, descending: bool):
+    """The keep-doc aggregate for exact/paragraph dedup.
+
+    Default policy keeps the minimum doc_id. Real pipelines keep
+    newest-by-crawl-timestamp or highest-by-quality-score instead: pass
+    the ordering column as keep_by (descending=True keeps the highest
+    value). doc_id is ALWAYS the deterministic tie-break (minimum wins),
+    so a policy column with ties reproduces bit-identically across
+    engines — min_by/max_by over a (policy, doc_id) struct stays a
+    single-shuffle hash aggregate, same plan shape as min(doc_id)."""
+    d = F.col("doc_id")
+    if keep_by is None:
+        return F.min("doc_id").cast("long").alias("keep_doc_id")
+    if descending:
+        # highest policy value wins; ties fall to the SMALLEST doc_id,
+        # hence the negated tie-break under max_by
+        return F.max_by(d, F.struct(F.col(keep_by), (-d).alias("tb"))).cast("long").alias("keep_doc_id")
+    return F.min_by(d, F.struct(F.col(keep_by), d.alias("tb"))).cast("long").alias("keep_doc_id")
+
+
+def dedup_exact(
+    documents: DataFrame, keep_by: str | None = None, descending: bool = False
+) -> DataFrame:
     """Exact dedup via content digest group-by: one row per distinct text
-    with the kept (minimum) doc_id and the duplicate count."""
+    with the kept doc_id and the duplicate count. The keep policy is
+    min doc_id by default; keep_by/descending select the survivor by a
+    caller-supplied ordering column (newest warc_ts, highest quality
+    score) — see _keep_policy_agg."""
     return (
         documents.groupBy(F.md5(F.col("text")).alias("text_md5"))
         .agg(
-            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            _keep_policy_agg(keep_by, descending),
             F.count("*").cast("long").alias("dup_count"),
         )
     )
 
 
-def split_paragraphs(documents: DataFrame, delimiter: str = "\n") -> DataFrame:
+def split_paragraphs(
+    documents: DataFrame, delimiter: str = "\n", extra_cols: tuple = ()
+) -> DataFrame:
     """Explode documents into (doc_id, para_idx, paragraph) rows — the
     unit CCNet-style paragraph dedup operates on. Real corpora split on
     newlines/blank lines; the driver corpus synthesizes delimiters
     deterministically (see q_dedup_exact). posexplode keeps the in-doc
-    position so the keep decision can be (doc, position)-stable."""
+    position so the keep decision can be (doc, position)-stable.
+    extra_cols carries per-doc columns (e.g. a keep-policy ordering
+    column) through the explode."""
     return documents.select(
         F.col("doc_id").cast("long"),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(F.split(F.col("text"), delimiter)).alias("para_idx", "paragraph"),
     )
 
 
-def dedup_paragraphs(paras: DataFrame) -> DataFrame:
+def dedup_paragraphs(
+    paras: DataFrame, keep_by: str | None = None, descending: bool = False
+) -> DataFrame:
     """CCNet-style (Wenzek et al. 2020) paragraph-level dedup: one row
-    per distinct paragraph digest with the kept (minimum) doc_id and the
+    per distinct paragraph digest with the kept doc_id and the
     occurrence count — the cross-document shape that strips boilerplate
     (nav/footer/subscribe blocks) repeated across a crawl. Same
     uniform-digest-key shuffle as dedup_exact: scales to 100 TB because
-    only (digest, doc_id) pairs move, never the corpus text order."""
+    only (digest, doc_id) pairs move, never the corpus text order.
+    keep_by/descending select the surviving doc by a caller-supplied
+    ordering column present in `paras` (see _keep_policy_agg); default
+    keeps the minimum doc_id."""
     return paras.groupBy(F.md5(F.col("paragraph")).alias("content_md5")).agg(
-        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        _keep_policy_agg(keep_by, descending),
         F.count("*").cast("long").alias("dup_count"),
     )
 

@@ -454,7 +454,21 @@ def q_dedup_exact(spark, sf_dir):
         "keep_doc_id",
         "dup_count",
     )
-    return doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
+    # keep-policy variant (VERDICT r5 item 6): survivor chosen by a
+    # caller-supplied ordering column instead of min doc_id — stand-in
+    # prio = doc_id % 7 varies WITHIN duplicate groups (a text-derived
+    # column like n_chars would not), keep highest, ties -> min doc_id
+    policy_level = analytics.dedup_exact(
+        docs.withColumn("prio", (d % 7).cast("long")), keep_by="prio", descending=True
+    ).select(
+        F.lit("doc_keep_prio").alias("level"),
+        F.col("text_md5").alias("content_md5"),
+        "keep_doc_id",
+        "dup_count",
+    )
+    return doc_level.unionByName(
+        paras.select(F.lit("para").alias("level"), "*")
+    ).unionByName(policy_level)
 
 
 O_DEDUP_EXACT = """
@@ -473,6 +487,15 @@ FROM (
                    ELSE []::VARCHAR[] END) AS para
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 ) GROUP BY para
+UNION ALL
+SELECT 'doc_keep_prio', content_md5, keep_doc_id, dup_count FROM (
+  SELECT md5(text) AS content_md5,
+         CAST(FIRST_VALUE(doc_id) OVER w AS BIGINT) AS keep_doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+         ROW_NUMBER() OVER w AS rn
+  FROM documents
+  WINDOW w AS (PARTITION BY text ORDER BY doc_id % 7 DESC, doc_id ASC)
+) WHERE rn = 1
 """
 
 

@@ -2,9 +2,10 @@
 
   spark-submit --py-files htmlx.zip jobs/curate.py \
       --input <documents table/parquet path> --output <keep-list root> \
-      [--mode filter|dedup|components|split|decontaminate|pii|pack|quality|paradedup] \
+      [--mode filter|dedup|components|split|decontaminate|pii|pack|quality|paradedup|exactdedup|pipeline] \
       [--threshold 0.9] [--min-chars 100] [--hash-basis xxhash64] \
-      [--iters 0] [--eval-input <eval parquet>] [--seq-len 2048]
+      [--iters 0] [--eval-input <eval parquet>] [--seq-len 2048] \
+      [--keep-by <col>] [--keep-desc] [--quality-rule gopher|c4|both|none]
 
 Modes:
   filter      full keep/drop decision per document with a precedence-
@@ -28,13 +29,171 @@ Modes:
               every sub-signal) — scan-side, zero shuffle.
   paradedup   CCNet-style paragraph-level dedup keep-list: one row per
               distinct paragraph digest with keeper doc and count.
+  exactdedup  exact-dedup table (one row per distinct text with the kept
+              doc and duplicate count).
+  pipeline    the staged end-to-end job a real corpus run is: quality ->
+              exact dedup -> near-dup -> decontaminate (when --eval-input
+              given) -> split -> pack, each stage materialized under
+              --output with per-stage counts in audit.parquet and ONE
+              resume manifest (_pipeline_manifest.json): re-running with
+              the same --output skips completed stages.
+
+Keep policy (exactdedup / paradedup / pipeline): by default the duplicate
+with the MINIMUM doc_id survives; --keep-by <col> selects the survivor by
+that ordering column instead (e.g. a crawl timestamp or quality score) and
+--keep-desc keeps the highest value (newest/best). doc_id always breaks
+ties deterministically.
 
 --iters 0 (default) iterates label propagation to convergence (one scalar
 count() per round); a positive value pins a fixed round budget.
 """
 
 import argparse
+import json
+import os
 import sys
+
+
+PIPELINE_STAGES = ("quality", "exact_dedup", "near_dedup", "decontaminate", "split", "pack")
+
+
+def run_pipeline(spark, docs, args) -> dict:
+    """The staged curation pipeline (VERDICT r5 item 7): the operators the
+    CLI exposes individually, chained the way a real corpus run chains
+    them, with resume.
+
+    Scale design: every stage materializes a THIN keep-list/annotation
+    parquet (doc_id + stage columns) under --output, never a rewritten
+    copy of the corpus — at 100 TB that is N cheap doc_id-keyed joins
+    against the one immutable documents table instead of N corpus
+    rewrites. Stages commit write-then-manifest (the io.ParquetTableIO
+    contract): a crash leaves the running stage uncommitted and a re-run
+    with the same --output resumes after the last completed stage.
+    Per-stage in/dropped/out counts land in <output>/audit.parquet."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark import analytics
+
+    root = args.output
+    os.makedirs(root, exist_ok=True)
+    mpath = os.path.join(root, "_pipeline_manifest.json")
+    manifest = {"completed": {}}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+
+    def save_manifest():
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, mpath)  # atomic on POSIX
+
+    def stage(name, build, docs_in: int):
+        """Materialize one stage (unless already committed) and return
+        (its output frame read back from parquet, its docs_out)."""
+        if name not in manifest["completed"]:
+            path = os.path.join(root, f"stage_{name}.parquet")
+            build().write.mode("overwrite").parquet(path)
+            docs_out = spark.read.parquet(path).select("doc_id").distinct().count()
+            manifest["completed"][name] = {
+                "path": path, "docs_in": docs_in, "docs_out": docs_out,
+            }
+            save_manifest()
+        info = manifest["completed"][name]
+        return spark.read.parquet(info["path"]), info["docs_out"]
+
+    def survivors(keep):
+        # thin doc_id-keyed join against the immutable input table; AQE
+        # broadcasts the keep-list when it is small enough
+        return docs.join(keep.select("doc_id"), "doc_id")
+
+    if "n_input" not in manifest:
+        manifest["n_input"] = docs.count()
+        save_manifest()
+    n_cur = manifest["n_input"]
+    cur = docs
+    executed = []
+
+    if args.quality_rule != "none":
+        cond = {
+            "gopher": F.col("gopher_pass"),
+            "c4": F.col("c4_pass"),
+            "both": F.col("gopher_pass") & F.col("c4_pass"),
+        }[args.quality_rule]
+        keep, n_cur = stage(
+            "quality",
+            lambda: analytics.c4_gopher_quality(cur).where(cond).select("doc_id"),
+            n_cur,
+        )
+        cur = survivors(keep)
+        executed.append("quality")
+
+    keep, n_cur = stage(
+        "exact_dedup",
+        lambda: analytics.dedup_exact(cur, keep_by=args.keep_by, descending=args.keep_desc)
+        .select(F.col("keep_doc_id").alias("doc_id")),
+        n_cur,
+    )
+    cur = survivors(keep)
+    executed.append("exact_dedup")
+
+    def near_keep():
+        cands = analytics.minhash_lsh_candidates(cur, hash_basis=args.hash_basis)
+        pairs = (
+            analytics.ngram_jaccard_pairs(cur, cands)
+            .where(F.col("jaccard") >= args.threshold)
+            .select("doc_a", "doc_b")
+        )
+        kw = (
+            {"max_iters": 50, "until_converged": True}
+            if args.iters == 0
+            else {"max_iters": args.iters}
+        )
+        comp = analytics.near_dup_components(cur, pairs, **kw)
+        return comp.where(~F.col("is_dup")).select("doc_id")
+
+    keep, n_cur = stage("near_dedup", near_keep, n_cur)
+    cur = survivors(keep)
+    executed.append("near_dedup")
+
+    if args.eval_input:
+        ev = spark.read.parquet(args.eval_input)
+        keep, n_cur = stage(
+            "decontaminate",
+            lambda: analytics.decontaminate(cur, ev, hash_basis=args.hash_basis)
+            .where(~F.col("contaminated"))
+            .select("doc_id"),
+            n_cur,
+        )
+        cur = survivors(keep)
+        executed.append("decontaminate")
+
+    split_df, _ = stage("split", lambda: analytics.hash_split(cur), n_cur)
+    executed.append("split")
+
+    train = cur.join(
+        split_df.where(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    _, n_packed = stage(
+        "pack",
+        lambda: analytics.pack_sequences(
+            train, seq_len=args.seq_len, num_buckets=args.pack_buckets
+        ),
+        n_cur,
+    )
+    executed.append("pack")
+
+    rows = []
+    for i, name in enumerate(executed):
+        info = manifest["completed"][name]
+        rows.append(
+            (i, name, info["docs_in"], info["docs_in"] - info["docs_out"], info["docs_out"])
+        )
+    audit = spark.createDataFrame(
+        rows, "stage_idx int, stage string, docs_in long, docs_dropped long, docs_out long"
+    )
+    audit.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "audit.parquet"))
+    return manifest
 
 
 def main():
@@ -45,7 +204,7 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
-                 "pii", "pack", "quality", "paradedup"],
+                 "pii", "pack", "quality", "paradedup", "exactdedup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -55,6 +214,13 @@ def main():
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
     ap.add_argument("--iters", type=int, default=0, help="0 = iterate to convergence")
+    ap.add_argument("--keep-by", default=None,
+                    help="dedup keep policy: ordering column choosing the surviving "
+                         "duplicate (default: minimum doc_id)")
+    ap.add_argument("--keep-desc", action="store_true",
+                    help="keep the HIGHEST --keep-by value (newest/best)")
+    ap.add_argument("--quality-rule", choices=["gopher", "c4", "both", "none"],
+                    default="gopher", help="pipeline-mode quality gate")
     args = ap.parse_args()
     if args.iters < 0:
         ap.error("--iters must be >= 0 (0 = iterate to convergence)")
@@ -86,10 +252,23 @@ def main():
             .select("doc_a", "doc_b")
         )
 
+    if args.mode == "pipeline":
+        manifest = run_pipeline(spark, docs, args)
+        done = ", ".join(
+            f"{s}:{v['docs_out']}" for s, v in manifest["completed"].items()
+        )
+        print(f"mode=pipeline in={manifest['n_input']} {done} -> {args.output}")
+        return
     if args.mode == "quality":
         out = analytics.c4_gopher_quality(docs)
+    elif args.mode == "exactdedup":
+        out = analytics.dedup_exact(docs, keep_by=args.keep_by, descending=args.keep_desc)
     elif args.mode == "paradedup":
-        out = analytics.dedup_paragraphs(analytics.split_paragraphs(docs))
+        extra = (args.keep_by,) if args.keep_by else ()
+        out = analytics.dedup_paragraphs(
+            analytics.split_paragraphs(docs, extra_cols=extra),
+            keep_by=args.keep_by, descending=args.keep_desc,
+        )
     elif args.mode == "split":
         out = analytics.hash_split(docs)
     elif args.mode == "decontaminate":

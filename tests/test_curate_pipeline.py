@@ -1,0 +1,164 @@
+"""Dedup keep-policy (VERDICT r5 item 6) and the staged curate pipeline
+mode (item 7): survivor selection by a caller-supplied ordering column,
+and the quality->dedup->decontaminate->split->pack chain with per-stage
+audit counts and stage-level resume."""
+
+import argparse
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlx.spark.analytics import dedup_exact, dedup_paragraphs, split_paragraphs
+from htmlx.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-curate-test")
+    yield s
+    s.stop()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, prio long")
+
+
+def test_keep_policy_min_max_and_tiebreak(spark):
+    rows = [
+        (10, "aaa", 1),
+        (11, "aaa", 5),
+        (12, "aaa", 5),  # prio tie with 11 -> min doc_id wins under desc
+        (20, "bbb", 9),
+    ]
+    docs = _docs(spark, rows)
+    default = {r.text_md5: r.keep_doc_id for r in dedup_exact(docs).collect()}
+    lowest = {r.text_md5: r.keep_doc_id
+              for r in dedup_exact(docs, keep_by="prio").collect()}
+    highest = {r.text_md5: r.keep_doc_id
+               for r in dedup_exact(docs, keep_by="prio", descending=True).collect()}
+    import hashlib
+
+    ka = hashlib.md5(b"aaa").hexdigest()
+    kb = hashlib.md5(b"bbb").hexdigest()
+    assert default[ka] == 10 and default[kb] == 20
+    assert lowest[ka] == 10  # prio 1 is lowest
+    assert highest[ka] == 11  # prio 5 twice: ties fall to the SMALLER doc_id
+    assert highest[kb] == 20
+
+
+def test_keep_policy_paragraphs(spark):
+    rows = [
+        (1, "x\nshared", 3),
+        (2, "y\nshared", 7),
+        (3, "z\nshared", 7),  # tie with doc 2 under desc -> doc 2 survives
+    ]
+    docs = _docs(spark, rows)
+    paras = split_paragraphs(docs, extra_cols=("prio",))
+    out = {r.content_md5: (r.keep_doc_id, r.dup_count)
+           for r in dedup_paragraphs(paras, keep_by="prio", descending=True).collect()}
+    import hashlib
+
+    keep, count = out[hashlib.md5(b"shared").hexdigest()]
+    assert keep == 2 and count == 3
+
+
+def _pipeline_args(tmp_path, **over):
+    base = dict(
+        output=str(tmp_path / "out"),
+        quality_rule="none",
+        keep_by=None,
+        keep_desc=False,
+        hash_basis="xxhash64",
+        threshold=0.9,
+        iters=0,
+        eval_input=None,
+        seq_len=64,
+        pack_buckets=2,
+    )
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def test_pipeline_stages_audit_and_resume(spark, tmp_path):
+    from jobs.curate import run_pipeline
+
+    # 6 docs: 2 exact dups (1,2), the rest distinct; no quality gate so
+    # the arithmetic stays hand-checkable
+    rows = [
+        (1, "alpha beta gamma delta " * 8, 0),
+        (2, "alpha beta gamma delta " * 8, 1),  # exact dup of 1
+        (3, "one two three four five six " * 6, 0),
+        (4, "seven eight nine ten eleven " * 6, 0),
+        (5, "completely different words here now " * 6, 0),
+        (6, "another unique document text body " * 6, 0),
+    ]
+    docs = _docs(spark, rows)
+    manifest = run_pipeline(spark, docs, _pipeline_args(tmp_path))
+    assert manifest["n_input"] == 6
+    done = manifest["completed"]
+    assert done["exact_dedup"]["docs_out"] == 5
+    assert done["near_dedup"]["docs_in"] == 5
+    assert done["split"]["docs_out"] == done["near_dedup"]["docs_out"]
+    # audit table has one row per executed stage with consistent counts
+    audit = {r.stage: r for r in
+             spark.read.parquet(str(tmp_path / "out" / "audit.parquet")).collect()}
+    assert audit["exact_dedup"].docs_dropped == 1
+    assert audit["exact_dedup"].docs_in == 6
+    assert set(audit) == {"exact_dedup", "near_dedup", "split", "pack"}
+    # pack output exists and covers only the train split
+    packed = spark.read.parquet(str(tmp_path / "out" / "stage_pack.parquet"))
+    assert packed.columns == ["doc_id", "pack_bucket", "pack_bin", "pack_offset"]
+
+    # resume: poison one stage file's manifest mtime marker by recording
+    # the manifest, re-run, and assert no stage was recomputed (the
+    # manifest object is byte-identical -> every stage was skipped)
+    mpath = tmp_path / "out" / "_pipeline_manifest.json"
+    before = mpath.read_text()
+    run_pipeline(spark, docs, _pipeline_args(tmp_path))
+    assert mpath.read_text() == before
+
+
+def test_pipeline_keep_policy_changes_survivor(spark, tmp_path):
+    from jobs.curate import run_pipeline
+
+    rows = [
+        (1, "same text body repeated here " * 8, 1),
+        (2, "same text body repeated here " * 8, 9),  # highest prio
+        (3, "other content entirely different " * 8, 5),
+    ]
+    docs = _docs(spark, rows)
+    run_pipeline(
+        spark, docs, _pipeline_args(tmp_path, keep_by="prio", keep_desc=True)
+    )
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "stage_exact_dedup.parquet")
+        ).collect()
+    }
+    assert kept == {2, 3}
+
+
+def test_pipeline_manifest_is_write_then_commit(spark, tmp_path):
+    """A stage crash must leave the manifest without that stage (and the
+    ones after it) so a re-run redoes only the missing tail —
+    write-then-commit, the io.ParquetTableIO contract."""
+    from jobs.curate import run_pipeline
+
+    docs = _docs(spark, [(1, "w " * 60, 0), (2, "v " * 60, 0)])
+    # a missing eval parquet makes the decontaminate stage fail after
+    # exact/near dedup committed but before split/pack ran
+    args = _pipeline_args(tmp_path, eval_input=str(tmp_path / "missing.parquet"))
+    with pytest.raises(Exception):
+        run_pipeline(spark, docs, args)
+    manifest = json.loads((tmp_path / "out" / "_pipeline_manifest.json").read_text())
+    assert "near_dedup" in manifest["completed"]
+    for missing in ("decontaminate", "split", "pack"):
+        assert missing not in manifest["completed"]
+    # dropping the bad eval input resumes and completes the missing tail
+    run_pipeline(spark, docs, _pipeline_args(tmp_path))
+    manifest = json.loads((tmp_path / "out" / "_pipeline_manifest.json").read_text())
+    assert "pack" in manifest["completed"]
