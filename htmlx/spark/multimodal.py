@@ -1644,6 +1644,29 @@ def _id3_syncsafe(b: bytes) -> int:
     return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
 
 
+def _id3_deunsync(b: bytes) -> bytes:
+    """Reverse ID3v2 unsynchronisation: every FF 00 byte pair becomes a
+    lone FF (the encoder inserted the 00 so no false MPEG sync pattern
+    FF Ex — or a stuffed FF 00 — appears inside the tag; id3v2.3 §5 /
+    id3v2.4 §6.1). bytes.replace scans left-to-right non-overlapping, so
+    the encoder's FF 00 00 (for an original FF 00) correctly becomes
+    FF 00."""
+    return b.replace(b"\xff\x00", b"\xff")
+
+
+def _id3_unsync_stuff(b: bytes) -> bytes:
+    """Apply ID3v2 unsynchronisation (synthesis-twin side): insert 00
+    after any FF that precedes a 111xxxxx byte or a 00 (or ends the
+    buffer) — exactly the patterns the spec requires encoders to break."""
+    out = bytearray()
+    n = len(b)
+    for i, c in enumerate(b):
+        out.append(c)
+        if c == 0xFF and (i + 1 == n or b[i + 1] >= 0xE0 or b[i + 1] == 0):
+            out.append(0)
+    return bytes(out)
+
+
 def _id3_text(data: bytes) -> str:
     """Decode one ID3v2 text frame body: leading encoding byte then the
     string (0 latin-1, 1 utf-16 with BOM, 2 utf-16be, 3 utf-8)."""
@@ -1671,8 +1694,11 @@ def audio_tags(payload: bytes) -> dict:
 
     - MP3: ID3v2.2 (3-byte frame ids/sizes), v2.3 (plain big-endian
       frame sizes), v2.4 (syncsafe sizes); falls back to the fixed-
-      layout ID3v1 trailer. Unsynchronised v2 tags are a declared
-      NotImplementedError degradation.
+      layout ID3v1 trailer. Unsynchronised tags are supported: v2.2/v2.3
+      unstuff the WHOLE tag before frame parsing (frame sizes refer to
+      unstuffed data), v2.4 unstuffs per frame (sizes are on-disk) via
+      the global flag or the per-frame format flag 0x02, honoring the
+      0x01 data-length-indicator prefix.
     - OGG: Vorbis comment header / OpusTags (UTF-8 KEY=value pairs,
       case-insensitive keys) reassembled from the page stream.
 
@@ -1683,10 +1709,13 @@ def audio_tags(payload: bytes) -> dict:
     if payload[:3] == b"ID3" and n >= 10:
         out["container"] = "mp3"
         ver, flags = payload[3], payload[5]
-        if flags & 0x80:
-            raise NotImplementedError("id3v2 unsynchronisation")
+        unsync = bool(flags & 0x80)
         size = min(_id3_syncsafe(payload[6:10]), _MAX_TAG_SCAN)
         body = payload[10 : 10 + size]
+        if unsync and ver in (2, 3):
+            # the common 2.3-era layout: the tag header's size counts the
+            # stuffed bytes, everything after it is unstuffed in one pass
+            body = _id3_deunsync(body)
         pos = 0
         if ver in (3, 4) and flags & 0x40 and len(body) >= 4:
             # extended header: self-sized (syncsafe in v2.4, plain in v2.3)
@@ -1706,7 +1735,14 @@ def audio_tags(payload: bytes) -> dict:
                     break  # malformed size: stop, keep what parsed
                 key = _ID3_TEXT_FRAMES.get(fid)
                 if key and not out[key]:
-                    out[key] = _id3_text(body[pos + 10 : pos + 10 + fsz])
+                    data = body[pos + 10 : pos + 10 + fsz]
+                    if ver == 4:
+                        fmt = body[pos + 9]
+                        if fmt & 0x01:  # data-length indicator (4 syncsafe
+                            data = data[4:]  # bytes of unstuffed length)
+                        if unsync or fmt & 0x02:
+                            data = _id3_deunsync(data)
+                    out[key] = _id3_text(data)
                 pos += 10 + fsz
             out["tag_source"] = f"id3v2.{ver}"
             return out
@@ -1814,23 +1850,32 @@ def encode_mp3_headers(n_mp3_frames: int, kbps_idx: int, rate_idx: int, mono: bo
 
 def encode_id3v2(
     version: int = 4, title: str = "", artist: str = "", album: str = "",
-    mp3_body: bytes = b"",
+    mp3_body: bytes = b"", unsync: bool = False, encoding: int = 3,
 ) -> bytes:
     """Synthesis twin for audio_tags: an ID3v2.2/2.3/2.4 tag block
-    (utf-8 text frames for v2.3/4, latin-1 for v2.2) prepended to
-    `mp3_body`."""
+    prepended to `mp3_body`. encoding selects the text-frame encoding
+    byte for v2.3/4 (3 utf-8 default, 1 utf-16-with-BOM — whose FF FE
+    BOM is the classic unsynchronisation trigger); v2.2 always writes
+    latin-1. unsync=True applies the spec's stuffing: whole-tag for
+    v2.2/v2.3 (tag size counts stuffed bytes), per-frame for v2.4
+    (format flag 0x02, on-disk frame sizes)."""
     frames = b""
     if version in (3, 4):
+        enc_name = {3: "utf-8", 1: "utf-16", 0: "latin-1"}[encoding]
         for fid, value in ((b"TIT2", title), (b"TPE1", artist), (b"TALB", album)):
             if not value:
                 continue
-            data = b"\x03" + value.encode("utf-8")
+            data = bytes([encoding]) + value.encode(enc_name)
+            fmt = 0
+            if unsync and version == 4:
+                data = _id3_unsync_stuff(data)
+                fmt = 0x02
             sz = (
                 bytes([(len(data) >> s) & 0x7F for s in (21, 14, 7, 0)])
                 if version == 4
                 else len(data).to_bytes(4, "big")
             )
-            frames += fid + sz + b"\x00\x00" + data
+            frames += fid + sz + bytes([0, fmt]) + data
     elif version == 2:
         for fid, value in ((b"TT2", title), (b"TP1", artist), (b"TAL", album)):
             if not value:
@@ -1839,8 +1884,10 @@ def encode_id3v2(
             frames += fid + len(data).to_bytes(3, "big") + data
     else:
         raise ValueError("id3v2 version must be 2, 3 or 4")
+    if unsync and version in (2, 3):
+        frames = _id3_unsync_stuff(frames)
     size = bytes([(len(frames) >> s) & 0x7F for s in (21, 14, 7, 0)])
-    return b"ID3" + bytes([version, 0, 0]) + size + frames + mp3_body
+    return b"ID3" + bytes([version, 0, 0x80 if unsync else 0]) + size + frames + mp3_body
 
 
 def encode_ogg_vorbis(

@@ -256,10 +256,6 @@ def test_audio_tags_error_paths_and_spark_stage():
 
     with pytest.raises(ValueError):
         audio_tags(b"RIFFxxxxWAVE")  # not a tag container
-    with pytest.raises(NotImplementedError):  # unsync flag declared
-        bad = bytearray(encode_id3v2(4, "T", "", "", b""))
-        bad[5] |= 0x80
-        audio_tags(bytes(bad))
     # truncated comment header -> corrupt, not crash
     ogg = encode_ogg_vorbis(10, 8000, 1, 0, comments={"title": "x"})
     cut = ogg[: ogg.find(b"\x03vorbis") + 9]
@@ -283,3 +279,55 @@ def test_audio_tags_error_paths_and_spark_stage():
     assert rows[1].title == "S" and rows[1].error == ""
     assert rows[2].error == "no_tags"
     assert rows[3].error == "corrupt_tags"
+
+
+def test_id3v2_unsynchronisation():
+    """VERDICT r5 item 5: unsynchronised ID3v2 tags (the 2.3-era-common
+    FF-00 byte stuffing) parse instead of degrading. Covers the twin
+    round-trip in every version and two HAND-CONSTRUCTED spec-layout
+    tags (independent of the twin encoder), including a v2.4 frame with
+    both the unsync and data-length-indicator format flags."""
+    from htmlx.spark.multimodal import (
+        _id3_deunsync,
+        _id3_unsync_stuff,
+        audio_tags,
+        encode_id3v2,
+    )
+
+    # the stuffing primitives invert each other, including the FF 00
+    # corner the spec calls out (FF 00 -> FF 00 00 -> FF 00)
+    for raw in (b"\xff\xfe", b"\xff\x00", b"\xff\xff\xe0", b"ab\xff", b""):
+        assert _id3_deunsync(_id3_unsync_stuff(raw)) == raw
+
+    # twin round-trip: utf-16 BOM (FF FE) inside the frame data forces
+    # real stuffing in every version's layout
+    for ver in (2, 3, 4):
+        enc = {2: 3, 3: 1, 4: 1}[ver]  # v2.2 twin is latin-1 regardless
+        tag = encode_id3v2(ver, "Süper", "Art", "Alb", b"", unsync=True,
+                           encoding=enc)
+        assert tag[5] & 0x80
+        got = audio_tags(tag)
+        assert got["title"] == "Süper" and got["artist"] == "Art", (ver, got)
+        assert got["tag_source"] == f"id3v2.{ver}"
+
+    # hand-built v2.3 whole-tag unsync: TIT2 "Hi" in utf-16-with-BOM;
+    # the tag-header size counts the STUFFED bytes, the frame size (7)
+    # the unstuffed data
+    frame = b"TIT2" + (7).to_bytes(4, "big") + b"\x00\x00" + b"\x01\xff\xfe" + "Hi".encode("utf-16-le")
+    stuffed = frame.replace(b"\xff\xfe", b"\xff\x00\xfe")
+    assert len(stuffed) == len(frame) + 1
+    sz = bytes([(len(stuffed) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    tag = b"ID3\x03\x00\x80" + sz + stuffed
+    assert audio_tags(tag)["title"] == "Hi"
+
+    # hand-built v2.4 per-frame unsync + data-length indicator (format
+    # flags 0x03): on-disk size = 4 (DLI) + stuffed data
+    data = b"\x01\xff\xfe" + "Yo".encode("utf-16-le")
+    stuffed = data.replace(b"\xff\xfe", b"\xff\x00\xfe")
+    dli = bytes([(len(data) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    ondisk = dli + stuffed
+    fsz = bytes([(len(ondisk) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    frame = b"TIT2" + fsz + b"\x00\x03" + ondisk
+    sz = bytes([(len(frame) >> s) & 0x7F for s in (21, 14, 7, 0)])
+    tag = b"ID3\x04\x00\x00" + sz + frame  # per-frame flag only, no global
+    assert audio_tags(tag)["title"] == "Yo"
