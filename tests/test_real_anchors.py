@@ -26,9 +26,13 @@ tools/FixGen.java:
   licence), cross-decoded against the stdlib wave module bit-exact.
 
 FLAC has NO independent encoder in this container (no ffmpeg/flac/sox;
-javax doesn't do FLAC) — it remains twin+CRC+MD5-gated, with adversarial
-bit-IO fuzz in test_decoder_fuzz.py, and is the one codec still carrying
-the documented synthesis-twin residual risk.
+javax doesn't do FLAC). Its anchor is flac_spec_vector.flac: a stream
+hand-assembled from the published format definition by
+tools/flac_vector.py with independent bit assembly and CRC/MD5
+implementations, exercising layouts the twin never emits (see
+test_flac_spec_vector_bit_exact). That closes the twin blind spot to the
+extent possible offline; a third-party-encoder cross-check remains the
+one step only a real encoder binary could add.
 """
 
 import os
@@ -308,3 +312,39 @@ def test_real_wbmp_imageio_exact():
     x, y = np.meshgrid(np.arange(61), np.arange(23))
     exp = (((x * 7 + y * 13) % 5 < 2) * 255).astype(np.uint8)[:, :, None]
     assert px.shape == (23, 61, 1) and (px == exp).all()
+
+
+def test_flac_spec_vector_bit_exact():
+    """VERDICT r5 item 3: the frozen FLAC vector was hand-assembled from
+    the published format definition by tools/flac_vector.py — its own
+    string-of-bits assembly, table-driven CRC-8/CRC-16, hashlib MD5 —
+    sharing no code with flac.py or its encoder twin, and deliberately
+    exercising layouts the twin never emits (partitioned Rice,
+    blocksize/rate at end of header, wasted bits, left/side AND mid/side
+    in one stream, short last block). Bit-exact decode closes the
+    synthesis-twin blind spot to the extent possible without an
+    independent encoder binary."""
+    import json
+
+    from htmlx.spark.flac import decode_flac
+
+    payload = _bytes("flac_spec_vector.flac")
+    with open(os.path.join(DIR, "flac_spec_vector.expected.json")) as f:
+        exp = json.load(f)
+    rate, ch, samples = decode_flac(payload)
+    assert rate == exp["sample_rate"] and ch == exp["channels"]
+    assert samples[:, 0].tolist() == exp["left"]
+    assert samples[:, 1].tolist() == exp["right"]
+    # integrity layers are live on this vector: flipping one PCM-carrying
+    # byte must trip a CRC (or MD5) check, not silently alter samples
+    bad = bytearray(payload)
+    bad[-10] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # and the frozen bytes match the generator spec (regeneration guard)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import flac_vector
+
+    stream, expected = flac_vector.build()
+    assert stream == payload and expected == exp
