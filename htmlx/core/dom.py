@@ -136,6 +136,35 @@ BUTTON_SCOPE_BARRIERS = frozenset(
 
 TABLE_SECTIONS = frozenset(("thead", "tbody", "tfoot"))
 
+# implied-end-tag dispatch: (closers, stop) pairs hoisted to module level
+# so handle_starttag does one dict lookup instead of an elif chain that
+# re-built frozensets (and a set union) on every matching start tag
+_LI_SET = frozenset(("li",))
+_LIST_STOP = frozenset(("ul", "ol"))
+_DTDD_SET = frozenset(("dt", "dd"))
+_DL_STOP = frozenset(("dl",))
+_TR_SET = frozenset(("tr",))
+_TR_STOP = frozenset(("table",)) | TABLE_SECTIONS
+_CELL_SET = frozenset(("td", "th"))
+_OPTION_SET = frozenset(("option",))
+_SELECT_STOP = frozenset(("select",))
+_SECTIONISH = TABLE_SECTIONS | frozenset(("caption", "colgroup"))
+_TABLE_STOP = frozenset(("table",))
+_IMPLIED_END = {
+    "li": (_LI_SET, _LIST_STOP),
+    "dt": (_DTDD_SET, _DL_STOP),
+    "dd": (_DTDD_SET, _DL_STOP),
+    "tr": (_TR_SET, _TR_STOP),
+    "td": (_CELL_SET, _TR_SET),
+    "th": (_CELL_SET, _TR_SET),
+    "option": (_OPTION_SET, _SELECT_STOP),
+    "thead": (_SECTIONISH, _TABLE_STOP),
+    "tbody": (_SECTIONISH, _TABLE_STOP),
+    "tfoot": (_SECTIONISH, _TABLE_STOP),
+    "caption": (_SECTIONISH, _TABLE_STOP),
+    "colgroup": (_SECTIONISH, _TABLE_STOP),
+}
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self):
@@ -243,18 +272,9 @@ class _TreeBuilder(HTMLParser):
         # implied end tags
         if tag in P_CLOSERS:
             self._close_p_in_button_scope()
-        if tag == "li":
-            self._close_siblings(frozenset(("li",)), frozenset(("ul", "ol")))
-        elif tag in ("dt", "dd"):
-            self._close_siblings(frozenset(("dt", "dd")), frozenset(("dl",)))
-        elif tag == "tr":
-            self._close_siblings(frozenset(("tr",)), frozenset(("table",)) | TABLE_SECTIONS)
-        elif tag in ("td", "th"):
-            self._close_siblings(frozenset(("td", "th")), frozenset(("tr",)))
-        elif tag == "option":
-            self._close_siblings(frozenset(("option",)), frozenset(("select",)))
-        elif tag in TABLE_SECTIONS or tag in ("caption", "colgroup"):
-            self._close_siblings(TABLE_SECTIONS | frozenset(("caption", "colgroup")), frozenset(("table",)))
+        implied = _IMPLIED_END.get(tag)
+        if implied is not None:
+            self._close_siblings(*implied)
 
         if parent is None or tag in P_CLOSERS or self.stack:
             parent = self.stack[-1] if self.stack else (
@@ -374,6 +394,11 @@ class _TreeBuilder(HTMLParser):
 
 def _dedup_attrs(attrs):
     """Keep the first occurrence of each attribute name (HTML5), None -> ''. """
+    if not attrs:
+        return attrs
+    if len(attrs) == 1:  # the dominant case: no dedup set needed
+        k, v = attrs[0]
+        return [(k, v if v is not None else "")]
     out = []
     seen = set()
     for k, v in attrs:
@@ -408,6 +433,9 @@ _CDATA_CLOSE = {
 }
 
 
+_NAME_LOWER: dict = {}  # tag/attr-name lower() memo (bounded; names repeat)
+
+
 def _fast_tokenize(rawdata: str, tb: "_TreeBuilder") -> None:
     i = 0
     n = len(rawdata)
@@ -415,6 +443,7 @@ def _fast_tokenize(rawdata: str, tb: "_TreeBuilder") -> None:
     handle_data = tb.handle_data
     handle_starttag = tb.handle_starttag
     handle_endtag = tb.handle_endtag
+    cache = _NAME_LOWER
     while i < n:
         j = find("<", i)
         if j < 0:
@@ -431,14 +460,24 @@ def _fast_tokenize(rawdata: str, tb: "_TreeBuilder") -> None:
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
             # start tag
             m = _TAGFIND.match(rawdata, j + 1)
-            name = m.group(1).lower()
+            raw = m.group(1)
+            name = cache.get(raw)
+            if name is None:
+                name = raw.lower()
+                if len(cache) < 1024:
+                    cache[raw] = name
             k = m.end()
             attrs = []
             while k < n and rawdata[k] not in ">/":
                 am = _ATTRFIND.match(rawdata, k)
                 if not am or am.end() == k:
                     break
-                aname = am.group(1).lower()
+                raw = am.group(1)
+                aname = cache.get(raw)
+                if aname is None:
+                    aname = raw.lower()
+                    if len(cache) < 1024:
+                        cache[raw] = aname
                 aval = am.group(3)
                 if aval is None:
                     attrs.append((aname, None))
@@ -576,17 +615,31 @@ def walk_nodes(node: Node, fn) -> tuple[bool, int]:
 
 
 def find_element_by_tag(doc: Node, tag: str) -> Node | None:
-    """Port of FindElementByTag (helpers.go:467-477)."""
-    found: list[Node] = []
+    """Port of FindElementByTag (helpers.go:467-477).
 
-    def fn(n: Node) -> bool:
+    Early-exits on the first pre-order match instead of completing the
+    walk — output-identical (the reference also takes the first match in
+    pre-order, and the MAX_WALK_NODES cap binds at the same visit count),
+    but O(position-of-match): a <title> near the document start costs a
+    handful of visits, not a full-tree walk."""
+    if doc is None:
+        return None
+    stack = [doc]
+    pop = stack.pop
+    push = stack.append
+    visited = 0
+    while stack:
+        visited += 1
+        if visited > MAX_WALK_NODES:
+            return None
+        n = pop()
         if n.type == ELEMENT and n.data == tag:
-            found.append(n)
-            return False
-        return True
-
-    walk_nodes(doc, fn)
-    return found[0] if found else None
+            return n
+        c = n.last_child
+        while c is not None:
+            push(c)
+            c = c.prev_sibling
+    return None
 
 
 def tree_depth_exceeds(root: Node, max_depth: int) -> bool:

@@ -11,6 +11,7 @@ lists, placeholders) -> CleanText -> media/links -> word count.
 from __future__ import annotations
 
 import html as _stdhtml
+import re
 import sys
 import time
 from dataclasses import dataclass, field
@@ -144,20 +145,17 @@ def escape_markdown_text(s: str) -> str:
     return s
 
 
+_WORD_RUNS = re.compile(r"[^ \t\n\r]+")
+
+
 def count_words(text: str) -> int:
     """Port of countWords (extract.go:1139-1157): runs of non-{space,tab,
-    NL,CR}. NOTE: the whitespace set is exactly these four bytes."""
+    NL,CR}. NOTE: the whitespace set is exactly these four bytes — which
+    is why this is a dedicated regex and not str.split (whose whitespace
+    set also includes \\x0b/\\x0c/unicode spaces)."""
     if not text:
         return 0
-    count = 0
-    in_word = False
-    for c in text:
-        if c in " \t\n\r":
-            in_word = False
-        elif not in_word:
-            in_word = True
-            count += 1
-    return count
+    return len(_WORD_RUNS.findall(text))
 
 
 def _is_blank_content(content: str) -> bool:
@@ -314,25 +312,52 @@ class Extractor:
 
     def _extract_title(self, doc: Node) -> str:
         """Port of extractTitle (extract.go:802-840): single walk collecting
-        first <title>/<h1>/<h2>; priority title -> h1 -> h2."""
-        found = {"title": None, "h1": None, "h2": None}
-
-        def visit(n: Node) -> bool:
-            if n.type == ELEMENT and n.data in found and found[n.data] is None:
-                found[n.data] = n
-            return found["title"] is None or found["h1"] is None or found["h2"] is None
-
-        walk_nodes(doc, visit)
-        if found["title"] is not None:
-            t = get_text_content(found["title"])
+        first <title>/<h1>/<h2>; priority title -> h1 -> h2. Inline stack
+        walk with early break once all three are pinned — the firsts are
+        fixed at that point, so the break is output-identical to the
+        callback walk it replaced (which only pruned subtrees), and the
+        MAX_WALK_NODES cap binds at the same pre-order position."""
+        title = h1 = h2 = None
+        stack = [doc]
+        pop = stack.pop
+        push = stack.append
+        visited = 0
+        while stack:
+            visited += 1
+            if visited > dom.MAX_WALK_NODES:
+                break
+            n = pop()
+            if n.type == ELEMENT:
+                d = n.data
+                if d == "title":
+                    if title is None:
+                        title = n
+                    if h1 is not None and h2 is not None:
+                        break
+                elif d == "h1":
+                    if h1 is None:
+                        h1 = n
+                    if title is not None and h2 is not None:
+                        break
+                elif d == "h2":
+                    if h2 is None:
+                        h2 = n
+                    if title is not None and h1 is not None:
+                        break
+            c = n.last_child
+            while c is not None:
+                push(c)
+                c = c.prev_sibling
+        if title is not None:
+            t = get_text_content(title)
             if t:
                 return t
-        if found["h1"] is not None:
-            t = get_text_content(found["h1"])
+        if h1 is not None:
+            t = get_text_content(h1)
             if t:
                 return t
-        if found["h2"] is not None:
-            return get_text_content(found["h2"])
+        if h2 is not None:
+            return get_text_content(h2)
         return ""
 
     def _extract_article_node(self, doc: Node) -> Node | None:

@@ -383,12 +383,10 @@ def score_all_nodes(root: Node, scorer: "DefaultScorer | None" = None) -> dict:
         if node.type != ELEMENT or is_non_content_element(node.data) or node.data == "p":
             continue
         b = 6 * i
-        m = ContentMetrics()
-        m.tag_count, m.paragraph_count, m.heading_count = acc[b], acc[b + 1], acc[b + 2]
-        m.text_length = m.total_text_length = acc[b + 3]
-        m.link_text_length = acc[b + 4]
-        m.comma_count = acc[b + 5]
-        score = _score_from_metrics(scorer, node, m)
+        score = _score_from_counts(
+            scorer, node, acc[b], acc[b + 1], acc[b + 2], acc[b + 3],
+            acc[b + 4], acc[b + 5],
+        )
         if score > 0:
             candidates[node] = score
     return candidates
@@ -407,17 +405,24 @@ def _has_a_ancestor_or_self_chain(node: Node) -> bool:  # pragma: no cover
     return _has_a_ancestor(node)
 
 
-def _score_from_metrics(scorer: "DefaultScorer", node: Node, m: ContentMetrics) -> int:
+def _score_from_counts(
+    scorer: "DefaultScorer", node: Node, tag_count: int, paragraph_count: int,
+    heading_count: int, text_length: int, link_text_length: int,
+    comma_count: int,
+) -> int:
     """The scoring formula from DefaultScorer.score given precomputed
-    metrics (scorer.go:189-242 verbatim)."""
+    metrics as plain ints (scorer.go:189-242 verbatim; density formulas
+    inlined from scoring.go:99-119) — no ContentMetrics allocation on the
+    per-candidate hot path; total_text_length == text_length here because
+    the bottom-up accumulation computes both from the same subtree."""
     score = TAG_SCORES.get(node.data, 0) + scorer.score_attributes(node)
-    if m.paragraph_count >= MIN_PARAGRAPHS_FOR_BONUS:
-        score += m.paragraph_count * MANY_PARAGRAPHS_MULTIPLIER
-    elif m.paragraph_count > 0:
-        score += m.paragraph_count * FEW_PARAGRAPHS_MULTIPLIER
-    if m.heading_count > 0:
-        score += m.heading_count * HEADING_MULTIPLIER
-    tl = m.text_length
+    if paragraph_count >= MIN_PARAGRAPHS_FOR_BONUS:
+        score += paragraph_count * MANY_PARAGRAPHS_MULTIPLIER
+    elif paragraph_count > 0:
+        score += paragraph_count * FEW_PARAGRAPHS_MULTIPLIER
+    if heading_count > 0:
+        score += heading_count * HEADING_MULTIPLIER
+    tl = text_length
     if tl > VERY_LONG_TEXT_THRESHOLD:
         score += VERY_LONG_TEXT_THRESHOLD + (tl - VERY_LONG_TEXT_THRESHOLD) // VERY_LONG_TEXT_BONUS_MULTIPLIER
     elif tl > LONG_TEXT_THRESHOLD:
@@ -426,20 +431,27 @@ def _score_from_metrics(scorer: "DefaultScorer", node: Node, m: ContentMetrics) 
         score += tl // MEDIUM_TEXT_BONUS_DIVIDER
     elif tl < SHORT_TEXT_THRESHOLD:
         score += SHORT_TEXT_PENALTY
-    density = density_from_metrics(m)
+    if tl == 0:
+        density = 0.0
+    elif tag_count == 0:
+        density = 1.0
+    else:
+        density = tl / (tag_count * 10)
+        if density > 1.0:
+            density = 1.0
     if density > HIGH_CONTENT_DENSITY_THRESHOLD:
         score = int(score * HIGH_DENSITY_MULTIPLIER)
     elif density < LOW_CONTENT_DENSITY_THRESHOLD:
         score = int(score * LOW_DENSITY_MULTIPLIER)
-    link_density = link_density_from_metrics(m)
+    link_density = link_text_length / tl if tl else 0.0
     if link_density > HIGH_LINK_DENSITY_THRESHOLD:
         score = int(score * HIGH_LINK_DENSITY_PENALTY)
     elif link_density > MEDIUM_LINK_DENSITY_THRESHOLD:
         score = int(score * MEDIUM_LINK_DENSITY_PENALTY)
     elif link_density > LOW_LINK_DENSITY_THRESHOLD:
         score = int(score * LOW_LINK_DENSITY_PENALTY)
-    if m.comma_count > COMMA_BONUS_THRESHOLD:
-        score += m.comma_count * COMMA_BONUS_MULTIPLIER
+    if comma_count > COMMA_BONUS_THRESHOLD:
+        score += comma_count * COMMA_BONUS_MULTIPLIER
     return score
 
 

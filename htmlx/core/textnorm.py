@@ -7,8 +7,12 @@ matching (helpers.go:21-70). Semantics are character-for-character.
 
 from __future__ import annotations
 
+import re
+
 from .dom import ELEMENT, TEXT, Node, walk_nodes
 from .entities import replace_entity_at, replace_html_entities
+
+_SPACE_RUNS = re.compile(r"[ \t]+")
 
 BOUNDARY_STANDARD = 0
 BOUNDARY_CSS = 1
@@ -127,17 +131,7 @@ def clean_text(text: str) -> str:
                     out.append(indent)
                     # compress internal space/tab runs to single spaces
                     if "\t" in content or "  " in content:
-                        comp = []
-                        in_space = False
-                        for ch in content:
-                            if ch == " " or ch == "\t":
-                                if not in_space:
-                                    comp.append(" ")
-                                    in_space = True
-                            else:
-                                comp.append(ch)
-                                in_space = False
-                        out.append("".join(comp))
+                        out.append(_SPACE_RUNS.sub(" ", content))
                     else:
                         out.append(content)
                     is_empty = False

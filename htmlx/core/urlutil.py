@@ -7,8 +7,15 @@ NOTE: ResolveURL deliberately does NOT collapse ``./``/``../`` segments
 
 from __future__ import annotations
 
+import re
+
 MAX_URL_LENGTH = 2000  # constants.go:6
 MAX_DATA_URI_LENGTH = 100000  # constants.go:7
+
+# rejection sets of the reference's per-char validation loops
+# (helpers.go:1009-1031), compiled so the scan runs in C
+_URL_BAD = re.compile(r"[\x00-\x1f\x7f<>\"']")
+_DATA_URI_BAD = re.compile(r"[^\x20-\x7e]|[<>\"'\\]")
 
 
 def is_valid_url(url: str) -> bool:
@@ -26,16 +33,12 @@ def is_valid_url(url: str) -> bool:
     if url.startswith("data:"):
         if n > MAX_DATA_URI_LENGTH:
             return False
-        for ch in url[5:]:
-            b = ord(ch)
-            if b < 32 or b > 126 or ch in "<>\"'\\":
-                return False
-        return True
+        # printable ASCII only, minus <>"'\ — same set as the char loop
+        # this regex replaced (C-speed scan)
+        return _DATA_URI_BAD.search(url, 5) is None
 
-    for ch in url:
-        b = ord(ch)
-        if b < 32 or b == 127 or ch in "<>\"'":
-            return False
+    if _URL_BAD.search(url) is not None:
+        return False
 
     if url.startswith("//"):
         lower_rest = url[2:].lstrip(" \t\n\r").lower()
