@@ -359,10 +359,14 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
     pinned JVMs on disjoint 8-CPU core sets, each owning a url-hash shard —
     the faithful in-sandbox analogue of a 1-executor vs 4-executor cluster
     (separate JVMs, separate Python worker pools, identical per-executor
-    core budget). Each executor runs local[exec_cores-2] worker slots on its
-    exec_cores CPUs — standard cluster practice leaving headroom for JVM
-    service threads (shuffle/Arrow/GC), which measurably beats fully
-    subscribed slots here."""
+    core budget). Each executor runs local[exec_cores-1] worker slots on
+    its exec_cores CPUs — one core of headroom for JVM service threads
+    (shuffle/Arrow/GC). Re-tuned r6: the r3-era exec_cores-2 was measured
+    against slower per-document code; after the r5/r6 extraction speedups
+    the 7th worker beats the extra headroom decisively (order-controlled
+    fleet A/B, same window: slots=7 42.3-44.9k docs/s vs slots=6
+    31.8-34.6k; solo shows the same +24%, so the efficiency RATIO is
+    unchanged — this is an absolute-throughput win)."""
     replicate = 256  # ~1.28M docs: ~60s timed region per executor
     # cache the prepared shards: shard prep is several minutes of full-load
     # work, and on this burstable VM heavy work right before measurement
@@ -376,7 +380,7 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
             _prepare_shards(sf_dir, n_execs, replicate, root)
             time.sleep(60)  # cool-down after the heavy prep phase
 
-        worker_slots = max(exec_cores - 2, 2)
+        worker_slots = max(exec_cores - 1, 2)
 
         def shard_cmd(i: int, pin_start: int):
             cpus = f"{pin_start}-{pin_start + exec_cores - 1}"
