@@ -287,8 +287,9 @@ def decode_tga(payload: bytes):
     9/10/11), 8-bit gray or color-mapped (24/32-bit palettes), 16-bit
     ARGB1555 (5-bit channels scaled to 8, attribute bit ignored —
     documented), 24-bit BGR and 32-bit BGRA; bottom-up default with the
-    top-to-bottom descriptor bit honored. The right-to-left bit and
-    exotic depths raise NotImplementedError. Returns (h, w, 1|3|4)
+    top-to-bottom descriptor bit honored and right-to-left ordering
+    mirrored (r6; it is a pure column flip). Exotic depths raise
+    NotImplementedError. Returns (h, w, 1|3|4)
     uint8 (BGR(A) converted to RGB(A)). The format has no magic — the
     caller routes by extension/context; the header sanity checks below
     reject most non-TGA payloads."""
@@ -305,8 +306,6 @@ def decode_tga(payload: bytes):
         raise ValueError("bad_tga_type")
     if w == 0 or h == 0 or w * h * 4 > _MAX_RASTER:
         raise ValueError("bad_dimensions")
-    if desc & 0x10:
-        raise NotImplementedError("tga right-to-left ordering")
     rle = imgtype >= 9
     kind = imgtype - 8 if rle else imgtype
     pos = 18 + idlen
@@ -394,6 +393,8 @@ def decode_tga(payload: bytes):
         img = np.stack([m[:, :, 2], m[:, :, 1], m[:, :, 0], m[:, :, 3]], 2)
     if not desc & 0x20:  # default origin is bottom-left
         img = img[::-1]
+    if desc & 0x10:  # right-to-left pixel ordering: mirror columns
+        img = img[:, ::-1]
     return np.ascontiguousarray(img.astype(np.uint8))
 
 

@@ -379,11 +379,11 @@ def test_tga_error_and_degradation_paths():
     good = encode_tga(np.zeros((4, 4), np.uint8), rle=True)
     with pytest.raises(ValueError):
         decode_tga(good[: len(good) - 3])  # truncated RLE stream
-    # right-to-left bit: declared degradation
+    # right-to-left bit is SUPPORTED since r6 (column mirror) — this
+    # truecolor rtl payload must decode, not degrade
     hdr = (bytes([0, 0, 2]) + b"\x00" * 9
            + (4).to_bytes(2, "little") + (4).to_bytes(2, "little") + bytes([24, 0x30]))
-    with pytest.raises(NotImplementedError):
-        decode_tga(hdr + b"\x00" * 48)
+    assert decode_tga(hdr + b"\x00" * 48).shape == (4, 4, 3)
     # mapped image without a colormap is malformed
     hdr = (bytes([0, 0, 1]) + b"\x00" * 9
            + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + bytes([8, 0x20]))
@@ -419,24 +419,47 @@ def test_tga_reachable_through_decode_image_dispatch():
 
 def test_tga_declared_variant_vs_garbage_dispatch():
     """ADVICE r5: a structurally-consistent TGA hitting a declared
-    decode gap (right-to-left bit) surfaces NotImplementedError as a
-    decoder gap, while garbage that trips the loose dispatch gate with
+    decode gap (16-bit colormap entries) surfaces NotImplementedError as
+    a decoder gap, while garbage that trips the loose dispatch gate with
     an exotic bpp falls through to 'unknown image container'."""
-    import numpy as np
+    import struct as _s
+
     import pytest
 
     from htmlx.spark.multimodal import decode_image
-    from htmlx.spark.tiffbmp import encode_tga, tga_header_plausible
+    from htmlx.spark.tiffbmp import tga_header_plausible
 
-    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
-    rtl = bytearray(encode_tga(a))
-    rtl[17] |= 0x10  # right-to-left descriptor bit
-    assert tga_header_plausible(bytes(rtl))
-    with pytest.raises(NotImplementedError, match="right-to-left"):
-        decode_image(bytes(rtl))
+    # hand-built mapped TGA with a 16-bpp palette (declared gap): header
+    # is structurally consistent, so the gap must surface
+    w = h = 2
+    hdr = bytes([0, 1, 1]) + _s.pack("<HH", 0, 4) + bytes([16]) + b"\x00" * 4 \
+        + _s.pack("<HH", w, h) + bytes([8, 0x20])
+    body = b"\x11" * (4 * 2) + bytes([0, 1, 2, 3])
+    assert tga_header_plausible(hdr + body)
+    with pytest.raises(NotImplementedError, match="palette bpp 16"):
+        decode_image(hdr + body)
     # imgtype 2 / bpp 13: decode_tga raises NotImplementedError but the
     # strict header check rejects it, so dispatch reports unknown container
     junk = bytes([0, 0, 2]) + b"\x00" * 9 + b"\x04\x00\x04\x00" + bytes([13, 0]) + b"\x55" * 64
     assert not tga_header_plausible(junk)
     with pytest.raises(NotImplementedError, match="unknown image container"):
         decode_image(junk)
+
+
+def test_tga_right_to_left_mirrors_columns():
+    """The right-to-left descriptor bit (r6): a pure column mirror, for
+    uncompressed and RLE payloads, composed with the vertical-origin bit."""
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.tiffbmp import decode_tga, encode_tga
+
+    a = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    for rle in (False, True):
+        base = bytearray(encode_tga(a, rle=rle))
+        base[17] |= 0x10
+        assert (decode_tga(bytes(base)) == a[:, ::-1]).all()
+        # bottom-up + right-to-left together: flip both axes
+        both = bytearray(encode_tga(a, rle=rle, top_down=False))
+        both[17] |= 0x10
+        assert (decode_tga(bytes(both)) == a[:, ::-1]).all()
