@@ -13,7 +13,10 @@ Scope:
   delta escapes). RLE4 and bitfield compressions degrade.
 - TIFF: both byte orders, single-image IFD walk, chunky AND planar
   configs, 8- and 16-bit samples (16-bit decodes to the high byte, the
-  PNG convention; the horizontal predictor is undone at sample width),
+  PNG convention; the horizontal predictor is undone at sample width)
+  plus 1/2/4-bit sub-byte samples (MSB-first, row-padded; grayscale
+  scales linearly, palette indexes the ColorMap — javax.imageio-anchored
+  in test_real_anchors.py),
   1 or 3+ samples/pixel (extra samples kept as alpha), strip- AND
   tile-based layouts (edge tiles cropped, per-block predictor restart),
   compressions None(1) / LZW(5) / Deflate(8, 32946) / PackBits(32773),
@@ -649,7 +652,10 @@ def decode_tiff(payload: bytes):
     except KeyError as e:
         raise ValueError(f"missing_tag_{e.args[0]}") from None
     spp = tags.get("samples_per_pixel", [1])[0]
-    bits = tags.get("bits_per_sample", [8])
+    # TIFF 6.0 default when the tag is absent is 1 bit (bilevel writers,
+    # javax.imageio included, omit it for uncompressed 1-bit too — not
+    # just for CCITT); compliant 8-bit writers always emit the tag
+    bits = tags.get("bits_per_sample", [1])
     compression = tags.get("compression", [1])[0]
     photometric = tags.get("photometric", [1])[0]
     predictor = tags.get("predictor", [1])[0]
@@ -741,9 +747,18 @@ def decode_tiff(payload: bytes):
         gray = 255 * (1 - ink) if photometric == 0 else 255 * ink
         return gray.astype(np.uint8)[:, :, None]
     if bits and all(b == 8 for b in bits):
-        sample_bytes = 1
+        sample_bytes, bits0 = 1, 8
     elif bits and all(b == 16 for b in bits):
-        sample_bytes = 2  # decoded to the high byte (PNG convention)
+        sample_bytes, bits0 = 2, 16  # decoded to the high byte (PNG convention)
+    elif bits in ([1], [2], [4]) and spp == 1 and planar == 1:
+        # sub-byte samples (r6: old scanned archives and small palette
+        # images): MSB-first within each byte (FillOrder 1, the default —
+        # tag 266=2 files are not parsed and will mis-decode; declared),
+        # each ROW padded to a byte boundary per TIFF 6.0. Samples expand
+        # to one byte each after unpacking.
+        sample_bytes, bits0 = 1, bits[0]
+        if predictor == 2:
+            raise NotImplementedError("tiff predictor=2 with sub-byte samples")
     else:
         raise NotImplementedError(f"tiff bits={bits}")
     if spp < 1 or spp > 4:
@@ -778,13 +793,19 @@ def decode_tiff(payload: bytes):
                         out = late
                 except StreamCorruptError:
                     if out is None:
-                        raise
+                        # both modes corrupt: declared degradation at the
+                        # TIFF boundary (StreamCorruptError is a
+                        # zlib.error subclass, not a ValueError)
+                        raise ValueError("corrupt_lzw_strip") from None
         elif compression in (8, 32946):
-            d = zlib.decompressobj()
-            out = d.decompress(raw, expect)
-            if d.unconsumed_tail:
-                raise ValueError("strip_too_large")
-            out += d.flush()
+            try:
+                d = zlib.decompressobj()
+                out = d.decompress(raw, expect)
+                if d.unconsumed_tail:
+                    raise ValueError("strip_too_large")
+                out += d.flush()
+            except zlib.error:  # corrupt Deflate body: declared degradation
+                raise ValueError("corrupt_deflate_strip") from None
         elif compression == 32773:  # PackBits
             o = bytearray()
             i = 0
@@ -807,11 +828,28 @@ def decode_tiff(payload: bytes):
             raise ValueError("short_strip")
         return out[:expect]
 
+    def block_expect(rows, cols):
+        """Decoded byte count of one strip/tile block: sub-byte rows are
+        individually padded to byte boundaries."""
+        if bits0 < 8:
+            return rows * ((cols * bits0 + 7) // 8)
+        return rows * cols * spp_eff * sample_bytes
+
     def undo_predictor(raw, rows, cols, samples):
         # horizontal differencing restarts at each block row's left edge,
         # so it must be undone per strip/tile block, not post-assembly;
         # for 16-bit samples it operates on 16-bit VALUES in the file's
         # byte order, and the decoded output keeps the high byte
+        if bits0 < 8:
+            rb = (cols * bits0 + 7) // 8
+            a = np.frombuffer(raw, np.uint8).reshape(rows, rb)
+            unpacked = np.unpackbits(a, axis=1)[:, : cols * bits0]
+            if bits0 == 1:
+                v = unpacked
+            else:
+                weights = (1 << np.arange(bits0 - 1, -1, -1)).astype(np.uint16)
+                v = unpacked.reshape(rows, cols, bits0) @ weights
+            return v.astype(np.uint8).reshape(rows, cols, 1)
         if sample_bytes == 2:
             a = np.frombuffer(raw, np.dtype(bo + "u2")).reshape(rows, cols, samples)
             if predictor == 2:
@@ -850,7 +888,7 @@ def decode_tiff(payload: bytes):
             for ty in range(down):
                 for tx in range(across):
                     # tiles are always padded to full tw x th
-                    out = fetch(offsets[i], counts[i], th * tw * spp_eff * sample_bytes)
+                    out = fetch(offsets[i], counts[i], block_expect(th, tw))
                     i += 1
                     tile = undo_predictor(out, th, tw, spp_eff)
                     ys, xs = ty * th, tx * tw
@@ -868,7 +906,7 @@ def decode_tiff(payload: bytes):
             y = 0
             for _ in range(per_plane):
                 rows = min(rows_per_strip, h - y)
-                out = fetch(offsets[i], counts[i], rows * w * spp_eff * sample_bytes)
+                out = fetch(offsets[i], counts[i], block_expect(rows, w))
                 i += 1
                 strip = undo_predictor(out, rows, w, spp_eff)
                 if planar == 2:
@@ -886,6 +924,9 @@ def decode_tiff(payload: bytes):
         if int(idx.max(initial=0)) >= n:
             raise ValueError("palette_index_out_of_range")
         return cmap[idx]
+    if bits0 < 8:
+        # exact linear expansion: 255/(2^bits-1) is an integer for 1/2/4
+        px = px * (255 // ((1 << bits0) - 1))
     if photometric == 0:  # WhiteIsZero: invert to the usual polarity
         return 255 - px
     return px  # BlackIsZero grayscale or RGB(A)

@@ -348,3 +348,24 @@ def test_flac_spec_vector_bit_exact():
 
     stream, expected = flac_vector.build()
     assert stream == payload and expected == exp
+
+
+def test_real_subbyte_tiff_imageio_exact():
+    """Sub-byte TIFF (r6): 1-bit uncompressed grayscale (BitsPerSample
+    tag omitted — the TIFF 6.0 default of 1 must apply), 4-bit palette
+    (uncompressed AND LZW) and 2-bit palette, all written by
+    javax.imageio (tools/TiffSubByteGen.java) at a deliberately
+    non-byte-multiple width (37), decoded bit-exactly against ImageIO's
+    own rasters."""
+    from htmlx.spark.tiffbmp import decode_tiff
+
+    for tif, ras in (
+        ("real_gray1.tif", "gray1.raster"),
+        ("real_pal4.tif", "pal4.raster"),
+        ("real_pal4_lzw.tif", "pal4.raster"),
+        ("real_pal2.tif", "pal2.raster"),
+    ):
+        img = decode_tiff(_bytes(tif))
+        exp = _raster(ras)
+        got = np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
+        assert got.shape == exp.shape and (got == exp).all(), tif
