@@ -216,13 +216,18 @@ def encode_bmp(arr, palette=None, top_down=False, rle=False) -> bytes:
 
 _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits_per_sample", 259: "compression",
-    262: "photometric", 273: "strip_offsets", 277: "samples_per_pixel",
+    262: "photometric", 266: "fill_order", 273: "strip_offsets",
+    277: "samples_per_pixel",
     278: "rows_per_strip", 279: "strip_byte_counts", 284: "planar",
     292: "t4_options", 293: "t6_options",
     317: "predictor", 320: "colormap", 322: "tile_width",
     323: "tile_length", 324: "tile_offsets", 325: "tile_byte_counts",
 }
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+# FillOrder=2: bits within each byte are stored LSB-first (common in fax
+# archives); reversing every byte restores the default MSB-first order
+_BITREV = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
 
 
 def _read_ifd_values(payload, bo, typ, count, value_field):
@@ -663,6 +668,19 @@ def decode_tiff(payload: bytes):
     planar = tags.get("planar", [1])[0]
     if planar not in (1, 2):
         raise ValueError(f"bad_planar_config_{planar}")
+    fill_order = tags.get("fill_order", [1])[0]
+    if fill_order not in (1, 2):
+        raise ValueError(f"bad_fill_order_{fill_order}")
+    if fill_order == 2 and compression not in (1, 2, 3, 4):
+        # LSB-first bit packing only occurs in fax-lineage data
+        # (uncompressed bilevel or CCITT); with byte-oriented codecs the
+        # combination is spec-discouraged and has no anchor to pin it
+        raise NotImplementedError("tiff fill_order=2 with byte-oriented compression")
+
+    def unfill(raw: bytes) -> bytes:
+        """Restore MSB-first bit order for FillOrder=2 payloads (fax
+        archives) — a per-byte bit reversal."""
+        return raw.translate(_BITREV) if fill_order == 2 else raw
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff predictor={predictor}")
     if compression in (2, 3, 4):
@@ -721,7 +739,7 @@ def decode_tiff(payload: bytes):
                     raw = payload[offsets[i] : offsets[i] + counts[i]]
                     if len(raw) != counts[i]:
                         raise ValueError("truncated_tile")
-                    block = decode_ccitt(raw, tw, th, k=k, byte_align=byte_align)
+                    block = decode_ccitt(unfill(raw), tw, th, k=k, byte_align=byte_align)
                     y0, x0 = ty * th, tx * tw
                     ink[y0 : y0 + th, x0 : x0 + tw] = block[
                         : min(th, h - y0), : min(tw, w - x0)
@@ -736,7 +754,7 @@ def decode_tiff(payload: bytes):
                 raw = payload[offsets[i] : offsets[i] + counts[i]]
                 if len(raw) != counts[i]:
                     raise ValueError("truncated_strip")
-                bands.append(decode_ccitt(raw, w, rows, k=k, byte_align=byte_align))
+                bands.append(decode_ccitt(unfill(raw), w, rows, k=k, byte_align=byte_align))
                 y += rows
             if y != h:
                 raise ValueError("short_strip")
@@ -752,10 +770,10 @@ def decode_tiff(payload: bytes):
         sample_bytes, bits0 = 2, 16  # decoded to the high byte (PNG convention)
     elif bits in ([1], [2], [4]) and spp == 1 and planar == 1:
         # sub-byte samples (r6: old scanned archives and small palette
-        # images): MSB-first within each byte (FillOrder 1, the default —
-        # tag 266=2 files are not parsed and will mis-decode; declared),
-        # each ROW padded to a byte boundary per TIFF 6.0. Samples expand
-        # to one byte each after unpacking.
+        # images): MSB-first within each byte (FillOrder 1 default;
+        # FillOrder=2 fax-lineage files are bit-reversed per byte via
+        # `unfill`), each ROW padded to a byte boundary per TIFF 6.0.
+        # Samples expand to one byte each after unpacking.
         sample_bytes, bits0 = 1, bits[0]
         if predictor == 2:
             raise NotImplementedError("tiff predictor=2 with sub-byte samples")
@@ -870,7 +888,9 @@ def decode_tiff(payload: bytes):
         raw = payload[off : off + cnt]
         if len(raw) != cnt:
             raise ValueError("truncated_block")
-        return decompress(raw, expect)
+        # fill_order=2 only reaches here uncompressed (guarded above);
+        # the reversal applies to the packed sample bits themselves
+        return decompress(unfill(raw), expect)
 
     if tiled:
         tw = tags.get("tile_width", [0])[0]

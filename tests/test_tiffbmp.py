@@ -463,3 +463,60 @@ def test_tga_right_to_left_mirrors_columns():
         both = bytearray(encode_tga(a, rle=rle, top_down=False))
         both[17] |= 0x10
         assert (decode_tga(bytes(both)) == a[:, ::-1]).all()
+
+
+def _mini_tiff(entries, data):
+    """Hand-build a little-endian single-IFD TIFF: `entries` = [(tag,
+    typ, count, value)] with all values inline; `data` appended after the
+    IFD (strip offsets must account for the 8 + 2 + 12n + 4 header)."""
+    import struct as _s
+
+    out = bytearray(b"II*\x00" + _s.pack("<I", 8))
+    out += _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += _s.pack("<HHII", tag, typ, cnt, val)
+    out += _s.pack("<I", 0)
+    return bytes(out) + data
+
+
+def test_tiff_fill_order_2_bit_reversed():
+    """FillOrder=2 (LSB-first bit packing, fax lineage): uncompressed
+    sub-byte rasters and CCITT streams must decode identically to their
+    MSB-first twins after the per-byte bit reversal; byte-oriented
+    compressions with the tag stay a declared degradation."""
+    import numpy as np
+    import pytest
+
+    from htmlx.spark.ccitt import encode_ccitt_g3_1d
+    from htmlx.spark.tiffbmp import _BITREV, decode_tiff
+
+    # uncompressed 1-bit 10x3: rows pad to 2 bytes each
+    ink = (np.add.outer(np.arange(3), np.arange(10)) % 3 == 0).astype(np.uint8)
+    packed = np.packbits(ink, axis=1).tobytes()  # MSB-first, row-padded
+    base = 8 + 2 + 12 * 9 + 4
+    ents = [(256, 3, 1, 10), (257, 3, 1, 3), (258, 3, 1, 1), (259, 3, 1, 1),
+            (262, 3, 1, 1), (277, 3, 1, 1), (278, 3, 1, 3),
+            (273, 4, 1, base), (279, 4, 1, len(packed))]
+    msb = decode_tiff(_mini_tiff(ents, packed))
+    lsb = decode_tiff(_mini_tiff(ents + [(266, 3, 1, 2)],
+                                 packed.translate(_BITREV)))
+    # one more entry shifts the data offset by 12
+    ents2 = [(t, y, c, v + 12 if t == 273 else v) for t, y, c, v in ents]
+    lsb = decode_tiff(_mini_tiff(ents2 + [(266, 3, 1, 2)],
+                                 packed.translate(_BITREV)))
+    assert (msb[:, :, 0] == 255 * ink).all()
+    assert (lsb == msb).all()
+
+    # CCITT MH with FillOrder=2: reverse the coded stream's bytes
+    code = encode_ccitt_g3_1d(ink, byte_align=True)
+    base = 8 + 2 + 12 * 10 + 4
+    cents = [(256, 3, 1, 10), (257, 3, 1, 3), (258, 3, 1, 1), (259, 3, 1, 2),
+             (262, 3, 1, 0), (266, 3, 1, 2), (277, 3, 1, 1), (278, 3, 1, 3),
+             (273, 4, 1, base), (279, 4, 1, len(code))]
+    fax = decode_tiff(_mini_tiff(cents, bytes(code).translate(_BITREV)))
+    assert (fax[:, :, 0] == 255 * (1 - ink)).all()
+
+    # byte-oriented codec + FillOrder=2: declared, not silent corruption
+    with pytest.raises(NotImplementedError, match="fill_order=2"):
+        dents = [(t, y, c, 5 if t == 259 else v) for t, y, c, v in cents]
+        decode_tiff(_mini_tiff(dents, b"\x00\x01\x02\x03"))
