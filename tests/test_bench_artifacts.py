@@ -79,3 +79,24 @@ def test_compact_bench_line_fits_tail_capture():
         "full_payload": "BENCH/bench_latest.json",
     }
     assert len(json.dumps(compact)) < 2000
+
+
+def test_best_of_history_excludes_superlinear_artifacts(tmp_path):
+    """eff > 1.0 means the solo baseline ran in a slow host phase — such a
+    run must never become the best-of-history artifact."""
+    from bench import write_scaling_artifacts
+
+    d = str(tmp_path)
+    good = {"scaling_efficiency": 0.82, "machine_scaling_ceiling": 0.95,
+            "measured_at": "T1"}
+    assert write_scaling_artifacts(good, bench_dir=d)
+    art = {"scaling_efficiency": 1.07, "machine_scaling_ceiling": 0.92,
+           "measured_at": "T2"}
+    assert write_scaling_artifacts(art, bench_dir=d)  # accepted as LATEST
+    import json, os
+    with open(os.path.join(d, "executor_scaling_latest.json")) as f:
+        assert json.load(f)["measured_at"] == "T2"
+    with open(os.path.join(d, "executor_scaling.json")) as f:
+        best = json.load(f)
+    assert best["measured_at"] == "T1" and best["scaling_efficiency"] == 0.82
+    assert "excluded" in best["provenance"]
