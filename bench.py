@@ -515,9 +515,17 @@ def main():
 
     if len(sys.argv) > 1 and sys.argv[1] == "--executor-scaling":
         attempts = int(os.environ.get("SPARK_GRAFT_SCALING_ATTEMPTS", "3"))
+        # Executor geometry is a deployment parameter: the default 8-core
+        # executors subscribe the whole 32-vCPU host at the 4-executor
+        # level, so ambient host noise contends directly with the fleet;
+        # SPARK_GRAFT_EXEC_CORES=4 measures the same N-vs-4N ratio with
+        # 4-core executors (16 of 32 cores busy), which the idle cores
+        # buffer against noise — both configs are honest, both are
+        # labeled in the artifact (exec_cores / worker_slots fields).
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", str(max(CPUS // 4, 2))))
         ev = None
         for attempt in range(attempts):
-            ev = executor_scaling_evidence(SF_DIR, max(CPUS // 4, 2), 4)
+            ev = executor_scaling_evidence(SF_DIR, exec_cores, 4)
             ev["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
             ev["provenance"] = "latest paired-round measurement"
             if write_scaling_artifacts(ev):
