@@ -24,6 +24,12 @@ Three tiers, by what the container can decode:
   byte scanning. ``extract_pdf_profile`` fuses structural + first-image
   features in one mapInPandas pass.
 
+ENCRYPTED PDFs (r6): documents using the standard security handler with
+an empty user password — the common "owner-password-only" web-PDF class
+— decrypt for real (RC4 and AES via htmlx.spark.pdfcrypt, pure-stdlib)
+across all three tiers; real-password or non-standard-handler documents
+degrade whole-row to error='encrypted'.
+
 The mapInPandas stage shape (schema, batching, error rows, lineage) is
 identical to the HTML extraction stage.
 """
@@ -33,6 +39,12 @@ from __future__ import annotations
 import re
 import zlib
 from typing import Iterator
+
+from .pdfcrypt import (
+    EncryptedPdfError,
+    get_encryption,
+    _parse_string as _crypt_parse_string,
+)
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -72,6 +84,37 @@ MAX_PDF_SCAN = 10 * 1024 * 1024  # structural scan cap (DoS bound)
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_INFO_KEY_RE = {
+    "title": re.compile(rb"/Title\s*(?=[(<])"),
+    "producer": re.compile(rb"/Producer\s*(?=[(<])"),
+}
+
+
+def _decrypted_info_value(scan: bytes, key: str, crypto) -> str:
+    """Info-dict string under encryption: parse the string object at the
+    marker (ciphertext may contain ')' — the plain regex capture would
+    truncate), find the enclosing 'N G obj' header, decrypt under that
+    object's key. Strings inside decoded ObjStms never reach here — they
+    are covered by the ObjStm's own stream encryption (§7.6.2 note 2)."""
+    m = _INFO_KEY_RE[key].search(scan)
+    if not m:
+        return ""
+    raw = _crypt_parse_string(scan, m.end())
+    if not raw:
+        return ""
+    if not crypto.str_encrypted:
+        return raw.decode("latin-1", errors="replace")
+    num = gen = 0
+    for hm in _OBJ_HEADER_RE.finditer(scan, 0, m.start()):
+        num, gen = int(hm.group(1)), int(hm.group(2))
+    if not num:
+        return ""
+    try:
+        return crypto.decrypt(raw, num, gen).decode("latin-1", errors="replace")[:512]
+    except ValueError:
+        return ""
+
 
 def parse_pdf_structure(payload: bytes) -> dict:
     """Codec-free structural parse of a PDF byte stream.
@@ -109,12 +152,27 @@ def parse_pdf_structure(payload: bytes) -> dict:
     out["n_pages"] = len(_PAGE_RE.findall(scan))
     out["n_objects"] = len(_OBJ_RE.findall(scan))
     out["n_streams"] = len(_STREAM_RE.findall(scan))
-    for key, rx in _INFO_RE.items():
-        m = rx.search(scan)
-        if m:
-            out[key] = m.group(1).decode("latin-1", errors="replace")
+    crypto = get_encryption(scan)
+    if crypto is not None and not crypto.ok:
+        # real-password or unsupported handler: the dict-key census above
+        # is still plaintext (only strings and streams are encrypted), but
+        # Info strings would be ciphertext — degrade them, flag the row
+        out["error"] = "encrypted"
+        return out
+    if crypto is None:
+        for key, rx in _INFO_RE.items():
+            m = rx.search(scan)
+            if m:
+                out[key] = m.group(1).decode("latin-1", errors="replace")
+    else:
+        # empty-user-password document: Info strings are ciphertext that
+        # the plain regex would misparse (a ciphertext byte 0x29 reads as
+        # ')'), so locate each marker, parse the string object properly,
+        # and decrypt it under its enclosing object's key
+        for key in _INFO_RE:
+            out[key] = _decrypted_info_value(scan, key, crypto)
     budget = MAX_PDF_SCAN
-    for obj_dict, raw in _iter_streams(scan):
+    for onum, ogen, obj_dict, raw in _iter_streams(scan):
         if not _OBJSTM_RE.search(obj_dict):
             continue
         # packed objects carry no 'N G obj' headers, so /N is additive
@@ -122,10 +180,10 @@ def parse_pdf_structure(payload: bytes) -> dict:
         nm = _OBJSTM_N_RE.search(obj_dict)
         if nm:
             out["n_objects"] += int(nm.group(1))
-        if not _FILTER_RE.search(obj_dict):
+        if not _FILTER_RE.search(obj_dict) and crypto is None:
             continue  # unfiltered ObjStm content was visible to the raw scan
         try:
-            decoded = _decode_stream(obj_dict, raw)[:budget]
+            decoded = _decode_stream(obj_dict, raw, crypto, onum, ogen)[:budget]
         except (UnsupportedFilterError, zlib.error, ValueError):
             continue  # exotic filter / corrupt ObjStm: degrade to raw-scan view
         budget -= len(decoded)
@@ -410,8 +468,26 @@ _STR_ESCAPES = {
 }
 
 
+_OBJ_HDR_TAIL_RE = re.compile(rb"(\d+)\s+(\d+)\s+$")
+
+
+def _obj_header_nums(payload: bytes, obj_kw_pos: int) -> tuple[int, int]:
+    """Object and generation number of the 'N G obj' header whose 'obj'
+    keyword sits at obj_kw_pos; (0, 0) when the position is actually an
+    'endobj' or no numeric header precedes it. Needed by decryption: the
+    per-object RC4/AES key is derived from (num, gen) (§7.6.2 Alg. 1)."""
+    if payload[max(0, obj_kw_pos - 3) : obj_kw_pos] == b"end":
+        return 0, 0
+    m = _OBJ_HDR_TAIL_RE.search(payload, max(0, obj_kw_pos - 24), obj_kw_pos)
+    if not m:
+        return 0, 0
+    return int(m.group(1)), int(m.group(2))
+
+
 def _iter_streams(payload: bytes):
-    """Yield (object_dict_bytes, raw_stream_bytes) for every stream object.
+    """Yield (obj_num, gen_num, object_dict_bytes, raw_stream_bytes) for
+    every stream object; (0, 0) object numbers when no 'N G obj' header
+    was recoverable.
 
     The stream body is delimited by /Length when it is a direct integer
     (Flate output can legally contain the bytes ``endstream``); an indirect
@@ -432,6 +508,9 @@ def _iter_streams(payload: bytes):
         # bytes "obj", and an unfloored rfind landing inside it would let
         # junk /Filter or /Length byte patterns mis-route _decode_stream.
         dict_start = payload.rfind(b"obj", pos, m.start())
+        onum = ogen = 0
+        if dict_start != -1:
+            onum, ogen = _obj_header_nums(payload, dict_start)
         if dict_start == -1:
             dict_start = payload.rfind(b"<<", pos, m.start())
         obj_dict = payload[dict_start : m.start()] if dict_start != -1 else b""
@@ -450,7 +529,7 @@ def _iter_streams(payload: bytes):
                 end -= 2
             elif payload.endswith((b"\n", b"\r"), start, end):
                 end -= 1
-        yield obj_dict, payload[start:end]
+        yield onum, ogen, obj_dict, payload[start:end]
         # resume past the closing keyword, never inside the stream body
         close = payload.find(b"endstream", end)
         pos = (close + len(b"endstream")) if close != -1 else end + 1
@@ -459,7 +538,18 @@ def _iter_streams(payload: bytes):
 _EARLY_CHANGE_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 
 
-def _decode_stream(obj_dict: bytes, raw: bytes) -> bytes:
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+
+
+def _decode_stream(obj_dict: bytes, raw: bytes, crypto=None, num: int = 0, gen: int = 0) -> bytes:
+    if (
+        crypto is not None
+        and crypto.ok
+        and crypto.stm_encrypted
+        and num
+        and not _XREF_TYPE_RE.search(obj_dict)  # xref streams are never encrypted (§7.5.8.2)
+    ):
+        raw = crypto.decrypt(raw, num, gen)
     fm = _FILTER_RE.search(obj_dict)
     if not fm:
         return raw
@@ -583,7 +673,8 @@ def _decode_image_stream(obj_dict: bytes, raw: bytes):
     )
 
 
-def _image_feature_row(obj_dict: bytes, raw: bytes) -> dict:
+def _image_feature_row(obj_dict: bytes, raw: bytes, crypto=None,
+                       num: int = 0, gen: int = 0) -> dict:
     """Decode one image stream to its feature dict with the engine's
     per-row degradation contract (decoder_unavailable / corrupt_image)."""
     import binascii
@@ -594,6 +685,8 @@ def _image_feature_row(obj_dict: bytes, raw: bytes) -> dict:
         "img_filter": "", "px_md5": "", "mean_x1000": 0, "error": "",
     }
     try:
+        if crypto is not None and crypto.ok and crypto.stm_encrypted and num:
+            raw = crypto.decrypt(raw, num, gen)
         px, label = _decode_image_stream(obj_dict, raw)
         h, w, c = px.shape
         rb = px.tobytes()
@@ -612,9 +705,9 @@ def _image_feature_row(obj_dict: bytes, raw: bytes) -> dict:
 
 
 def _iter_image_streams(payload: bytes):
-    for obj_dict, raw in _iter_streams(payload):
+    for onum, ogen, obj_dict, raw in _iter_streams(payload):
         if _IMAGE_DICT_RE.search(obj_dict):
-            yield obj_dict, raw
+            yield onum, ogen, obj_dict, raw
 
 
 def extract_pdf_images(payload: bytes, max_images: int = 64) -> list:
@@ -623,9 +716,15 @@ def extract_pdf_images(payload: bytes, max_images: int = 64) -> list:
     md5-over-lowercase-hex basis, mean). Filters needing a genuinely
     external codec (JPX/JBIG2) degrade per-image to
     error='decoder_unavailable'; malformed payloads to 'corrupt_image'."""
+    crypto = get_encryption(payload)
     out = []
-    for obj_dict, raw in _iter_image_streams(payload):
-        out.append({"image_index": len(out), **_image_feature_row(obj_dict, raw)})
+    for onum, ogen, obj_dict, raw in _iter_image_streams(payload):
+        if crypto is not None and not crypto.ok:
+            row = {"width": 0, "height": 0, "channels": 0, "img_filter": "",
+                   "px_md5": "", "mean_x1000": 0, "error": "encrypted"}
+        else:
+            row = _image_feature_row(obj_dict, raw, crypto, onum, ogen)
+        out.append({"image_index": len(out), **row})
         if len(out) >= max_images:
             break
     return out
@@ -760,11 +859,14 @@ def extract_pdf_text(payload: bytes) -> str:
     extract_pdf_images) — a real-world PDF full of DCT photos must still
     yield its text, not degrade whole-row. Raises UnsupportedFilterError
     when a non-image stream needs a codec this container lacks."""
+    crypto = get_encryption(payload)
+    if crypto is not None and not crypto.ok:
+        raise EncryptedPdfError("password-protected or unsupported handler")
     parts: list[str] = []
-    for obj_dict, raw in _iter_streams(payload):
+    for onum, ogen, obj_dict, raw in _iter_streams(payload):
         if _IMAGE_DICT_RE.search(obj_dict):
             continue
-        data = _decode_stream(obj_dict, raw)
+        data = _decode_stream(obj_dict, raw, crypto, onum, ogen)
         shows = _content_text(data)
         if shows:
             parts.append("".join(_decode_text_string(s) for s in shows))
@@ -827,6 +929,8 @@ def extract_pdf_documents(pdfs: DataFrame) -> DataFrame:
                 else:
                     try:
                         text = extract_pdf_text(b)
+                    except EncryptedPdfError:
+                        err = "encrypted"
                     except UnsupportedFilterError:
                         err = "decoder_unavailable"
                     except zlib.error:
@@ -901,7 +1005,7 @@ def _has_unsupported_nonimage_filter(payload: bytes) -> bool:
     top-level error; corruption surfaces on the text/image rows that
     actually decode the bytes."""
     supported = _ZLIB_FILTERS | _LZW_FILTERS | set(_SIMPLE_FILTERS)
-    for obj_dict, _raw in _iter_streams(payload):
+    for _onum, _ogen, obj_dict, _raw in _iter_streams(payload):
         if _IMAGE_DICT_RE.search(obj_dict):
             continue  # image XObjects carry no text operators
         fm = _FILTER_RE.search(obj_dict)
@@ -937,11 +1041,12 @@ def extract_pdf_profile(pdfs: DataFrame) -> DataFrame:
                 # for a 1-image profile row)
                 n_images = 0
                 first: dict = {}
-                if meta["error"] != "not_a_pdf":
-                    for obj_dict, raw in _iter_image_streams(b):
+                if meta["error"] not in ("not_a_pdf", "encrypted"):
+                    crypto = get_encryption(b)
+                    for onum, ogen, obj_dict, raw in _iter_image_streams(b):
                         n_images += 1
                         if n_images == 1:
-                            first = _image_feature_row(obj_dict, raw)
+                            first = _image_feature_row(obj_dict, raw, crypto, onum, ogen)
                         if n_images >= 64:
                             break
                 rows.append(

@@ -289,7 +289,7 @@ def test_pdf_profile_counts_but_decodes_only_first(monkeypatch):
     monkeypatch.setattr(P, "_decode_image_stream", lambda d, r: calls.append(1) or real(d, r))
     # the profile walk must decode exactly ONE image but count all three
     rows = []
-    for obj_dict, raw in P._iter_image_streams(body):
+    for _num, _gen, obj_dict, raw in P._iter_image_streams(body):
         rows.append((obj_dict, raw))
     assert len(rows) == 3
     # emulate the profile stage's walk contract via the public stage
