@@ -97,6 +97,124 @@ def dedup_paragraphs(
     )
 
 
+def _window_key(text_expr, hash_basis: str):
+    """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
+    is the production default; md5 exists so the DuckDB oracle can
+    reproduce keys exactly (same dual-basis convention as minhash)."""
+    if hash_basis == "xxhash64":
+        return F.xxhash64(text_expr)
+    if hash_basis == "md5":
+        return F.md5(text_expr)
+    raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
+
+
+def dedup_spans(
+    documents: DataFrame, w: int = 15, hash_basis: str = "xxhash64"
+) -> DataFrame:
+    """Cross-document EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): remove every duplicated
+    run of >= w tokens, keeping only its globally-first occurrence —
+    the span-level complement to doc-level dedup_exact (whole text equal)
+    and paragraph-level dedup_paragraphs (newline units). The reference
+    has no analytics engine (its scope ends at per-document extraction,
+    reference extractor.go:1-60); this is the corpus-curation layer a
+    training pipeline runs downstream.
+
+    The published implementation builds a corpus-wide suffix array — a
+    global sort no Spark cluster should attempt. The Spark-first shape
+    replaces it with hashed sliding windows, which finds exactly the same
+    duplicated-span set for spans >= w tokens (every length-w window of a
+    duplicated run collides; merged, they reconstruct the maximal span):
+
+      1. scan-side: tokenize, hash all n-w+1 overlapping w-token windows
+         (posexplode — linear volume, ~n_tokens rows/doc, map-only);
+      2. ONE shuffle keyed by window hash: min(struct(doc_id, pos)) marks
+         the survivor per distinct window (partial agg map-side, so a
+         boilerplate window repeated in every document combines before
+         the shuffle — no hot-key blowup);
+      3. non-survivor occurrences shuffle back to doc_id (uniform keys)
+         where gaps-and-islands (running max of pos+w) merges overlapping
+         windows into maximal removed spans;
+      4. cleaned text is rebuilt JVM-side: filter each token array against
+         the (small) merged-interval list, re-join on ' '.
+
+    Everything is Catalyst (zero Python rows); per-token work in step 4 is
+    O(n_tokens x n_islands) per document, bounded because islands are
+    merged maximal spans. Returns one row per input document:
+    (doc_id, n_windows, n_dup_windows, tokens_removed, cleaned_text).
+    Documents shorter than w tokens pass through untouched (cleaned_text
+    = canonical single-space re-join, same as any no-dup document)."""
+    toks = F.split(F.col("text"), " ")
+    d = documents.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
+    starts = F.when(
+        F.size("toks") >= w, F.sequence(F.lit(0), F.size("toks") - w)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: _window_key(F.concat_ws(" ", F.slice("toks", i + 1, w)), hash_basis),
+            )
+        ).alias("pos", "wkey"),
+    )
+    firsts = wins.groupBy("wkey").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dups = (
+        wins.join(firsts, "wkey")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    # gaps-and-islands: a new island starts when this window begins past
+    # every previous window's end (all windows have length w)
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + w).over(
+        wspec.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dups.select(
+        "doc_id",
+        "pos",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = (
+        flagged.withColumn("island_id", F.sum("new_island").over(wspec))
+        .groupBy("doc_id", "island_id")
+        .agg(
+            F.min("pos").cast("long").alias("s"),
+            (F.max("pos") + w).cast("long").alias("e"),
+            F.count("*").alias("nw"),
+        )
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("rm"),
+        F.sum("nw").cast("long").alias("n_dup_windows"),
+    )
+    joined = d.join(per_doc, "doc_id", "left")
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<struct<s:long,e:long>>"))
+    indexed = F.transform(
+        F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(rm, lambda r: (r["s"] <= s["i"]) & (s["i"] < r["e"])),
+    )
+    return joined.select(
+        "doc_id",
+        F.greatest(F.size("toks") - w + 1, F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.aggregate(
+            rm, F.lit(0).cast("long"), lambda acc, r: acc + (r["e"] - r["s"])
+        ).alias("tokens_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("cleaned_text"),
+    )
+
+
 def shingles_col(text_col: str = "text", k: int = 3):
     """k-word shingles as an array<string> column (pure SQL, no Python)."""
     return F.expr(

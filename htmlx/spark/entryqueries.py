@@ -417,6 +417,13 @@ O_LINEAGE_ROLLUP = _lineage_rollup_oracle()
 
 _BOILER_PARA = "subscribe to our newsletter for updates and offers today"
 
+# 18 tokens (>= the 15-token span-dedup window) — planted cross-document so
+# the span level provably exercises removal, mirroring _BOILER_PARA's role
+_SPAN_BOILER = (
+    "follow us on social media and never miss another exclusive member "
+    "only deal discount or seasonal promotion announcement"
+)
+
 
 def q_dedup_exact(spark, sf_dir):
     """Document-level AND CCNet-style paragraph-level exact dedup merged
@@ -466,12 +473,75 @@ def q_dedup_exact(spark, sf_dir):
         "keep_doc_id",
         "dup_count",
     )
-    return doc_level.unionByName(
-        paras.select(F.lit("para").alias("level"), "*")
-    ).unionByName(policy_level)
+    # span level (r6): exact substring dedup — docs with doc_id % 7 == 0
+    # share a planted 18-token sentence; every occurrence after the first
+    # must be removed from the cleaned text, which content_md5 pins
+    # byte-exactly. dup_count carries tokens_removed for this level.
+    span_docs = docs.select(
+        "doc_id",
+        F.when(d % 7 == 0, F.concat_ws(" ", F.col("text"), F.lit(_SPAN_BOILER)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    span_level = analytics.dedup_spans(span_docs, w=15, hash_basis="md5").select(
+        F.lit("span").alias("level"),
+        F.md5(F.col("cleaned_text")).alias("content_md5"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("tokens_removed").alias("dup_count"),
+    )
+    return (
+        doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
+        .unionByName(policy_level)
+        .unionByName(span_level)
+    )
 
 
 O_DEDUP_EXACT = """
+WITH span_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' follow us on social media and never miss another exclusive member only deal discount or seasonal promotion announcement'
+              ELSE text END AS text
+  FROM documents
+), span_toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM span_docs
+), span_wins AS (
+  SELECT doc_id, u.pos, u.wkey FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 'wkey': md5(array_to_string(t[i+1 : i+15], ' '))}
+                   FOR i IN generate_series(0, len(t) - 15)]) AS u
+    FROM span_toks)
+), span_dups AS (
+  SELECT w.doc_id, w.pos
+  FROM span_wins w
+  JOIN (SELECT wkey, min(doc_id * 4294967296 + pos) AS fk
+        FROM span_wins GROUP BY wkey) f ON w.wkey = f.wkey
+  WHERE w.doc_id * 4294967296 + w.pos <> f.fk
+), span_islands AS (
+  SELECT doc_id, iid, min(pos) AS s, max(pos) + 15 AS e
+  FROM (
+    SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+    FROM (
+      SELECT doc_id, pos,
+             CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS flag
+      FROM (
+        SELECT doc_id, pos,
+               max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM span_dups)))
+  GROUP BY doc_id, iid
+), span_rm AS (
+  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS rm, sum(e - s) AS removed
+  FROM span_islands GROUP BY doc_id
+), span_out AS (
+  SELECT t.doc_id,
+         COALESCE(array_to_string(
+           [t.t[i+1] FOR i IN generate_series(0, len(t.t) - 1)
+            IF len(list_filter(COALESCE(r.rm, []::STRUCT(s BIGINT, e BIGINT)[]),
+                               x -> x.s <= i AND i < x.e)) = 0], ' '), '') AS cleaned,
+         COALESCE(r.removed, 0) AS tokens_removed
+  FROM span_toks t LEFT JOIN span_rm r ON t.doc_id = r.doc_id
+)
 SELECT 'doc' AS level, md5(text) AS content_md5,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
        CAST(count(*) AS BIGINT) AS dup_count
@@ -496,6 +566,9 @@ SELECT 'doc_keep_prio', content_md5, keep_doc_id, dup_count FROM (
   FROM documents
   WINDOW w AS (PARTITION BY text ORDER BY doc_id % 7 DESC, doc_id ASC)
 ) WHERE rn = 1
+UNION ALL
+SELECT 'span', md5(cleaned), CAST(doc_id AS BIGINT), CAST(tokens_removed AS BIGINT)
+FROM span_out
 """
 
 

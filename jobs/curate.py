@@ -2,7 +2,7 @@
 
   spark-submit --py-files htmlx.zip jobs/curate.py \
       --input <documents table/parquet path> --output <keep-list root> \
-      [--mode filter|dedup|components|split|decontaminate|pii|pack|quality|paradedup|exactdedup|pipeline] \
+      [--mode filter|dedup|components|split|decontaminate|pii|pack|quality|paradedup|exactdedup|spandedup|pipeline] \
       [--threshold 0.9] [--min-chars 100] [--hash-basis xxhash64] \
       [--iters 0] [--eval-input <eval parquet>] [--seq-len 2048] \
       [--keep-by <col>] [--keep-desc] [--quality-rule gopher|c4|both|none]
@@ -27,6 +27,9 @@ Modes:
   quality     published C4 + Gopher rule suites per document over real
               newline-split lines (gopher_pass / c4_pass columns plus
               every sub-signal) — scan-side, zero shuffle.
+  spandedup   exact substring-span dedup (Lee et al. 2022): duplicated
+              runs of >= --span-window tokens removed from all but their
+              first occurrence; emits per-doc cleaned_text + stats
   paradedup   CCNet-style paragraph-level dedup keep-list: one row per
               distinct paragraph digest with keeper doc and count.
   exactdedup  exact-dedup table (one row per distinct text with the kept
@@ -204,7 +207,8 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
-                 "pii", "pack", "quality", "paradedup", "exactdedup", "pipeline"],
+                 "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
+                 "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -214,6 +218,8 @@ def main():
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
     ap.add_argument("--iters", type=int, default=0, help="0 = iterate to convergence")
+    ap.add_argument("--span-window", type=int, default=15,
+                    help="minimum duplicated run length in tokens (spandedup mode)")
     ap.add_argument("--keep-by", default=None,
                     help="dedup keep policy: ordering column choosing the surviving "
                          "duplicate (default: minimum doc_id)")
@@ -263,6 +269,8 @@ def main():
         out = analytics.c4_gopher_quality(docs)
     elif args.mode == "exactdedup":
         out = analytics.dedup_exact(docs, keep_by=args.keep_by, descending=args.keep_desc)
+    elif args.mode == "spandedup":
+        out = analytics.dedup_spans(docs, w=args.span_window, hash_basis=args.hash_basis)
     elif args.mode == "paradedup":
         extra = (args.keep_by,) if args.keep_by else ()
         out = analytics.dedup_paragraphs(
