@@ -1271,6 +1271,76 @@ def _tiny_dct_jpeg(d: int) -> bytes:
     return encode_jpeg(np.full((8, 8), (d * 31) % 256, np.uint8))
 
 
+_ENC_IV = bytes(range(16))  # deterministic IV: byte-stable synthesized corpus
+
+_PDF_ENC_TIERS = None
+
+
+def _pdf_enc_tiers():
+    """Deterministic empty-user-password encryption contexts for the
+    synthesized PDF corpora — (PdfEncryption, encrypt_obj_bytes,
+    trailer_bytes) per tier, plus a real-password variant whose /U never
+    authenticates. The expensive file-key/O/U derivations (Algorithm 2 /
+    2.A) run ONCE per Python worker and are cached; per-document work is
+    only the per-object key MD5 + the stream cipher itself."""
+    global _PDF_ENC_TIERS
+    if _PDF_ENC_TIERS is not None:
+        return _PDF_ENC_TIERS
+    from .pdfcrypt import (
+        PdfEncryption,
+        derive_legacy_file_key,
+        make_owner_value,
+        make_user_value,
+        make_v5_user_values,
+    )
+
+    id0 = bytes(range(16))
+    idhex = b"<" + id0.hex().encode() + b">"
+    trailer_id = b"trailer\n<< /Encrypt 5 0 R /ID [" + idhex + idhex + b"] >>\n"
+
+    def hx(b):
+        return b"<" + b.hex().encode() + b">"
+
+    # RC4 V2/R3/128
+    o3 = make_owner_value(b"ownerpw", b"", r=3, length_bits=128)
+    k3 = derive_legacy_file_key(o3, -44, id0, 3, 128)
+    u3 = make_user_value(k3, id0, 3)
+    rc4_obj = (
+        b"5 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /O " + hx(o3)
+        + b" /U " + hx(u3) + b" /P -44 >>\nendobj\n"
+    )
+    # AES-128 V4/R4 /CFM /AESV2
+    o4 = make_owner_value(b"ownerpw", b"", r=4, length_bits=128)
+    k4 = derive_legacy_file_key(o4, -44, id0, 4, 128)
+    u4 = make_user_value(k4, id0, 4)
+    aes128_obj = (
+        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128"
+        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        b" /O " + hx(o4) + b" /U " + hx(u4) + b" /P -44 >>\nendobj\n"
+    )
+    # AES-256 V5/R6 /CFM /AESV3 (no /ID needed)
+    fk = bytes(range(32))
+    u5, ue5 = make_v5_user_values(fk, r=6)
+    aes256_obj = (
+        b"5 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256"
+        b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        b" /O " + hx(b"\x00" * 48) + b" /OE " + hx(b"\x00" * 32)
+        + b" /U " + hx(u5) + b" /UE " + hx(ue5) + b" /P -44 >>\nendobj\n"
+    )
+    # real-password variant: content genuinely RC4-encrypted, but /U can
+    # never authenticate the empty password -> whole-row error='encrypted'
+    bad_obj = rc4_obj.replace(hx(u3), hx(b"\xaa" * 32))
+    _PDF_ENC_TIERS = {
+        "tiers": [
+            (PdfEncryption(3, 2, k3, "rc4", ok=True), rc4_obj, trailer_id),
+            (PdfEncryption(4, 4, k4, "aesv2", ok=True), aes128_obj, trailer_id),
+            (PdfEncryption(6, 5, fk, "aesv3", ok=True), aes256_obj, b"trailer\n<< /Encrypt 5 0 R >>\n"),
+        ],
+        "bad": (PdfEncryption(3, 2, k3, "rc4", ok=True), bad_obj, trailer_id),
+    }
+    return _PDF_ENC_TIERS
+
+
 def q_pdf_text(spark, sf_dir):
     """REAL PDF text extraction (pdf.py): synthesize single-page PDFs whose
     content stream carries the document text — doc_id%5 picks the filter:
@@ -1282,7 +1352,11 @@ def q_pdf_text(spark, sf_dir):
     text ships byte-per-char, anything else as a UTF-16BE-with-BOM text
     string (the PDF spec's other text encoding), and control bytes go out
     as octal \\ddd escapes — so the round-trip is exact for ALL unicode
-    text, not just the latin-1-clean corpus of the moment."""
+    text, not just the latin-1-clean corpus of the moment. did%7==2 docs
+    additionally ship ENCRYPTED (standard security handler, empty user
+    password, cycling RC4-128/AES-128/AES-256-R6): the text must survive
+    decrypt+defilter byte-identically, and the did%11==0 subset carries an
+    unauthenticatable /U pinning the whole-row error='encrypted' degrade."""
     import pandas as pd
 
     from .pdf import encode_pdf_text_string, extract_pdf_documents, lzw_encode_pdf
@@ -1323,19 +1397,35 @@ def q_pdf_text(spark, sf_dir):
                 # walk must SKIP image streams (a real PDF full of photos
                 # still yields its text), so these rows pin n_streams=2 with
                 # identical text
+                # encrypted tier (r6): did%7==2 docs ship under the standard
+                # security handler (cycling RC4-128 / AES-128 / AES-256-R6,
+                # empty user password) — text must round-trip identically
+                # through decryption; did%11==0 among them carries a /U that
+                # never authenticates -> whole-row error='encrypted'
+                crypto = enc_obj = trailer = None
+                if did % 7 == 2:
+                    fx = _pdf_enc_tiers()
+                    crypto, enc_obj, trailer = (
+                        fx["bad"] if did % 11 == 0 else fx["tiers"][did % 3]
+                    )
+                    data = crypto.encrypt(data, 3, 0, iv=_ENC_IV)
                 img = b""
                 if did % 3 == 0:
                     jp = _tiny_dct_jpeg(did)
+                    if crypto is not None:
+                        jp = crypto.encrypt(jp, 4, 0, iv=_ENC_IV)
                     img = (
                         b"4 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length "
                         + str(len(jp)).encode() + b" >>\nstream\n" + jp
                         + b"\nendstream\nendobj\n"
                     )
+                tail = (enc_obj + trailer) if crypto is not None else b""
                 body = (
                     b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
                     b"2 0 obj\n<< /Type /Page /Contents 3 0 R >>\nendobj\n"
                     b"3 0 obj\n<< /Length " + str(len(data)).encode() + filt
-                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n" + img + b"%%EOF\n"
+                    + b" >>\nstream\n" + data + b"\nendstream\nendobj\n" + img
+                    + tail + b"%%EOF\n"
                 )
                 rows.append(
                     {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
@@ -1350,9 +1440,9 @@ def q_pdf_text(spark, sf_dir):
 
 O_PDF_TEXT = """
 SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '.pdf' AS url,
-       text,
+       CASE WHEN doc_id % 7 = 2 AND doc_id % 11 = 0 THEN '' ELSE text END AS text,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_streams,
-       '' AS error
+       CASE WHEN doc_id % 7 = 2 AND doc_id % 11 = 0 THEN 'encrypted' ELSE '' END AS error
 FROM documents
 """
 
