@@ -1140,6 +1140,18 @@ def q_pdf_metadata(spark, sf_dir):
                 d = int(doc_id)
                 k = d // 4
                 pages = 1 + d % 5
+                # encrypted tier (r6): did%7==3 docs use the standard
+                # security handler (empty user password, cycling
+                # RC4-128/AES-128/AES-256-R6) — every structural field,
+                # the decrypted Info title (plain layout: encrypted
+                # STRING; ObjStm layout: title inside the encrypted
+                # stream), and the image pixel digest must come out
+                # IDENTICAL to the unencrypted layout (+1 n_objects for
+                # the /Encrypt dict). Encryption must be transparent.
+                crypto = None
+                if d % 7 == 3:
+                    entry = _pdf_enc_tiers()["tiers"][d % 3]
+                    crypto = entry[0]
                 body = b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
                 objstm = d % 2 == 1
                 if objstm:
@@ -1150,7 +1162,18 @@ def q_pdf_metadata(spark, sf_dir):
 
                     packed = [(2 + i, b"<< /Type /Page >>") for i in range(pages)]
                     packed.append((9, b"<< /Title (Doc %d) >>" % d))
-                    body += b"7 0 obj\n" + encode_object_stream(packed) + b"\nendobj\n"
+                    stm = encode_object_stream(packed)
+                    if crypto is not None:
+                        # encrypt the ObjStm stream body (packed strings
+                        # are then covered by it, §7.6.2 note 2)
+                        ds = stm.index(b">>\nstream\n")
+                        head, raw = stm[: ds + 2], stm[ds + 10 : -len(b"\nendstream")]
+                        enc = crypto.encrypt(raw, 7, 0, iv=_ENC_IV)
+                        head = head.replace(
+                            b"/Length %d" % len(raw), b"/Length %d" % len(enc)
+                        )
+                        stm = head + b"\nstream\n" + enc + b"\nendstream"
+                    body += b"7 0 obj\n" + stm + b"\nendobj\n"
                 else:
                     for i in range(pages):
                         body += b"%d 0 obj\n<< /Type /Page >>\nendobj\n" % (2 + i)
@@ -1183,13 +1206,26 @@ def q_pdf_metadata(spark, sf_dir):
                     data = b"\x00jp2-not-decodable" + bytes([d % 256]) * 16
                     filt = b" /Filter /JPXDecode"
                     geom = b" /Width 4 /Height 4"
+                if crypto is not None:
+                    data = crypto.encrypt(data, 8, 0, iv=_ENC_IV)
                 body += (
                     b"8 0 obj\n<< /Subtype /Image" + geom + filt
                     + b" /Length " + str(len(data)).encode()
                     + b" >>\nstream\n" + data + b"\nendstream\nendobj\n"
                 )
                 if not objstm:
-                    body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n" % d
+                    if crypto is not None:
+                        # Info strings are encrypted under /StrF: emit the
+                        # title as a ciphertext hex string
+                        ct = crypto.encrypt(b"Doc %d" % d, 9, 0, iv=_ENC_IV)
+                        body += (
+                            b"9 0 obj\n<< /Title <" + ct.hex().encode()
+                            + b"> >>\nendobj\n"
+                        )
+                    else:
+                        body += b"9 0 obj\n<< /Title (Doc %d) >>\nendobj\n" % d
+                if crypto is not None:
+                    body += _enc_tail(_pdf_enc_tiers()["tiers"][d % 3], num=20)
                 body += b"%%EOF\n"
                 rows.append(
                     {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
@@ -1244,8 +1280,11 @@ SELECT 'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
        CAST(1 + doc_id % 5 AS BIGINT) AS n_pages,
        -- odd docs: catalog + objstm + image top-level (3) plus /N
        -- packed objects (pages + the Info dict)
+       -- encrypted docs (did%7==3) carry one extra top-level object
+       -- (the /Encrypt dict); everything else must match unencrypted
        CAST(CASE WHEN doc_id % 2 = 1 THEN 5 + doc_id % 5
-                 ELSE 4 + doc_id % 5 END AS BIGINT) AS n_objects,
+                 ELSE 4 + doc_id % 5 END
+            + CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_objects,
        CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_streams,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        CAST(1 AS BIGINT) AS n_images,
@@ -1295,8 +1334,6 @@ def _pdf_enc_tiers():
     )
 
     id0 = bytes(range(16))
-    idhex = b"<" + id0.hex().encode() + b">"
-    trailer_id = b"trailer\n<< /Encrypt 5 0 R /ID [" + idhex + idhex + b"] >>\n"
 
     def hx(b):
         return b"<" + b.hex().encode() + b">"
@@ -1305,40 +1342,54 @@ def _pdf_enc_tiers():
     o3 = make_owner_value(b"ownerpw", b"", r=3, length_bits=128)
     k3 = derive_legacy_file_key(o3, -44, id0, 3, 128)
     u3 = make_user_value(k3, id0, 3)
-    rc4_obj = (
-        b"5 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /O " + hx(o3)
-        + b" /U " + hx(u3) + b" /P -44 >>\nendobj\n"
+    rc4_dict = (
+        b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O " + hx(o3)
+        + b" /U " + hx(u3) + b" /P -44 >>"
     )
     # AES-128 V4/R4 /CFM /AESV2
     o4 = make_owner_value(b"ownerpw", b"", r=4, length_bits=128)
     k4 = derive_legacy_file_key(o4, -44, id0, 4, 128)
     u4 = make_user_value(k4, id0, 4)
-    aes128_obj = (
-        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128"
+    aes128_dict = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128"
         b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-        b" /O " + hx(o4) + b" /U " + hx(u4) + b" /P -44 >>\nendobj\n"
+        b" /O " + hx(o4) + b" /U " + hx(u4) + b" /P -44 >>"
     )
     # AES-256 V5/R6 /CFM /AESV3 (no /ID needed)
     fk = bytes(range(32))
     u5, ue5 = make_v5_user_values(fk, r=6)
-    aes256_obj = (
-        b"5 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256"
+    aes256_dict = (
+        b"<< /Filter /Standard /V 5 /R 6 /Length 256"
         b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
         b" /O " + hx(b"\x00" * 48) + b" /OE " + hx(b"\x00" * 32)
-        + b" /U " + hx(u5) + b" /UE " + hx(ue5) + b" /P -44 >>\nendobj\n"
+        + b" /U " + hx(u5) + b" /UE " + hx(ue5) + b" /P -44 >>"
     )
     # real-password variant: content genuinely RC4-encrypted, but /U can
     # never authenticate the empty password -> whole-row error='encrypted'
-    bad_obj = rc4_obj.replace(hx(u3), hx(b"\xaa" * 32))
+    bad_dict = rc4_dict.replace(hx(u3), hx(b"\xaa" * 32))
     _PDF_ENC_TIERS = {
+        "idhex": hx(id0),
         "tiers": [
-            (PdfEncryption(3, 2, k3, "rc4", ok=True), rc4_obj, trailer_id),
-            (PdfEncryption(4, 4, k4, "aesv2", ok=True), aes128_obj, trailer_id),
-            (PdfEncryption(6, 5, fk, "aesv3", ok=True), aes256_obj, b"trailer\n<< /Encrypt 5 0 R >>\n"),
+            (PdfEncryption(3, 2, k3, "rc4", ok=True), rc4_dict, True),
+            (PdfEncryption(4, 4, k4, "aesv2", ok=True), aes128_dict, True),
+            (PdfEncryption(6, 5, fk, "aesv3", ok=True), aes256_dict, False),
         ],
-        "bad": (PdfEncryption(3, 2, k3, "rc4", ok=True), bad_obj, trailer_id),
+        "bad": (PdfEncryption(3, 2, k3, "rc4", ok=True), bad_dict, True),
     }
     return _PDF_ENC_TIERS
+
+
+def _enc_tail(entry, num: int = 5) -> bytes:
+    """/Encrypt object + trailer bytes for one fixture tier, with the
+    encrypt dict at object `num` (callers pick a number their corpus
+    doesn't already use)."""
+    _crypto, dict_body, needs_id = entry
+    idhex = _pdf_enc_tiers()["idhex"]
+    obj = b"%d 0 obj\n" % num + dict_body + b"\nendobj\n"
+    tr = b"trailer\n<< /Encrypt %d 0 R" % num
+    if needs_id:
+        tr += b" /ID [" + idhex + idhex + b"]"
+    return obj + tr + b" >>\n"
 
 
 def q_pdf_text(spark, sf_dir):
@@ -1402,12 +1453,11 @@ def q_pdf_text(spark, sf_dir):
                 # empty user password) — text must round-trip identically
                 # through decryption; did%11==0 among them carries a /U that
                 # never authenticates -> whole-row error='encrypted'
-                crypto = enc_obj = trailer = None
+                crypto = tail = None
                 if did % 7 == 2:
                     fx = _pdf_enc_tiers()
-                    crypto, enc_obj, trailer = (
-                        fx["bad"] if did % 11 == 0 else fx["tiers"][did % 3]
-                    )
+                    entry = fx["bad"] if did % 11 == 0 else fx["tiers"][did % 3]
+                    crypto, tail = entry[0], _enc_tail(entry, num=5)
                     data = crypto.encrypt(data, 3, 0, iv=_ENC_IV)
                 img = b""
                 if did % 3 == 0:
@@ -1419,13 +1469,12 @@ def q_pdf_text(spark, sf_dir):
                         + str(len(jp)).encode() + b" >>\nstream\n" + jp
                         + b"\nendstream\nendobj\n"
                     )
-                tail = (enc_obj + trailer) if crypto is not None else b""
                 body = (
                     b"%PDF-1.7\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
                     b"2 0 obj\n<< /Type /Page /Contents 3 0 R >>\nendobj\n"
                     b"3 0 obj\n<< /Length " + str(len(data)).encode() + filt
                     + b" >>\nstream\n" + data + b"\nendstream\nendobj\n" + img
-                    + tail + b"%%EOF\n"
+                    + (tail or b"") + b"%%EOF\n"
                 )
                 rows.append(
                     {"url": f"https://{source}.example.com/doc/{doc_id}.pdf", "payload": body}
