@@ -97,6 +97,74 @@ def dedup_paragraphs(
     )
 
 
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def canonical_url_col(url_col: str = "url"):
+    """Crawl-style URL canonicalization as one Catalyst expression:
+    lowercase scheme+host, strip the fragment, drop the scheme's default
+    port (:80/:443), collapse a bare '/' path, drop tracking parameters
+    (utm_*, fbclid, gclid), and sort the remaining query params so
+    semantically-equal capture URLs compare equal. The exact rule set is
+    the common crawl-dedup subset — deliberately conservative: nothing
+    that could change which resource the URL names (no %-decoding, no
+    path-segment collapsing). Pure string/array functions, scan-side,
+    reproducible in ANSI-ish SQL for the oracle."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "/", F.lit("")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith(_TRACKING_PREFIXES[0])
+        & ~p.startswith(_TRACKING_PREFIXES[1])
+        & ~p.startswith(_TRACKING_PREFIXES[2]),
+    )
+    params = F.sort_array(keep)
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def latest_capture(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level recrawl dedup: one row per canonical URL keeping the
+    NEWEST capture (max ts, ties to the smallest id — deterministic
+    across engines). The real Common-Crawl shape: the same page is
+    captured many times under cosmetically-different URLs; training
+    corpora keep the latest. Single hash-aggregate shuffle keyed by
+    canonical URL (uniform after canonicalization), max_by partial-aggs
+    map-side — same 100 TB profile as dedup_exact."""
+    i = F.col(id_col)
+    return (
+        df.select(
+            canonical_url_col(url_col).alias("canonical_url"),
+            F.col(ts_col).alias("__ts"),
+            i.cast("long").alias("__id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.max_by(F.col("__id"), F.struct(F.col("__ts"), (-F.col("__id")).alias("tb")))
+            .cast("long")
+            .alias("keep_id"),
+            F.count("*").cast("long").alias("n_captures"),
+        )
+    )
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

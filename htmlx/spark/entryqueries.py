@@ -2131,30 +2131,102 @@ FROM documents GROUP BY 1
 
 def q_host_stats(spark, sf_dir):
     """Per-host crawl accounting (the batch twin of the streaming host
-    counters): host parsed from the url with the same regex on both
-    engines, doc counts + byte totals per host."""
+    counters) MERGED with URL-canonicalization recrawl dedup into one
+    level-tagged row (driver caps at 50 queries).
+
+    level='host': host parsed from the url with the same regex on both
+    engines, doc counts + byte totals per host.
+
+    level='canon' (r6): each adjacent doc_id pair synthesizes two
+    captures of the same logical page under cosmetically-different URLs
+    (case-folded host, :443 default port, utm_ tracking param, reordered
+    query, fragment) with warc_ts = doc_id; latest_capture must collapse
+    them to one canonical row keeping the NEWEST capture. key carries
+    the canonical url, n_docs the capture count, total_chars the kept
+    doc_id — the DuckDB oracle re-derives the full canonicalization
+    (scheme/host folding, port, params, fragment) in SQL."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
     )
-    return (
+    host_level = (
         docs.select(
-            F.regexp_extract(url, r"^https?://([^/]+)", 1).alias("host"),
+            F.regexp_extract(url, r"^https?://([^/]+)", 1).alias("key"),
             F.length("text").alias("n_chars"),
         )
-        .groupBy("host")
+        .groupBy("key")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
+        .select(F.lit("host").alias("level"), "key", "n_docs", "total_chars")
     )
+    d = F.col("doc_id")
+    pk = F.floor(d / 2).cast("long").cast("string")
+    messy = docs.select(
+        "doc_id",
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("https://h"), (F.floor(d / 2) % 20).cast("long").cast("string"),
+                F.lit(".example.com/page/"), pk, F.lit("?a=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://H"), (F.floor(d / 2) % 20).cast("long").cast("string"),
+                F.lit(".EXAMPLE.COM:443/page/"), pk,
+                F.lit("?utm_source=feed&b=2&a=1#frag"),
+            )
+        )
+        .alias("url"),
+        d.alias("warc_ts"),
+    )
+    canon_level = analytics.latest_capture(messy).select(
+        F.lit("canon").alias("level"),
+        F.col("canonical_url").alias("key"),
+        F.col("n_captures").alias("n_docs"),
+        F.col("keep_id").alias("total_chars"),
+    )
+    return host_level.unionByName(canon_level)
 
 
 O_HOST_STATS = f"""
-SELECT regexp_extract({URL_SQL}, '^https?://([^/]+)', 1) AS host,
+SELECT 'host' AS level,
+       regexp_extract({URL_SQL}, '^https?://([^/]+)', 1) AS key,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(text)) AS BIGINT) AS total_chars
-FROM documents GROUP BY 1
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'canon', canonical_url, CAST(count(*) AS BIGINT), CAST(max(doc_id) AS BIGINT)
+FROM (
+  SELECT doc_id,
+         scheme || '://'
+         || (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END)
+         || (CASE WHEN path0 = '/' THEN '' ELSE path0 END)
+         || (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+         AS canonical_url
+  FROM (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+           list_sort([p FOR p IN string_split(regexp_extract(url, '\\?([^#]*)', 1), '&')
+                      IF p <> '' AND NOT starts_with(p, 'utm_')
+                         AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')])
+           AS params
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'https://h' || CAST((doc_id // 2) % 20 AS VARCHAR) || '.example.com/page/'
+                       || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+                  ELSE 'HTTPS://H' || CAST((doc_id // 2) % 20 AS VARCHAR) || '.EXAMPLE.COM:443/page/'
+                       || CAST(doc_id // 2 AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+             END AS url
+      FROM documents)))
+GROUP BY 2
 """
 
 
