@@ -165,6 +165,83 @@ def latest_capture(
     )
 
 
+#: Conservative URL-keyword rule set (RefinedWeb-style; Penedo 2023 uses a
+#: curated soft-match word list — this is the deterministic exact-substring
+#: subset so both engines agree byte-for-byte).
+DEFAULT_URL_KEYWORDS = ("porn", "xxx", "casino", "viagra", "escort")
+
+#: Byte cap on the whole URL, aligned with the reference's validation cap
+#: (reference urlutil: 2000 UTF-8 bytes).
+URL_BYTE_CAP = 2000
+
+
+def url_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keywords: tuple = DEFAULT_URL_KEYWORDS,
+) -> DataFrame:
+    """Crawl URL filtering (the RefinedWeb/UT1-blocklist pipeline stage):
+    per document, keep/drop + first-match reason:
+
+      bad_scheme      — scheme is not http/https
+      url_too_long    — whole URL over URL_BYTE_CAP UTF-8 bytes
+      blocked_host    — host equals, or is a subdomain of, a blocklist
+                        entry (label-boundary suffix match: 'b.com'
+                        blocks 'a.b.com' but NOT 'notb.com')
+      blocked_keyword — lowercased URL contains a keyword
+      kept            — none of the above
+
+    Precedence: structural invalidity first (cheap scan checks), then
+    blocklist, then keywords — deterministic and documented, matching
+    the composite-corpus-filter convention (exact_dup > near_dup > ...).
+
+    100 TB plan: the blocklist (UT1-style lists are a few MB) collapses
+    to ONE array row and broadcast-crossJoins onto the scan — the corpus
+    side stays a single pruned scan with zero shuffle and zero Python;
+    suffix matching is an arrays_overlap against the per-doc host suffix
+    chain (<= #labels entries), not a LIKE scan per blocklist entry."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(hostport, ":\\d+$", "")
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    bl = blocklist.agg(
+        F.collect_set(F.lower(F.col("host"))).alias("__blocked_hosts")
+    )
+    low = F.lower(u)
+    kw = F.array(*[F.lit(k) for k in keywords])
+    reason = (
+        F.when(~scheme.isin("http", "https"), F.lit("bad_scheme"))
+        .when(F.octet_length(u) > URL_BYTE_CAP, F.lit("url_too_long"))
+        .when(
+            F.arrays_overlap(suffixes, F.col("__blocked_hosts")),
+            F.lit("blocked_host"),
+        )
+        .when(
+            F.exists(kw, lambda k: low.contains(k)), F.lit("blocked_keyword")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        df.crossJoin(F.broadcast(bl))
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            u.alias(url_col),
+            reason.alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "kept")
+    )
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

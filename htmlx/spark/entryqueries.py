@@ -2144,7 +2144,16 @@ def q_host_stats(spark, sf_dir):
     them to one canonical row keeping the NEWEST capture. key carries
     the canonical url, n_docs the capture count, total_chars the kept
     doc_id — the DuckDB oracle re-derives the full canonicalization
-    (scheme/host folding, port, params, fragment) in SQL."""
+    (scheme/host folding, port, params, fragment) in SQL.
+
+    level='urlfilter' (r6): RefinedWeb-style URL filtering. doc_id % 5
+    synthesizes one case per rule — a subdomain of a blocklist entry,
+    an ftp:// scheme, a keyword URL, a >2000-byte URL, and a clean one
+    (plus the exact blocked host and a case+port variant riding on the
+    %20 host cycle); url_filter's first-match reason is aggregated as
+    key=reason, n_docs=count, total_chars=sum(doc_id) checksum. The
+    oracle re-derives scheme/host parsing, byte cap (strlen), the
+    label-boundary suffix match, and keyword containment in SQL."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2188,7 +2197,43 @@ def q_host_stats(spark, sf_dir):
         F.col("n_captures").alias("n_docs"),
         F.col("keep_id").alias("total_chars"),
     )
-    return host_level.unionByName(canon_level)
+    m5 = d % 5
+    hk = (d % 20).cast("long").cast("string")
+    ds = d.cast("long").cast("string")
+    furl = (
+        F.when(
+            (m5 == 0) & (d % 2 == 0),
+            F.concat(F.lit("https://deep.sub.blocked.example.com/p/"), ds),
+        )
+        .when(m5 == 0, F.concat(F.lit("https://BLOCKED.EXAMPLE.COM:8080/p/"), ds))
+        .when(m5 == 1, F.concat(F.lit("ftp://h"), hk, F.lit(".example.com/p/"), ds))
+        .when(
+            m5 == 2,
+            F.concat(F.lit("https://h"), hk, F.lit(".example.com/free-xxx-vids/"), ds),
+        )
+        .when(
+            m5 == 3,
+            F.concat(
+                F.lit("https://h"), hk, F.lit(".example.com/p/"), ds,
+                F.lit("?pad="), F.repeat(F.lit("a"), 2100),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://h"), hk, F.lit(".example.com/article/"), ds))
+    )
+    bl = spark.createDataFrame([("Blocked.Example.com",)], "host string")
+    filt_level = (
+        analytics.url_filter(docs.select("doc_id", furl.alias("url")), bl)
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.lit("urlfilter").alias("level"), F.col("reason").alias("key"),
+            "n_docs", "total_chars",
+        )
+    )
+    return host_level.unionByName(canon_level).unionByName(filt_level)
 
 
 O_HOST_STATS = f"""
@@ -2224,6 +2269,47 @@ FROM (
                        || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
                   ELSE 'HTTPS://H' || CAST((doc_id // 2) % 20 AS VARCHAR) || '.EXAMPLE.COM:443/page/'
                        || CAST(doc_id // 2 AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+             END AS url
+      FROM documents)))
+GROUP BY 2
+UNION ALL
+SELECT 'urlfilter', reason, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM (
+  SELECT doc_id,
+         CASE
+           WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                NOT IN ('http', 'https') THEN 'bad_scheme'
+           WHEN strlen(url) > 2000 THEN 'url_too_long'
+           WHEN fhost = 'blocked.example.com'
+                OR ends_with(fhost, '.blocked.example.com') THEN 'blocked_host'
+           WHEN contains(lower(url), 'porn') OR contains(lower(url), 'xxx')
+                OR contains(lower(url), 'casino') OR contains(lower(url), 'viagra')
+                OR contains(lower(url), 'escort') THEN 'blocked_keyword'
+           ELSE 'kept'
+         END AS reason
+  FROM (
+    SELECT doc_id, url,
+           regexp_replace(
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+             ':[0-9]+$', '') AS fhost
+    FROM (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 5 = 0 AND doc_id % 2 = 0
+                 THEN 'https://deep.sub.blocked.example.com/p/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 5 = 0
+                 THEN 'https://BLOCKED.EXAMPLE.COM:8080/p/' || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 5 = 1
+                 THEN 'ftp://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+                      || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 5 = 2
+                 THEN 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/free-xxx-vids/'
+                      || CAST(doc_id AS VARCHAR)
+               WHEN doc_id % 5 = 3
+                 THEN 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+                      || CAST(doc_id AS VARCHAR) || '?pad=' || repeat('a', 2100)
+               ELSE 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/article/'
+                    || CAST(doc_id AS VARCHAR)
              END AS url
       FROM documents)))
 GROUP BY 2

@@ -34,6 +34,12 @@ Modes:
               distinct paragraph digest with keeper doc and count.
   exactdedup  exact-dedup table (one row per distinct text with the kept
               doc and duplicate count).
+  urlfilter   RefinedWeb/UT1-style URL filtering over the url column:
+              keep/drop + first-match reason (bad_scheme > url_too_long >
+              blocked_host > blocked_keyword); --blocklist is a text file
+              of hosts (one per line, '#' comments), matched on label
+              boundaries so an entry blocks itself and all subdomains.
+              The blocklist broadcasts; the corpus is a pure scan.
   pipeline    the staged end-to-end job a real corpus run is: quality ->
               exact dedup -> near-dup -> decontaminate (when --eval-input
               given) -> split -> pack, each stage materialized under
@@ -208,10 +214,12 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "pipeline"],
+                 "urlfilter", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
+    ap.add_argument("--blocklist", default=None,
+                    help="host blocklist text file (urlfilter mode; optional)")
     ap.add_argument("--seq-len", type=int, default=2048, help="token bin size (pack mode)")
     ap.add_argument("--pack-buckets", type=int, default=256, help="parallel packing units (pack mode)")
     ap.add_argument("--threshold", type=float, default=0.9, help="Jaccard verify threshold")
@@ -277,6 +285,16 @@ def main():
             analytics.split_paragraphs(docs, extra_cols=extra),
             keep_by=args.keep_by, descending=args.keep_desc,
         )
+    elif args.mode == "urlfilter":
+        if args.blocklist:
+            bl = (
+                spark.read.text(args.blocklist)
+                .select(F.trim("value").alias("host"))
+                .where((F.col("host") != "") & ~F.col("host").startswith("#"))
+            )
+        else:
+            bl = spark.createDataFrame([], "host string")
+        out = analytics.url_filter(docs, bl)
     elif args.mode == "split":
         out = analytics.hash_split(docs)
     elif args.mode == "decontaminate":
