@@ -115,6 +115,74 @@ def dedup_stream(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+LATEST_CAPTURE_STREAM_SCHEMA = (
+    "canonical_url string, keep_id long, keep_ts long, n_captures long"
+)
+_LATEST_CAPTURE_STATE_SCHEMA = "best_ts long, best_id long, n long"
+
+
+def latest_capture_stream(
+    captures_stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming recrawl dedup — the stateful twin of
+    analytics.latest_capture: keyed by canonical URL, state holds the
+    current winning capture (newest ts, doc_id tie-break to the SMALLEST
+    id — the exact batch keep rule) plus a capture counter. Each
+    micro-batch emits the updated winner per touched key (update mode: a
+    later recrawl may replace an earlier winner, so rows retract).
+
+    Canonicalization (case-fold, default ports, fragments, tracking
+    params, param sort) runs JVM-side via canonical_url_col before the
+    shuffle, so cosmetic variants of one page land on one state key;
+    Python only compares the tiny (ts, id) state. State is one row per
+    distinct canonical URL — at 10^12 docs that shards by the groupBy
+    key exactly like the digest state in dedup_stream."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .analytics import canonical_url_col
+
+    def update(key, pdfs, state):
+        if state.exists:
+            best_ts, best_id, n = state.get
+        else:
+            best_ts, best_id, n = None, None, 0
+        for pdf in pdfs:
+            for ts, i in zip(pdf["__ts"], pdf["__id"]):
+                ts, i = int(ts), int(i)
+                n += 1
+                if (
+                    best_ts is None
+                    or ts > best_ts
+                    or (ts == best_ts and i < best_id)
+                ):
+                    best_ts, best_id = ts, i
+        state.update((best_ts, best_id, n))
+        yield pd.DataFrame(
+            [{
+                "canonical_url": key[0], "keep_id": best_id,
+                "keep_ts": best_ts, "n_captures": n,
+            }]
+        )
+
+    keyed = captures_stream.select(
+        canonical_url_col(url_col).alias("canonical_url"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    return keyed.groupBy("canonical_url").applyInPandasWithState(
+        update,
+        outputStructType=LATEST_CAPTURE_STREAM_SCHEMA,
+        stateStructType=_LATEST_CAPTURE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_rollup_stream(
     events_stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
 ) -> DataFrame:

@@ -363,3 +363,66 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path_factory):
     assert got == expected, (got, expected)
     assert expected[0]["gopher_pass"] and expected[0]["c4_pass"]
     assert expected[1]["has_lorem_ipsum"] and not expected[1]["c4_pass"]
+
+
+def test_streaming_latest_capture_matches_batch(spark, tmp_path_factory):
+    """Stateful recrawl dedup: after the stream drains, the final winner
+    per canonical URL equals analytics.latest_capture on the same table —
+    including a winner REPLACEMENT across micro-batches (the newest
+    capture arrives in a later file than an older one)."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.analytics import latest_capture
+    from htmlx.spark.streaming import latest_capture_stream
+
+    root = str(tmp_path_factory.mktemp("recrawl"))
+    caps_dir = os.path.join(root, "caps")
+    ckpt = os.path.join(root, "ckpt")
+
+    rows = [
+        # page A: old capture first file, newer cosmetic variant later file
+        (1, "https://a.com/p?x=1", 100),
+        (2, "https://A.COM:443/p?utm_source=t&x=1", 300),
+        (3, "https://a.com/p?x=1#frag", 200),
+        # page B: tie on ts -> smallest id wins
+        (4, "https://b.com/q", 70),
+        (5, "https://B.com/q", 70),
+        # singleton
+        (6, "https://c.com/r", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    # one file per row so state must persist and update across micro-batches
+    df.repartition(6, "doc_id").write.parquet(caps_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, warc_ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(caps_dir)
+    )
+    q = (
+        latest_capture_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("recrawl")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the LAST update per key is the final state (memory/update appends
+    # every emission; max n_captures identifies the final one)
+    final = {
+        r.canonical_url: (r.keep_id, r.n_captures)
+        for r in spark.sql(
+            "SELECT canonical_url, max_by(keep_id, n_captures) AS keep_id, "
+            "max(n_captures) AS n_captures FROM recrawl GROUP BY 1"
+        ).collect()
+    }
+    want = {
+        r.canonical_url: (r.keep_id, r.n_captures)
+        for r in latest_capture(spark.read.parquet(caps_dir)).collect()
+    }
+    assert final == want
+    assert final["https://a.com/p?x=1"] == (2, 3)
+    assert final["https://b.com/q"] == (4, 2)
