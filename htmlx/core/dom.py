@@ -644,14 +644,24 @@ def find_element_by_tag(doc: Node, tag: str) -> Node | None:
 
 def tree_depth_exceeds(root: Node, max_depth: int) -> bool:
     """Port of validateDepthTraversal (extract.go:702-730): True when any
-    node sits deeper than ``max_depth`` levels below ``root``."""
-    stack = [(root, 0)]
-    while stack:
-        node, depth = stack.pop()
+    node sits deeper than ``max_depth`` levels below ``root``.
+
+    Level-order sweep: one list per depth level instead of a (node,
+    depth) tuple per node — same True/False for every tree (any
+    non-empty level past max_depth means some node exceeds it), ~half
+    the allocations of the tuple-stack form on compliant documents."""
+    level = [root]
+    depth = 0
+    while level:
         if depth > max_depth:
             return True
-        c = node.first_child
-        while c is not None:
-            stack.append((c, depth + 1))
-            c = c.next_sibling
+        nxt = []
+        append = nxt.append
+        for node in level:
+            c = node.first_child
+            while c is not None:
+                append(c)
+                c = c.next_sibling
+        level = nxt
+        depth += 1
     return False
