@@ -242,6 +242,83 @@ def url_filter(
     )
 
 
+def host_rank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Host-level PageRank over the crawl link graph — the domain-
+    reputation prior real curation pipelines feed into quality scoring
+    (a host linked from many reputable hosts is itself a prior-good
+    source). Standard damped formulation with uniform teleport and
+    dangling-mass redistribution:
+
+        pr' = (1-d)/N + d * (inflow + dangling_mass/N)
+
+    run for a FIXED iteration count (deterministic, oracle-replayable;
+    power iteration converges geometrically so 3-10 rounds rank hosts
+    stably — callers needing convergence loop outside).
+
+    100 TB plan: edges collapse to per-(src,dst) weights first (one
+    shuffle, bounded by distinct host pairs, not by links). Each round
+    is two host-keyed hash joins (rank and out-weight are host-keyed,
+    uniform) plus two SCALAR aggregates (N, dangling mass) that
+    broadcast as single rows — no driver collect, no cartesian. Rank
+    state is one row per host (~10^7 at web scale — always the small
+    side; Catalyst/AQE broadcasts it when it fits). For iters >> 10,
+    checkpoint the rank table every few rounds to cut lineage depth."""
+    e = edges.groupBy(src_col, dst_col).agg(
+        (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).cast("double").alias("__w")
+    )
+    nodes = (
+        e.select(F.col(src_col).alias("host"))
+        .union(e.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    outw = e.groupBy(src_col).agg(F.sum("__w").alias("__outw"))
+    pr = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select("host", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    )
+    for _ in range(iters):
+        inflow = (
+            e.join(pr.withColumnRenamed("host", src_col), src_col)
+            .join(outw, src_col)
+            .select(
+                F.col(dst_col).alias("host"),
+                (F.col("rank") * F.col("__w") / F.col("__outw")).alias("__c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("__c").alias("__inflow"))
+        )
+        dangling = pr.join(
+            outw.withColumnRenamed(src_col, "host"), "host", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        pr = (
+            nodes.join(inflow, "host", "left")
+            .crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - damping)) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__inflow"), F.lit(0.0))
+                        + F.col("__dm") / F.col("__n")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return pr
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

@@ -2153,7 +2153,20 @@ def q_host_stats(spark, sf_dir):
     %20 host cycle); url_filter's first-match reason is aggregated as
     key=reason, n_docs=count, total_chars=sum(doc_id) checksum. The
     oracle re-derives scheme/host parsing, byte cap (strlen), the
-    label-boundary suffix match, and keyword containment in SQL."""
+    label-boundary suffix match, and keyword containment in SQL.
+
+    level='rank' (r6): host-level PageRank prior. Each doc contributes
+    one edge h(doc_id%20) -> h((doc_id^2+1)%20); host_rank runs the
+    damped 3-iteration power iteration; key=host, n_docs=out-degree,
+    total_chars=round(rank*1e6) (fixed-point BIGINT so the row schema
+    stays integral). Quadratic residues mod 20 are NON-uniform, so
+    in-degrees (and therefore ranks) genuinely differ across hosts —
+    a symmetric graph would pass on any symmetry-preserving bug — and
+    hosts outside the residue set exercise the teleport-only
+    coalesce(inflow, 0) path. Sources cover every host (no dangling
+    mass in this graph), so the oracle unrolls the 3 iterations as CTEs
+    without the (identically-zero) dangling term, which pytest covers
+    on crafted graphs instead."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2233,7 +2246,30 @@ def q_host_stats(spark, sf_dir):
             "n_docs", "total_chars",
         )
     )
-    return host_level.unionByName(canon_level).unionByName(filt_level)
+    edges = docs.select(
+        F.concat(F.lit("h"), (d % 20).cast("long").cast("string")).alias("src_host"),
+        F.concat(
+            F.lit("h"), ((d * d + 1) % 20).cast("long").cast("string")
+        ).alias("dst_host"),
+    )
+    outdeg = edges.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    rank_level = (
+        analytics.host_rank(edges)
+        .join(outdeg, F.col("host") == F.col("src_host"))
+        .select(
+            F.lit("rank").alias("level"),
+            F.col("host").alias("key"),
+            "n_docs",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("total_chars"),
+        )
+    )
+    return (
+        host_level.unionByName(canon_level)
+        .unionByName(filt_level)
+        .unionByName(rank_level)
+    )
 
 
 O_HOST_STATS = f"""
@@ -2313,6 +2349,38 @@ FROM (
              END AS url
       FROM documents)))
 GROUP BY 2
+UNION ALL
+SELECT 'rank', pr3.host, ow.n_docs, CAST(round(pr3.rank * 1000000, 0) AS BIGINT)
+FROM (
+  WITH e AS (
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+           'h' || CAST((doc_id * doc_id + 1) % 20 AS VARCHAR) AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM documents GROUP BY 1, 2
+  ),
+  nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+  ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+  pr0 AS (SELECT host, 1.0 / n AS rank FROM nodes, nn),
+  it1 AS (SELECT e.dst AS host, sum(pr0.rank * e.w / ow.outw) AS inflow
+          FROM e JOIN pr0 ON pr0.host = e.src JOIN ow ON ow.src = e.src GROUP BY 1),
+  pr1 AS (SELECT nodes.host, (1.0 - 0.85) / n + 0.85 * coalesce(it1.inflow, 0) AS rank
+          FROM nodes LEFT JOIN it1 ON it1.host = nodes.host, nn),
+  it2 AS (SELECT e.dst AS host, sum(pr1.rank * e.w / ow.outw) AS inflow
+          FROM e JOIN pr1 ON pr1.host = e.src JOIN ow ON ow.src = e.src GROUP BY 1),
+  pr2 AS (SELECT nodes.host, (1.0 - 0.85) / n + 0.85 * coalesce(it2.inflow, 0) AS rank
+          FROM nodes LEFT JOIN it2 ON it2.host = nodes.host, nn),
+  it3 AS (SELECT e.dst AS host, sum(pr2.rank * e.w / ow.outw) AS inflow
+          FROM e JOIN pr2 ON pr2.host = e.src JOIN ow ON ow.src = e.src GROUP BY 1),
+  pr3 AS (SELECT nodes.host, (1.0 - 0.85) / n + 0.85 * coalesce(it3.inflow, 0) AS rank
+          FROM nodes LEFT JOIN it3 ON it3.host = nodes.host, nn)
+  SELECT host, rank FROM pr3
+) pr3
+JOIN (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+) ow ON ow.host = pr3.host
 """
 
 

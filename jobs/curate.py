@@ -34,6 +34,12 @@ Modes:
               distinct paragraph digest with keeper doc and count.
   exactdedup  exact-dedup table (one row per distinct text with the kept
               doc and duplicate count).
+  hostrank    host-level PageRank prior over a link-graph table at
+              --input with columns (src_host, dst_host[, weight]):
+              damped power iteration (--damping, --iters) with uniform
+              teleport and dangling-mass redistribution; emits
+              (host, rank). Feed extract_links output aggregated to
+              host pairs; join the rank back as a per-doc quality prior.
   urlfilter   RefinedWeb/UT1-style URL filtering over the url column:
               keep/drop + first-match reason (bad_scheme > url_too_long >
               blocked_host > blocked_keyword); --blocklist is a text file
@@ -214,12 +220,15 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "urlfilter", "pipeline"],
+                 "urlfilter", "hostrank", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
     ap.add_argument("--blocklist", default=None,
                     help="host blocklist text file (urlfilter mode; optional)")
+    ap.add_argument("--damping", type=float, default=0.85, help="hostrank damping factor")
+    ap.add_argument("--rank-iters", type=int, default=3,
+                    help="hostrank power-iteration rounds")
     ap.add_argument("--seq-len", type=int, default=2048, help="token bin size (pack mode)")
     ap.add_argument("--pack-buckets", type=int, default=256, help="parallel packing units (pack mode)")
     ap.add_argument("--threshold", type=float, default=0.9, help="Jaccard verify threshold")
@@ -284,6 +293,11 @@ def main():
         out = analytics.dedup_paragraphs(
             analytics.split_paragraphs(docs, extra_cols=extra),
             keep_by=args.keep_by, descending=args.keep_desc,
+        )
+    elif args.mode == "hostrank":
+        wcol = "weight" if "weight" in docs.columns else None
+        out = analytics.host_rank(
+            docs, damping=args.damping, iters=args.rank_iters, weight_col=wcol
         )
     elif args.mode == "urlfilter":
         if args.blocklist:
