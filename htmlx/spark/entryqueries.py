@@ -1073,11 +1073,33 @@ _MEDIA_PAYLOAD_HEX = (
 
 
 def q_media_frame_features(spark, sf_dir):
-    """Frame-sampling / byte-feature plumbing: deterministic binary
-    payloads -> mapInPandas feature stage (hex-basis digests, sampled
-    frame hashes, byte entropy). The codec-free analogue of the
-    decode/resize/frame-sample stage."""
-    from .multimodal import extract_media_features
+    """Frame-sampling / byte-feature plumbing MERGED with perceptual
+    dHash near-dup into one level-tagged row (driver caps at 50).
+
+    level='features': deterministic binary payloads -> mapInPandas
+    feature stage (hex-basis digests, sampled frame hashes, byte
+    entropy) — the codec-free analogue of the decode/resize/frame-sample
+    stage. The per-media digests fold into one md5 chain (k) so a single
+    wrong frame digest still flips the row.
+
+    level='dhash' (r6): REAL decode -> perceptual difference hash.
+    Each doc synthesizes a 24-bit BMP horizontal gradient (w = 9 +
+    doc_id%60, h = 8 + doc_id%8, value 2x so integer block means stay
+    STRICTLY monotonic at every size): even docs left-to-right (dHash =
+    all-ones = 0xffff...ff), odd docs right-to-left (all-zero), and the
+    doc_id%12==0 subset zeroes the top-right block so exactly bit (0,7)
+    flips — three known hash constants across varying dims pin decode +
+    grayscale + block-mean + bit order end-to-end. k = 16-hex dhash,
+    n1 = bucket size, n2 = sum(doc_id) membership checksum.
+
+    level='dhashpair' (r6): dhash_near_dup over the distinct hash set
+    (one representative per bucket, min media_id): banded-LSH + XOR
+    popcount verify must find exactly the Hamming-1 pair between the
+    perturbed and all-ones classes. k = 'hex_a:hex_b', n1 = hamming,
+    n2 = pair count."""
+    import pandas as pd
+
+    from .multimodal import dhash_near_dup, extract_image_dhash, extract_media_features
 
     docs = _docs(spark, sf_dir)
     media = docs.select(
@@ -1086,23 +1108,111 @@ def q_media_frame_features(spark, sf_dir):
     )
     # extract_media_features is a Python (mapInPandas) stage: spread it
     # off the single input split like every other decode tier
-    return extract_media_features(_spread(media))
+    feat_level = extract_media_features(_spread(media)).select(
+        F.lit("features").alias("level"),
+        F.col("media_id"),
+        F.md5(
+            F.concat_ws("|", "payload_md5", "frame0", "frame1", "frame2", "frame3")
+        ).alias("k"),
+        F.col("byte_len").cast("long").alias("n1"),
+        F.col("entropy_x1000").cast("long").alias("n2"),
+    )
+
+    def build_gradients(batches):
+        import numpy as np
+
+        from .tiffbmp import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.media_id:
+                d = int(doc_id)
+                w, h = 9 + d % 60, 8 + d % 8
+                if d % 2 == 0:
+                    g = np.tile((2 * np.arange(w)).astype(np.uint8), (h, 1))
+                    if d % 12 == 0:
+                        g = g.copy()
+                        g[: h // 8, 8 * w // 9 :] = 0
+                else:
+                    g = np.tile(
+                        (2 * (w - 1 - np.arange(w))).astype(np.uint8), (h, 1)
+                    )
+                rows.append(
+                    {
+                        "media_id": d,
+                        "payload": bytearray(encode_bmp(np.stack([g] * 3, axis=2))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    grads = _spread(docs.select(F.col("doc_id").cast("long").alias("media_id"))).mapInPandas(
+        build_gradients, "media_id long, payload binary"
+    )
+    hashes = extract_image_dhash(grads)
+    hex16 = F.lpad(F.lower(F.hex("dhash")), 16, "0")
+    dhash_level = (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum("media_id").cast("long").alias("n2"),
+        )
+        .select(
+            F.lit("dhash").alias("level"),
+            F.lit(-1).cast("long").alias("media_id"),
+            hex16.alias("k"),
+            "n1",
+            "n2",
+        )
+    )
+    reps = hashes.groupBy("dhash").agg(F.min("media_id").alias("media_id"))
+    pair_level = (
+        dhash_near_dup(reps)
+        .join(reps.select(F.col("media_id").alias("id_a"), F.col("dhash").alias("__ha")), "id_a")
+        .join(reps.select(F.col("media_id").alias("id_b"), F.col("dhash").alias("__hb")), "id_b")
+        .groupBy(
+            F.concat(
+                F.lpad(F.lower(F.hex("__ha")), 16, "0"),
+                F.lit(":"),
+                F.lpad(F.lower(F.hex("__hb")), 16, "0"),
+            ).alias("k"),
+            F.col("hamming").cast("long").alias("n1"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        .select(
+            F.lit("dhashpair").alias("level"),
+            F.lit(-1).cast("long").alias("media_id"),
+            "k",
+            "n1",
+            "n2",
+        )
+    )
+    return feat_level.unionByName(dhash_level).unionByName(pair_level)
 
 
 O_MEDIA_FRAME_FEATURES = f"""
 WITH p AS (SELECT doc_id, {_MEDIA_PAYLOAD_HEX} AS h FROM documents),
 b AS (SELECT doc_id, h, CAST(length(h) / 2 AS BIGINT) AS byte_len FROM p),
 e AS (SELECT *, [substr(h, 2 * i - 1, 2) FOR i IN generate_series(1, CAST(byte_len AS INTEGER))] AS pairs FROM b)
-SELECT CAST(doc_id AS BIGINT) AS media_id, byte_len,
-  md5(h) AS payload_md5,
+SELECT 'features' AS level, CAST(doc_id AS BIGINT) AS media_id,
+  md5(md5(h) || '|'
+      || md5(substr(h, 2 * ((0 * (byte_len - 16)) // 3) + 1, 32)) || '|'
+      || md5(substr(h, 2 * ((1 * (byte_len - 16)) // 3) + 1, 32)) || '|'
+      || md5(substr(h, 2 * ((2 * (byte_len - 16)) // 3) + 1, 32)) || '|'
+      || md5(substr(h, 2 * ((3 * (byte_len - 16)) // 3) + 1, 32))) AS k,
+  byte_len AS n1,
   CAST(floor(1000 * list_sum(list_transform(
         map_values(list_aggregate(pairs, 'histogram')),
-        c -> -(c * 1.0 / byte_len) * log2(c * 1.0 / byte_len)))) AS BIGINT) AS entropy_x1000,
-  md5(substr(h, 2 * ((0 * (byte_len - 16)) // 3) + 1, 32)) AS frame0,
-  md5(substr(h, 2 * ((1 * (byte_len - 16)) // 3) + 1, 32)) AS frame1,
-  md5(substr(h, 2 * ((2 * (byte_len - 16)) // 3) + 1, 32)) AS frame2,
-  md5(substr(h, 2 * ((3 * (byte_len - 16)) // 3) + 1, 32)) AS frame3
+        c -> -(c * 1.0 / byte_len) * log2(c * 1.0 / byte_len)))) AS BIGINT) AS n2
 FROM e
+UNION ALL
+SELECT 'dhash', -1,
+       CASE WHEN doc_id % 2 = 1 THEN '0000000000000000'
+            WHEN doc_id % 12 = 0 THEN 'feffffffffffffff'
+            ELSE 'ffffffffffffffff' END AS k,
+       CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM documents GROUP BY 3
+UNION ALL
+SELECT 'dhashpair', -1, 'feffffffffffffff:ffffffffffffffff', 1, 1
 """
 
 

@@ -1076,6 +1076,154 @@ def extract_pixel_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(feat_batch, PIXEL_FEATURES_SCHEMA)
 
 
+def image_dhash(px) -> int:
+    """Perceptual difference hash (dHash) of a decoded raster — the
+    standard near-duplicate image fingerprint (Krawetz's convention,
+    public knowledge): grayscale, downsample to a 9x8 grid, emit one bit
+    per horizontally-adjacent cell pair. Deterministic INTEGER arithmetic
+    end-to-end so the hash is bit-reproducible across platforms:
+
+      - luma: (299*R + 587*G + 114*B) // 1000 (ITU-R BT.601 weights,
+        floor division); single-channel rasters pass through; alpha is
+        ignored.
+      - 9x8 block-mean downsample: block boundaries at i*W//9 / r*H//8,
+        block value = sum // count (floor).
+      - bit (r, c) = 1 iff mean[r][c+1] > mean[r][c] (strictly
+        brighter rightward), packed row-major MSB-first into 64 bits,
+        returned as a SIGNED two's-complement int (Spark LongType).
+
+    Requires w >= 9 and h >= 8 (raises ValueError('image_too_small'))."""
+    import numpy as np
+
+    if px.ndim == 2:
+        g = px.astype(np.int64)
+    else:
+        c = px.shape[2]
+        s = px.astype(np.int64)
+        if c == 1:
+            g = s[:, :, 0]
+        else:
+            g = (299 * s[:, :, 0] + 587 * s[:, :, 1] + 114 * s[:, :, 2]) // 1000
+    h, w = g.shape
+    if w < 9 or h < 8:
+        raise ValueError("image_too_small")
+    ys = [r * h // 8 for r in range(8)]
+    xs = [c * w // 9 for c in range(9)]
+    sums = np.add.reduceat(np.add.reduceat(g, ys, axis=0), xs, axis=1)
+    counts = np.outer(np.diff(ys + [h]), np.diff(xs + [w]))
+    means = sums // counts
+    bits = (means[:, 1:] > means[:, :-1]).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits.reshape(-1)).tobytes(), "big", signed=True)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_image_dhash(media: DataFrame) -> DataFrame:
+    """mapInPandas stage: binary image payload -> 64-bit dHash via the
+    in-repo decoders (decode_image dispatch). Undecodable containers
+    degrade per the decode contract (decoder_unavailable / corrupt_image
+    / image_too_small) with dhash=0 and are filtered by callers on
+    error=''. Per-doc bounded work; same spread-repartition guidance as
+    every decode tier."""
+    import pandas as pd
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DHASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf.media_id, pdf.payload):
+                b = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id, "dhash": 0,
+                    "width": 0, "height": 0, "error": "",
+                }
+                try:
+                    px = decode_image(b)
+                    row["height"], row["width"] = px.shape[0], px.shape[1]
+                    row["dhash"] = image_dhash(px)
+                except NotImplementedError:
+                    row["error"] = "decoder_unavailable"
+                except (ValueError, zlib.error) as e:
+                    row["error"] = (
+                        "image_too_small"
+                        if str(e) == "image_too_small"
+                        else "corrupt_image"
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(hash_batch, DHASH_SCHEMA)
+
+
+def dhash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance, as banded
+    LSH + exact verify — all Catalyst, no Python:
+
+    The 64-bit hash splits into (max_hamming + 1) bands; by pigeonhole,
+    any pair within max_hamming bits shares at least one band verbatim,
+    so candidates come from equi-joins on (band_index, band_value) —
+    never a cartesian. Verification is bit_count(a XOR b) <= max_hamming
+    JVM-side. Returns (id_a, id_b, hamming), id_a < id_b, one row per
+    pair. Same 100 TB shape as minhash_lsh_candidates: the shuffle is
+    keyed by band value (near-uniform for photographic corpora);
+    pathological buckets (constant images) should be capped upstream by
+    dropping buckets over a size bound, as lsh_bucket_stats does for
+    MinHash."""
+    from pyspark.sql import functions as F
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashes.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(hash_col).alias("__h")
+    )
+    bands = h.select(
+        "__id", "__h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("__h"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("__id", "__h", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def decode_wav(payload: bytes):
     """REAL WAV decode for PCM (8-bit unsigned / 16-bit signed): RIFF chunk
     walk — no codec needed. Returns (sample_rate, channels, numpy array of
