@@ -1551,6 +1551,63 @@ def weighted_sample(
     )
 
 
+def temperature_sample(
+    documents: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    target_frac: float | None = None,
+    id_col: str = "doc_id",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Temperature-based domain rebalancing — the standard mixture rule
+    for multilingual / multi-domain LM corpora (sampling exponent alpha,
+    alpha < 1 upweights tail domains relative to their raw counts):
+
+        target share  q_d ∝ n_d^alpha
+        keep rate     r_d = min(1, T * q_d / n_d)
+
+    where T (target corpus size in docs) defaults to the largest size
+    that honors the q distribution WITHOUT upsampling any domain
+    (T = min_d n_d / q_d: the scarcest domain keeps 100%, head domains
+    downsample), or target_frac * N when given. Rows are kept by the
+    deterministic md5-bucket threshold of weighted_sample, so the
+    assignment reproduces across runs, engines and cluster sizes.
+
+    100 TB plan: one count aggregate keyed by domain (output = #domains
+    rows), two scalar aggregates (norm, T) that broadcast as single
+    rows, and a broadcast join of the tiny per-domain rate table back
+    onto the scan — the corpus itself is never shuffled. Emits the input
+    columns used plus (n_domain, keep_rate, sample_keep)."""
+    g = F.col(group_col)
+    counts = documents.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    weighted = counts.select(
+        group_col, "__n", F.pow("__n", F.lit(float(alpha))).alias("__w")
+    )
+    norm = weighted.agg(F.sum("__w").alias("__norm"))
+    q = weighted.crossJoin(F.broadcast(norm)).select(
+        group_col, "__n", (F.col("__w") / F.col("__norm")).alias("__q")
+    )
+    if target_frac is None:
+        t_row = q.agg(F.min(F.col("__n") / F.col("__q")).alias("__t"))
+    else:
+        t_row = documents.agg(
+            (F.count(F.lit(1)) * F.lit(float(target_frac))).alias("__t")
+        )
+    rates = q.crossJoin(F.broadcast(t_row)).select(
+        group_col,
+        F.col("__n").cast("long").alias("n_domain"),
+        F.least(F.lit(1.0), F.col("__t") * F.col("__q") / F.col("__n")).alias(
+            "keep_rate"
+        ),
+    )
+    joined = documents.select(F.col(id_col).cast("long").alias(id_col), g).join(
+        F.broadcast(rates), group_col
+    )
+    return weighted_sample(joined, F.col("keep_rate"), id_col=id_col, resolution=resolution)
+
+
 def word_ngram_hash_col(n: int, hash_basis: str, text_col: str = "text"):
     """Column of distinct whitespace-word n-gram hashes for a text column.
     Pure Catalyst — sequence + slice + array_join, hashed xxhash64

@@ -2497,26 +2497,64 @@ JOIN (
 def q_hash_split(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test assignment by md5 id bucket,
     PLUS per-source mixing-ratio sample flags (weight (1 + n % 5) / 5 from
-    the source id digits) — both scan-side md5-bucket ops composed in one
-    zero-shuffle projection and one driver row (driver artifact caps at
-    50 queries, observed round 3)."""
+    the source id digits), PLUS (r6) temperature-based domain rebalancing
+    (alpha=0.7, no-upsampling T): analytics.temperature_sample derives
+    per-domain keep rates from the corpus's own domain counts (count
+    aggregate -> scalar norm/T broadcasts -> tiny rate table broadcast
+    back onto the scan) and thresholds the same md5 bucket. The domain
+    is a SYNTHESIZED SKEWED partition (60/30/10 by doc_id decade — the
+    real `source` column is uniform, which would pin only the
+    degenerate all-rates-1 case): the tail domain must keep 100% and
+    the head must downsample. Emitted as n_domain + rate_x1e6 (1e-6
+    fixed-point BIGINT) + temp_keep; the oracle re-derives the whole
+    pipeline (pow/norm/min-T/least) in SQL. One driver row (driver
+    artifact caps at 50 queries, observed r3)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     w = (1 + F.regexp_extract("source", r"(\d+)", 1).cast("long") % 5) / 5
     sampled = analytics.weighted_sample(docs, w)
-    return analytics.hash_split(sampled, keep_cols=("source", "sample_keep"))
+    base = analytics.hash_split(sampled, keep_cols=("source", "sample_keep"))
+    dom = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("dA"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("dB"))
+        .otherwise(F.lit("dC"))
+    )
+    skewed = docs.select("doc_id", dom.alias("domain"))
+    temp = analytics.temperature_sample(skewed, group_col="domain", alpha=0.7).select(
+        "doc_id",
+        "n_domain",
+        F.round(F.col("keep_rate") * 1e6, 0).cast("long").alias("rate_x1e6"),
+        F.col("sample_keep").alias("temp_keep"),
+    )
+    return base.join(temp, "doc_id")
 
 
 O_HASH_SPLIT = """
+WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'dA'
+                               WHEN doc_id % 10 < 9 THEN 'dB'
+                               ELSE 'dC' END AS domain FROM documents),
+c AS (SELECT domain, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY 1),
+w AS (SELECT domain, n, pow(n, 0.7) AS wt FROM c),
+nrm AS (SELECT sum(wt) AS norm FROM w),
+q AS (SELECT domain, n, wt / norm AS q FROM w, nrm),
+t AS (SELECT min(n / q) AS tt FROM q),
+r AS (SELECT domain, CAST(n AS BIGINT) AS n_domain,
+             least(1.0, tt * q / n) AS rate FROM q, t)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 AS bucket,
        CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'train'
             WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 95 THEN 'val'
             ELSE 'test' END AS split,
-       source,
+       documents.source AS source,
        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 10000
-         < CAST(floor(((1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5) / 5) * 10000) AS BIGINT)
-       AS sample_keep
+         < CAST(floor(((1 + CAST(regexp_extract(documents.source, '([0-9]+)', 1) AS BIGINT) % 5) / 5) * 10000) AS BIGINT)
+       AS sample_keep,
+       r.n_domain AS n_domain,
+       CAST(round(r.rate * 1000000, 0) AS BIGINT) AS rate_x1e6,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 10000
+         < CAST(floor(r.rate * 10000) AS BIGINT) AS temp_keep
 FROM documents
+JOIN d USING (doc_id)
+JOIN r ON r.domain = d.domain
 """
 
 

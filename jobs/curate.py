@@ -34,6 +34,11 @@ Modes:
               distinct paragraph digest with keeper doc and count.
   exactdedup  exact-dedup table (one row per distinct text with the kept
               doc and duplicate count).
+  tempsample  temperature-based domain rebalancing: per-domain keep
+              rates q_d ∝ n_d^alpha (--alpha, --group-col, optional
+              --target-frac; default T never upsamples — the scarcest
+              domain keeps 100%), thresholded by the deterministic md5
+              bucket so assignments reproduce across engines/clusters.
   hostrank    host-level PageRank prior over a link-graph table at
               --input with columns (src_host, dst_host[, weight]):
               damped power iteration (--damping, --iters) with uniform
@@ -220,12 +225,18 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "urlfilter", "hostrank", "pipeline"],
+                 "urlfilter", "hostrank", "tempsample", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
     ap.add_argument("--blocklist", default=None,
                     help="host blocklist text file (urlfilter mode; optional)")
+    ap.add_argument("--alpha", type=float, default=0.7,
+                    help="temperature exponent (tempsample mode)")
+    ap.add_argument("--target-frac", type=float, default=None,
+                    help="target kept fraction of the corpus (tempsample mode)")
+    ap.add_argument("--group-col", default="source",
+                    help="domain column (tempsample mode)")
     ap.add_argument("--damping", type=float, default=0.85, help="hostrank damping factor")
     ap.add_argument("--rank-iters", type=int, default=3,
                     help="hostrank power-iteration rounds")
@@ -293,6 +304,11 @@ def main():
         out = analytics.dedup_paragraphs(
             analytics.split_paragraphs(docs, extra_cols=extra),
             keep_by=args.keep_by, descending=args.keep_desc,
+        )
+    elif args.mode == "tempsample":
+        out = analytics.temperature_sample(
+            docs, group_col=args.group_col, alpha=args.alpha,
+            target_frac=args.target_frac,
         )
     elif args.mode == "hostrank":
         wcol = "weight" if "weight" in docs.columns else None
