@@ -51,12 +51,15 @@ Modes:
               of hosts (one per line, '#' comments), matched on label
               boundaries so an entry blocks itself and all subdomains.
               The blocklist broadcasts; the corpus is a pure scan.
-  pipeline    the staged end-to-end job a real corpus run is: quality ->
-              exact dedup -> near-dup -> decontaminate (when --eval-input
-              given) -> split -> pack, each stage materialized under
-              --output with per-stage counts in audit.parquet and ONE
-              resume manifest (_pipeline_manifest.json): re-running with
-              the same --output skips completed stages.
+  pipeline    the staged end-to-end job a real corpus run is: urlfilter
+              (when the input has a url column; --blocklist honored) ->
+              quality -> exact dedup -> near-dup -> decontaminate (when
+              --eval-input given) -> tempsample (opt-in via --temp;
+              rates derive from the CLEANED counts) -> split -> pack,
+              each stage materialized under --output with per-stage
+              counts in audit.parquet and ONE resume manifest
+              (_pipeline_manifest.json): re-running with the same
+              --output skips completed stages.
 
 Keep policy (exactdedup / paradedup / pipeline): by default the duplicate
 with the MINIMUM doc_id survives; --keep-by <col> selects the survivor by
@@ -74,7 +77,10 @@ import os
 import sys
 
 
-PIPELINE_STAGES = ("quality", "exact_dedup", "near_dedup", "decontaminate", "split", "pack")
+PIPELINE_STAGES = (
+    "urlfilter", "quality", "exact_dedup", "near_dedup", "decontaminate",
+    "tempsample", "split", "pack",
+)
 
 
 def run_pipeline(spark, docs, args) -> dict:
@@ -134,6 +140,26 @@ def run_pipeline(spark, docs, args) -> dict:
     cur = docs
     executed = []
 
+    # URL filtering runs FIRST (it needs no text scan) when the corpus
+    # carries a url column — the cheapest drop a crawl pipeline makes.
+    if "url" in docs.columns:
+        blpath = getattr(args, "blocklist", None)
+
+        def url_keep():
+            if blpath:
+                bl = (
+                    spark.read.text(blpath)
+                    .select(F.trim("value").alias("host"))
+                    .where((F.col("host") != "") & ~F.col("host").startswith("#"))
+                )
+            else:
+                bl = spark.createDataFrame([], "host string")
+            return analytics.url_filter(cur, bl).where("keep").select("doc_id")
+
+        keep, n_cur = stage("urlfilter", url_keep, n_cur)
+        cur = survivors(keep)
+        executed.append("urlfilter")
+
     if args.quality_rule != "none":
         cond = {
             "gopher": F.col("gopher_pass"),
@@ -188,6 +214,24 @@ def run_pipeline(spark, docs, args) -> dict:
         cur = survivors(keep)
         executed.append("decontaminate")
 
+    # mixture rebalancing AFTER cleaning/dedup (rates derive from the
+    # cleaned counts) and BEFORE the split, opt-in via --temp
+    if getattr(args, "temp", False):
+        keep, n_cur = stage(
+            "tempsample",
+            lambda: analytics.temperature_sample(
+                cur,
+                group_col=getattr(args, "group_col", "source"),
+                alpha=getattr(args, "alpha", 0.7),
+                target_frac=getattr(args, "target_frac", None),
+            )
+            .where("sample_keep")
+            .select("doc_id"),
+            n_cur,
+        )
+        cur = survivors(keep)
+        executed.append("tempsample")
+
     split_df, _ = stage("split", lambda: analytics.hash_split(cur), n_cur)
     executed.append("split")
 
@@ -237,6 +281,8 @@ def main():
                     help="target kept fraction of the corpus (tempsample mode)")
     ap.add_argument("--group-col", default="source",
                     help="domain column (tempsample mode)")
+    ap.add_argument("--temp", action="store_true",
+                    help="enable the temperature-rebalancing stage in pipeline mode")
     ap.add_argument("--damping", type=float, default=0.85, help="hostrank damping factor")
     ap.add_argument("--rank-iters", type=int, default=3,
                     help="hostrank power-iteration rounds")

@@ -162,3 +162,47 @@ def test_pipeline_manifest_is_write_then_commit(spark, tmp_path):
     run_pipeline(spark, docs, _pipeline_args(tmp_path))
     manifest = json.loads((tmp_path / "out" / "_pipeline_manifest.json").read_text())
     assert "pack" in manifest["completed"]
+
+
+def test_pipeline_urlfilter_and_tempsample_stages(spark, tmp_path):
+    """The r6 pipeline extensions: a url column triggers the urlfilter
+    stage (blocklist honored, drops recorded first), --temp inserts the
+    rebalancing stage after cleaning, and resume still skips everything
+    on a second run."""
+    from jobs.curate import run_pipeline
+
+    rows = [
+        # (doc_id, text, source, url) — doc 1 lands on the blocklist,
+        # doc 2 trips the keyword rule; 3..8 survive to dedup (3=4 exact)
+        (1, "alpha beta gamma delta " * 8, "sA", "https://spam.bad.example/x"),
+        (2, "one two three four five six " * 6, "sA", "https://ok.example/free-xxx"),
+        (3, "seven eight nine ten eleven " * 6, "sA", "https://ok.example/a"),
+        (4, "seven eight nine ten eleven " * 6, "sA", "https://ok.example/b"),
+        (5, "completely different words here now " * 6, "sA", "https://ok.example/c"),
+        (6, "another unique document text body " * 6, "sA", "https://ok.example/d"),
+        (7, "more spread out tokens in this one " * 6, "sB", "https://ok.example/e"),
+        (8, "final body with its own words too " * 6, "sB", "https://ok.example/f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, url string")
+    bl = tmp_path / "bl.txt"
+    bl.write_text("# list\nbad.example\n")
+    args = _pipeline_args(
+        tmp_path, blocklist=str(bl), temp=True, group_col="source",
+        alpha=0.5, target_frac=None,
+    )
+    manifest = run_pipeline(spark, docs, args)
+    done = manifest["completed"]
+    assert done["urlfilter"]["docs_in"] == 8
+    assert done["urlfilter"]["docs_out"] == 6  # blocklist + keyword drops
+    assert done["exact_dedup"]["docs_in"] == 6
+    assert done["exact_dedup"]["docs_out"] == 5
+    assert "tempsample" in done and done["tempsample"]["docs_in"] == done["near_dedup"]["docs_out"]
+    audit = {r.stage: r for r in
+             spark.read.parquet(str(tmp_path / "out" / "audit.parquet")).collect()}
+    assert list(audit) and audit["urlfilter"].docs_dropped == 2
+    assert set(audit) >= {"urlfilter", "exact_dedup", "tempsample", "split", "pack"}
+
+    mpath = tmp_path / "out" / "_pipeline_manifest.json"
+    before = mpath.read_text()
+    run_pipeline(spark, docs, args)
+    assert mpath.read_text() == before
