@@ -134,7 +134,12 @@ def canonical_url_col(url_col: str = "url"):
     qs = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qs)
+    # a string with no scheme:// is not a canonicalizable absolute URL:
+    # pass it through verbatim rather than collapsing every malformed row
+    # onto the degenerate '://' key (which would merge them in dedup)
+    return F.when(
+        scheme == "", u
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qs))
 
 
 def latest_capture(

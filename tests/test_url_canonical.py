@@ -46,7 +46,17 @@ CASES = [
     ("https://example.com/a?", "https://example.com/a"),
     # %-encoding and case inside the path are preserved verbatim
     ("https://example.com/A%20b?x=%2F", "https://example.com/A%20b?x=%2F"),
+    # not absolute URLs: passed through verbatim, never collapsed onto a
+    # shared degenerate key
+    ("not a url", "not a url"),
+    ("/relative/path?b=1", "/relative/path?b=1"),
+    ("", ""),
 ]
+
+
+def test_malformed_urls_stay_distinct(spark):
+    got = _canon(spark, ["garbage one", "garbage two", "://", ""])
+    assert len(set(got)) == 4
 
 
 def test_canonicalization_cases(spark):
