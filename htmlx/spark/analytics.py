@@ -1711,6 +1711,40 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Mojibake (encoding-artifact) detection patterns. Kept in the shared
+#: Java==RE2 regex subset as character classes of LITERAL chars, so the
+#: exact same pattern strings drive Spark and the DuckDB oracle:
+#: - double-UTF-8: a 2-byte UTF-8 sequence re-decoded as Latin-1 shows
+#:   as 'Ã' + the continuation byte's codepoint (U+0080-00BF) — e.g.
+#:   'é' -> 'Ã©'. Plain Portuguese 'SÃO' (Ã + ASCII letter) does NOT
+#:   match.
+#: - cp1252 punctuation: U+2018-201D quotes re-decoded via cp1252 start
+#:   'â€' ('’' -> 'â€™').
+#: - U+FFFD replacement chars from lossy decode steps.
+MOJIBAKE_DOUBLE_UTF8 = "\u00c3[" + chr(0x80) + "-" + chr(0xBF) + "]"
+MOJIBAKE_CP1252_PUNCT = "â€"
+MOJIBAKE_REPLACEMENT = "�"
+
+
+def mojibake_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-artifact (mojibake) detection — the corpus-QA signal that
+    catches double-encoded or lossily-transcoded documents before they
+    pollute training text: per-doc counts of the three standard artifact
+    families plus an any-artifact flag. Pure Catalyst regexp_count
+    projections — zero shuffle, scan-side at 100 TB."""
+    t = F.col(text_col)
+    n1 = F.regexp_count(t, F.lit(MOJIBAKE_DOUBLE_UTF8)).cast("long")
+    n2 = F.regexp_count(t, F.lit(MOJIBAKE_CP1252_PUNCT)).cast("long")
+    n3 = F.regexp_count(t, F.lit(MOJIBAKE_REPLACEMENT)).cast("long")
+    return documents.select(
+        F.col("doc_id").cast("long"),
+        n1.alias("n_moji_utf8"),
+        n2.alias("n_moji_punct"),
+        n3.alias("n_moji_repl"),
+        ((n1 + n2 + n3) > 0).alias("mojibake"),
+    )
+
+
 def pack_sequences(
     documents: DataFrame, seq_len: int = 512, num_buckets: int = 8
 ) -> DataFrame:

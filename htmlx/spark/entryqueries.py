@@ -851,7 +851,15 @@ def q_doc_fingerprints(spark, sf_dir):
     is PII-free, so each doc gets deterministic synthetic PII appended — an email, an IPv4 and a
     long digit run derived from doc_id, built with identical string
     expressions on both engines — and the oracle recomputes the redacted
-    text verbatim: one regex-dialect divergence flips clean_md5."""
+    text verbatim: one regex-dialect divergence flips clean_md5.
+
+    PLUS (r6) mojibake detection (analytics.mojibake_stats): doc_id % 3
+    appends the classic artifact families — double-UTF-8 'cafÃ© menÃ¼'
+    (tier 0: two hits, and the ranges must exclude ASCII so 'SÃO'-style
+    legit text stays clean), cp1252 quotes + a U+FFFD (tier 1), nothing
+    (tier 2) — and the oracle recounts all three regex families (RE2
+    hex-escape spelling of the same char class) over the same appended
+    text."""
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
     pii = docs.select(
@@ -865,12 +873,24 @@ def q_doc_fingerprints(spark, sf_dir):
         ).alias("text"),
     )
     scrub = analytics.pii_scrub(pii)
-    return analytics.doc_fingerprints(docs).join(
-        scrub.select(
-            "doc_id", "n_emails", "n_ips", "n_nums",
-            F.md5("clean_text").alias("clean_md5"),
-        ),
-        "doc_id",
+    moji_append = (
+        F.when(d % 3 == 0, F.lit(" cafÃ© menÃ¼"))
+        .when(d % 3 == 1, F.lit(" itâ€™s â€œquoted�"))
+        .otherwise(F.lit(""))
+    )
+    moji = analytics.mojibake_stats(
+        docs.select("doc_id", F.concat(F.col("text"), moji_append).alias("text"))
+    )
+    return (
+        analytics.doc_fingerprints(docs)
+        .join(
+            scrub.select(
+                "doc_id", "n_emails", "n_ips", "n_nums",
+                F.md5("clean_text").alias("clean_md5"),
+            ),
+            "doc_id",
+        )
+        .join(moji, "doc_id")
     )
 
 
@@ -889,14 +909,30 @@ staged AS (
 staged2 AS (
   SELECT doc_id, t, s1,
          regexp_replace(s1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS s2
-  FROM staged)
+  FROM staged),
+moji AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© menÃ¼'
+                      WHEN doc_id % 3 = 1 THEN ' itâ€™s â€œquoted�'
+                      ELSE '' END AS mt
+  FROM documents),
+mojic AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(mt, 'Ã[\\x{80}-\\x{bf}]')) AS BIGINT) AS n_moji_utf8,
+         CAST(len(regexp_extract_all(mt, 'â€')) AS BIGINT) AS n_moji_punct,
+         CAST(len(regexp_extract_all(mt, '�')) AS BIGINT) AS n_moji_repl
+  FROM moji)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        md5(d.text) AS fingerprint,
        CAST(len(regexp_extract_all(p.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(p.s1, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
        CAST(len(regexp_extract_all(p.s2, '\\b\\d{7,}\\b')) AS BIGINT) AS n_nums,
-       md5(regexp_replace(p.s2, '\\b\\d{7,}\\b', '<NUM>', 'g')) AS clean_md5
-FROM documents d JOIN staged2 p ON p.doc_id = d.doc_id
+       md5(regexp_replace(p.s2, '\\b\\d{7,}\\b', '<NUM>', 'g')) AS clean_md5,
+       m.n_moji_utf8, m.n_moji_punct, m.n_moji_repl,
+       (m.n_moji_utf8 + m.n_moji_punct + m.n_moji_repl) > 0 AS mojibake
+FROM documents d
+JOIN staged2 p ON p.doc_id = d.doc_id
+JOIN mojic m ON m.doc_id = d.doc_id
 """
 
 

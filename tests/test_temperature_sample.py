@@ -84,3 +84,30 @@ def test_plan_broadcast_only_no_python(spark):
     assert "CartesianProduct" not in plan
     # the corpus-side join against the rate table must be a broadcast join
     assert "BroadcastHashJoin" in plan
+
+
+def test_mojibake_stats(spark):
+    """Encoding-artifact detection (analytics.mojibake_stats): the three
+    artifact families count independently; legit 'SAO'-style uppercase
+    A-tilde + ASCII text stays clean."""
+    from htmlx.spark.analytics import mojibake_stats
+
+    rows = [
+        (1, "cafÃ© and menÃ¼ twice"),    # 'cafÃ© menÃ¼'
+        (2, "itâ€™s â€œok"),    # cp1252 quotes x2
+        (3, "lossy � twice �"),
+        (4, "SÃO PAULO via maÃ§a"),           # legit + 1 artifact
+        (5, "perfectly clean ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_moji_utf8"], r["n_moji_punct"], r["n_moji_repl"], r["mojibake"])
+        for r in mojibake_stats(df).collect()
+    }
+    assert got[1] == (2, 0, 0, True)
+    assert got[2] == (0, 2, 0, True)
+    assert got[3] == (0, 0, 2, True)
+    assert got[4] == (1, 0, 0, True)  # 'SÃO' does not match; 'Ã§' does
+    assert got[5] == (0, 0, 0, False)
+    plan = mojibake_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
