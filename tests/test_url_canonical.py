@@ -108,3 +108,32 @@ def test_all_catalyst_single_shuffle(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
     # one exchange: the canonical-url hash aggregate
     assert plan.count("Exchange") <= 1
+
+
+def test_canonicalization_idempotent_and_total(spark):
+    """canon(canon(u)) == canon(u): a dedup key must be a fixpoint, or
+    re-running the pipeline over already-canonical URLs would re-bucket
+    rows. Checked over structured randoms + garbage; also pins totality
+    (no expression error on any input)."""
+    import random
+
+    rng = random.Random(11)
+    urls = []
+    for _ in range(300):
+        kind = rng.randrange(6)
+        if kind == 0:
+            urls.append("".join(rng.choice(" abc:/?#&=%ÃÂ.") for _ in range(rng.randrange(30))))
+        else:
+            scheme = rng.choice(["http", "HTTPS", "ftp", "a+b-c"])
+            host = rng.choice(["Example.COM", "x.y.z", "h0st:8080", "h:443", ""])
+            path = rng.choice(["", "/", "/a/b", "/A%20b/", "//double"])
+            q = "&".join(
+                rng.choice(["a=1", "b=2", "utm_source=x", "fbclid=1", "", "z"])
+                for _ in range(rng.randrange(4))
+            )
+            frag = rng.choice(["", "#f", "#a?b=1"])
+            urls.append(f"{scheme}://{host}{path}" + (f"?{q}" if q else "") + frag)
+    once = _canon(spark, urls)
+    twice = _canon(spark, once)
+    for u, a, b in zip(urls, once, twice):
+        assert a == b, f"not a fixpoint: {u!r} -> {a!r} -> {b!r}"
