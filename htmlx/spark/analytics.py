@@ -1600,10 +1600,16 @@ def temperature_sample(
         t_row = documents.agg(
             (F.count(F.lit(1)) * F.lit(float(target_frac))).alias("__t")
         )
+    # the argmin domain's rate is (n/q)*q/n in doubles — one ulp below
+    # 1.0 on one engine and clamped to exactly 1.0 on the other flips
+    # floor(rate*resolution) between 9999/10000. Snap near-1 rates to
+    # exactly 1.0 (identically on both engines; semantically a no-op at
+    # 1e-9) so the no-upsampling domain is a true fixpoint.
+    raw_rate = F.least(F.lit(1.0), F.col("__t") * F.col("__q") / F.col("__n"))
     rates = q.crossJoin(F.broadcast(t_row)).select(
         group_col,
         F.col("__n").cast("long").alias("n_domain"),
-        F.least(F.lit(1.0), F.col("__t") * F.col("__q") / F.col("__n")).alias(
+        F.when(raw_rate > 1.0 - 1e-9, F.lit(1.0)).otherwise(raw_rate).alias(
             "keep_rate"
         ),
     )

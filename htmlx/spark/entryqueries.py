@@ -2304,8 +2304,14 @@ def q_host_stats(spark, sf_dir):
     level='rank' (r6): host-level PageRank prior. Each doc contributes
     one edge h(doc_id%20) -> h((doc_id^2+1)%20); host_rank runs the
     damped 3-iteration power iteration; key=host, n_docs=out-degree,
-    total_chars=round(rank*1e6) (fixed-point BIGINT so the row schema
-    stays integral). Quadratic residues mod 20 are NON-uniform, so
+    total_chars=round(rank*1e5) (fixed-point BIGINT so the row schema
+    stays integral; the scale is 1e5 DELIBERATELY — the ranks here are
+    exact rationals (damping 17/20, integer weights) and an exact-
+    Fraction replay shows they land EXACTLY on .5 rounding boundaries
+    at 1e6 and 1e4 at every SF, so engine sum-order decides the round
+    and the row flakes — measured: h5 at sf0.01 is exactly 116087.5e-6;
+    at 1e5 the minimum boundary distance is 0.25 across all SFs, five
+    orders above double noise). Quadratic residues mod 20 are NON-uniform, so
     in-degrees (and therefore ranks) genuinely differ across hosts —
     a symmetric graph would pass on any symmetry-preserving bug — and
     hosts outside the residue set exercise the teleport-only
@@ -2408,7 +2414,7 @@ def q_host_stats(spark, sf_dir):
             F.lit("rank").alias("level"),
             F.col("host").alias("key"),
             "n_docs",
-            F.round(F.col("rank") * 1e6, 0).cast("long").alias("total_chars"),
+            F.round(F.col("rank") * 1e5, 0).cast("long").alias("total_chars"),
         )
     )
     return (
@@ -2496,7 +2502,7 @@ FROM (
       FROM documents)))
 GROUP BY 2
 UNION ALL
-SELECT 'rank', pr3.host, ow.n_docs, CAST(round(pr3.rank * 1000000, 0) AS BIGINT)
+SELECT 'rank', pr3.host, ow.n_docs, CAST(round(pr3.rank * 100000, 0) AS BIGINT)
 FROM (
   WITH e AS (
     SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
@@ -2573,8 +2579,9 @@ w AS (SELECT domain, n, pow(n, 0.7) AS wt FROM c),
 nrm AS (SELECT sum(wt) AS norm FROM w),
 q AS (SELECT domain, n, wt / norm AS q FROM w, nrm),
 t AS (SELECT min(n / q) AS tt FROM q),
+r0 AS (SELECT domain, n, least(1.0, tt * q / n) AS rr FROM q, t),
 r AS (SELECT domain, CAST(n AS BIGINT) AS n_domain,
-             least(1.0, tt * q / n) AS rate FROM q, t)
+             CASE WHEN rr > 1.0 - 1e-9 THEN 1.0 ELSE rr END AS rate FROM r0)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 AS bucket,
        CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'train'
