@@ -34,6 +34,14 @@ Modes:
               distinct paragraph digest with keeper doc and count.
   exactdedup  exact-dedup table (one row per distinct text with the kept
               doc and duplicate count).
+  imagededup  perceptual image dedup over a (media_id, payload) table:
+              dHash via the in-repo decoders, exact-hash buckets keep
+              the MINIMUM media_id, then near-dup pairs within
+              --hamming bits (banded LSH + XOR popcount) merge buckets
+              via the same label-propagation used for text near-dups.
+              Emits (media_id, dhash, keep_media_id, is_dup, error) —
+              undecodable rows pass through with their error and are
+              never dropped silently.
   tempsample  temperature-based domain rebalancing: per-domain keep
               rates q_d ∝ n_d^alpha (--alpha, --group-col, optional
               --target-frac; default T never upsamples — the scarcest
@@ -269,7 +277,7 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "urlfilter", "hostrank", "tempsample", "pipeline"],
+                 "urlfilter", "hostrank", "tempsample", "imagededup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -283,6 +291,8 @@ def main():
                     help="domain column (tempsample mode)")
     ap.add_argument("--temp", action="store_true",
                     help="enable the temperature-rebalancing stage in pipeline mode")
+    ap.add_argument("--hamming", type=int, default=3,
+                    help="near-dup Hamming bound (imagededup mode)")
     ap.add_argument("--damping", type=float, default=0.85, help="hostrank damping factor")
     ap.add_argument("--rank-iters", type=int, default=3,
                     help="hostrank power-iteration rounds")
@@ -351,6 +361,47 @@ def main():
             analytics.split_paragraphs(docs, extra_cols=extra),
             keep_by=args.keep_by, descending=args.keep_desc,
         )
+    elif args.mode == "imagededup":
+        from htmlx.spark.multimodal import dhash_near_dup, extract_image_dhash
+
+        src = docs
+        if "media_id" not in src.columns and "doc_id" in src.columns:
+            src = src.withColumnRenamed("doc_id", "media_id")
+        hashes = extract_image_dhash(src.select("media_id", "payload"))
+        ok = hashes.where(F.col("error") == "")
+        # exact-hash buckets collapse first (groupBy, no pairwise work);
+        # near-dup pairing then runs over one REPRESENTATIVE per distinct
+        # hash — bounded by distinct-hash count, never by image count
+        reps = ok.groupBy("dhash").agg(F.min("media_id").alias("rep_id"))
+        pairs = dhash_near_dup(
+            reps.select(F.col("rep_id").alias("media_id"), "dhash"),
+            max_hamming=args.hamming,
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        comp = analytics.near_dup_components(
+            reps.select(F.col("rep_id").cast("long").alias("doc_id")),
+            pairs, max_iters=50, until_converged=True,
+        )
+        resolved = (
+            ok.join(reps, "dhash")
+            .join(
+                comp.select(
+                    F.col("doc_id").alias("rep_id"),
+                    F.col("keep_doc_id").alias("keep_media_id"),
+                ),
+                "rep_id",
+            )
+            .select(
+                "media_id", "dhash", "keep_media_id",
+                (F.col("media_id") != F.col("keep_media_id")).alias("is_dup"),
+                F.lit("").alias("error"),
+            )
+        )
+        failed = hashes.where(F.col("error") != "").select(
+            "media_id", "dhash",
+            F.col("media_id").alias("keep_media_id"),
+            F.lit(False).alias("is_dup"), "error",
+        )
+        out = resolved.unionByName(failed)
     elif args.mode == "tempsample":
         out = analytics.temperature_sample(
             docs, group_col=args.group_col, alpha=args.alpha,
