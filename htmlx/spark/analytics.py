@@ -324,6 +324,61 @@ def host_rank(
     return pr
 
 
+def _host_of(url_col: str):
+    """Lowercased host (port stripped) parsed from a URL column — the same
+    scheme://host grammar url_filter uses, kept as one shared expression so
+    every host-keyed operator agrees on what 'host' means."""
+    hostport = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    return F.regexp_replace(hostport, ":\\d+$", "")
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    src_url_col: str = "src_url",
+    dst_url_col: str = "dst_url",
+    anchor_col: str = "anchor_text",
+    cross_host_only: bool = True,
+) -> DataFrame:
+    """Inlink anchor-text aggregation per target host — the classic web
+    quality prior (a host referenced by many OTHER hosts, with real anchor
+    text, is prior-good; link farms show few distinct source hosts and
+    empty/boilerplate anchors). Input is a link table as produced by the
+    extraction pipeline's link stage (reference links.go collects href +
+    anchor text per page; this is its corpus-level rollup). Per dst_host:
+
+      n_inlinks       — inlink count (cross-host only by default:
+                        intra-host links are navigation, not endorsement)
+      n_src_hosts     — distinct referring hosts (endorsement breadth)
+      anchor_bytes    — total UTF-8 BYTE length of anchor text (byte
+                        semantics per the reference's Go len() convention)
+      n_empty_anchors — links whose anchor is NULL/whitespace-only
+
+    100 TB plan: one hash-aggregate keyed by dst_host. Count/sum are
+    algebraic, so the popular-host skew (google.com-scale inlink counts)
+    is absorbed by map-side partial aggregation — each task emits one row
+    per distinct dst_host regardless of how many inlinks it scanned. The
+    distinct-source count rewrites to a two-phase (dst_host, src_host)
+    partial aggregate, bounded by distinct host PAIRS, not by links. Zero
+    Python, zero joins, no broadcast."""
+    df = links.select(
+        _host_of(src_url_col).alias("src_host"),
+        _host_of(dst_url_col).alias("dst_host"),
+        F.coalesce(F.col(anchor_col), F.lit("")).alias("__anchor"),
+    )
+    if cross_host_only:
+        df = df.where(F.col("src_host") != F.col("dst_host"))
+    return df.groupBy("dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+        F.sum(F.octet_length("__anchor")).cast("long").alias("anchor_bytes"),
+        F.sum((F.trim(F.col("__anchor")) == "").cast("long"))
+        .cast("long")
+        .alias("n_empty_anchors"),
+    )
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

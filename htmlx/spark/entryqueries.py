@@ -2318,7 +2318,20 @@ def q_host_stats(spark, sf_dir):
     coalesce(inflow, 0) path. Sources cover every host (no dangling
     mass in this graph), so the oracle unrolls the 3 iterations as CTEs
     without the (identically-zero) dangling term, which pytest covers
-    on crafted graphs instead."""
+    on crafted graphs instead.
+
+    level='anchor' (r6): inlink anchor-text aggregation. Each doc
+    contributes one link h(doc_id%12) -> h((3*doc_id+6)%20) — coprime
+    moduli, so every dst host sees 3 distinct src hosts and docs with
+    doc_id%12 == (3*doc_id+6)%20 synthesize SELF-links that
+    cross_host_only must drop; anchors cycle empty (%7==0) /
+    multibyte 'résumé N' (%3==0, exercises UTF-8 BYTE semantics —
+    strlen vs octet_length) / 'link N'. key=dst_host,
+    n_docs=n_inlinks, total_chars packs anchor_bytes*100+n_src_hosts
+    (n_src_hosts <= 20 < 100, lossless) so one BIGINT checksum
+    verifies both aggregates; the oracle re-derives host parsing,
+    the self-link filter, byte lengths, and the distinct count in
+    SQL. n_empty_anchors is pinned by pytest (test_anchor_agg)."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2417,10 +2430,33 @@ def q_host_stats(spark, sf_dir):
             F.round(F.col("rank") * 1e5, 0).cast("long").alias("total_chars"),
         )
     )
+    links = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 12).cast("long").cast("string"),
+            F.lit(".example.com/p/"), ds,
+        ).alias("src_url"),
+        F.concat(
+            F.lit("https://h"), ((3 * d + 6) % 20).cast("long").cast("string"),
+            F.lit(".example.com/t/"), ds,
+        ).alias("dst_url"),
+        F.when(d % 7 == 0, F.lit(""))
+        .when(d % 3 == 0, F.concat(F.lit("résumé "), ds))
+        .otherwise(F.concat(F.lit("link "), ds))
+        .alias("anchor_text"),
+    )
+    anchor_level = analytics.anchor_text_agg(links).select(
+        F.lit("anchor").alias("level"),
+        F.col("dst_host").alias("key"),
+        F.col("n_inlinks").alias("n_docs"),
+        (F.col("anchor_bytes") * 100 + F.col("n_src_hosts"))
+        .cast("long")
+        .alias("total_chars"),
+    )
     return (
         host_level.unionByName(canon_level)
         .unionByName(filt_level)
         .unionByName(rank_level)
+        .unionByName(anchor_level)
     )
 
 
@@ -2533,6 +2569,18 @@ JOIN (
          CAST(count(*) AS BIGINT) AS n_docs
   FROM documents GROUP BY 1
 ) ow ON ow.host = pr3.host
+UNION ALL
+SELECT 'anchor', dst_host, CAST(count(*) AS BIGINT),
+       CAST(sum(strlen(anchor)) * 100 + count(DISTINCT src_host) AS BIGINT)
+FROM (
+  SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) || '.example.com' AS src_host,
+         'h' || CAST((3 * doc_id + 6) % 20 AS VARCHAR) || '.example.com' AS dst_host,
+         CASE WHEN doc_id % 7 = 0 THEN ''
+              WHEN doc_id % 3 = 0 THEN 'résumé ' || CAST(doc_id AS VARCHAR)
+              ELSE 'link ' || CAST(doc_id AS VARCHAR) END AS anchor
+  FROM documents)
+WHERE src_host <> dst_host
+GROUP BY 2
 """
 
 

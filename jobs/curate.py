@@ -53,6 +53,13 @@ Modes:
               teleport and dangling-mass redistribution; emits
               (host, rank). Feed extract_links output aggregated to
               host pairs; join the rank back as a per-doc quality prior.
+  anchorstats inlink anchor-text aggregation over a link table at
+              --input with columns (src_url, dst_url, anchor_text):
+              per target host, inlink count, distinct referring hosts,
+              UTF-8 anchor bytes and empty-anchor count — the web
+              endorsement prior. Cross-host links only unless
+              --intra-host. Feed the extraction pipeline's link stage
+              output; join back onto docs by host as a quality signal.
   urlfilter   RefinedWeb/UT1-style URL filtering over the url column:
               keep/drop + first-match reason (bad_scheme > url_too_long >
               blocked_host > blocked_keyword); --blocklist is a text file
@@ -277,7 +284,8 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "urlfilter", "hostrank", "tempsample", "imagededup", "pipeline"],
+                 "urlfilter", "hostrank", "anchorstats", "tempsample",
+                 "imagededup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -293,6 +301,8 @@ def main():
                     help="enable the temperature-rebalancing stage in pipeline mode")
     ap.add_argument("--hamming", type=int, default=3,
                     help="near-dup Hamming bound (imagededup mode)")
+    ap.add_argument("--intra-host", action="store_true",
+                    help="count intra-host links too (anchorstats mode)")
     ap.add_argument("--damping", type=float, default=0.85, help="hostrank damping factor")
     ap.add_argument("--rank-iters", type=int, default=3,
                     help="hostrank power-iteration rounds")
@@ -411,6 +421,10 @@ def main():
         wcol = "weight" if "weight" in docs.columns else None
         out = analytics.host_rank(
             docs, damping=args.damping, iters=args.rank_iters, weight_col=wcol
+        )
+    elif args.mode == "anchorstats":
+        out = analytics.anchor_text_agg(
+            docs, cross_host_only=not args.intra_host
         )
     elif args.mode == "urlfilter":
         if args.blocklist:
