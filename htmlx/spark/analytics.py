@@ -379,6 +379,77 @@ def anchor_text_agg(
     )
 
 
+def host_template_lines(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str | None = None,
+    min_docs: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Per-host template-line removal — intra-site boilerplate that the
+    per-DOCUMENT scorer cannot see (RefinedWeb/Dolma-style corpus pass):
+    a line occurring byte-identically in >= min_frac of a host's documents
+    (and in >= min_docs of them, so tiny hosts don't degenerate) is site
+    template (nav, cookie banner, footer) and is removed from EVERY
+    document of that host. Complements the in-document DOM boilerplate
+    strip (scorer.py) and the global paragraph dedup (dedup_paragraphs,
+    which keeps ONE copy — template lines must keep ZERO).
+
+    Lines are exact newline-split byte strings; empty lines are never
+    template candidates (blank separators stay). A line repeated within
+    one document counts that document once, but removal strips all copies.
+    min_frac is compared as count >= min_frac * host_docs in double — use
+    dyadic fractions (0.5, 0.25) when cross-engine parity matters.
+
+    Returns one row per input doc: doc_id, cleaned_text, n_lines,
+    n_removed.
+
+    100 TB plan: the counting side shuffles (host, line) pairs — keys are
+    line text, uniform; the distinct-doc count is a two-phase partial
+    aggregate. The template table collapses to ONE small array row per
+    host (template lines are frequent by definition, so few), and the
+    cleaning side is a host-keyed join against it (AQE broadcasts it at
+    real scale) followed by a scan-side array filter — the corpus text is
+    never re-shuffled. Zero Python."""
+    host = F.col(host_col) if host_col else _host_of(url_col)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        host.alias("__host"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    ex = base.select(
+        "doc_id", "__host", F.explode("__lines").alias("__line")
+    ).where(F.col("__line") != "")
+    freq = ex.groupBy("__host", "__line").agg(
+        F.countDistinct("doc_id").alias("__c")
+    )
+    hd = base.groupBy("__host").agg(F.count(F.lit(1)).alias("__n"))
+    tmpl = (
+        freq.join(hd, "__host")
+        .where(
+            (F.col("__c") >= min_docs)
+            & (F.col("__c") >= F.lit(float(min_frac)) * F.col("__n"))
+        )
+        .groupBy("__host")
+        .agg(F.collect_set("__line").alias("__tmpl"))
+    )
+    cleaned = F.filter(
+        F.col("__lines"),
+        lambda l: ~F.coalesce(F.array_contains(F.col("__tmpl"), l), F.lit(False)),
+    )
+    return (
+        base.join(tmpl, "__host", "left")
+        .select(
+            "doc_id",
+            F.array_join(cleaned, "\n").alias("cleaned_text"),
+            F.size("__lines").cast("long").alias("n_lines"),
+            (F.size("__lines") - F.size(cleaned)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

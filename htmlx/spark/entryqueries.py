@@ -489,10 +489,36 @@ def q_dedup_exact(spark, sf_dir):
         F.col("doc_id").alias("keep_doc_id"),
         F.col("tokens_removed").alias("dup_count"),
     )
+    # hosttmpl level (r6): per-host template-line removal. Docs are
+    # assigned hosts h(doc_id%10); every doc gets a host-wide 'NAV-k'
+    # first line (100% of the host -> template, removed from ALL docs)
+    # and docs with doc_id%3==0 get a 'PROMO' line (~1/3 of each host,
+    # under min_frac=0.5 -> kept). content_md5 pins the cleaned text
+    # byte-exactly; dup_count carries n_removed for this level.
+    tk = (d % 10).cast("long").cast("string")
+    tds = d.cast("long").cast("string")
+    tmpl_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), tk, F.lit(".example.com/p/"), tds
+        ).alias("url"),
+        F.concat(
+            F.lit("NAV-"), tk, F.lit("\n"), F.col("text"),
+            F.when(d % 3 == 0, F.lit("\nPROMO subscribe now for offers"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    tmpl_level = analytics.host_template_lines(tmpl_docs).select(
+        F.lit("hosttmpl").alias("level"),
+        F.md5("cleaned_text").alias("content_md5"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_removed").alias("dup_count"),
+    )
     return (
         doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
         .unionByName(policy_level)
         .unionByName(span_level)
+        .unionByName(tmpl_level)
     )
 
 
@@ -533,6 +559,35 @@ WITH span_docs AS (
 ), span_rm AS (
   SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS rm, sum(e - s) AS removed
   FROM span_islands GROUP BY doc_id
+), tmpl_docs AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+         'NAV-' || CAST(doc_id % 10 AS VARCHAR) || chr(10) || text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'PROMO subscribe now for offers'
+              ELSE '' END AS t
+  FROM documents
+), tmpl_freq AS (
+  SELECT host, line, count(DISTINCT doc_id) AS c
+  FROM (SELECT doc_id, host, unnest(string_split(t, chr(10))) AS line
+        FROM tmpl_docs)
+  WHERE line <> '' GROUP BY 1, 2
+), tmpl_hd AS (
+  SELECT host, count(*) AS n FROM tmpl_docs GROUP BY 1
+), tmpl_set AS (
+  SELECT f.host, list(f.line) AS tl
+  FROM tmpl_freq f JOIN tmpl_hd h ON f.host = h.host
+  WHERE f.c >= 3 AND f.c >= 0.5 * h.n GROUP BY 1
+), tmpl_out AS (
+  SELECT d.doc_id,
+         array_to_string(
+           [l FOR l IN string_split(d.t, chr(10))
+            IF NOT list_contains(coalesce(s.tl, []::VARCHAR[]), l)],
+           chr(10)) AS cleaned,
+         len(string_split(d.t, chr(10)))
+           - len([l FOR l IN string_split(d.t, chr(10))
+                  IF NOT list_contains(coalesce(s.tl, []::VARCHAR[]), l)])
+           AS n_removed
+  FROM tmpl_docs d LEFT JOIN tmpl_set s ON d.host = s.host
 ), span_out AS (
   SELECT t.doc_id,
          COALESCE(array_to_string(
@@ -569,6 +624,9 @@ SELECT 'doc_keep_prio', content_md5, keep_doc_id, dup_count FROM (
 UNION ALL
 SELECT 'span', md5(cleaned), CAST(doc_id AS BIGINT), CAST(tokens_removed AS BIGINT)
 FROM span_out
+UNION ALL
+SELECT 'hosttmpl', md5(cleaned), CAST(doc_id AS BIGINT), CAST(n_removed AS BIGINT)
+FROM tmpl_out
 """
 
 

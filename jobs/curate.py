@@ -60,6 +60,12 @@ Modes:
               endorsement prior. Cross-host links only unless
               --intra-host. Feed the extraction pipeline's link stage
               output; join back onto docs by host as a quality signal.
+  hosttmpl    per-host template-line removal over (doc_id, url, text):
+              a line present byte-identically in >= --tmpl-min-frac of a
+              host's docs (and >= --tmpl-min-docs) is site template and
+              is stripped from EVERY doc of that host (zero copies kept,
+              unlike paragraph dedup's keep-one); emits doc_id,
+              cleaned_text, n_lines, n_removed.
   urlfilter   RefinedWeb/UT1-style URL filtering over the url column:
               keep/drop + first-match reason (bad_scheme > url_too_long >
               blocked_host > blocked_keyword); --blocklist is a text file
@@ -284,8 +290,8 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "urlfilter", "hostrank", "anchorstats", "tempsample",
-                 "imagededup", "pipeline"],
+                 "urlfilter", "hostrank", "anchorstats", "hosttmpl",
+                 "tempsample", "imagededup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -303,6 +309,10 @@ def main():
                     help="near-dup Hamming bound (imagededup mode)")
     ap.add_argument("--intra-host", action="store_true",
                     help="count intra-host links too (anchorstats mode)")
+    ap.add_argument("--tmpl-min-docs", type=int, default=3,
+                    help="template-line min doc count (hosttmpl mode)")
+    ap.add_argument("--tmpl-min-frac", type=float, default=0.5,
+                    help="template-line min host-doc fraction (hosttmpl mode)")
     ap.add_argument("--damping", type=float, default=0.85, help="hostrank damping factor")
     ap.add_argument("--rank-iters", type=int, default=3,
                     help="hostrank power-iteration rounds")
@@ -425,6 +435,10 @@ def main():
     elif args.mode == "anchorstats":
         out = analytics.anchor_text_agg(
             docs, cross_host_only=not args.intra_host
+        )
+    elif args.mode == "hosttmpl":
+        out = analytics.host_template_lines(
+            docs, min_docs=args.tmpl_min_docs, min_frac=args.tmpl_min_frac
         )
     elif args.mode == "urlfilter":
         if args.blocklist:
