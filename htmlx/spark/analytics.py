@@ -450,6 +450,68 @@ def host_template_lines(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl snapshot diff — the incremental-pipeline primitive: given two
+    crawl snapshots of (url, warc_ts, text), classify every canonical URL
+    as added / removed / changed / unchanged so downstream stages
+    (extraction, dedup, index refresh) touch only the delta instead of
+    re-processing the full corpus. Each side is first collapsed to its
+    latest capture per canonical URL (same rule as latest_capture: max
+    ts, ties to smallest id), then compared by content digest.
+
+    Returns one row per canonical URL seen in either snapshot:
+    canonical_url, status, old_doc_id, new_doc_id (NULL on the absent
+    side).
+
+    100 TB plan: one hash-aggregate per side keyed by canonical URL
+    (uniform after canonicalization, max_by partial-aggs map-side) and
+    ONE full-outer join on the same key — Catalyst aligns the join with
+    the aggregate partitioning so the second shuffle is avoided per
+    side. Only (url, digest, id) rows move; document text never
+    shuffles. Zero Python."""
+    def _snap(df):
+        return (
+            df.select(
+                canonical_url_col(url_col).alias("canonical_url"),
+                F.col(ts_col).alias("__ts"),
+                F.col(id_col).cast("long").alias("__id"),
+                F.md5(F.col(text_col)).alias("__h"),
+            )
+            .groupBy("canonical_url")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__id").alias("i"), F.col("__h").alias("h")),
+                    F.struct(F.col("__ts"), (-F.col("__id")).alias("tb")),
+                ).alias("__kept")
+            )
+            .select(
+                "canonical_url",
+                F.col("__kept.i").alias("doc_id"),
+                F.col("__kept.h").alias("h"),
+            )
+        )
+
+    o = _snap(old).alias("o")
+    n = _snap(new).alias("n")
+    return o.join(n, "canonical_url", "full_outer").select(
+        "canonical_url",
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.h") != F.col("n.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.col("o.doc_id").alias("old_doc_id"),
+        F.col("n.doc_id").alias("new_doc_id"),
+    )
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

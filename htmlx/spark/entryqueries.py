@@ -2389,7 +2389,17 @@ def q_host_stats(spark, sf_dir):
     (n_src_hosts <= 20 < 100, lossless) so one BIGINT checksum
     verifies both aggregates; the oracle re-derives host parsing,
     the self-link filter, byte lengths, and the distinct count in
-    SQL. n_empty_anchors is pinned by pytest (test_anchor_agg)."""
+    SQL. n_empty_anchors is pinned by pytest (test_anchor_agg).
+
+    level='snapdiff' (r6): crawl snapshot diff. Old snapshot = docs
+    with doc_id%5!=0 (ts=1); new = docs with doc_id%7!=0 (ts=2, text
+    suffixed ' v2' when doc_id%3==0). snapshot_diff's full-outer
+    digest compare must classify added (%5==0, new only) / removed
+    (%7==0, old only) / changed (both + %3==0) / unchanged; docs with
+    both %5==0 and %7==0 are in neither snapshot and must not appear.
+    key=status, n_docs=count, total_chars=sum(doc_id). The oracle
+    derives the statuses INDEPENDENTLY from the modular conditions —
+    the Spark side runs the real aggregate+join machinery."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2510,11 +2520,38 @@ def q_host_stats(spark, sf_dir):
         .cast("long")
         .alias("total_chars"),
     )
+    snap_url = F.concat(F.lit("https://s.example.com/p/"), ds)
+    old_snap = docs.where(d % 5 != 0).select(
+        "doc_id", snap_url.alias("url"), "text",
+        F.lit(1).cast("long").alias("warc_ts"),
+    )
+    new_snap = docs.where(d % 7 != 0).select(
+        "doc_id", snap_url.alias("url"),
+        F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.lit(2).cast("long").alias("warc_ts"),
+    )
+    snap_level = (
+        analytics.snapshot_diff(old_snap, new_snap)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("new_doc_id"), F.col("old_doc_id")))
+            .cast("long")
+            .alias("total_chars"),
+        )
+        .select(
+            F.lit("snapdiff").alias("level"), F.col("status").alias("key"),
+            "n_docs", "total_chars",
+        )
+    )
     return (
         host_level.unionByName(canon_level)
         .unionByName(filt_level)
         .unionByName(rank_level)
         .unionByName(anchor_level)
+        .unionByName(snap_level)
     )
 
 
@@ -2639,6 +2676,17 @@ FROM (
   FROM documents)
 WHERE src_host <> dst_host
 GROUP BY 2
+UNION ALL
+SELECT 'snapdiff', status, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'added'
+              WHEN doc_id % 7 = 0 THEN 'removed'
+              WHEN doc_id % 3 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents
+  WHERE NOT (doc_id % 5 = 0 AND doc_id % 7 = 0)
+) GROUP BY 2
 """
 
 

@@ -66,6 +66,11 @@ Modes:
               is stripped from EVERY doc of that host (zero copies kept,
               unlike paragraph dedup's keep-one); emits doc_id,
               cleaned_text, n_lines, n_removed.
+  snapdiff    crawl snapshot diff: --old-input is the previous snapshot,
+              --input the new one (both (url, warc_ts, text, doc_id));
+              per canonical URL emits added/removed/changed/unchanged +
+              the latest capture's doc_id on each side, so downstream
+              stages re-process only the delta.
   urlfilter   RefinedWeb/UT1-style URL filtering over the url column:
               keep/drop + first-match reason (bad_scheme > url_too_long >
               blocked_host > blocked_keyword); --blocklist is a text file
@@ -291,7 +296,7 @@ def main():
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
-                 "tempsample", "imagededup", "pipeline"],
+                 "snapdiff", "tempsample", "imagededup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -309,6 +314,8 @@ def main():
                     help="near-dup Hamming bound (imagededup mode)")
     ap.add_argument("--intra-host", action="store_true",
                     help="count intra-host links too (anchorstats mode)")
+    ap.add_argument("--old-input", default=None,
+                    help="previous snapshot parquet (snapdiff mode; --input is the new one)")
     ap.add_argument("--tmpl-min-docs", type=int, default=3,
                     help="template-line min doc count (hosttmpl mode)")
     ap.add_argument("--tmpl-min-frac", type=float, default=0.5,
@@ -440,6 +447,9 @@ def main():
         out = analytics.host_template_lines(
             docs, min_docs=args.tmpl_min_docs, min_frac=args.tmpl_min_frac
         )
+    elif args.mode == "snapdiff":
+        old = spark.read.parquet(args.old_input)
+        out = analytics.snapshot_diff(old, docs)
     elif args.mode == "urlfilter":
         if args.blocklist:
             bl = (
