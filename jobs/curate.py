@@ -140,24 +140,33 @@ def run_pipeline(spark, docs, args) -> dict:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, mpath)  # atomic on POSIX
 
-    def stage(name, build, docs_in: int):
+    def stage(name, build, docs_in: int, annotation: bool = False):
         """Materialize one stage (unless already committed) and return
-        (its output frame read back from parquet, its docs_out)."""
+        (its output frame read back from parquet, its docs_out).
+        annotation=True marks a stage that REWRITES rows instead of
+        dropping them (e.g. template removal): docs_out stays docs_in
+        (the audit shows zero drops) and the touched-row count is
+        recorded separately."""
         if name not in manifest["completed"]:
             path = os.path.join(root, f"stage_{name}.parquet")
             build().write.mode("overwrite").parquet(path)
-            docs_out = spark.read.parquet(path).select("doc_id").distinct().count()
+            touched = spark.read.parquet(path).select("doc_id").distinct().count()
             manifest["completed"][name] = {
-                "path": path, "docs_in": docs_in, "docs_out": docs_out,
+                "path": path, "docs_in": docs_in,
+                "docs_out": docs_in if annotation else touched,
             }
+            if annotation:
+                manifest["completed"][name]["docs_touched"] = touched
             save_manifest()
         info = manifest["completed"][name]
         return spark.read.parquet(info["path"]), info["docs_out"]
 
+    base = docs  # immutable corpus, plus any annotation-stage overrides
+
     def survivors(keep):
         # thin doc_id-keyed join against the immutable input table; AQE
         # broadcasts the keep-list when it is small enough
-        return docs.join(keep.select("doc_id"), "doc_id")
+        return base.join(keep.select("doc_id"), "doc_id")
 
     if "n_input" not in manifest:
         manifest["n_input"] = docs.count()
@@ -185,6 +194,40 @@ def run_pipeline(spark, docs, args) -> dict:
         keep, n_cur = stage("urlfilter", url_keep, n_cur)
         cur = survivors(keep)
         executed.append("urlfilter")
+
+    # per-host template-line removal BEFORE quality scoring and dedup:
+    # template lines distort line-based quality rules and mask exact
+    # duplicates. Annotation stage — it rewrites text, drops nothing.
+    # The stage parquet holds cleaned_text ONLY for touched docs (thin:
+    # untouched docs keep flowing from the immutable table), and the
+    # override is folded into `base` so every later survivors() join
+    # sees the cleaned text too.
+    if getattr(args, "hosttmpl", False) and "url" in docs.columns:
+
+        def tmpl_build():
+            return (
+                analytics.host_template_lines(
+                    cur,
+                    min_docs=getattr(args, "tmpl_min_docs", 3),
+                    min_frac=getattr(args, "tmpl_min_frac", 0.5),
+                )
+                .where(F.col("n_removed") > 0)
+                .select("doc_id", "cleaned_text", "n_removed")
+            )
+
+        ov, n_cur = stage("hosttmpl", tmpl_build, n_cur, annotation=True)
+        override = ov.select("doc_id", "cleaned_text")
+
+        def _apply_override(df):
+            return (
+                df.join(override, "doc_id", "left")
+                .withColumn("text", F.coalesce("cleaned_text", "text"))
+                .drop("cleaned_text")
+            )
+
+        base = _apply_override(base)
+        cur = _apply_override(cur)
+        executed.append("hosttmpl")
 
     if args.quality_rule != "none":
         cond = {
@@ -310,6 +353,8 @@ def main():
                     help="domain column (tempsample mode)")
     ap.add_argument("--temp", action="store_true",
                     help="enable the temperature-rebalancing stage in pipeline mode")
+    ap.add_argument("--hosttmpl", action="store_true",
+                    help="enable the per-host template-line removal stage in pipeline mode")
     ap.add_argument("--hamming", type=int, default=3,
                     help="near-dup Hamming bound (imagededup mode)")
     ap.add_argument("--intra-host", action="store_true",

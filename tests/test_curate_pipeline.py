@@ -206,3 +206,41 @@ def test_pipeline_urlfilter_and_tempsample_stages(spark, tmp_path):
     before = mpath.read_text()
     run_pipeline(spark, docs, args)
     assert mpath.read_text() == before
+
+
+def test_pipeline_hosttmpl_stage_unmasks_exact_dups(spark, tmp_path):
+    """--hosttmpl inserts the template-removal annotation stage: docs 1/2
+    differ ONLY by their host NAV line vs none — after template removal
+    they are exact dups and exact_dedup must collapse them, proving the
+    cleaned text (not the original) flows into later stages. The audit
+    must record hosttmpl as a zero-drop stage with docs_touched set."""
+    from jobs.curate import run_pipeline
+
+    body = "alpha beta gamma delta " * 8
+    rows = [
+        # host h.example: 3 docs sharing a NAV template line
+        (1, "NAV LINE\n" + body, "sA", "https://h.example/a"),
+        (3, "NAV LINE\nsecond body words here " * 1, "sA", "https://h.example/b"),
+        (4, "NAV LINE\nthird body different words", "sA", "https://h.example/c"),
+        # other host: same body with NO nav line -> dup of 1 after cleaning
+        (2, body, "sA", "https://o.example/a"),
+        (5, "yet another unique document body", "sA", "https://o.example/b"),
+        (6, "and one more distinct text here", "sA", "https://o.example/c"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, url string"
+    )
+    args = _pipeline_args(tmp_path, hosttmpl=True, tmpl_min_docs=3,
+                          tmpl_min_frac=0.5)
+    manifest = run_pipeline(spark, docs, args)
+    done = manifest["completed"]
+    assert done["hosttmpl"]["docs_in"] == 6
+    assert done["hosttmpl"]["docs_out"] == 6  # annotation stage drops nothing
+    assert done["hosttmpl"]["docs_touched"] == 3  # the h.example docs
+    # after NAV removal doc 1 == doc 2 byte-for-byte -> one survivor
+    assert done["exact_dedup"]["docs_in"] == 6
+    assert done["exact_dedup"]["docs_out"] == 5
+    audit = {r.stage: r for r in
+             spark.read.parquet(str(tmp_path / "out" / "audit.parquet")).collect()}
+    assert audit["hosttmpl"].docs_dropped == 0
+    assert audit["exact_dedup"].docs_dropped == 1
