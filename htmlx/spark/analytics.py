@@ -45,16 +45,50 @@ def _keep_policy_agg(keep_by: str | None, descending: bool):
     return F.min_by(d, F.struct(F.col(keep_by), d.alias("tb"))).cast("long").alias("keep_doc_id")
 
 
+#: Latin accent fold table for ccnet_norm_col — one explicit pair of
+#: translate() strings used VERBATIM by both engines (DuckDB translate
+#: takes the same arguments), so normalization is byte-reproducible
+#: across Spark and the oracle. Deliberately the common Latin-1 set;
+#: full Unicode NFD folding would need a Python UDF and diverge.
+CCNET_ACC_FROM = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+CCNET_ACC_TO = "aaaaaaceeeeiiiinoooooouuuuyy"
+
+
+def ccnet_norm_col(col):
+    """CCNet's dedup normalization (Wenzek et al. 2020 §4.1) as one pure
+    Catalyst expression: case-fold, accent-fold (explicit Latin table),
+    every digit -> '0', strip punctuation (anything that is not a
+    letter, '0', or whitespace), collapse whitespace runs to one space,
+    trim. Hashing the NORMALIZED text makes dedup robust to cosmetic
+    edits (case, punctuation, numbers) that near-dup MinHash would
+    spend a full signature on. Scan-side, zero shuffle, reproducible in
+    SQL (DuckDB needs the 'g' regexp_replace flag — Spark is global by
+    default)."""
+    t = F.lower(col if not isinstance(col, str) else F.col(col))
+    t = F.translate(t, CCNET_ACC_FROM, CCNET_ACC_TO)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, r"[^\p{L}0\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
 def dedup_exact(
-    documents: DataFrame, keep_by: str | None = None, descending: bool = False
+    documents: DataFrame,
+    keep_by: str | None = None,
+    descending: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """Exact dedup via content digest group-by: one row per distinct text
     with the kept doc_id and the duplicate count. The keep policy is
     min doc_id by default; keep_by/descending select the survivor by a
     caller-supplied ordering column (newest warc_ts, highest quality
-    score) — see _keep_policy_agg."""
+    score) — see _keep_policy_agg. normalize=True hashes the CCNet
+    normalization of the text instead of the raw bytes (ccnet_norm_col),
+    collapsing case/punctuation/digit variants of the same document;
+    text_md5 is then the digest of the NORMALIZED form."""
+    key = ccnet_norm_col("text") if normalize else F.col("text")
     return (
-        documents.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        documents.groupBy(F.md5(key).alias("text_md5"))
         .agg(
             _keep_policy_agg(keep_by, descending),
             F.count("*").cast("long").alias("dup_count"),
@@ -80,7 +114,10 @@ def split_paragraphs(
 
 
 def dedup_paragraphs(
-    paras: DataFrame, keep_by: str | None = None, descending: bool = False
+    paras: DataFrame,
+    keep_by: str | None = None,
+    descending: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """CCNet-style (Wenzek et al. 2020) paragraph-level dedup: one row
     per distinct paragraph digest with the kept doc_id and the
@@ -90,8 +127,11 @@ def dedup_paragraphs(
     only (digest, doc_id) pairs move, never the corpus text order.
     keep_by/descending select the surviving doc by a caller-supplied
     ordering column present in `paras` (see _keep_policy_agg); default
-    keeps the minimum doc_id."""
-    return paras.groupBy(F.md5(F.col("paragraph")).alias("content_md5")).agg(
+    keeps the minimum doc_id. normalize=True groups by the CCNet
+    normalization of each paragraph (ccnet_norm_col) — the published
+    CCNet pipeline hashes normalized paragraphs, not raw bytes."""
+    key = ccnet_norm_col("paragraph") if normalize else F.col("paragraph")
+    return paras.groupBy(F.md5(key).alias("content_md5")).agg(
         _keep_policy_agg(keep_by, descending),
         F.count("*").cast("long").alias("dup_count"),
     )

@@ -514,11 +514,43 @@ def q_dedup_exact(spark, sf_dir):
         F.col("doc_id").alias("keep_doc_id"),
         F.col("n_removed").alias("dup_count"),
     )
+    # docnorm level (r6): CCNet-NORMALIZED exact dedup (Wenzek 2020
+    # §4.1 — case/accent/digit/punct/whitespace fold before hashing).
+    # Adjacent doc pairs synthesize cosmetic variants of one logical
+    # text; the pair key is LETTERIZED (digits a-j) because digit
+    # folding would otherwise merge every same-digit-count pair, while
+    # the '42' / '4,2' tail exercises the digit fold itself (both
+    # normalize to '00'). Every pair must collapse to dup_count 2
+    # keeping the even doc; the digest is of the NORMALIZED form
+    # (oracle replays the same translate/regexp chain, 'g' flag).
+    pkl = F.translate(
+        F.floor(d / 2).cast("long").cast("string"), "0123456789", "abcdefghij"
+    )
+    norm_docs = docs.select(
+        "doc_id",
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("resume sample text number "), pkl, F.lit(" 42")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("RÉSUMÉ  Sample, Text!! Number "), pkl, F.lit(" 4,2")
+            )
+        )
+        .alias("text"),
+    )
+    norm_level = analytics.dedup_exact(norm_docs, normalize=True).select(
+        F.lit("docnorm").alias("level"),
+        F.col("text_md5").alias("content_md5"),
+        "keep_doc_id",
+        "dup_count",
+    )
     return (
         doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
         .unionByName(policy_level)
         .unionByName(span_level)
         .unionByName(tmpl_level)
+        .unionByName(norm_level)
     )
 
 
@@ -627,6 +659,25 @@ FROM span_out
 UNION ALL
 SELECT 'hosttmpl', md5(cleaned), CAST(doc_id AS BIGINT), CAST(n_removed AS BIGINT)
 FROM tmpl_out
+UNION ALL
+SELECT 'docnorm', md5(nt), CAST(min(doc_id) AS BIGINT), CAST(count(*) AS BIGINT)
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           translate(lower(CASE WHEN doc_id % 2 = 0
+                THEN 'resume sample text number '
+                     || translate(CAST(doc_id // 2 AS VARCHAR),
+                                  '0123456789', 'abcdefghij') || ' 42'
+                ELSE 'RÉSUMÉ  Sample, Text!! Number '
+                     || translate(CAST(doc_id // 2 AS VARCHAR),
+                                  '0123456789', 'abcdefghij') || ' 4,2'
+                END),
+             'àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ', 'aaaaaaceeeeiiiinoooooouuuuyy'),
+           '[0-9]', '0', 'g'),
+           '[^\\p{L}0\\s]', '', 'g'),
+           '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+GROUP BY nt
 """
 
 

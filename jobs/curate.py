@@ -361,6 +361,9 @@ def main():
                     help="count intra-host links too (anchorstats mode)")
     ap.add_argument("--old-input", default=None,
                     help="previous snapshot parquet (snapdiff mode; --input is the new one)")
+    ap.add_argument("--normalize", action="store_true",
+                    help="hash the CCNet normalization (case/accent/digit/"
+                         "punct fold) instead of raw bytes (exactdedup/paradedup)")
     ap.add_argument("--tmpl-min-docs", type=int, default=3,
                     help="template-line min doc count (hosttmpl mode)")
     ap.add_argument("--tmpl-min-frac", type=float, default=0.5,
@@ -424,7 +427,10 @@ def main():
     if args.mode == "quality":
         out = analytics.c4_gopher_quality(docs)
     elif args.mode == "exactdedup":
-        out = analytics.dedup_exact(docs, keep_by=args.keep_by, descending=args.keep_desc)
+        out = analytics.dedup_exact(
+            docs, keep_by=args.keep_by, descending=args.keep_desc,
+            normalize=args.normalize,
+        )
     elif args.mode == "spandedup":
         out = analytics.dedup_spans(docs, w=args.span_window, hash_basis=args.hash_basis)
     elif args.mode == "paradedup":
@@ -432,6 +438,7 @@ def main():
         out = analytics.dedup_paragraphs(
             analytics.split_paragraphs(docs, extra_cols=extra),
             keep_by=args.keep_by, descending=args.keep_desc,
+            normalize=args.normalize,
         )
     elif args.mode == "imagededup":
         from htmlx.spark.multimodal import dhash_near_dup, extract_image_dhash
