@@ -552,6 +552,57 @@ def snapshot_diff(
     )
 
 
+def meta_robots(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    head_bytes: int = 65536,
+) -> DataFrame:
+    """Meta-robots compliance pre-filter over RAW page bytes — the
+    standard crawl-pipeline step that drops noindex pages before any
+    expensive extraction runs. Scans the first head_bytes of the page
+    (meta robots must live in <head>; a tag beyond 64 KB is pathological
+    and deliberately out of contract) with one case-insensitive regex
+    pass, tolerating attribute-order flips (content before name),
+    single/double/unquoted values, and the 'none' shorthand
+    (== noindex,nofollow). The name match is exact-token ('robots', not
+    'robotsish'). This is a PRE-filter by design: it reads raw bytes so
+    it can run scan-side on the binary column before parse; the DOM
+    pipeline still sees the tag via its normal parse for anything
+    needing full fidelity.
+
+    Returns id_col, robots_content (NULL when no robots tag),
+    noindex/nofollow booleans, keep = NOT noindex.
+
+    100 TB plan: pure Catalyst regexp on a bounded prefix — zero
+    shuffle, zero Python, pushes the cheapest possible drop to the
+    scan."""
+    head = F.substring(F.col(html_col).cast("string"), 1, head_bytes)
+    tag = F.regexp_extract(
+        head,
+        r"(?i)<meta\b[^>]*\bname\s*=\s*(?:\"robots\"|'robots'|robots(?=[\s/>]))[^>]*>",
+        0,
+    )
+    cq = F.regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    cu = F.regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*([^\\s\"'>]+)", 1)
+    content = F.lower(F.when(cq != "", cq).otherwise(cu))
+    dirs = F.transform(F.split(content, ","), lambda x: F.trim(x))
+
+    def has(v):
+        return F.exists(dirs, lambda x: x == v)
+
+    present = tag != ""
+    noindex = present & (has("noindex") | has("none"))
+    nofollow = present & (has("nofollow") | has("none"))
+    return pages.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.when(present, content).alias("robots_content"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        (~noindex).alias("keep"),
+    )
+
+
 def _window_key(text_expr, hash_basis: str):
     """Hashable key for one W-token window string. xxhash64 (JVM, 64-bit)
     is the production default; md5 exists so the DuckDB oracle can

@@ -2450,7 +2450,16 @@ def q_host_stats(spark, sf_dir):
     both %5==0 and %7==0 are in neither snapshot and must not appear.
     key=status, n_docs=count, total_chars=sum(doc_id). The oracle
     derives the statuses INDEPENDENTLY from the modular conditions —
-    the Spark side runs the real aggregate+join machinery."""
+    the Spark side runs the real aggregate+join machinery.
+
+    level='robots' (r6): meta-robots compliance pre-filter. doc_id%6
+    synthesizes one markup variant per class — quoted noindex,follow /
+    unquoted uppercase NOFOLLOW / order-flipped 'none' shorthand /
+    unquoted nofollow,noindex / a non-robots meta / no meta — and
+    meta_robots' raw-byte regex must classify noindex / nofollow /
+    both / missing; the oracle derives the classes independently from
+    doc_id%6 while Spark parses the actual synthesized markup.
+    key=class, n_docs=count, total_chars=sum(doc_id)."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2597,12 +2606,48 @@ def q_host_stats(spark, sf_dir):
             "n_docs", "total_chars",
         )
     )
+    m6 = d % 6
+    meta = (
+        F.when(m6 == 0, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(m6 == 1, F.lit("<meta NAME=ROBOTS CONTENT=\"NOFOLLOW\">"))
+        .when(m6 == 2, F.lit("<meta content='none' name='robots'>"))
+        .when(m6 == 3, F.lit('<meta name="robots" content=nofollow,noindex>'))
+        .when(m6 == 4, F.lit('<meta name="description" content="x">'))
+        .otherwise(F.lit(""))
+    )
+    robots_pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title>"), meta,
+            F.lit("</head><body><p>"), F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    rb = analytics.meta_robots(robots_pages)
+    robots_level = (
+        rb.select(
+            "doc_id",
+            F.when(F.col("noindex") & F.col("nofollow"), F.lit("both"))
+            .when(F.col("noindex"), F.lit("noindex"))
+            .when(F.col("nofollow"), F.lit("nofollow"))
+            .when(F.col("robots_content").isNull(), F.lit("missing"))
+            .otherwise(F.lit("plain"))
+            .alias("key"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("total_chars"),
+        )
+        .select(F.lit("robots").alias("level"), "key", "n_docs", "total_chars")
+    )
     return (
         host_level.unionByName(canon_level)
         .unionByName(filt_level)
         .unionByName(rank_level)
         .unionByName(anchor_level)
         .unionByName(snap_level)
+        .unionByName(robots_level)
     )
 
 
@@ -2738,6 +2783,19 @@ FROM (
   FROM documents
   WHERE NOT (doc_id % 5 = 0 AND doc_id % 7 = 0)
 ) GROUP BY 2
+UNION ALL
+SELECT 'robots', cls, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'noindex'
+           WHEN 1 THEN 'nofollow'
+           WHEN 2 THEN 'both'
+           WHEN 3 THEN 'both'
+           ELSE 'missing'
+         END AS cls
+  FROM documents)
+GROUP BY 2
 """
 
 

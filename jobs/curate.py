@@ -71,6 +71,12 @@ Modes:
               per canonical URL emits added/removed/changed/unchanged +
               the latest capture's doc_id on each side, so downstream
               stages re-process only the delta.
+  metarobots  meta-robots compliance pre-filter over a raw pages table
+              (doc_id, html[:binary]): one scan-side regex pass over the
+              first 64 KB classifies noindex/nofollow ('none' shorthand,
+              attribute-order and quoting variants tolerated); emits
+              robots_content + noindex/nofollow + keep so noindex pages
+              drop before any extraction cost is paid.
   urlfilter   RefinedWeb/UT1-style URL filtering over the url column:
               keep/drop + first-match reason (bad_scheme > url_too_long >
               blocked_host > blocked_keyword); --blocklist is a text file
@@ -339,7 +345,8 @@ def main():
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
-                 "snapdiff", "tempsample", "imagededup", "pipeline"],
+                 "snapdiff", "metarobots", "tempsample", "imagededup",
+                 "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -502,6 +509,8 @@ def main():
     elif args.mode == "snapdiff":
         old = spark.read.parquet(args.old_input)
         out = analytics.snapshot_diff(old, docs)
+    elif args.mode == "metarobots":
+        out = analytics.meta_robots(docs)
     elif args.mode == "urlfilter":
         if args.blocklist:
             bl = (
