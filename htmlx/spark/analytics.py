@@ -364,14 +364,60 @@ def host_rank(
     return pr
 
 
-def _host_of(url_col: str):
-    """Lowercased host (port stripped) parsed from a URL column — the same
-    scheme://host grammar url_filter uses, kept as one shared expression so
-    every host-keyed operator agrees on what 'host' means."""
+def _host_of(url_col):
+    """Lowercased host (port stripped) parsed from a URL column (name or
+    Column) — the same scheme://host grammar url_filter uses, kept as one
+    shared expression so every host-keyed operator agrees on what 'host'
+    means."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
     hostport = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     )
     return F.regexp_replace(hostport, ":\\d+$", "")
+
+
+def link_graph(
+    results: DataFrame,
+    url_col: str = "url",
+    links_col: str = "links",
+    respect_nofollow: bool = True,
+    cross_host_only: bool = False,
+) -> DataFrame:
+    """Crawl link-graph construction from the extraction pipeline's own
+    output — the glue between run_extraction and host_rank /
+    anchor_text_agg: explode each document's extracted links (LINK_TYPE
+    structs: url, text, is_nofollow, ... — reference links.go) into
+    per-host-pair weighted edges (src_host, dst_host, weight).
+
+    Semantics: relative link URLs (no scheme://) resolve to the SOURCE
+    host — a relative link cannot leave its site. rel=nofollow links are
+    excluded by default: nofollow exists precisely to withhold the
+    endorsement PageRank propagates (pass respect_nofollow=False to keep
+    them). cross_host_only=True drops intra-site edges for
+    endorsement-style analyses (host_rank wants them kept — self-edges
+    model internal link mass).
+
+    100 TB plan: explode is scan-side; ONE hash-aggregate keyed by the
+    (src_host, dst_host) pair — bounded by distinct host pairs, not by
+    links, with popular-pair skew absorbed map-side. Zero Python. Feed
+    the output straight into host_rank(edges)."""
+    ex = results.select(
+        _host_of(url_col).alias("src_host"), F.explode(links_col).alias("l")
+    )
+    if respect_nofollow:
+        ex = ex.where(~F.coalesce(F.col("l.is_nofollow"), F.lit(False)))
+    lurl = F.col("l.url")
+    dst = F.when(
+        lurl.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), _host_of(lurl)
+    ).otherwise(F.col("src_host"))
+    pairs = ex.select("src_host", dst.alias("dst_host")).where(
+        F.col("dst_host") != ""
+    )
+    if cross_host_only:
+        pairs = pairs.where(F.col("src_host") != F.col("dst_host"))
+    return pairs.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
 
 
 def anchor_text_agg(

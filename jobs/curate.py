@@ -71,6 +71,12 @@ Modes:
               per canonical URL emits added/removed/changed/unchanged +
               the latest capture's doc_id on each side, so downstream
               stages re-process only the delta.
+  linkgraph   crawl link-graph construction over the EXTRACTION RESULTS
+              table (url, links array): per-host-pair weighted edges,
+              relative links resolved to the source host, rel=nofollow
+              excluded (endorsement semantics); --intra-host keeps
+              intra-site edges (the shape host_rank wants — pipe this
+              output straight into --mode hostrank).
   metarobots  meta-robots compliance pre-filter over a raw pages table
               (doc_id, html[:binary]): one scan-side regex pass over the
               first 64 KB classifies noindex/nofollow ('none' shorthand,
@@ -345,8 +351,8 @@ def main():
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
-                 "snapdiff", "metarobots", "tempsample", "imagededup",
-                 "pipeline"],
+                 "snapdiff", "metarobots", "linkgraph", "tempsample",
+                 "imagededup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -511,6 +517,8 @@ def main():
         out = analytics.snapshot_diff(old, docs)
     elif args.mode == "metarobots":
         out = analytics.meta_robots(docs)
+    elif args.mode == "linkgraph":
+        out = analytics.link_graph(docs, cross_host_only=not args.intra_host)
     elif args.mode == "urlfilter":
         if args.blocklist:
             bl = (

@@ -1,0 +1,93 @@
+"""Crawl link-graph construction (analytics.link_graph): extraction
+results -> per-host-pair weighted edges -> host_rank, end to end.
+
+Pins: relative-URL resolution to the source host, rel=nofollow
+exclusion (endorsement semantics), pair weighting, cross_host_only, the
+single-aggregate zero-Python plan, and the full crawl->extract->graph->
+PageRank chain over REAL extraction output (crafted HTML pages through
+run_extraction)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlx.spark.analytics import host_rank, link_graph
+from htmlx.spark.job import Config, run_extraction
+from htmlx.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-link-graph-test")
+    yield s
+    s.stop()
+
+
+LINK = "struct<url:string,text:string,title:string,is_external:boolean,is_nofollow:boolean,position:int>"
+
+
+def _links_df(spark, rows):
+    return spark.createDataFrame(
+        rows, f"url string, links array<{LINK}>"
+    )
+
+
+def _l(url, nofollow=False):
+    return (url, "t", "", True, nofollow, 0)
+
+
+def test_edges_weights_relative_and_nofollow(spark):
+    df = _links_df(spark, [
+        ("https://a.com/1", [
+            _l("https://b.com/x"), _l("https://b.com/y"),  # a->b weight 2
+            _l("/local/page"),                              # relative -> a->a
+            _l("https://c.com/z", nofollow=True),           # excluded
+        ]),
+        ("https://a.com/2", [_l("HTTPS://B.COM:443/q")]),    # case/port fold
+    ])
+    edges = {(r["src_host"], r["dst_host"]): r["weight"]
+             for r in link_graph(df).collect()}
+    assert edges == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
+    cross = {(r["src_host"], r["dst_host"]): r["weight"]
+             for r in link_graph(df, cross_host_only=True).collect()}
+    assert cross == {("a.com", "b.com"): 3}
+    withnf = {(r["src_host"], r["dst_host"]): r["weight"]
+              for r in link_graph(df, respect_nofollow=False).collect()}
+    assert withnf[("a.com", "c.com")] == 1
+
+
+def test_extract_to_pagerank_chain(spark):
+    """The full story: crafted HTML pages -> run_extraction -> link_graph
+    -> host_rank. hub.com links out to two sites; every other site links
+    to popular.com, so popular.com must out-rank the rest."""
+    def page(links_html):
+        return bytearray(
+            "<html><head><title>T</title></head><body><article>"
+            "<h1>T</h1><p>body words here for scoring weight</p>"
+            + links_html + "</article></body></html>", "utf-8",
+        )
+
+    rows = [
+        ("https://hub.com/1",
+         page('<p><a href="https://popular.com/a">pop</a> '
+              '<a href="https://niche.com/b">niche</a></p>')),
+        ("https://niche.com/1",
+         page('<p><a href="https://popular.com/c">pop</a></p>')),
+        ("https://other.com/1",
+         page('<p><a href="https://popular.com/d">pop</a></p>')),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    results = run_extraction(pages, Config(), run_id="lg", num_partitions=2)
+    edges = link_graph(results)
+    got = {(r["src_host"], r["dst_host"]) for r in edges.collect()}
+    assert ("hub.com", "popular.com") in got
+    assert ("niche.com", "popular.com") in got
+    ranks = {r["host"]: r["rank"] for r in host_rank(edges, iters=3).collect()}
+    assert max(ranks, key=ranks.get) == "popular.com"
+
+
+def test_plan_single_aggregate_no_python(spark):
+    df = _links_df(spark, [("https://a.com/1", [_l("https://b.com/x")])])
+    plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
