@@ -426,3 +426,97 @@ def test_streaming_latest_capture_matches_batch(spark, tmp_path_factory):
     assert final == want
     assert final["https://a.com/p?x=1"] == (2, 3)
     assert final["https://b.com/q"] == (4, 2)
+
+
+def test_streaming_robots_filter_matches_batch(spark, tmp_path_factory):
+    """robots_filter_stream over a file stream == meta_robots over the
+    same rows (stateless bounded-prefix regex), pages split across
+    micro-batches, binary html column on the real scan path."""
+    from htmlx.spark.analytics import meta_robots
+    from htmlx.spark.streaming import robots_filter_stream
+
+    tmp = tmp_path_factory.mktemp("robots_stream")
+    src, out_dir, ckpt = tmp / "src", tmp / "out", tmp / "ckpt"
+    src.mkdir()
+
+    def page(meta):
+        return bytearray(
+            f"<html><head>{meta}</head><body><p>x</p></body></html>", "utf-8"
+        )
+
+    rows = [
+        (0, page('<meta name="robots" content="noindex">')),
+        (1, page("<meta NAME=ROBOTS CONTENT='nofollow'>")),
+        (2, page("<meta content='none' name='robots'>")),
+        (3, page("")),
+    ]
+    spark.createDataFrame(rows[:2], "doc_id long, html binary").write.parquet(
+        str(src / "a")
+    )
+    spark.createDataFrame(rows[2:], "doc_id long, html binary").write.parquet(
+        str(src / "b")
+    )
+    batch_df = spark.createDataFrame(rows, "doc_id long, html binary")
+    expected = {r.doc_id: r.asDict() for r in meta_robots(batch_df).collect()}
+    stream = (
+        spark.readStream.schema("doc_id long, html binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        robots_filter_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.asDict() for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == expected
+    assert got[0]["keep"] is False and got[3]["keep"] is True
+
+
+def test_streaming_url_filter_matches_batch(spark, tmp_path_factory):
+    """url_filter_stream == url_filter per row, with the static blocklist
+    broadcast into each micro-batch of a file stream."""
+    from htmlx.spark.analytics import url_filter
+    from htmlx.spark.streaming import url_filter_stream
+
+    tmp = tmp_path_factory.mktemp("urlf_stream")
+    src, out_dir, ckpt = tmp / "src", tmp / "out", tmp / "ckpt"
+    src.mkdir()
+    rows = [
+        (0, "https://sub.bad.example/x"),
+        (1, "ftp://ok.example/y"),
+        (2, "https://ok.example/free-xxx"),
+        (3, "https://ok.example/fine"),
+    ]
+    spark.createDataFrame(rows[:2], "doc_id long, url string").write.parquet(
+        str(src / "a")
+    )
+    spark.createDataFrame(rows[2:], "doc_id long, url string").write.parquet(
+        str(src / "b")
+    )
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    batch_df = spark.createDataFrame(rows, "doc_id long, url string")
+    expected = {r.doc_id: r.asDict() for r in url_filter(batch_df, bl).collect()}
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        url_filter_stream(stream, bl)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.asDict() for r in spark.read.parquet(str(out_dir)).collect()}
+    assert got == expected
+    reasons = {k: v["reason"] for k, v in got.items()}
+    assert reasons == {0: "blocked_host", 1: "bad_scheme",
+                       2: "blocked_keyword", 3: "kept"}
