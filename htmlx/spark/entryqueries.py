@@ -1241,10 +1241,26 @@ def q_media_frame_features(spark, sf_dir):
     (one representative per bucket, min media_id): banded-LSH + XOR
     popcount verify must find exactly the Hamming-1 pair between the
     perturbed and all-ones classes. k = 'hex_a:hex_b', n1 = hamming,
-    n2 = pair count."""
+    n2 = pair count.
+
+    level='ehash'/'ehashpair' (r6): the AUDIO twin — REAL WAV decode ->
+    envelope difference hash (audio_ehash). Each doc synthesizes a
+    PCM-16 WAV amplitude ramp (n = 72 + doc_id%100 frames, rate
+    8000 + 4000*(doc_id%3), even docs STEREO increasing -> all-ones
+    hash, odd docs mono decreasing -> all-zero, doc_id%12==0 zeroes the
+    final 1/72 segment so exactly the LAST comparison flips ->
+    ...fffe); constants across varying length/rate/channels pin decode
+    + mono mix + segment means + bit order, and the pairing level must
+    find exactly the Hamming-1 (fffe, ffff) pair through the SAME
+    hash-agnostic banded machinery as images."""
     import pandas as pd
 
-    from .multimodal import dhash_near_dup, extract_image_dhash, extract_media_features
+    from .multimodal import (
+        dhash_near_dup,
+        extract_audio_ehash,
+        extract_image_dhash,
+        extract_media_features,
+    )
 
     docs = _docs(spark, sf_dir)
     media = docs.select(
@@ -1331,7 +1347,82 @@ def q_media_frame_features(spark, sf_dir):
             "n2",
         )
     )
-    return feat_level.unionByName(dhash_level).unionByName(pair_level)
+    def build_waves(batches):
+        import numpy as np
+
+        from .multimodal import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf.media_id:
+                d = int(doc_id)
+                n = 72 + d % 100
+                rate = 8000 + 4000 * (d % 3)
+                x = 2 * np.arange(n)
+                if d % 2 == 1:
+                    x = x[::-1].copy()
+                elif d % 12 == 0:
+                    x = x.copy()
+                    x[71 * n // 72:] = 0
+                samples = np.stack([x, x], axis=1) if d % 2 == 0 else x
+                rows.append(
+                    {"media_id": d, "payload": bytearray(encode_wav(samples, rate))}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    waves = _spread(
+        docs.select(F.col("doc_id").cast("long").alias("media_id"))
+    ).mapInPandas(build_waves, "media_id long, payload binary")
+    ehashes = extract_audio_ehash(waves)
+    ehex16 = F.lpad(F.lower(F.hex("ehash")), 16, "0")
+    ehash_level = (
+        ehashes.groupBy("ehash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum("media_id").cast("long").alias("n2"),
+        )
+        .select(
+            F.lit("ehash").alias("level"),
+            F.lit(-1).cast("long").alias("media_id"),
+            ehex16.alias("k"),
+            "n1",
+            "n2",
+        )
+    )
+    ereps = ehashes.groupBy("ehash").agg(F.min("media_id").alias("media_id"))
+    epair_level = (
+        dhash_near_dup(ereps, hash_col="ehash")
+        .join(
+            ereps.select(F.col("media_id").alias("id_a"), F.col("ehash").alias("__ha")),
+            "id_a",
+        )
+        .join(
+            ereps.select(F.col("media_id").alias("id_b"), F.col("ehash").alias("__hb")),
+            "id_b",
+        )
+        .groupBy(
+            F.concat(
+                F.lpad(F.lower(F.hex("__ha")), 16, "0"),
+                F.lit(":"),
+                F.lpad(F.lower(F.hex("__hb")), 16, "0"),
+            ).alias("k"),
+            F.col("hamming").cast("long").alias("n1"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        .select(
+            F.lit("ehashpair").alias("level"),
+            F.lit(-1).cast("long").alias("media_id"),
+            "k",
+            "n1",
+            "n2",
+        )
+    )
+    return (
+        feat_level.unionByName(dhash_level)
+        .unionByName(pair_level)
+        .unionByName(ehash_level)
+        .unionByName(epair_level)
+    )
 
 
 O_MEDIA_FRAME_FEATURES = f"""
@@ -1358,6 +1449,15 @@ SELECT 'dhash', -1,
 FROM documents GROUP BY 3
 UNION ALL
 SELECT 'dhashpair', -1, 'feffffffffffffff:ffffffffffffffff', 1, 1
+UNION ALL
+SELECT 'ehash', -1,
+       CASE WHEN doc_id % 2 = 1 THEN '0000000000000000'
+            WHEN doc_id % 12 = 0 THEN 'fffffffffffffffe'
+            ELSE 'ffffffffffffffff' END AS k,
+       CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM documents GROUP BY 3
+UNION ALL
+SELECT 'ehashpair', -1, 'fffffffffffffffe:ffffffffffffffff', 1, 1
 """
 
 

@@ -1224,6 +1224,92 @@ def dhash_near_dup(
     return pairs
 
 
+def audio_ehash(rate: int, channels: int, samples) -> int:
+    """Perceptual envelope difference hash (eHash) of decoded PCM — the
+    audio analogue of image_dhash's convention, deterministic INTEGER
+    arithmetic end-to-end so the hash is bit-reproducible:
+
+      - mono mix: per-frame channel sum // channels (floor).
+      - 72 equal time segments (boundaries i*N//72), per-segment mean
+        absolute amplitude = sum(|x|) // count (floor).
+      - bit k = 1 iff seg[k+1] > seg[k] within each row of the 8x9
+        row-major grid (8 rows of 9 segments, 8 comparisons per row),
+        packed MSB-first into 64 bits, returned SIGNED (Spark LongType).
+
+    Invariances by construction: amplitude scaling (order-preserving),
+    sample-rate / duration changes (segments are fractions of total
+    length), channel layout (mono mix). NOT time-shift invariant —
+    like dHash it fingerprints the clip as framed, for re-encode /
+    resample / volume-normalized duplicate detection. Requires
+    >= 72 frames (raises ValueError('audio_too_short'))."""
+    import numpy as np
+
+    a = np.asarray(samples, np.int64)
+    if a.ndim == 2:
+        mono = a.sum(axis=1) // a.shape[1]
+    else:
+        mono = a
+    n = mono.shape[0]
+    if n < 72:
+        raise ValueError("audio_too_short")
+    env = np.abs(mono)
+    bounds = [i * n // 72 for i in range(72)]
+    sums = np.add.reduceat(env, bounds)
+    counts = np.diff(bounds + [n])
+    means = (sums // counts).reshape(8, 9)
+    bits = (means[:, 1:] > means[:, :-1]).astype(np.uint8)
+    return int.from_bytes(np.packbits(bits.reshape(-1)).tobytes(), "big", signed=True)
+
+
+EHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ehash", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_audio_ehash(media: DataFrame) -> DataFrame:
+    """mapInPandas stage: binary audio payload -> 64-bit envelope hash
+    via the in-repo decoders (decode_audio dispatch: WAV/AIFF/AU/FLAC).
+    Containers needing external codecs degrade to decoder_unavailable
+    per the standard contract; pair with dhash_near_dup(hashes,
+    hash_col='ehash') for near-duplicate audio — the banded-Hamming
+    machinery is hash-agnostic."""
+    import pandas as pd
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EHASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf.media_id, pdf.payload):
+                b = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id, "ehash": 0,
+                    "sample_rate": 0, "n_frames": 0, "error": "",
+                }
+                try:
+                    rate, _ch, samples = decode_audio(b)
+                    row["sample_rate"] = rate
+                    row["n_frames"] = int(samples.shape[0])
+                    row["ehash"] = audio_ehash(rate, _ch, samples)
+                except NotImplementedError:
+                    row["error"] = "decoder_unavailable"
+                except ValueError as e:
+                    row["error"] = (
+                        "audio_too_short"
+                        if str(e) == "audio_too_short"
+                        else "corrupt_audio"
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(hash_batch, EHASH_SCHEMA)
+
+
 def decode_wav(payload: bytes):
     """REAL WAV decode for PCM (8-bit unsigned / 16-bit signed): RIFF chunk
     walk — no codec needed. Returns (sample_rate, channels, numpy array of

@@ -42,6 +42,11 @@ Modes:
               Emits (media_id, dhash, keep_media_id, is_dup, error) —
               undecodable rows pass through with their error and are
               never dropped silently.
+  audiodedup  perceptual AUDIO dedup, same pipeline over the envelope
+              difference hash (audio_ehash via the in-repo WAV/AIFF/AU/
+              FLAC decoders): volume- and resample-invariant duplicate
+              clips collapse; emits (media_id, ehash, keep_media_id,
+              is_dup, error).
   tempsample  temperature-based domain rebalancing: per-domain keep
               rates q_d ∝ n_d^alpha (--alpha, --group-col, optional
               --target-frac; default T never upsamples — the scarcest
@@ -352,7 +357,7 @@ def main():
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
                  "snapdiff", "metarobots", "linkgraph", "tempsample",
-                 "imagededup", "pipeline"],
+                 "imagededup", "audiodedup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -453,28 +458,39 @@ def main():
             keep_by=args.keep_by, descending=args.keep_desc,
             normalize=args.normalize,
         )
-    elif args.mode == "imagededup":
-        from htmlx.spark.multimodal import dhash_near_dup, extract_image_dhash
+    elif args.mode in ("imagededup", "audiodedup"):
+        from htmlx.spark.multimodal import (
+            dhash_near_dup,
+            extract_audio_ehash,
+            extract_image_dhash,
+        )
 
+        extract_fn, hcol = (
+            (extract_image_dhash, "dhash")
+            if args.mode == "imagededup"
+            else (extract_audio_ehash, "ehash")
+        )
         src = docs
         if "media_id" not in src.columns and "doc_id" in src.columns:
             src = src.withColumnRenamed("doc_id", "media_id")
-        hashes = extract_image_dhash(src.select("media_id", "payload"))
+        hashes = extract_fn(src.select("media_id", "payload"))
         ok = hashes.where(F.col("error") == "")
         # exact-hash buckets collapse first (groupBy, no pairwise work);
         # near-dup pairing then runs over one REPRESENTATIVE per distinct
-        # hash — bounded by distinct-hash count, never by image count
-        reps = ok.groupBy("dhash").agg(F.min("media_id").alias("rep_id"))
+        # hash — bounded by distinct-hash count, never by media count.
+        # The banded-Hamming pairing is hash-agnostic: the same machinery
+        # serves image dHash and audio eHash.
+        reps = ok.groupBy(hcol).agg(F.min("media_id").alias("rep_id"))
         pairs = dhash_near_dup(
-            reps.select(F.col("rep_id").alias("media_id"), "dhash"),
-            max_hamming=args.hamming,
+            reps.select(F.col("rep_id").alias("media_id"), hcol),
+            max_hamming=args.hamming, hash_col=hcol,
         ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         comp = analytics.near_dup_components(
             reps.select(F.col("rep_id").cast("long").alias("doc_id")),
             pairs, max_iters=50, until_converged=True,
         )
         resolved = (
-            ok.join(reps, "dhash")
+            ok.join(reps, hcol)
             .join(
                 comp.select(
                     F.col("doc_id").alias("rep_id"),
@@ -483,13 +499,13 @@ def main():
                 "rep_id",
             )
             .select(
-                "media_id", "dhash", "keep_media_id",
+                "media_id", hcol, "keep_media_id",
                 (F.col("media_id") != F.col("keep_media_id")).alias("is_dup"),
                 F.lit("").alias("error"),
             )
         )
         failed = hashes.where(F.col("error") != "").select(
-            "media_id", "dhash",
+            "media_id", hcol,
             F.col("media_id").alias("keep_media_id"),
             F.lit(False).alias("is_dup"), "error",
         )
