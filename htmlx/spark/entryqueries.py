@@ -793,7 +793,13 @@ def q_quality_scores(spark, sf_dir):
         ).otherwise(F.col("text")).alias("text"),
     )
     dup = analytics.dup_ngram_char_fractions(rep)
-    joined = base.join(ext, "doc_id").join(dup, "doc_id")
+    # r6: corpus-self-perplexity (CCNet's third pillar) — add-one char
+    # trigram model trained on the corpus itself, mean bits per trigram,
+    # 2dp-rounded DOUBLE on both engines (log2 of a rational never sits
+    # exactly on a rounding boundary; float-sum noise is ~1e9x smaller
+    # than the 0.005 step)
+    tri = analytics.char_trigram_perplexity(docs)
+    joined = base.join(ext, "doc_id").join(dup, "doc_id").join(tri, "doc_id")
     gates = F.lit(True)
     for n, thr in analytics.GOPHER_DUP_NGRAM_THRESHOLDS.items():
         gates = gates & (F.col(f"dup_{n}gram_char_pct") <= thr)
@@ -909,7 +915,17 @@ rpct AS (SELECT rtot.doc_id AS doc_id,
          CAST(floor(coalesce(max(CASE WHEN rdch.n=9 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_9gram_char_pct,
          CAST(floor(coalesce(max(CASE WHEN rdch.n=10 THEN rdch.dup_chars END), 0) * 100 / greatest(rtot.total_chars, 1)) AS BIGINT) AS dup_10gram_char_pct
          FROM rtot LEFT JOIN rdch ON rtot.doc_id = rdch.doc_id
-         GROUP BY rtot.doc_id, rtot.total_chars)
+         GROUP BY rtot.doc_id, rtot.total_chars),
+tri AS (
+  SELECT doc_id,
+         unnest([substr(text, i, 3) FOR i IN generate_series(1, len(text) - 2)]) AS tg
+  FROM documents WHERE len(text) >= 3),
+tm AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg),
+ts AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tm),
+tb AS (SELECT tri.doc_id,
+              CAST(round(avg(-log2((tm.c + 1.0) / (ts.n + ts.v))), 2) AS DOUBLE)
+              AS tri_bits
+       FROM tri JOIN tm USING (tg), ts GROUP BY tri.doc_id)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
        CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
@@ -948,8 +964,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          AND top2a_pct <= 20 AND top3a_pct <= 18 AND top4a_pct <= 16)
         AND rpct.dup_5gram_char_pct <= 15 AND rpct.dup_6gram_char_pct <= 14
         AND rpct.dup_7gram_char_pct <= 13 AND rpct.dup_8gram_char_pct <= 12
-        AND rpct.dup_9gram_char_pct <= 11 AND rpct.dup_10gram_char_pct <= 10) AS gopher_pass_full
-FROM a5 JOIN rpct USING (doc_id)
+        AND rpct.dup_9gram_char_pct <= 11 AND rpct.dup_10gram_char_pct <= 10) AS gopher_pass_full,
+       tb.tri_bits AS tri_bits
+FROM a5 JOIN rpct USING (doc_id) LEFT JOIN tb USING (doc_id)
 """
 
 

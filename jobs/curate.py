@@ -82,6 +82,12 @@ Modes:
               excluded (endorsement semantics); --intra-host keeps
               intra-site edges (the shape host_rank wants — pipe this
               output straight into --mode hostrank).
+  perplexity  corpus-self-perplexity quality scoring: add-one char
+              trigram model trained on the corpus itself, per-doc mean
+              bits-per-trigram (tri_bits; high = atypical / garbled /
+              wrong-language — the CCNet perplexity pillar, KenLM
+              replaced by the self-contained corpus-trained model);
+              head/middle/tail-partition downstream by tri_bits.
   metarobots  meta-robots compliance pre-filter over a raw pages table
               (doc_id, html[:binary]): one scan-side regex pass over the
               first 64 KB classifies noindex/nofollow ('none' shorthand,
@@ -356,8 +362,8 @@ def main():
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
-                 "snapdiff", "metarobots", "linkgraph", "tempsample",
-                 "imagededup", "audiodedup", "pipeline"],
+                 "snapdiff", "metarobots", "linkgraph", "perplexity",
+                 "tempsample", "imagededup", "audiodedup", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -444,6 +450,8 @@ def main():
         return
     if args.mode == "quality":
         out = analytics.c4_gopher_quality(docs)
+    elif args.mode == "perplexity":
+        out = analytics.char_trigram_perplexity(docs)
     elif args.mode == "exactdedup":
         out = analytics.dedup_exact(
             docs, keep_by=args.keep_by, descending=args.keep_desc,
