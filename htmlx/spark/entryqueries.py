@@ -2576,7 +2576,16 @@ def q_host_stats(spark, sf_dir):
     meta_robots' raw-byte regex must classify noindex / nofollow /
     both / missing; the oracle derives the classes independently from
     doc_id%6 while Spark parses the actual synthesized markup.
-    key=class, n_docs=count, total_chars=sum(doc_id)."""
+    key=class, n_docs=count, total_chars=sum(doc_id).
+
+    level='robotstxt' (r6): RFC 9309 robots.txt compliance. Five
+    synthesized hosts share 'Disallow: /blocked/ + Allow:
+    /blocked/open/'; doc paths cycle /blocked/ (doc_id%4==0, must be
+    blocked) / /blocked/open/ (%4==1, the LONGER allow must win) /
+    /ok/ (allowed). Spark runs the real parse->rule-join->regexp->
+    longest-match machinery (robotstxt.robots_filter); the oracle
+    derives the verdicts independently from doc_id%4.
+    key=allowed|blocked, n_docs=count, total_chars=sum(doc_id)."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2758,6 +2767,42 @@ def q_host_stats(spark, sf_dir):
         )
         .select(F.lit("robots").alias("level"), "key", "n_docs", "total_chars")
     )
+    from .robotstxt import robots_filter
+
+    m4 = d % 4
+    rb_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % 5).cast("long").cast("string"),
+            F.lit(".example.com"),
+            F.when(m4 == 0, F.concat(F.lit("/blocked/p"), ds))
+            .when(m4 == 1, F.concat(F.lit("/blocked/open/p"), ds))
+            .otherwise(F.concat(F.lit("/ok/p"), ds)),
+        ).alias("url"),
+    )
+    rb_tbl = spark.createDataFrame(
+        [
+            (
+                f"h{k}.example.com",
+                "User-agent: *\nDisallow: /blocked/\nAllow: /blocked/open/\n",
+            )
+            for k in range(5)
+        ],
+        "host string, robots_txt string",
+    )
+    rbtxt_level = (
+        robots_filter(rb_docs, rb_tbl)
+        .groupBy(
+            F.when(F.col("robots_allowed"), F.lit("allowed"))
+            .otherwise(F.lit("blocked"))
+            .alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("total_chars"),
+        )
+        .select(F.lit("robotstxt").alias("level"), "key", "n_docs", "total_chars")
+    )
     return (
         host_level.unionByName(canon_level)
         .unionByName(filt_level)
@@ -2765,6 +2810,7 @@ def q_host_stats(spark, sf_dir):
         .unionByName(anchor_level)
         .unionByName(snap_level)
         .unionByName(robots_level)
+        .unionByName(rbtxt_level)
     )
 
 
@@ -2913,6 +2959,10 @@ FROM (
          END AS cls
   FROM documents)
 GROUP BY 2
+UNION ALL
+SELECT 'robotstxt', CASE WHEN doc_id % 4 = 0 THEN 'blocked' ELSE 'allowed' END,
+       CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+FROM documents GROUP BY 2
 """
 
 

@@ -1,0 +1,219 @@
+"""robots.txt (RFC 9309) parsing and corpus-scale compliance filtering.
+
+The crawl-compliance sibling of the meta-robots pre-filter
+(analytics.meta_robots): recrawl/filter pipelines re-check stored
+robots.txt snapshots before re-using captured pages. Implements the
+published Robots Exclusion Protocol semantics:
+
+- groups: one or more `User-agent:` lines followed by allow/disallow
+  rules; the crawler obeys the group whose token matches its product
+  token EXACTLY (case-insensitive), falling back to the `*` group;
+  multiple groups for the same agent merge (RFC 9309 §2.2.1).
+- matching: rules are path-prefix patterns where `*` matches any
+  character sequence and a trailing `$` anchors the end (§2.2.2-2.2.3).
+- precedence: the LONGEST (most octets) matching pattern wins; on a
+  length tie the least restrictive rule (allow) wins (§2.2.2).
+- an empty `Disallow:` value means no restriction; no matching rule
+  means allowed; unparseable/absent robots.txt means allowed (§2.3.1.3
+  fail-open for 4xx — callers wanting 5xx fail-closed drop those hosts
+  upstream).
+
+100 TB plan (robots_filter): parsing runs ONLY over the per-host robots
+table (one mapInPandas over hosts — bounded by host count, never by
+corpus size); the corpus side joins the exploded rule table by host
+(rules are the small side — AQE broadcasts or co-partitions), evaluates
+pattern regexes JVM-side (`regexp_like` with a column pattern), and
+takes one doc-keyed max_by for the longest-match decision. Documents on
+hosts with no robots rows short-circuit to allowed with no join
+amplification.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse robots.txt and return the rule list [(pattern, allow), ...]
+    of the group governing `user_agent` (exact case-insensitive token
+    match preferred over the `*` group; same-agent groups merged).
+    Empty-value rules are dropped per the RFC. Lines that are not
+    `field: value` (or are comments) are ignored."""
+    ua = user_agent.lower()
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    current_agents: list[str] = []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            agent = value.lower()
+            if in_group_header:
+                current_agents.append(agent)
+            else:
+                current_agents = [agent]
+                in_group_header = True
+            for a in current_agents:
+                groups.setdefault(a, [])
+        elif field in ("allow", "disallow"):
+            in_group_header = False
+            if not current_agents or not value:
+                continue  # rule before any group, or empty value: no-op
+            for a in current_agents:
+                groups.setdefault(a, []).append((value, field == "allow"))
+        else:
+            # sitemap/crawl-delay/unknown fields do not end a group header
+            # per RFC 9309 §2.2.4 (other records are outside groups)
+            continue
+    if ua in groups:
+        return groups[ua]
+    return groups.get("*", [])
+
+
+def pattern_to_regex(pattern: str) -> str:
+    """RFC 9309 pattern -> anchored Java/RE2-safe regex: `*` -> `.*`, a
+    trailing `$` anchors, everything else is literal; match is from the
+    start of the path."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = "".join(".*" if c == "*" else re.escape(c) for c in body)
+    return "^" + out + ("$" if anchored else "")
+
+
+def pattern_matches(pattern: str, path: str) -> bool:
+    """Pure-Python matcher (tests + small-scale use)."""
+    return re.match(pattern_to_regex(pattern), path) is not None
+
+
+def robots_allowed(rules: list[tuple[str, bool]], path: str) -> bool:
+    """Longest-match decision for one path: most octets wins, ties go to
+    allow, no match means allowed."""
+    best = None  # (len, allow)
+    for pattern, allow in rules:
+        if pattern_matches(pattern, path):
+            key = (len(pattern), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
+
+
+RULES_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("pattern", StringType()),
+        StructField("rule_regex", StringType()),
+        StructField("allow", BooleanType()),
+        StructField("pattern_len", IntegerType()),
+    ]
+)
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse a per-host robots.txt table into the exploded rule table
+    (host, pattern, rule_regex, allow, pattern_len) for `user_agent`.
+    Hosts whose file yields no rules for the agent emit no rows (=
+    allowed). mapInPandas over the HOST table only."""
+    import pandas as pd
+
+    hc, tc = host_col, text_col
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RULES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for host, txt in zip(pdf[hc], pdf[tc]):
+                try:
+                    rules = parse_robots(txt or "", user_agent)
+                except Exception:
+                    rules = []  # unparseable: fail open per §2.3.1.3
+                for pattern, allow in rules:
+                    rows.append(
+                        {
+                            "host": host,
+                            "pattern": pattern,
+                            "rule_regex": pattern_to_regex(pattern),
+                            "allow": allow,
+                            "pattern_len": len(pattern),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return robots.select(hc, tc).mapInPandas(parse_batch, RULES_SCHEMA)
+
+
+def robots_filter(
+    docs: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-document robots.txt compliance over the corpus: join the
+    parsed rule table by host, evaluate the RFC longest-match decision,
+    and emit (id, url, robots_allowed, matched_pattern). Docs on hosts
+    with no rules (or no robots row) are allowed with matched_pattern
+    NULL. All rule evaluation is JVM-side regexp_like; the only Python
+    is the per-HOST parse."""
+    from .analytics import _host_of
+
+    rules = robots_rules(robots, user_agent=user_agent)
+    u = F.col(url_col)
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        u.alias(url_col),
+        _host_of(url_col).alias("__host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ).alias("__path"),
+    )
+    matched = (
+        base.join(rules, base["__host"] == rules["host"], "inner")
+        .where(F.expr("regexp_like(__path, rule_regex)"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(F.col("allow"), F.col("pattern")),
+                # longest pattern wins; ties -> allow; remaining ties ->
+                # lexicographically-greatest pattern (pure determinism)
+                F.struct(
+                    F.col("pattern_len"),
+                    F.col("allow").cast("int"),
+                    F.col("pattern"),
+                ),
+            ).alias("__best")
+        )
+        .select(
+            id_col,
+            F.col("__best.allow").alias("__allow"),
+            F.col("__best.pattern").alias("matched_pattern"),
+        )
+    )
+    return base.join(matched, id_col, "left").select(
+        id_col,
+        url_col,
+        F.coalesce(F.col("__allow"), F.lit(True)).alias("robots_allowed"),
+        "matched_pattern",
+    )

@@ -88,6 +88,12 @@ Modes:
               wrong-language — the CCNet perplexity pillar, KenLM
               replaced by the self-contained corpus-trained model);
               head/middle/tail-partition downstream by tri_bits.
+  robotsfilter  robots.txt (RFC 9309) compliance over the corpus:
+              --robots is a per-host (host, robots_txt) parquet; per doc
+              emits robots_allowed + matched_pattern under --user-agent
+              group selection, longest-match precedence, allow-on-tie,
+              fail-open for hosts without rules. Parsing touches only
+              the host table; rule evaluation is JVM-side.
   metarobots  meta-robots compliance pre-filter over a raw pages table
               (doc_id, html[:binary]): one scan-side regex pass over the
               first 64 KB classifies noindex/nofollow ('none' shorthand,
@@ -362,8 +368,9 @@ def main():
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
-                 "snapdiff", "metarobots", "linkgraph", "perplexity",
-                 "tempsample", "imagededup", "audiodedup", "pipeline"],
+                 "snapdiff", "metarobots", "robotsfilter", "linkgraph",
+                 "perplexity", "tempsample", "imagededup", "audiodedup",
+                 "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -383,6 +390,10 @@ def main():
                     help="near-dup Hamming bound (imagededup mode)")
     ap.add_argument("--intra-host", action="store_true",
                     help="count intra-host links too (anchorstats mode)")
+    ap.add_argument("--robots", default=None,
+                    help="per-host robots.txt parquet (host, robots_txt) for robotsfilter mode")
+    ap.add_argument("--user-agent", default="*",
+                    help="product token for robots.txt group selection (robotsfilter)")
     ap.add_argument("--old-input", default=None,
                     help="previous snapshot parquet (snapdiff mode; --input is the new one)")
     ap.add_argument("--normalize", action="store_true",
@@ -541,6 +552,11 @@ def main():
         out = analytics.snapshot_diff(old, docs)
     elif args.mode == "metarobots":
         out = analytics.meta_robots(docs)
+    elif args.mode == "robotsfilter":
+        from htmlx.spark.robotstxt import robots_filter
+
+        robots = spark.read.parquet(args.robots)
+        out = robots_filter(docs, robots, user_agent=args.user_agent)
     elif args.mode == "linkgraph":
         out = analytics.link_graph(docs, cross_host_only=not args.intra_host)
     elif args.mode == "urlfilter":

@@ -1,0 +1,140 @@
+"""robots.txt / RFC 9309 compliance (htmlx.spark.robotstxt): parser,
+pattern matching, longest-match precedence, and the corpus-scale Spark
+filter.
+
+The pure functions are pinned against the RFC's own published semantics
+(§2.2.1 group merging and UA selection, §2.2.2 longest-match with
+allow-on-tie, §2.2.3 `*`/`$` wildcards, §2.3.1.3 fail-open); the Spark
+op is checked end-to-end against robots_allowed() row by row."""
+
+import pytest
+
+from htmlx.spark.robotstxt import (
+    parse_robots,
+    pattern_matches,
+    robots_allowed,
+    robots_filter,
+    robots_rules,
+)
+from htmlx.spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-robots-test")
+    yield s
+    s.stop()
+
+
+ROBOTS = """# example file
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /cgi-bin/
+Allow: /cgi-bin/public
+Disallow: /*.gif$
+
+User-agent: *
+Disallow: /tmp/
+"""
+
+
+def test_group_selection_and_merge():
+    star = parse_robots(ROBOTS, "*")
+    # the two `*` groups MERGE (RFC §2.2.1)
+    assert ("/cgi-bin/", False) in star and ("/tmp/", False) in star
+    assert ("/cgi-bin/public", True) in star
+    # exact-token agent gets ITS group, not `*`
+    g = parse_robots(ROBOTS, "GoogleBot")
+    assert g == [("/private/", False)]
+    # unknown agent falls back to `*`
+    assert parse_robots(ROBOTS, "otherbot") == star
+
+
+def test_multi_agent_group_header():
+    txt = "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+    assert parse_robots(txt, "a") == [("/x", False)]
+    assert parse_robots(txt, "b") == [("/x", False)]
+
+
+def test_empty_disallow_and_garbage_fail_open():
+    assert parse_robots("User-agent: *\nDisallow:\n", "*") == []
+    assert robots_allowed([], "/anything") is True
+    assert parse_robots("\x00binary garbage no fields", "*") == []
+
+
+def test_wildcards_and_anchor():
+    assert pattern_matches("/foo", "/foo")
+    assert pattern_matches("/foo", "/foobar")       # prefix semantics
+    assert pattern_matches("/foo", "/foo/bar")
+    assert not pattern_matches("/foo", "/bar/foo")  # anchored at start
+    assert pattern_matches("/*.gif$", "/a/b.gif")
+    assert not pattern_matches("/*.gif$", "/a/b.gifx")  # $ anchors end
+    assert pattern_matches("/a*b", "/a-anything-b")
+    assert not pattern_matches("/fish*.php", "/Fish.PHP")  # case-sensitive
+
+
+def test_longest_match_and_allow_tie():
+    rules = [("/page", True), ("/*.ph", False)]
+    # equal length (5): least restrictive (allow) wins — RFC §2.2.2
+    assert robots_allowed(rules, "/page.php") is True
+    rules2 = [("/folder/", True), ("/folder", False)]
+    assert robots_allowed(rules2, "/folder/page") is True  # 8 > 7
+    rules3 = [("/", True), ("/admin/", False)]
+    assert robots_allowed(rules3, "/admin/secret") is False
+    assert robots_allowed(rules3, "/public") is True
+
+
+def test_spark_filter_end_to_end(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com", ROBOTS),
+            ("b.com", "User-agent: *\nDisallow: /\nAllow: /open/\n"),
+            # c.com has a robots row yielding no rules for us
+            ("c.com", "User-agent: onlybot\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/cgi-bin/script"),     # disallow /cgi-bin/
+            (2, "https://a.com/cgi-bin/public/x"),   # allow beats it (longer)
+            (3, "https://a.com/img/pic.gif"),        # /*.gif$
+            (4, "https://a.com/tmp/x"),              # merged 2nd * group
+            (5, "https://a.com/fine"),               # no match -> allowed
+            (6, "https://b.com/anything"),           # Disallow: /
+            (7, "https://b.com/open/page"),          # Allow: /open/ longer
+            (8, "https://c.com/x"),                  # no rules for * agent
+            (9, "https://nohost.example/x"),         # no robots row at all
+            (10, "https://A.COM:443/tmp/y"),         # host case/port fold
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: (r["robots_allowed"], r["matched_pattern"])
+           for r in robots_filter(docs, robots).collect()}
+    assert out[1] == (False, "/cgi-bin/")
+    assert out[2] == (True, "/cgi-bin/public")
+    assert out[3] == (False, "/*.gif$")
+    assert out[4] == (False, "/tmp/")
+    assert out[5] == (True, None)
+    assert out[6] == (False, "/")
+    assert out[7] == (True, "/open/")
+    assert out[8] == (True, None)
+    assert out[9] == (True, None)
+    assert out[10] == (False, "/tmp/")
+    # googlebot sees its own group only
+    gout = {r["doc_id"]: r["robots_allowed"]
+            for r in robots_filter(docs, robots, user_agent="googlebot").collect()}
+    assert gout[1] is True and gout[4] is True  # `*` rules don't apply
+
+
+def test_spark_rule_eval_is_jvm_side(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n")], "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    plan = robots_filter(docs, robots)._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE Python stage: the per-HOST parse; corpus-side eval is JVM
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
