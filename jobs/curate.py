@@ -204,8 +204,27 @@ def run_pipeline(spark, docs, args) -> dict:
     cur = docs
     executed = []
 
-    # URL filtering runs FIRST (it needs no text scan) when the corpus
-    # carries a url column — the cheapest drop a crawl pipeline makes.
+    # robots.txt compliance runs FIRST when a robots table is supplied
+    # (it needs no text scan and is a legal gate, not a quality one)
+    if getattr(args, "robots", None) and "url" in docs.columns:
+        from htmlx.spark.robotstxt import robots_filter
+
+        def robots_keep():
+            rb = spark.read.parquet(args.robots)
+            return (
+                robots_filter(
+                    cur, rb, user_agent=getattr(args, "user_agent", "*")
+                )
+                .where("robots_allowed")
+                .select("doc_id")
+            )
+
+        keep, n_cur = stage("robots", robots_keep, n_cur)
+        cur = survivors(keep)
+        executed.append("robots")
+
+    # URL filtering runs next (still no text scan) when the corpus
+    # carries a url column — the cheapest drops a crawl pipeline makes.
     if "url" in docs.columns:
         blpath = getattr(args, "blocklist", None)
 

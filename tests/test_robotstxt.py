@@ -138,3 +138,56 @@ def test_spark_rule_eval_is_jvm_side(spark):
     # exactly ONE Python stage: the per-HOST parse; corpus-side eval is JVM
     assert plan.count("MapInPandas") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_parser_totality_on_garbage():
+    """parse_robots must never raise on arbitrary crawl bytes — robots
+    files in the wild are full of garbage (RFC §2.2: ignore what you
+    don't understand; unparseable fails open upstream)."""
+    import random
+
+    rng = random.Random(23)
+    pool = "Uuser-agent: *\nDisallow/al: low#$\x00é%böt \r\t"
+    for _ in range(300):
+        s = "".join(rng.choice(pool) for _ in range(rng.randrange(0, 120)))
+        rules = parse_robots(s, "anybot")
+        for pattern, allow in rules:
+            assert pattern and isinstance(allow, bool)
+            robots_allowed(rules, "/some/path")  # matcher total too
+
+
+def test_pipeline_robots_stage(tmp_path):
+    """--robots in pipeline mode gates docs before URL filtering."""
+    import argparse
+
+    from jobs.curate import run_pipeline
+    from htmlx.spark.session import get_spark
+
+    spark = get_spark(cores=4, app_name="htmlx-robots-pipeline-test")
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "unique text one body words " * 8, "https://a.com/private/x"),
+                (2, "unique text two body words " * 8, "https://a.com/pub"),
+                (3, "unique text three body words " * 8, "https://b.com/y"),
+            ],
+            "doc_id long, text string, url string",
+        )
+        rb = tmp_path / "robots.parquet"
+        spark.createDataFrame(
+            [("a.com", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string",
+        ).write.parquet(str(rb))
+        args = argparse.Namespace(
+            output=str(tmp_path / "out"), quality_rule="none", keep_by=None,
+            keep_desc=False, hash_basis="xxhash64", threshold=0.9, iters=0,
+            eval_input=None, seq_len=64, pack_buckets=2,
+            robots=str(rb), user_agent="*",
+        )
+        manifest = run_pipeline(spark, docs, args)
+        done = manifest["completed"]
+        assert done["robots"]["docs_in"] == 3
+        assert done["robots"]["docs_out"] == 2  # /private/ dropped first
+        assert done["urlfilter"]["docs_in"] == 2
+    finally:
+        spark.stop()
