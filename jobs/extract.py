@@ -3,12 +3,21 @@
   spark-submit --py-files htmlx.zip jobs/extract.py \
       --input <pages table/parquet path> --output <results root> \
       [--metrics <metrics root>] [--run-id RID] [--groups 64] \
-      [--mode extract|links|text] [--partitions N]
+      [--mode extract|links|text] [--partitions N] \
+      [--previous <prior pages parquet>]
 
 Reads the Common-Crawl-style pages table (url, warc_ts, html, text, lang),
 runs the extraction engine with checkpointed resume (url-hash groups; each
 group's append is one atomic commit), and writes results + per-partition
 metrics. Re-running with the same --run-id skips committed groups.
+
+Incremental runs: pass --previous with the PRIOR crawl's pages table and
+only pages whose canonical URL is new or whose html digest changed are
+extracted (analytics.snapshot_diff); the per-URL delta classification is
+written to <output>/_snapshot_diff.parquet so callers can union the
+fresh delta results with their prior results table for unchanged URLs
+(and drop removed ones) — the standard incremental-refresh contract
+without re-paying extraction for the unchanged bulk of the crawl.
 """
 
 import argparse
@@ -26,6 +35,10 @@ def main():
     ap.add_argument("--groups", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--mode", choices=["extract", "links", "text"], default="extract")
+    ap.add_argument("--previous", default=None,
+                    help="prior crawl's pages parquet: extract only the delta "
+                         "(added/changed canonical URLs) and write the diff "
+                         "classification to <output>/_snapshot_diff.parquet")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -44,6 +57,46 @@ def main():
     out = ParquetTableIO(args.output)
     metrics = ParquetTableIO(args.metrics) if args.metrics else None
     audit = ParquetTableIO(args.audit) if args.audit else None
+
+    if args.previous:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from htmlx.spark.analytics import snapshot_diff
+
+        def _keyed(df, ts):
+            # snapshot_diff keys on canonical URL and compares content
+            # digests; pages tables have no stable integer id, so the
+            # per-side id is xxhash64(url) (only used to carry which row
+            # was kept — urls are unique per crawl snapshot)
+            return df.select(
+                "url", F.col("html").alias("body"),
+                F.lit(ts).cast("long").alias("warc_ts"),
+                F.xxhash64("url").alias("doc_id"),
+            )
+
+        prev = (
+            spark.read.table(args.previous)
+            if not args.previous.endswith((".parquet", "/")) and "/" not in args.previous
+            else spark.read.parquet(args.previous)
+        )
+        diff = snapshot_diff(
+            _keyed(prev, 1), _keyed(pages, 2), text_col="body"
+        ).persist()
+        os.makedirs(args.output, exist_ok=True)
+        diff.write.mode("overwrite").parquet(
+            os.path.join(args.output, "_snapshot_diff.parquet")
+        )
+        counts = {r["status"]: r["n"] for r in
+                  diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+        delta_ids = diff.where(
+            F.col("status").isin("added", "changed")
+        ).select(F.col("new_doc_id").alias("__id"))
+        pages = pages.join(
+            delta_ids, F.xxhash64("url") == F.col("__id")
+        ).drop("__id")
+        print(f"incremental: {counts} -> extracting only added+changed")
 
     if args.mode == "links":
         result = run_all_links(pages, Config(), run_id, args.partitions)
