@@ -617,6 +617,11 @@ def meta_robots(
     pipeline still sees the tag via its normal parse for anything
     needing full fidelity.
 
+    Directives union across ALL robots meta tags (real CMSes emit e.g.
+    one noindex tag and one nofollow tag; crawlers OR them together —
+    a single-tag scan under-reports). robots_content joins the tags'
+    content values with ',' in document order.
+
     Returns id_col, robots_content (NULL when no robots tag),
     noindex/nofollow booleans, keep = NOT noindex.
 
@@ -624,20 +629,29 @@ def meta_robots(
     shuffle, zero Python, pushes the cheapest possible drop to the
     scan."""
     head = F.substring(F.col(html_col).cast("string"), 1, head_bytes)
-    tag = F.regexp_extract(
+    tags = F.regexp_extract_all(
         head,
-        r"(?i)<meta\b[^>]*\bname\s*=\s*(?:\"robots\"|'robots'|robots(?=[\s/>]))[^>]*>",
+        F.lit(
+            r"(?i)<meta\b[^>]*\bname\s*=\s*(?:\"robots\"|'robots'|robots(?=[\s/>]))[^>]*>"
+        ),
         0,
     )
-    cq = F.regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-    cu = F.regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*([^\\s\"'>]+)", 1)
-    content = F.lower(F.when(cq != "", cq).otherwise(cu))
-    dirs = F.transform(F.split(content, ","), lambda x: F.trim(x))
+
+    def _content(t):
+        cq = F.regexp_extract(t, "(?i)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+        cu = F.regexp_extract(t, "(?i)\\bcontent\\s*=\\s*([^\\s\"'>]+)", 1)
+        return F.lower(F.when(cq != "", cq).otherwise(cu))
+
+    contents = F.transform(tags, _content)
+    content = F.array_join(contents, ",")
+    dirs = F.flatten(
+        F.transform(contents, lambda c: F.transform(F.split(c, ","), lambda x: F.trim(x)))
+    )
 
     def has(v):
         return F.exists(dirs, lambda x: x == v)
 
-    present = tag != ""
+    present = F.size(tags) > 0
     noindex = present & (has("noindex") | has("none"))
     nofollow = present & (has("nofollow") | has("none"))
     return pages.select(

@@ -2578,13 +2578,17 @@ def q_host_stats(spark, sf_dir):
     doc_id%6 while Spark parses the actual synthesized markup.
     key=class, n_docs=count, total_chars=sum(doc_id).
 
-    level='robotstxt' (r6): RFC 9309 robots.txt compliance. Five
-    synthesized hosts share 'Disallow: /blocked/ + Allow:
-    /blocked/open/'; doc paths cycle /blocked/ (doc_id%4==0, must be
-    blocked) / /blocked/open/ (%4==1, the LONGER allow must win) /
-    /ok/ (allowed). Spark runs the real parse->rule-join->regexp->
-    longest-match machinery (robotstxt.robots_filter); the oracle
-    derives the verdicts independently from doc_id%4.
+    level='robotstxt' (r6, grown r7): RFC 9309 robots.txt compliance.
+    Five synthesized 200-status hosts share 'Disallow: /blocked/ +
+    Allow: /blocked/open/'; doc paths cycle /blocked/ (doc_id%4==0,
+    must be blocked) / /blocked/open/ (%4==1, the LONGER allow must
+    win) / /ok/ (allowed). r7 adds the fetch-status policy pins:
+    doc_id%7==5 routes to a 503 host whose body would ALLOW (must be
+    fail-closed BLOCKED, §2.3.1.4) and %7==6 to a 404 host whose body
+    would BLOCK (must be fail-open ALLOWED, §2.3.1.3). Spark runs the
+    real parse->rule-join->regexp->longest-match machinery
+    (robotstxt.robots_filter with status_col); the oracle derives the
+    verdicts independently from doc_id%7 / doc_id%4.
     key=allowed|blocked, n_docs=count, total_chars=sum(doc_id)."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
@@ -2770,28 +2774,46 @@ def q_host_stats(spark, sf_dir):
     from .robotstxt import robots_filter
 
     m4 = d % 4
+    m7 = d % 7
     rb_docs = docs.select(
         "doc_id",
-        F.concat(
-            F.lit("https://h"), (d % 5).cast("long").cast("string"),
-            F.lit(".example.com"),
-            F.when(m4 == 0, F.concat(F.lit("/blocked/p"), ds))
-            .when(m4 == 1, F.concat(F.lit("/blocked/open/p"), ds))
-            .otherwise(F.concat(F.lit("/ok/p"), ds)),
-        ).alias("url"),
+        F.when(
+            m7 == 5, F.concat(F.lit("https://unreachable.example.com/ok/p"), ds)
+        )
+        .when(
+            m7 == 6, F.concat(F.lit("https://unavailable.example.com/blocked/p"), ds)
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), (d % 5).cast("long").cast("string"),
+                F.lit(".example.com"),
+                F.when(m4 == 0, F.concat(F.lit("/blocked/p"), ds))
+                .when(m4 == 1, F.concat(F.lit("/blocked/open/p"), ds))
+                .otherwise(F.concat(F.lit("/ok/p"), ds)),
+            )
+        )
+        .alias("url"),
     )
+    # fetch-status policy pins (r7): the 503 host's body would ALLOW and
+    # must be fail-closed blocked; the 404 host's body would BLOCK and
+    # must be fail-open allowed (RFC 9309 §2.3.1.2-2.3.1.4)
     rb_tbl = spark.createDataFrame(
         [
             (
                 f"h{k}.example.com",
                 "User-agent: *\nDisallow: /blocked/\nAllow: /blocked/open/\n",
+                200,
             )
             for k in range(5)
+        ]
+        + [
+            ("unreachable.example.com", "User-agent: *\nAllow: /\n", 503),
+            ("unavailable.example.com", "User-agent: *\nDisallow: /\n", 404),
         ],
-        "host string, robots_txt string",
+        "host string, robots_txt string, status int",
     )
     rbtxt_level = (
-        robots_filter(rb_docs, rb_tbl)
+        robots_filter(rb_docs, rb_tbl, status_col="status")
         .groupBy(
             F.when(F.col("robots_allowed"), F.lit("allowed"))
             .otherwise(F.lit("blocked"))
@@ -2960,7 +2982,9 @@ FROM (
   FROM documents)
 GROUP BY 2
 UNION ALL
-SELECT 'robotstxt', CASE WHEN doc_id % 4 = 0 THEN 'blocked' ELSE 'allowed' END,
+SELECT 'robotstxt', CASE WHEN doc_id % 7 = 5 THEN 'blocked'  -- 5xx fail-closed
+                         WHEN doc_id % 7 = 6 THEN 'allowed'  -- 4xx fail-open
+                         WHEN doc_id % 4 = 0 THEN 'blocked' ELSE 'allowed' END,
        CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
 FROM documents GROUP BY 2
 """

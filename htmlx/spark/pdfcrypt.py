@@ -307,8 +307,62 @@ def _parse_string(body: bytes, i: int) -> bytes:
     return bytes(out)
 
 
-def _dict_string(body: bytes, key: bytes) -> bytes:
-    m = re.search(rb"/" + key + rb"\s*(?=[(<])", body)
+def _mask_strings(body: bytes) -> bytes:
+    """Replace the INTERIOR bytes of every string object — literal
+    (...) with escape/nesting rules, and hex <...> (but never the
+    << >> dict delimiters) — with spaces, preserving length so offsets
+    stay aligned with the original. Structural regexes (/V /R /Length,
+    crypt-filter names, << >> depth counting) then cannot be spoofed by
+    ciphertext bytes inside /O//U//UE values; string values themselves
+    are still parsed from the ORIGINAL body at the same offset."""
+    out = bytearray(body)
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x28:  # '(' literal string
+            depth = 1
+            j = i + 1
+            while j < n and depth:
+                b = body[j]
+                if b == 0x5C:  # backslash: next byte is never a delimiter
+                    if j + 1 < n:
+                        out[j] = 0x20
+                        out[j + 1] = 0x20
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if not depth:
+                        break
+                out[j] = 0x20
+                j += 1
+            i = j + 1
+            continue
+        if c == 0x3C:  # '<'
+            if body.startswith(b"<<", i):
+                i += 2
+                continue
+            j = body.find(b">", i + 1)
+            if j == -1:
+                j = n
+            for k in range(i + 1, j):
+                out[k] = 0x20
+            i = j + 1
+            continue
+        if c == 0x3E and body.startswith(b">>", i):
+            i += 2
+            continue
+        i += 1
+    return bytes(out)
+
+
+def _dict_string(body: bytes, key: bytes, masked: bytes | None = None) -> bytes:
+    """Find /key in `masked` (string-interior-blanked, same offsets) but
+    parse the value bytes from the original `body`."""
+    m = re.search(rb"/" + key + rb"\s*(?=[(<])", masked if masked is not None else body)
     if not m:
         return b""
     return _parse_string(body, m.end())
@@ -528,11 +582,15 @@ def get_encryption(payload: bytes, scan_cap: int = 10 * 1024 * 1024):
         enc_dict = scan[mi.end() - 2 : mi.end() + 2048]
     if not enc_dict:
         return None
-    if not _FILTER_STD_RE.search(enc_dict):
+    # Blank string interiors first: /O//U ciphertext can contain (, ),
+    # <<, >> or digit runs that would desync << >> depth counting or
+    # spoof /V //R //Length (string values still parse from enc_dict).
+    enc_masked = _mask_strings(enc_dict)
+    if not _FILTER_STD_RE.search(enc_masked):
         # a non-standard security handler: encrypted, not decryptable here
         return PdfEncryption(0, 0, b"", "rc4", ok=False)
 
-    top = _strip_subdicts(enc_dict)
+    top = _strip_subdicts(enc_masked)
 
     def _num(name: str, default: int) -> int:
         m = _NUM_RE[name].search(top)
@@ -542,26 +600,26 @@ def get_encryption(payload: bytes, scan_cap: int = 10 * 1024 * 1024):
     r = _num("R", 2)
     length_bits = _num("Length", 40)
     p = _num("P", -1)
-    o = _dict_string(enc_dict, b"O")
-    u = _dict_string(enc_dict, b"U")
-    em = _ENCMETA_RE.search(enc_dict)
+    o = _dict_string(enc_dict, b"O", enc_masked)
+    u = _dict_string(enc_dict, b"U", enc_masked)
+    em = _ENCMETA_RE.search(enc_masked)
     encrypt_metadata = em is None or em.group(1) == b"true"
 
     cfm = "rc4"
     stm_enc = str_enc = True
     if v >= 4:
-        cm = _CFM_RE.search(enc_dict)
+        cm = _CFM_RE.search(enc_masked)
         name = cm.group(1) if cm else b"V2"
         cfm = {b"AESV2": "aesv2", b"AESV3": "aesv3", b"V2": "rc4"}.get(name, "")
-        sm = _STMF_RE.search(enc_dict)
+        sm = _STMF_RE.search(enc_masked)
         stm_enc = not (sm and sm.group(1) == b"Identity")
-        sm = _STRF_RE.search(enc_dict)
+        sm = _STRF_RE.search(enc_masked)
         str_enc = not (sm and sm.group(1) == b"Identity")
         if not cfm:
             return PdfEncryption(r, v, b"", "rc4", ok=False)
 
     if v >= 5:
-        ue = _dict_string(enc_dict, b"UE")
+        ue = _dict_string(enc_dict, b"UE", enc_masked)
         key = _file_key_aes256(u, ue, r)
         if key is None:
             return PdfEncryption(r, v, b"", "aesv3", ok=False)

@@ -15,8 +15,9 @@ published Robots Exclusion Protocol semantics:
   length tie the least restrictive rule (allow) wins (§2.2.2).
 - an empty `Disallow:` value means no restriction; no matching rule
   means allowed; unparseable/absent robots.txt means allowed (§2.3.1.3
-  fail-open for 4xx — callers wanting 5xx fail-closed drop those hosts
-  upstream).
+  fail-open for 4xx). Pass `status_col`/`fail_closed_statuses` to
+  robots_filter to also encode §2.3.1.4: "unreachable" (5xx) hosts are
+  treated as complete disallow (fail-closed) while 4xx stays fail-open.
 
 100 TB plan (robots_filter): parsing runs ONLY over the per-host robots
 table (one mapInPandas over hosts — bounded by host count, never by
@@ -100,12 +101,14 @@ def pattern_matches(pattern: str, path: str) -> bool:
 
 
 def robots_allowed(rules: list[tuple[str, bool]], path: str) -> bool:
-    """Longest-match decision for one path: most octets wins, ties go to
+    """Longest-match decision for one path: most OCTETS wins (RFC 9309
+    §2.2.2 defines precedence in octets, so multibyte UTF-8 patterns
+    count their encoded length, not their character count), ties go to
     allow, no match means allowed."""
-    best = None  # (len, allow)
+    best = None  # (octets, allow)
     for pattern, allow in rules:
         if pattern_matches(pattern, path):
-            key = (len(pattern), allow)
+            key = (len(pattern.encode("utf-8")), allow)
             if best is None or key > best:
                 best = key
     return True if best is None else best[1]
@@ -152,7 +155,10 @@ def robots_rules(
                             "pattern": pattern,
                             "rule_regex": pattern_to_regex(pattern),
                             "allow": allow,
-                            "pattern_len": len(pattern),
+                            # RFC 9309 §2.2.2 precedence is in OCTETS —
+                            # UTF-8 byte length, matching robots_allowed
+                            # and the repo-wide byte-length convention
+                            "pattern_len": len(pattern.encode("utf-8")),
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
@@ -166,16 +172,40 @@ def robots_filter(
     url_col: str = "url",
     id_col: str = "doc_id",
     user_agent: str = "*",
+    status_col: str | None = None,
+    fail_closed_statuses=range(500, 600),
 ) -> DataFrame:
     """Per-document robots.txt compliance over the corpus: join the
     parsed rule table by host, evaluate the RFC longest-match decision,
     and emit (id, url, robots_allowed, matched_pattern). Docs on hosts
     with no rules (or no robots row) are allowed with matched_pattern
     NULL. All rule evaluation is JVM-side regexp_like; the only Python
-    is the per-HOST parse."""
+    is the per-HOST parse.
+
+    Fetch-status policy (RFC 9309 §2.3.1.2-2.3.1.4): pass `status_col`
+    naming an HTTP status column on the robots table to encode it fully —
+    hosts whose fetch status is in `fail_closed_statuses` (default 5xx,
+    the RFC's "unreachable" class, which MUST be treated as complete
+    disallow) get robots_allowed=false for every document with
+    matched_pattern NULL; 4xx ("unavailable") and other non-2xx statuses
+    fail OPEN with the body ignored; rules parse only from 2xx (or
+    NULL-status) rows. Without `status_col` the r5 behavior is unchanged
+    (fail-open everywhere, callers drop unreachable hosts upstream).
+    The blocked-host set is one per-HOST row each — broadcastable."""
     from .analytics import _host_of
 
-    rules = robots_rules(robots, user_agent=user_agent)
+    usable = robots
+    blocked_hosts = None
+    if status_col is not None:
+        st = F.col(status_col).cast("int")
+        usable = robots.where(st.isNull() | ((st >= 200) & (st < 300)))
+        blocked_hosts = (
+            robots.where(st.isin([int(s) for s in fail_closed_statuses]))
+            .select(F.col("host").alias("__bhost"))
+            .distinct()
+            .withColumn("__blocked", F.lit(True))
+        )
+    rules = robots_rules(usable, user_agent=user_agent)
     u = F.col(url_col)
     base = docs.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -211,7 +241,22 @@ def robots_filter(
             F.col("__best.pattern").alias("matched_pattern"),
         )
     )
-    return base.join(matched, id_col, "left").select(
+    out = base.join(matched, id_col, "left")
+    if blocked_hosts is not None:
+        out = out.join(
+            blocked_hosts, out["__host"] == blocked_hosts["__bhost"], "left"
+        )
+        return out.select(
+            id_col,
+            url_col,
+            F.when(F.col("__blocked"), F.lit(False))
+            .otherwise(F.coalesce(F.col("__allow"), F.lit(True)))
+            .alias("robots_allowed"),
+            F.when(F.col("__blocked"), F.lit(None).cast("string"))
+            .otherwise(F.col("matched_pattern"))
+            .alias("matched_pattern"),
+        )
+    return out.select(
         id_col,
         url_col,
         F.coalesce(F.col("__allow"), F.lit(True)).alias("robots_allowed"),

@@ -146,21 +146,35 @@ def latest_capture_stream(
 
     from .analytics import canonical_url_col
 
+    def _key(ts, i):
+        # mirrors the batch twin's max_by ordering struct(__ts, -__id)
+        # with Spark's NULLS-FIRST struct-field semantics: non-null ts
+        # beats null ts, newest ts wins, ties prefer the smallest
+        # non-null id. NULL ts/id rows (NaN/None in pandas) are counted
+        # but can only win when nothing better exists — they must never
+        # raise and fail the micro-batch (batch tolerates them).
+        return (
+            ts is not None, ts if ts is not None else 0,
+            i is not None, -i if i is not None else 0,
+        )
+
     def update(key, pdfs, state):
+        import pandas as _pd
+
         if state.exists:
             best_ts, best_id, n = state.get
+            have = n > 0
         else:
             best_ts, best_id, n = None, None, 0
+            have = False
         for pdf in pdfs:
             for ts, i in zip(pdf["__ts"], pdf["__id"]):
-                ts, i = int(ts), int(i)
+                ts = None if _pd.isna(ts) else int(ts)
+                i = None if _pd.isna(i) else int(i)
                 n += 1
-                if (
-                    best_ts is None
-                    or ts > best_ts
-                    or (ts == best_ts and i < best_id)
-                ):
+                if not have or _key(ts, i) > _key(best_ts, best_id):
                     best_ts, best_id = ts, i
+                    have = True
         state.update((best_ts, best_id, n))
         yield pd.DataFrame(
             [{

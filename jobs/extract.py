@@ -63,13 +63,15 @@ def main():
 
         from pyspark.sql import functions as F
 
-        from htmlx.spark.analytics import snapshot_diff
+        from htmlx.spark.analytics import canonical_url_col, snapshot_diff
 
         def _keyed(df, ts):
             # snapshot_diff keys on canonical URL and compares content
             # digests; pages tables have no stable integer id, so the
-            # per-side id is xxhash64(url) (only used to carry which row
-            # was kept — urls are unique per crawl snapshot)
+            # per-side id is xxhash64(url). It is ONLY a tie-break /
+            # display value — the delta join back to pages is on the url
+            # STRING (below), never on this 64-bit hash, so a birthday
+            # collision at 10^12 docs cannot misroute or drop rows.
             return df.select(
                 "url", F.col("html").alias("body"),
                 F.lit(ts).cast("long").alias("warc_ts"),
@@ -90,12 +92,24 @@ def main():
         )
         counts = {r["status"]: r["n"] for r in
                   diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
-        delta_ids = diff.where(
+        # Join the delta back on STRINGS, not the 64-bit hash: restrict
+        # pages to the added/changed canonical URLs, then keep exactly
+        # the row snapshot_diff kept (constant per-side ts, so the
+        # latest-capture tie-break is argmin xxhash64(url) — the hash
+        # orders candidates but never equates them). Only thin
+        # (url, canonical_url) rows shuffle; the fat pages join is one
+        # equi-join on the unique url string.
+        delta_canon = diff.where(
             F.col("status").isin("added", "changed")
-        ).select(F.col("new_doc_id").alias("__id"))
-        pages = pages.join(
-            delta_ids, F.xxhash64("url") == F.col("__id")
-        ).drop("__id")
+        ).select("canonical_url")
+        kept_urls = (
+            pages.select("url", canonical_url_col("url").alias("canonical_url"))
+            .join(delta_canon, "canonical_url")
+            .groupBy("canonical_url")
+            .agg(F.min_by("url", F.xxhash64("url")).alias("url"))
+            .select("url")
+        )
+        pages = pages.join(kept_urls, "url")
         print(f"incremental: {counts} -> extracting only added+changed")
 
     if args.mode == "links":

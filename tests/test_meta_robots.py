@@ -81,3 +81,24 @@ def test_plan_scan_side(spark):
     plan = meta_robots(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_multiple_robots_tags_union(spark):
+    """Directives union across ALL robots meta tags (r6 ADVICE fix):
+    real CMSes emit split tags (one noindex, one nofollow); crawlers OR
+    them. robots_content joins tag contents in document order."""
+    out = _run(spark, [
+        _page('<meta name="robots" content="noindex">'
+              '<meta name="robots" content="nofollow">'),               # 0 split
+        _page('<meta name=robots content=follow>'
+              "<meta content='none' name='robots'>"),                   # 1 2nd tag none
+        _page('<meta name="robots" content="noindex">'
+              '<meta name="description" content="nofollow">'),          # 2 only 1 robots
+    ])
+    assert (out[0]["noindex"], out[0]["nofollow"]) == (True, True)
+    assert out[0]["robots_content"] == "noindex,nofollow"
+    assert out[0]["keep"] is False
+    assert (out[1]["noindex"], out[1]["nofollow"]) == (True, True)
+    assert out[1]["robots_content"] == "follow,none"
+    assert (out[2]["noindex"], out[2]["nofollow"]) == (True, False)
+    assert out[2]["robots_content"] == "noindex"

@@ -327,3 +327,61 @@ def test_fuzz_get_encryption_total():
                 extract_pdf_text(payload)
             except (EncryptedPdfError, UnsupportedFilterError, ValueError, zlib.error):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# String-aware /Encrypt dict parsing: ciphertext bytes inside literal
+# string values must not desync << >> depth or spoof /V //R //Length.
+
+
+def _lits(b: bytes) -> bytes:
+    """Literal-string encode: escape \\ ( ) and CR, as PDF writers do."""
+    out = bytearray(b"(")
+    for c in b:
+        if c in (0x28, 0x29, 0x5C):
+            out += b"\\" + bytes([c])
+        elif c == 0x0D:
+            out += b"\\r"
+        else:
+            out.append(c)
+    out += b")"
+    return bytes(out)
+
+
+def test_literal_string_o_u_values_decrypt():
+    """/O and /U written as literal (...) strings — the common real-world
+    encoding — must parse and authenticate exactly like hex strings."""
+    id0 = bytes(range(16))
+    r, bits = 3, 128
+    o = make_owner_value(b"ownerpw", b"", r=r, length_bits=bits)
+    key = derive_legacy_file_key(o, -44, id0, r, bits)
+    u = make_user_value(key, id0, r)
+    pdf = build_encrypted_pdf()
+    pdf2 = pdf.replace(b"/O <" + o.hex().encode() + b">", b"/O " + _lits(o))
+    pdf2 = pdf2.replace(b"/U <" + u.hex().encode() + b">", b"/U " + _lits(u))
+    assert pdf2 != pdf
+    assert extract_pdf_text(pdf2) == "Hello encrypted world"
+
+
+@pytest.mark.parametrize(
+    "evil",
+    [
+        # unbalanced << inside a string: unmasked, _strip_subdicts would
+        # never return to depth 1 and every later top-level key vanishes
+        b"(junk << unbalanced)",
+        # digit-run spoof: unmasked, /Length 9 inside the string is the
+        # FIRST _NUM_RE match and corrupts the key length
+        b"(/Length 9 /V 9 /R 9)",
+        # escaped parens + nested dict noise in one string
+        b"(a\\( <<>> << /V 7 \\) b)",
+    ],
+)
+def test_encrypt_dict_string_interiors_are_inert(evil):
+    pdf = build_encrypted_pdf()
+    pdf2 = pdf.replace(
+        b"/Filter /Standard /V", b"/XNote " + evil + b" /Filter /Standard /V"
+    )
+    assert pdf2 != pdf
+    cr = get_encryption(pdf2)
+    assert cr is not None and cr.ok
+    assert extract_pdf_text(pdf2) == "Hello encrypted world"

@@ -129,6 +129,73 @@ def test_spark_filter_end_to_end(spark):
     assert gout[1] is True and gout[4] is True  # `*` rules don't apply
 
 
+def test_octet_length_precedence():
+    """RFC 9309 §2.2.2 defines longest-match in OCTETS: '/éé' is 3 chars
+    but 5 UTF-8 octets, so it outranks the 4-char/4-octet '/*xy' — under
+    character-length precedence the allow would (wrongly) win."""
+    rules = [("/éé", False), ("/*xy", True)]
+    assert robots_allowed(rules, "/ééxy") is False
+    # and the exploded rule table carries octet lengths
+    assert len("/éé".encode("utf-8")) == 5
+
+
+def test_rule_table_pattern_len_is_octets(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /éé\nAllow: /*xy\n")],
+        "host string, robots_txt string",
+    )
+    lens = {r["pattern"]: r["pattern_len"] for r in robots_rules(robots).collect()}
+    assert lens == {"/éé": 5, "/*xy": 4}
+    # end-to-end: the Spark longest-match agrees with the RFC octet rule
+    docs = spark.createDataFrame([(1, "https://a.com/ééxy")], "doc_id long, url string")
+    out = robots_filter(docs, robots).collect()[0]
+    assert out["robots_allowed"] is False and out["matched_pattern"] == "/éé"
+
+
+def test_fail_closed_statuses(spark):
+    """RFC 9309 §2.3.1.2-2.3.1.4 via status_col: 5xx ('unreachable')
+    hosts are complete-disallow even when the stale body would allow;
+    4xx ('unavailable') fails open even when the body would block;
+    2xx/NULL-status hosts parse normally."""
+    robots = spark.createDataFrame(
+        [
+            ("ok.com", "User-agent: *\nDisallow: /b\n", 200),
+            ("down.com", "User-agent: *\nAllow: /\n", 503),
+            ("gone.com", "User-agent: *\nDisallow: /\n", 404),
+            ("nostatus.com", "User-agent: *\nDisallow: /b\n", None),
+        ],
+        "host string, robots_txt string, status int",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ok.com/b/x"),
+            (2, "https://ok.com/fine"),
+            (3, "https://down.com/anything"),
+            (4, "https://gone.com/anything"),
+            (5, "https://nostatus.com/b/x"),
+            (6, "https://norow.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: (r["robots_allowed"], r["matched_pattern"])
+           for r in robots_filter(docs, robots, status_col="status").collect()}
+    assert out[1] == (False, "/b")
+    assert out[2] == (True, None)
+    assert out[3] == (False, None)   # fail-closed, no pattern attribution
+    assert out[4] == (True, None)    # fail-open, body ignored
+    assert out[5] == (False, "/b")   # NULL status parses normally
+    assert out[6] == (True, None)
+    # custom fail-closed set: treat 404 as closed too
+    out2 = {r["doc_id"]: r["robots_allowed"]
+            for r in robots_filter(docs, robots, status_col="status",
+                                   fail_closed_statuses=[404, 503]).collect()}
+    assert out2[4] is False
+    # without status_col the r5 fail-open behavior is unchanged
+    out3 = {r["doc_id"]: r["robots_allowed"]
+            for r in robots_filter(docs, robots.drop("status")).collect()}
+    assert out3[3] is True and out3[4] is False
+
+
 def test_spark_rule_eval_is_jvm_side(spark):
     robots = spark.createDataFrame(
         [("a.com", "User-agent: *\nDisallow: /x\n")], "host string, robots_txt string"

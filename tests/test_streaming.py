@@ -428,6 +428,65 @@ def test_streaming_latest_capture_matches_batch(spark, tmp_path_factory):
     assert final["https://b.com/q"] == (4, 2)
 
 
+def test_streaming_latest_capture_tolerates_nulls(spark, tmp_path_factory):
+    """NULL warc_ts / doc_id captures (NaN/None in the pandas state fn)
+    must not raise and fail the micro-batch — they count toward
+    n_captures and only win when nothing better exists, exactly like the
+    batch twin's max_by NULLS-FIRST struct ordering (r6 ADVICE fix)."""
+    from htmlx.spark.analytics import latest_capture
+    from htmlx.spark.streaming import latest_capture_stream
+
+    root = str(tmp_path_factory.mktemp("recrawl_nulls"))
+    caps_dir = os.path.join(root, "caps")
+    ckpt = os.path.join(root, "ckpt")
+
+    rows = [
+        # page D: a null-ts capture, a null-id capture (newest ts), a real one
+        (7, "https://d.com/s", None),
+        (None, "https://d.com/s", 50),
+        (8, "https://d.com/s", 40),
+        # page E: ALL captures have null ts -> tie-break on smallest id
+        (9, "https://e.com/t", None),
+        (10, "https://e.com/t", None),
+        # control singleton
+        (11, "https://f.com/u", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    df.repartition(6).write.parquet(caps_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, warc_ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(caps_dir)
+    )
+    q = (
+        latest_capture_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("recrawl_nulls")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = {
+        r.canonical_url: (r.keep_id, r.n_captures)
+        for r in spark.sql(
+            "SELECT canonical_url, max_by(keep_id, n_captures) AS keep_id, "
+            "max(n_captures) AS n_captures FROM recrawl_nulls GROUP BY 1"
+        ).collect()
+    }
+    want = {
+        r.canonical_url: (r.keep_id, r.n_captures)
+        for r in latest_capture(spark.read.parquet(caps_dir)).collect()
+    }
+    assert final == want
+    assert final["https://d.com/s"] == (None, 3)  # newest ts has null id
+    assert final["https://e.com/t"] == (9, 2)  # all-null ts: smallest id
+    assert final["https://f.com/u"] == (11, 1)
+
+
 def test_streaming_robots_filter_matches_batch(spark, tmp_path_factory):
     """robots_filter_stream over a file stream == meta_robots over the
     same rows (stateless bounded-prefix regex), pages split across
