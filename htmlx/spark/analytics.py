@@ -140,6 +140,38 @@ def dedup_paragraphs(
 _TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
 
 
+#: The ONE URL grammar every host-keyed operator parses with (VERDICT r6
+#: item 6 — previously canonical_url_col, url_filter and _host_of each
+#: re-derived it and agreed only by discipline): an RFC 3986 scheme token,
+#: then everything up to the first /?# as the authority ("hostport").
+#: Deliberately conservative: userinfo@ is RETAINED inside hostport (a URL
+#: carrying embedded credentials names a different fetch — collapsing it
+#: would merge distinct captures in dedup), IPv6 brackets pass through
+#: verbatim, and only an all-digit trailing :port is ever stripped (so
+#: '[::1]' survives port-stripping intact). The oracle SQL in
+#: entryqueries.py mirrors these regexes literally; cross-operator
+#: agreement is pinned by tests/test_url_grammar.py against an
+#: independent Python `re` replay.
+URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def _scheme_of(u):
+    """Lowercased scheme of a URL Column ('' when not an absolute URL)."""
+    return F.lower(F.regexp_extract(u, URL_SCHEME_RE, 1))
+
+
+def _hostport_of(u):
+    """Lowercased authority (userinfo@host:port) of a URL Column."""
+    return F.lower(F.regexp_extract(u, URL_HOSTPORT_RE, 1))
+
+
+def _strip_any_port(hostport):
+    """Drop a trailing all-digit :port from an authority expression."""
+    return F.regexp_replace(hostport, ":\\d+$", "")
+
+
 def canonical_url_col(url_col: str = "url"):
     """Crawl-style URL canonicalization as one Catalyst expression:
     lowercase scheme+host, strip the fragment, drop the scheme's default
@@ -151,16 +183,14 @@ def canonical_url_col(url_col: str = "url"):
     path-segment collapsing). Pure string/array functions, scan-side,
     reproducible in ANSI-ish SQL for the oracle."""
     u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
+    scheme = _scheme_of(u)
+    hostport = _hostport_of(u)
     host = (
         F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
         .otherwise(hostport)
     )
-    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_extract(u, URL_PATH_RE, 1)
     path = F.when(path == "/", F.lit("")).otherwise(path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     keep = F.filter(
@@ -248,11 +278,8 @@ def url_filter(
     suffix matching is an arrays_overlap against the per-doc host suffix
     chain (<= #labels entries), not a LIKE scan per blocklist entry."""
     u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    host = F.regexp_replace(hostport, ":\\d+$", "")
+    scheme = _scheme_of(u)
+    host = _strip_any_port(_hostport_of(u))
     labels = F.split(host, "\\.")
     n = F.size(labels)
     suffixes = F.transform(
@@ -294,6 +321,7 @@ def host_rank(
     src_col: str = "src_host",
     dst_col: str = "dst_host",
     weight_col: str | None = None,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Host-level PageRank over the crawl link graph — the domain-
     reputation prior real curation pipelines feed into quality scoring
@@ -313,8 +341,18 @@ def host_rank(
     uniform) plus two SCALAR aggregates (N, dangling mass) that
     broadcast as single rows — no driver collect, no cartesian. Rank
     state is one row per host (~10^7 at web scale — always the small
-    side; Catalyst/AQE broadcasts it when it fits). For iters >> 10,
-    checkpoint the rank table every few rounds to cut lineage depth."""
+    side; Catalyst/AQE broadcasts it when it fits). Every
+    `checkpoint_every` rounds the rank table is localCheckpoint-ed
+    (eager) to truncate lineage. This is not optional hygiene: each
+    iteration consumes `pr` TWICE (the inflow join and the dangling-mass
+    aggregate), so the unrolled logical tree DOUBLES per iteration —
+    plan size is 2^iters, not linear (measured: an 8-iteration unrolled
+    executedPlan carries >10k codegen spans), and analysis/codegen blow
+    up long before 30 iterations. checkpoint_every=4 caps every segment
+    at 2^4 subtree copies; materializing the identical one-row-per-host
+    state changes no values, so determinism is preserved (pinned by
+    test_link_graph.py::test_host_rank_checkpoint_determinism). Pass
+    checkpoint_every=0 to disable (only sensible for iters <= ~8)."""
     e = edges.groupBy(src_col, dst_col).agg(
         (
             F.sum(weight_col) if weight_col else F.count(F.lit(1))
@@ -331,7 +369,7 @@ def host_rank(
         nodes.crossJoin(F.broadcast(n_row))
         .select("host", (F.lit(1.0) / F.col("__n")).alias("rank"))
     )
-    for _ in range(iters):
+    for it in range(iters):
         inflow = (
             e.join(pr.withColumnRenamed("host", src_col), src_col)
             .join(outw, src_col)
@@ -361,19 +399,20 @@ def host_rank(
                 ).alias("rank"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 
 def _host_of(url_col):
     """Lowercased host (port stripped) parsed from a URL column (name or
-    Column) — the same scheme://host grammar url_filter uses, kept as one
-    shared expression so every host-keyed operator agrees on what 'host'
-    means."""
+    Column) — built from the module-level URL grammar (URL_HOSTPORT_RE +
+    _strip_any_port) so every host-keyed operator (url_filter,
+    canonical_url_col, link_graph, anchor_text_agg, robots joins) agrees
+    on what 'host' means by construction, not by discipline
+    (tests/test_url_grammar.py pins the agreement on adversarial URLs)."""
     u = F.col(url_col) if isinstance(url_col, str) else url_col
-    hostport = F.lower(
-        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    return F.regexp_replace(hostport, ":\\d+$", "")
+    return _strip_any_port(_hostport_of(u))
 
 
 def link_graph(
@@ -408,7 +447,7 @@ def link_graph(
         ex = ex.where(~F.coalesce(F.col("l.is_nofollow"), F.lit(False)))
     lurl = F.col("l.url")
     dst = F.when(
-        lurl.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), _host_of(lurl)
+        lurl.rlike(URL_SCHEME_RE), _host_of(lurl)
     ).otherwise(F.col("src_host"))
     pairs = ex.select("src_host", dst.alias("dst_host")).where(
         F.col("dst_host") != ""
@@ -734,8 +773,38 @@ def _window_key(text_expr, hash_basis: str):
     raise ValueError(f"hash_basis must be 'xxhash64' or 'md5', got {hash_basis!r}")
 
 
+def _span_windows(
+    documents: DataFrame, w: int, hash_basis: str
+) -> DataFrame:
+    """(doc_id, toks) -> exploded (doc_id, pos, wkey) sliding-window rows
+    shared by dedup_spans and span_window_stats (byte-identical subtrees
+    so ReusedExchange can merge their shuffles when both run in one
+    plan)."""
+    toks = F.split(F.col("text"), " ")
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks")
+    )
+    starts = F.when(
+        F.size("toks") >= w, F.sequence(F.lit(0), F.size("toks") - w)
+    ).otherwise(F.array().cast("array<int>"))
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: _window_key(
+                    F.concat_ws(" ", F.slice("toks", i + 1, w)), hash_basis
+                ),
+            )
+        ).alias("pos", "wkey"),
+    )
+
+
 def dedup_spans(
-    documents: DataFrame, w: int = 15, hash_basis: str = "xxhash64"
+    documents: DataFrame,
+    w: int = 15,
+    hash_basis: str = "xxhash64",
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """Cross-document EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): remove every duplicated
@@ -769,26 +838,33 @@ def dedup_spans(
     merged maximal spans. Returns one row per input document:
     (doc_id, n_windows, n_dup_windows, tokens_removed, cleaned_text).
     Documents shorter than w tokens pass through untouched (cleaned_text
-    = canonical single-space re-join, same as any no-dup document)."""
-    toks = F.split(F.col("text"), " ")
-    d = documents.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
-    starts = F.when(
-        F.size("toks") >= w, F.sequence(F.lit(0), F.size("toks") - w)
-    ).otherwise(F.array().cast("array<int>"))
-    wins = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: _window_key(F.concat_ws(" ", F.slice("toks", i + 1, w)), hash_basis),
-            )
-        ).alias("pos", "wkey"),
+    = canonical single-space re-join, same as any no-dup document).
+
+    max_occurrences is the hot-key cap (the span twin of
+    minhash_lsh_candidates' max_bucket_size): step 2's groupBy absorbs a
+    boilerplate window repeated in 10^8 documents via map-side combine,
+    but the step-3 back-join would still drag every one of those
+    occurrences through the wkey join and on into the doc_id shuffle.
+    Windows occurring more than max_occurrences times are dropped from
+    the survivor table BEFORE the back-join (inner join -> their
+    occurrences never re-shuffle) and are NOT treated as duplicate spans
+    — at that frequency they are corpus template text, which is
+    host_template_lines' job to strip, not span dedup's. None disables
+    the cap (exact Lee-2022 semantics). Use span_window_stats for the
+    'no silent caps' report of what a cap would drop."""
+    d = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.col("text"), " ").alias("toks"),
     )
+    wins = _span_windows(documents, w, hash_basis)
     firsts = wins.groupBy("wkey").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("__occ"),
     )
+    if max_occurrences is not None:
+        firsts = firsts.where(F.col("__occ") <= max_occurrences)
     dups = (
-        wins.join(firsts, "wkey")
+        wins.join(firsts.select("wkey", "first"), "wkey")
         .where(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))
@@ -838,6 +914,38 @@ def dedup_spans(
             rm, F.lit(0).cast("long"), lambda acc, r: acc + (r["e"] - r["s"])
         ).alias("tokens_removed"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("cleaned_text"),
+    )
+
+
+def span_window_stats(
+    documents: DataFrame,
+    w: int = 15,
+    max_occurrences: int | None = None,
+    hash_basis: str = "xxhash64",
+) -> DataFrame:
+    """Window-occurrence distribution + what a dedup_spans hot-key cap
+    drops — the 'no silent caps' companion, mirroring lsh_bucket_stats.
+    One row: (n_distinct_windows, max_window_occurrences, capped_wkeys,
+    capped_occurrences); the capped_* columns are 0 when max_occurrences
+    is None. Built on the same _span_windows subtree as dedup_spans so a
+    plan running both reuses the exploded-window exchange."""
+    counts = _span_windows(documents, w, hash_basis).groupBy("wkey").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    over = (
+        (F.col("occ") > max_occurrences)
+        if max_occurrences is not None
+        else F.lit(False)
+    )
+    return counts.agg(
+        F.count("*").cast("long").alias("n_distinct_windows"),
+        F.coalesce(F.max("occ"), F.lit(0)).cast("long").alias(
+            "max_window_occurrences"
+        ),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("capped_wkeys"),
+        F.sum(F.when(over, F.col("occ")).otherwise(0))
+        .cast("long")
+        .alias("capped_occurrences"),
     )
 
 

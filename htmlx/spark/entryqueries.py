@@ -489,6 +489,40 @@ def q_dedup_exact(spark, sf_dir):
         F.col("doc_id").alias("keep_doc_id"),
         F.col("tokens_removed").alias("dup_count"),
     )
+    # spancap + spanstats levels (r7, VERDICT r6 item 5): the hot-key cap
+    # twin. At sf0.01 the planted _SPAN_BOILER windows occur in ~500/7
+    # docs — over the cap of 20, so spancap must KEEP them (template
+    # text, host_template_lines' job) while still removing every
+    # under-cap organic duplicate; spanstats is the 'no silent caps'
+    # report (all four stats folded into content_md5; keep_doc_id /
+    # dup_count carry capped_wkeys / capped_occurrences). The oracle
+    # replays both from the same window CTE, so a cap off by one window
+    # flips the hash. Both reuse span_docs' exploded-window subtree
+    # (ReusedExchange) — the added driver cost is one post-agg filter.
+    spancap_level = analytics.dedup_spans(
+        span_docs, w=15, hash_basis="md5", max_occurrences=20
+    ).select(
+        F.lit("spancap").alias("level"),
+        F.md5(F.col("cleaned_text")).alias("content_md5"),
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("tokens_removed").alias("dup_count"),
+    )
+    spanstats_level = analytics.span_window_stats(
+        span_docs, w=15, max_occurrences=20, hash_basis="md5"
+    ).select(
+        F.lit("spanstats").alias("level"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                "n_distinct_windows",
+                "max_window_occurrences",
+                "capped_wkeys",
+                "capped_occurrences",
+            )
+        ).alias("content_md5"),
+        F.col("capped_wkeys").alias("keep_doc_id"),
+        F.col("capped_occurrences").alias("dup_count"),
+    )
     # hosttmpl level (r6): per-host template-line removal. Docs are
     # assigned hosts h(doc_id%10); every doc gets a host-wide 'NAV-k'
     # first line (100% of the host -> template, removed from ALL docs)
@@ -549,6 +583,8 @@ def q_dedup_exact(spark, sf_dir):
         doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
         .unionByName(policy_level)
         .unionByName(span_level)
+        .unionByName(spancap_level)
+        .unionByName(spanstats_level)
         .unionByName(tmpl_level)
         .unionByName(norm_level)
     )
@@ -569,28 +605,33 @@ WITH span_docs AS (
            unnest([{'pos': i, 'wkey': md5(array_to_string(t[i+1 : i+15], ' '))}
                    FOR i IN generate_series(0, len(t) - 15)]) AS u
     FROM span_toks)
+), span_first AS (
+  SELECT wkey, min(doc_id * 4294967296 + pos) AS fk, count(*) AS occ
+  FROM span_wins GROUP BY wkey
 ), span_dups AS (
-  SELECT w.doc_id, w.pos
+  SELECT vs.v, w.doc_id, w.pos
   FROM span_wins w
-  JOIN (SELECT wkey, min(doc_id * 4294967296 + pos) AS fk
-        FROM span_wins GROUP BY wkey) f ON w.wkey = f.wkey
+  JOIN span_first f ON w.wkey = f.wkey
+  CROSS JOIN (SELECT unnest(['span', 'spancap']) AS v) vs
   WHERE w.doc_id * 4294967296 + w.pos <> f.fk
+    AND (vs.v = 'span' OR f.occ <= 20)
 ), span_islands AS (
-  SELECT doc_id, iid, min(pos) AS s, max(pos) + 15 AS e
+  SELECT v, doc_id, iid, min(pos) AS s, max(pos) + 15 AS e
   FROM (
-    SELECT doc_id, pos, sum(flag) OVER (PARTITION BY doc_id ORDER BY pos) AS iid
+    SELECT v, doc_id, pos,
+           sum(flag) OVER (PARTITION BY v, doc_id ORDER BY pos) AS iid
     FROM (
-      SELECT doc_id, pos,
+      SELECT v, doc_id, pos,
              CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END AS flag
       FROM (
-        SELECT doc_id, pos,
-               max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+        SELECT v, doc_id, pos,
+               max(pos + 15) OVER (PARTITION BY v, doc_id ORDER BY pos
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
         FROM span_dups)))
-  GROUP BY doc_id, iid
+  GROUP BY v, doc_id, iid
 ), span_rm AS (
-  SELECT doc_id, list({'s': s, 'e': e} ORDER BY s) AS rm, sum(e - s) AS removed
-  FROM span_islands GROUP BY doc_id
+  SELECT v, doc_id, list({'s': s, 'e': e} ORDER BY s) AS rm, sum(e - s) AS removed
+  FROM span_islands GROUP BY v, doc_id
 ), tmpl_docs AS (
   SELECT doc_id, 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
          'NAV-' || CAST(doc_id % 10 AS VARCHAR) || chr(10) || text ||
@@ -621,13 +662,15 @@ WITH span_docs AS (
            AS n_removed
   FROM tmpl_docs d LEFT JOIN tmpl_set s ON d.host = s.host
 ), span_out AS (
-  SELECT t.doc_id,
+  SELECT vs.v, t.doc_id,
          COALESCE(array_to_string(
            [t.t[i+1] FOR i IN generate_series(0, len(t.t) - 1)
             IF len(list_filter(COALESCE(r.rm, []::STRUCT(s BIGINT, e BIGINT)[]),
                                x -> x.s <= i AND i < x.e)) = 0], ' '), '') AS cleaned,
          COALESCE(r.removed, 0) AS tokens_removed
-  FROM span_toks t LEFT JOIN span_rm r ON t.doc_id = r.doc_id
+  FROM span_toks t
+  CROSS JOIN (SELECT unnest(['span', 'spancap']) AS v) vs
+  LEFT JOIN span_rm r ON t.doc_id = r.doc_id AND vs.v = r.v
 )
 SELECT 'doc' AS level, md5(text) AS content_md5,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
@@ -654,8 +697,16 @@ SELECT 'doc_keep_prio', content_md5, keep_doc_id, dup_count FROM (
   WINDOW w AS (PARTITION BY text ORDER BY doc_id % 7 DESC, doc_id ASC)
 ) WHERE rn = 1
 UNION ALL
-SELECT 'span', md5(cleaned), CAST(doc_id AS BIGINT), CAST(tokens_removed AS BIGINT)
+SELECT v, md5(cleaned), CAST(doc_id AS BIGINT), CAST(tokens_removed AS BIGINT)
 FROM span_out
+UNION ALL
+SELECT 'spanstats',
+       md5(CAST(count(*) AS VARCHAR) || '|' || CAST(max(occ) AS VARCHAR)
+           || '|' || CAST(sum(CASE WHEN occ > 20 THEN 1 ELSE 0 END) AS VARCHAR)
+           || '|' || CAST(sum(CASE WHEN occ > 20 THEN occ ELSE 0 END) AS VARCHAR)),
+       CAST(sum(CASE WHEN occ > 20 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN occ > 20 THEN occ ELSE 0 END) AS BIGINT)
+FROM span_first
 UNION ALL
 SELECT 'hosttmpl', md5(cleaned), CAST(doc_id AS BIGINT), CAST(n_removed AS BIGINT)
 FROM tmpl_out

@@ -10,7 +10,7 @@ the dual-hash-basis equivalence the driver oracle relies on."""
 
 import pytest
 
-from htmlx.spark.analytics import dedup_spans
+from htmlx.spark.analytics import dedup_spans, span_window_stats
 from htmlx.spark.session import get_spark
 
 W = 15
@@ -131,6 +131,91 @@ def test_all_catalyst_no_python(spark):
     ArrowEvalPython / mapInPandas stages."""
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = dedup_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def _cap_corpus():
+    """12 docs share BOILER (its 4 pure-boiler windows occur 12x — over a
+    cap of 10); docs 100/101 share a 15-token run (1 window, 2x — under
+    the cap). Prefixes are per-doc unique so straddling windows never
+    collide."""
+    run = " ".join(f"dup{i}" for i in range(W))
+    docs = [(i, f"doc number{i} carries its own unique prefix words "
+             + BOILER) for i in range(12)]
+    docs += [
+        (100, run + " plus a unique suffix for the first occurrence doc"),
+        (101, "another document carrying the duplicated run " + run),
+    ]
+    return docs
+
+
+def test_hot_key_cap_keeps_template_windows(spark):
+    """VERDICT r6 item 5: windows over max_occurrences are template
+    text — dropped from the survivor table (their occurrences are NOT
+    removed; host_template_lines owns them), while under-cap duplicates
+    still dedup exactly as before."""
+    docs = _cap_corpus()
+    capped = _run_capped(spark, docs, cap=10)
+    uncapped = _run(spark, docs)
+    for i in range(12):
+        # uncapped: every boiler copy after doc 0's is removed
+        if i > 0:
+            assert uncapped[i]["tokens_removed"] > 0, i
+        # capped: the 12x boiler windows are over the cap -> kept verbatim
+        assert capped[i]["tokens_removed"] == 0, i
+        assert capped[i]["cleaned_text"] == docs[i][1], i
+    # the 2x run is under the cap in both variants: second copy removed
+    for got in (capped, uncapped):
+        assert got[100]["tokens_removed"] == 0
+        assert got[101]["tokens_removed"] == W
+        assert "dup0" not in got[101]["cleaned_text"]
+
+
+def _run_capped(spark, docs, cap, w=W, basis="md5"):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in dedup_spans(
+            df, w=w, hash_basis=basis, max_occurrences=cap
+        ).collect()
+    }
+
+
+def test_span_window_stats_reports_cap(spark):
+    """'No silent caps': the stats row counts exactly the windows a cap
+    drops, replayed independently with a Python window-count dict."""
+    docs = _cap_corpus()
+    counts = {}
+    for d, t in docs:
+        toks = t.split(" ")
+        for i in range(max(len(toks) - W + 1, 0)):
+            k = tuple(toks[i : i + W])
+            counts[k] = counts.get(k, 0) + 1
+    cap = 10
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = span_window_stats(
+        df, w=W, max_occurrences=cap, hash_basis="md5"
+    ).collect()[0]
+    assert got["n_distinct_windows"] == len(counts)
+    assert got["max_window_occurrences"] == max(counts.values())
+    assert got["capped_wkeys"] == sum(1 for c in counts.values() if c > cap)
+    assert got["capped_occurrences"] == sum(
+        c for c in counts.values() if c > cap
+    )
+    # cap=None -> capped_* report zero, distribution unchanged
+    free = span_window_stats(df, w=W, hash_basis="md5").collect()[0]
+    assert free["n_distinct_windows"] == len(counts)
+    assert free["capped_wkeys"] == 0 and free["capped_occurrences"] == 0
+
+
+def test_capped_plan_stays_jvm_side(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        dedup_spans(df, max_occurrences=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
