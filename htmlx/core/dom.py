@@ -486,15 +486,22 @@ def _fast_tokenize(rawdata: str, tb: "_TreeBuilder") -> None:
                         aval = aval[1:-1]
                     attrs.append((aname, _unescape(aval) if "&" in aval else aval))
                 k = am.end()
-            selfclosing = False
             gt = find(">", k)
             if gt < 0:
                 # unterminated tag at EOF: stdlib treats the rest as data
                 text = rawdata[j:]
                 handle_data(_unescape(text) if "&" in text else text)
                 break
-            if rawdata[k:gt].rstrip().endswith("/") or (gt > j and rawdata[gt - 1] == "/"):
+            # same predicate as `slice-test or char-test` but ordered so
+            # the dominant k == gt case (tag ends exactly at '>') skips
+            # the slice+rstrip+endswith chain; gt >= k > j+1 always, so
+            # rawdata[gt-1] is in-bounds
+            if rawdata[gt - 1] == "/":
                 selfclosing = True
+            elif k < gt:
+                selfclosing = rawdata[k:gt].rstrip().endswith("/")
+            else:
+                selfclosing = False
             i = gt + 1
             if selfclosing:
                 tb.handle_startendtag(name, attrs)

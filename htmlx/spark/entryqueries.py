@@ -33,9 +33,18 @@ def _spread(docs: DataFrame) -> DataFrame:
     split, which would serialize every mapInPandas decode tier onto a
     single core (the input-split lesson, BENCH/BASELINE.md r5). JVM-only
     zero-shuffle queries deliberately do NOT use this (their plans are
-    asserted exchange-free; at real scale the scan has many splits)."""
+    asserted exchange-free; at real scale the scan has many splits).
+
+    Width is 1x defaultParallelism — exactly one Python-task wave. The r5
+    fix used 2x (the production skew heuristic), but each EXTRA wave of
+    32 python tasks costs ~0.3 s of worker dispatch at this corpus size
+    while adding nothing: per-task work is row-count-uniform after the
+    round-robin repartition (measured r7, BENCH/BASELINE.md: extract_text
+    0.89 s @32 parts vs 1.16 @64 vs 1.50 @96; media/jpeg decode tiers
+    -0.6 s each). At 10^12 rows partitioning comes from the scan splits,
+    never from this floor."""
     sc = docs.sparkSession.sparkContext
-    return docs.repartition(sc.defaultParallelism * 2)
+    return docs.repartition(sc.defaultParallelism)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,13 +56,12 @@ def _extract(spark, sf_dir, template: str, config: Config | None = None) -> Data
     # the documents table is a single small parquet file -> ONE input
     # split; without an explicit repartition the mapInPandas extraction
     # stage runs on one core (measured: extract_text 2.1s at local[32]
-    # with 31 idle workers). Salted repartition to 2x parallelism is the
-    # production job's own skew-defeating shape (job.salted_repartition) —
-    # at 10^12 rows the scan has millions of splits, but the explicit
-    # spread must not depend on the input layout.
+    # with 31 idle workers). Salted repartition (job.salted_repartition)
+    # is the production skew-defeating shape; width 1x parallelism = ONE
+    # python-task wave (r7 A/B: 0.89s @1x vs 1.16s @2x — see _spread).
     return run_extraction(
         pages, config or Config(),
-        num_partitions=spark.sparkContext.defaultParallelism * 2,
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
 
 

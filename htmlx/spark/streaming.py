@@ -54,9 +54,15 @@ def host_stats_stream(pages_stream: DataFrame) -> DataFrame:
         state.update((docs, nbytes))
         yield pd.DataFrame([{"host": key[0], "docs": docs, "bytes": nbytes}])
 
-    hosts = pages_stream.withColumn(
-        "host", F.regexp_extract("url", r"^https?://([^/]+)", 1)
-    ).select("host", "url", "html")
+    # host key = the ONE shared URL grammar (analytics._host_of: lowercased
+    # authority, trailing :port stripped) so the streaming rollup groups
+    # exactly like every batch host-keyed operator — 'Example.COM:443' and
+    # 'example.com' are the same host in both worlds
+    from .analytics import _host_of
+
+    hosts = pages_stream.withColumn("host", _host_of("url")).select(
+        "host", "url", "html"
+    )
     return hosts.groupBy("host").applyInPandasWithState(
         update,
         outputStructType=HOST_STATS_SCHEMA,

@@ -55,7 +55,23 @@ def test_stateful_host_stats(spark, tmp_path_factory):
     ckpt = os.path.join(root, "ckpt")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
-    pages_from_documents(docs, "text").repartition(4).write.parquet(pages_dir)
+    base = pages_from_documents(docs, "text")
+    # mixed-case host + explicit port on some rows: the streaming rollup
+    # must key on the SHARED grammar (_host_of — lowercase, port stripped),
+    # merging these with their plain-host siblings
+    cased = base.withColumn(
+        "url",
+        F.when(
+            F.xxhash64("url") % 3 == 0,
+            F.concat(
+                F.lit("https://"),
+                F.upper(F.regexp_extract("url", r"^https?://([^/]+)", 1)),
+                F.lit(":443/"),
+                F.regexp_extract("url", r"^https?://[^/]+/(.*)$", 1),
+            ),
+        ).otherwise(F.col("url")),
+    )
+    cased.repartition(4).write.parquet(pages_dir)
 
     stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
     stats = host_stats_stream(stream)
@@ -77,16 +93,20 @@ def test_stateful_host_stats(spark, tmp_path_factory):
             "SELECT host, max(docs) AS docs, max(bytes) AS bytes FROM hoststats GROUP BY host"
         ).collect()
     }
+    from htmlx.spark.analytics import _host_of
+
     pages = spark.read.parquet(pages_dir)
     want = {
         r.host: (r.docs, r.bytes)
-        for r in pages.withColumn("host", F.regexp_extract("url", r"^https?://([^/]+)", 1))
+        for r in pages.withColumn("host", _host_of("url"))
         .groupBy("host")
         .agg(F.count("*").alias("docs"), F.sum(F.length("html")).alias("bytes"))
         .collect()
     }
     assert got == want
     assert len(got) >= 2
+    # the cased/ported variants merged: no uppercase or :port key survives
+    assert all(h == h.lower() and not h.endswith(":443") for h in got)
 
 
 def test_watermarked_window_rollup_matches_batch(spark, tmp_path_factory):
