@@ -851,7 +851,37 @@ def dedup_spans(
     — at that frequency they are corpus template text, which is
     host_template_lines' job to strip, not span dedup's. None disables
     the cap (exact Lee-2022 semantics). Use span_window_stats for the
-    'no silent caps' report of what a cap would drop."""
+    'no silent caps' report of what a cap would drop. To run several cap
+    policies over one corpus (an uncapped oracle next to the production
+    cap, or a cap ablation) use dedup_spans_variants — ONE window pass
+    for all of them."""
+    out = dedup_spans_variants(
+        documents, w=w, hash_basis=hash_basis, caps={"": max_occurrences}
+    )
+    return out.drop("variant")
+
+
+def dedup_spans_variants(
+    documents: DataFrame,
+    w: int = 15,
+    hash_basis: str = "xxhash64",
+    caps: dict | None = None,
+) -> DataFrame:
+    """dedup_spans under SEVERAL hot-key-cap policies in ONE pass:
+    `caps` maps variant name -> max_occurrences (None = uncapped). The
+    expensive work — window hashing (posexplode over every token), the
+    wkey survivor aggregate, the wkey back-join — runs ONCE; each dup
+    occurrence then fans out to the variants whose cap admits its window
+    (a scan-side literal-array filter+explode, no extra shuffle of the
+    corpus), and the gaps-and-islands merge + text rebuild run per
+    (variant, doc_id). Running k cap policies as separate dedup_spans
+    calls costs k full window passes (Catalyst does not reuse the
+    exchanges across the union's branches — measured r7: the driver's
+    span+spancap union executed SIX posexplode chains); this shape pays
+    ~1 + k·epsilon. Returns one row per (variant, document):
+    (variant, doc_id, n_windows, n_dup_windows, tokens_removed,
+    cleaned_text)."""
+    caps = caps if caps is not None else {"": None}
     d = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.col("text"), " ").alias("toks"),
@@ -861,23 +891,44 @@ def dedup_spans(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("__occ"),
     )
-    if max_occurrences is not None:
-        firsts = firsts.where(F.col("__occ") <= max_occurrences)
+    # cap = -1 encodes "uncapped" inside the literal struct array (Spark
+    # literals can't be NULL-typed per-field here); occurrence counts are
+    # >= 1 so -1 never collides with a real cap
+    vlist = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("v"),
+                F.lit(-1 if cap is None else int(cap)).alias("cap"),
+            )
+            for name, cap in caps.items()
+        ]
+    )
     dups = (
-        wins.join(firsts.select("wkey", "first"), "wkey")
+        wins.join(firsts, "wkey")
         .where(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))
         )
-        .select("doc_id", "pos")
+        .select(
+            "doc_id",
+            "pos",
+            F.explode(
+                F.filter(
+                    vlist,
+                    lambda s: (s["cap"] < 0) | (F.col("__occ") <= s["cap"]),
+                )
+            ).alias("vs"),
+        )
+        .select(F.col("vs.v").alias("variant"), "doc_id", "pos")
     )
     # gaps-and-islands: a new island starts when this window begins past
     # every previous window's end (all windows have length w)
-    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    wspec = Window.partitionBy("variant", "doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + w).over(
         wspec.rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = dups.select(
+        "variant",
         "doc_id",
         "pos",
         F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1)
@@ -886,18 +937,23 @@ def dedup_spans(
     )
     islands = (
         flagged.withColumn("island_id", F.sum("new_island").over(wspec))
-        .groupBy("doc_id", "island_id")
+        .groupBy("variant", "doc_id", "island_id")
         .agg(
             F.min("pos").cast("long").alias("s"),
             (F.max("pos") + w).cast("long").alias("e"),
             F.count("*").alias("nw"),
         )
     )
-    per_doc = islands.groupBy("doc_id").agg(
+    per_doc = islands.groupBy("variant", "doc_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("rm"),
         F.sum("nw").cast("long").alias("n_dup_windows"),
     )
-    joined = d.join(per_doc, "doc_id", "left")
+    base = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.transform(vlist, lambda s: s["v"])).alias("variant"),
+    )
+    joined = base.join(per_doc, ["variant", "doc_id"], "left")
     rm = F.coalesce(F.col("rm"), F.array().cast("array<struct<s:long,e:long>>"))
     indexed = F.transform(
         F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
@@ -907,6 +963,7 @@ def dedup_spans(
         lambda s: ~F.exists(rm, lambda r: (r["s"] <= s["i"]) & (s["i"] < r["e"])),
     )
     return joined.select(
+        "variant",
         "doc_id",
         F.greatest(F.size("toks") - w + 1, F.lit(0)).cast("long").alias("n_windows"),
         F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),

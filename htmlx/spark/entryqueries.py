@@ -491,26 +491,22 @@ def q_dedup_exact(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    span_level = analytics.dedup_spans(span_docs, w=15, hash_basis="md5").select(
-        F.lit("span").alias("level"),
-        F.md5(F.col("cleaned_text")).alias("content_md5"),
-        F.col("doc_id").alias("keep_doc_id"),
-        F.col("tokens_removed").alias("dup_count"),
-    )
-    # spancap + spanstats levels (r7, VERDICT r6 item 5): the hot-key cap
-    # twin. At sf0.01 the planted _SPAN_BOILER windows occur in ~500/7
-    # docs — over the cap of 20, so spancap must KEEP them (template
-    # text, host_template_lines' job) while still removing every
-    # under-cap organic duplicate; spanstats is the 'no silent caps'
-    # report (all four stats folded into content_md5; keep_doc_id /
+    # span + spancap levels (r6/r7, VERDICT r6 item 5): exact substring
+    # dedup uncapped AND under the hot-key cap, in ONE window pass
+    # (dedup_spans_variants — two separate dedup_spans calls executed SIX
+    # posexplode chains, measured r7; Catalyst does not reuse exchanges
+    # across union branches). At sf0.01 the planted _SPAN_BOILER windows
+    # occur in ~500/7 docs — over the cap of 20, so spancap must KEEP
+    # them (template text, host_template_lines' job) while still removing
+    # every under-cap organic duplicate. spanstats is the 'no silent
+    # caps' report (all four stats folded into content_md5; keep_doc_id /
     # dup_count carry capped_wkeys / capped_occurrences). The oracle
-    # replays both from the same window CTE, so a cap off by one window
-    # flips the hash. Both reuse span_docs' exploded-window subtree
-    # (ReusedExchange) — the added driver cost is one post-agg filter.
-    spancap_level = analytics.dedup_spans(
-        span_docs, w=15, hash_basis="md5", max_occurrences=20
+    # replays all three from the same window CTE, so a cap off by one
+    # window flips the hash.
+    span_levels = analytics.dedup_spans_variants(
+        span_docs, w=15, hash_basis="md5", caps={"span": None, "spancap": 20}
     ).select(
-        F.lit("spancap").alias("level"),
+        F.col("variant").alias("level"),
         F.md5(F.col("cleaned_text")).alias("content_md5"),
         F.col("doc_id").alias("keep_doc_id"),
         F.col("tokens_removed").alias("dup_count"),
@@ -590,8 +586,7 @@ def q_dedup_exact(spark, sf_dir):
     return (
         doc_level.unionByName(paras.select(F.lit("para").alias("level"), "*"))
         .unionByName(policy_level)
-        .unionByName(span_level)
-        .unionByName(spancap_level)
+        .unionByName(span_levels)
         .unionByName(spanstats_level)
         .unionByName(tmpl_level)
         .unionByName(norm_level)

@@ -10,7 +10,11 @@ the dual-hash-basis equivalence the driver oracle relies on."""
 
 import pytest
 
-from htmlx.spark.analytics import dedup_spans, span_window_stats
+from htmlx.spark.analytics import (
+    dedup_spans,
+    dedup_spans_variants,
+    span_window_stats,
+)
 from htmlx.spark.session import get_spark
 
 W = 15
@@ -206,6 +210,30 @@ def test_span_window_stats_reports_cap(spark):
     free = span_window_stats(df, w=W, hash_basis="md5").collect()[0]
     assert free["n_distinct_windows"] == len(counts)
     assert free["capped_wkeys"] == 0 and free["capped_occurrences"] == 0
+
+
+def test_variants_one_pass_matches_separate_calls(spark):
+    """dedup_spans_variants must return per-variant results identical to
+    running dedup_spans once per cap policy — while executing the window
+    hash/survivor machinery ONCE (two posexplode generates: the survivor
+    aggregate side and the back-join probe side — NOT two per variant)."""
+    docs = _cap_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    both = dedup_spans_variants(
+        df, w=W, hash_basis="md5", caps={"free": None, "capped": 10}
+    )
+    rows = {(r["variant"], r["doc_id"]): r for r in both.collect()}
+    assert len(rows) == 2 * len(docs)
+    free = _run(spark, docs)
+    capped = _run_capped(spark, docs, cap=10)
+    for d, _ in docs:
+        for v, want in (("free", free), ("capped", capped)):
+            assert rows[(v, d)]["cleaned_text"] == want[d]["cleaned_text"], (v, d)
+            assert rows[(v, d)]["tokens_removed"] == want[d]["tokens_removed"]
+            assert rows[(v, d)]["n_dup_windows"] == want[d]["n_dup_windows"]
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("posexplode") <= 2, plan.count("posexplode")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_capped_plan_stays_jvm_side(spark):
