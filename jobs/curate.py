@@ -433,6 +433,11 @@ def main():
     ap.add_argument("--iters", type=int, default=0, help="0 = iterate to convergence")
     ap.add_argument("--span-window", type=int, default=15,
                     help="minimum duplicated run length in tokens (spandedup mode)")
+    ap.add_argument("--span-max-occurrences", type=int, default=None,
+                    help="hot-key cap (spandedup mode): windows repeated more "
+                         "than this many times are treated as template text "
+                         "and NOT removed (see host-template removal); "
+                         "default uncapped")
     ap.add_argument("--keep-by", default=None,
                     help="dedup keep policy: ordering column choosing the surviving "
                          "duplicate (default: minimum doc_id)")
@@ -488,7 +493,10 @@ def main():
             normalize=args.normalize,
         )
     elif args.mode == "spandedup":
-        out = analytics.dedup_spans(docs, w=args.span_window, hash_basis=args.hash_basis)
+        out = analytics.dedup_spans(
+            docs, w=args.span_window, hash_basis=args.hash_basis,
+            max_occurrences=args.span_max_occurrences,
+        )
     elif args.mode == "paradedup":
         extra = (args.keep_by,) if args.keep_by else ()
         out = analytics.dedup_paragraphs(

@@ -266,3 +266,25 @@ def test_curate_spandedup_cli(spark, tmp_path, monkeypatch):
     assert got[0]["tokens_removed"] == 0
     assert got[1]["tokens_removed"] > 0 and BOILER not in got[1]["cleaned_text"]
     assert got[2]["tokens_removed"] == 0
+
+
+def test_curate_spandedup_cli_cap_flag(spark, tmp_path, monkeypatch):
+    """--span-max-occurrences reaches dedup_spans: over-cap template
+    windows survive in every doc through the real CLI path."""
+    import sys
+
+    from jobs.curate import main
+
+    docs = _cap_corpus()
+    inp, outp = str(tmp_path / "in.parquet"), str(tmp_path / "out.parquet")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", outp,
+        "--mode", "spandedup", "--span-window", str(W),
+        "--span-max-occurrences", "10",
+    ])
+    main()
+    got = {r["doc_id"]: r for r in spark.read.parquet(outp).collect()}
+    for i in range(12):  # 12x boiler windows: over the cap -> kept
+        assert got[i]["tokens_removed"] == 0, i
+    assert got[101]["tokens_removed"] == W  # 2x run: under the cap -> removed
