@@ -352,7 +352,15 @@ def host_rank(
     at 2^4 subtree copies; materializing the identical one-row-per-host
     state changes no values, so determinism is preserved (pinned by
     test_link_graph.py::test_host_rank_checkpoint_determinism). Pass
-    checkpoint_every=0 to disable (only sensible for iters <= ~8)."""
+    checkpoint_every=0 to disable (only sensible for iters <= ~8).
+
+    Checkpoint RELIABILITY: when the SparkContext has a checkpoint
+    directory configured (sc.setCheckpointDir — the normal cluster
+    setup), the RELIABLE df.checkpoint is used: localCheckpoint stores
+    blocks on executors, and losing one executor after lineage
+    truncation kills the whole job — unacceptable on a 1000-executor
+    run. Without a checkpoint dir (local dev), localCheckpoint is the
+    only option and is used as before."""
     e = edges.groupBy(src_col, dst_col).agg(
         (
             F.sum(weight_col) if weight_col else F.count(F.lit(1))
@@ -400,7 +408,11 @@ def host_rank(
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and (it + 1) < iters:
-            pr = pr.localCheckpoint(eager=True)
+            sc = pr.sparkSession.sparkContext
+            if sc._jsc.sc().checkpointDir().isDefined():
+                pr = pr.checkpoint(eager=True)
+            else:
+                pr = pr.localCheckpoint(eager=True)
     return pr
 
 

@@ -127,6 +127,37 @@ def test_host_rank_checkpoint_determinism(spark):
     assert abs(total - 1.0) < 1e-9, total
 
 
+def test_host_rank_reliable_checkpoint_with_dir(spark, tmp_path):
+    """With a checkpoint directory configured (the cluster setup),
+    host_rank uses the RELIABLE df.checkpoint — localCheckpoint blocks
+    die with their executor, which after lineage truncation kills a long
+    cluster run. Values must be identical either way."""
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", 3), ("b.com", "c.com", 1), ("c.com", "a.com", 2)],
+        "src_host string, dst_host string, weight long",
+    )
+    base = {r["host"]: r["rank"]
+            for r in host_rank(edges, iters=6, weight_col="weight",
+                               checkpoint_every=0).collect()}
+    sc = spark.sparkContext
+    assert not sc._jsc.sc().checkpointDir().isDefined()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        ck = {r["host"]: r["rank"]
+              for r in host_rank(edges, iters=6, weight_col="weight",
+                                 checkpoint_every=2).collect()}
+        # reliable checkpoint actually wrote to the directory
+        import os
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+    finally:
+        # SparkContext.checkpointDir is a Scala var: reset so the
+        # module-scoped session leaves no state for later tests
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert base.keys() == ck.keys()
+    for h in base:
+        assert abs(base[h] - ck[h]) < 1e-12, (h, base[h], ck[h])
+
+
 def test_plan_single_aggregate_no_python(spark):
     df = _links_df(spark, [("https://a.com/1", [_l("https://b.com/x")])])
     plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
