@@ -1,0 +1,201 @@
+"""WARC ingest: Common-Crawl .warc / .warc.gz archives -> the engine's
+pages table (url, warc_ts, html, ...).
+
+The reference engine starts at HTML bytes (extractor.go takes content
+[]byte); real crawl pipelines start one step earlier, at WARC archives
+(ISO 28500 / WARC 1.1 — the Common Crawl container format). This module
+is that ingest step, stdlib-only:
+
+  - `.warc.gz`: each record is its own gzip MEMBER (the Common Crawl
+    convention, warc-1.1 annex C) — members are split with
+    zlib.decompressobj(31) and `unused_data`, so one corrupt member
+    skips forward instead of poisoning the file.
+  - record grammar (warc-1.1 §4): `WARC/1.x CRLF`, named fields, CRLF,
+    a Content-Length-octets block, CRLF CRLF. Malformed records are
+    skipped by re-synchronizing on the next `WARC/` magic.
+  - response records carry an HTTP response in the block (§6.3): the
+    status line + headers are stripped, `Content-Encoding: gzip/deflate`
+    payloads are inflated, and the remaining body is the page html.
+
+100 TB plan: `spark.read.format("binaryFile")` gives one row per
+archive; gzip archives are non-splittable, so parallelism = file count
+— exactly the Common Crawl layout (crawls ship as ~1 GB x ~72k files
+per snapshot, ample for 1000 executors). Record splitting runs in
+mapInPandas (per-file Python work is unavoidable for a byte-level
+container format; each yielded batch is one archive's records, bounded
+by the archive size). Executors must be sized to hold one archive in
+memory (the same requirement any WARC reader has).
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Output schema: the engine's pages-table core (url, warc_ts, html)
+#: plus the WARC/HTTP envelope fields a curation pipeline filters on.
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, warc_type string, "
+    "http_status int, content_type string, warc_file string"
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a multi-member gzip stream member by member (warc.gz:
+    one record per member). A member that fails to inflate ends the
+    scan for this file (offsets past a corrupt member are unknowable)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(31)
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        if not d.eof:
+            return  # truncated trailing member
+        yield out
+        unused = len(d.unused_data)
+        if unused == 0:
+            return
+        pos = n - unused
+
+
+def _parse_warc_date(s: str):
+    """warc-1.1 §5.4 WARC-Date: W3C ISO 8601, UTC 'Z' suffix."""
+    try:
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        ).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def _iter_records(raw: bytes) -> Iterator[dict]:
+    """Yield {headers: dict, block: bytes} per WARC record in a raw
+    (already-decompressed) stream, re-syncing on 'WARC/' after damage."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        start = raw.find(b"WARC/", pos)
+        if start < 0:
+            return
+        hdr_end = raw.find(_CRLF2, start)
+        if hdr_end < 0:
+            return
+        lines = raw[start:hdr_end].split(b"\r\n")
+        headers: dict = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "latin-1", "replace"
+                )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = start + 5  # malformed: re-sync past this magic
+            continue
+        block_start = hdr_end + 4
+        if block_start + clen > n:
+            return  # truncated record at EOF
+        yield {"headers": headers, "block": raw[block_start : block_start + clen]}
+        pos = block_start + clen
+
+
+def _split_http_response(block: bytes):
+    """(status:int|None, content_type:str, body:bytes) from an HTTP
+    response block; Content-Encoding gzip/deflate payloads inflated."""
+    hdr_end = block.find(_CRLF2)
+    if hdr_end < 0 or not block.startswith(b"HTTP/"):
+        return None, "", block
+    head = block[:hdr_end].decode("latin-1", "replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype, cenc = "", ""
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(":")
+        if not sep:
+            continue
+        lk = k.strip().lower()
+        if lk == "content-type":
+            ctype = v.strip()
+        elif lk == "content-encoding":
+            cenc = v.strip().lower()
+    body = block[hdr_end + 4 :]
+    if cenc in ("gzip", "x-gzip"):
+        try:
+            body = zlib.decompress(body, 31)
+        except zlib.error:
+            pass  # keep raw bytes; extraction will degrade explicitly
+    elif cenc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -15)  # raw-deflate servers
+            except zlib.error:
+                pass
+    return status, ctype, body
+
+
+def iter_warc_pages(path: str, content: bytes) -> Iterator[tuple]:
+    """All response-record rows (url, ts, html, type, status, ctype,
+    file) from one archive's bytes — the per-file worker, pure Python."""
+    if path.endswith(".gz"):
+        streams: Iterator[bytes] = _gzip_members(content)
+    else:
+        streams = iter((content,))
+    for raw in streams:
+        for rec in _iter_records(raw):
+            h = rec["headers"]
+            wtype = h.get("warc-type", "")
+            if wtype != "response":
+                continue
+            url = h.get("warc-target-uri", "")
+            if url.startswith("<") and url.endswith(">"):
+                url = url[1:-1]  # warc-1.0 angle-bracket form
+            status, ctype, body = _split_http_response(rec["block"])
+            yield (
+                url,
+                _parse_warc_date(h.get("warc-date", "")),
+                body,
+                wtype,
+                status,
+                ctype or h.get("content-type", ""),
+                path,
+            )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read .warc/.warc.gz archives under `path` (file, dir, or glob)
+    into a pages DataFrame (WARC_PAGES_SCHEMA) of the HTTP *response*
+    records — ready for run_extraction / latest_capture / url_filter.
+    One archive = one binaryFile row = one Python task."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = list(iter_warc_pages(path_, bytes(content)))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "url", "warc_ts", "html", "warc_type",
+                            "http_status", "content_type", "warc_file",
+                        ],
+                    )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(gen, WARC_PAGES_SCHEMA)

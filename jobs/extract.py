@@ -1,9 +1,11 @@
 """spark-submit entry point for the extraction pipeline.
 
   spark-submit --py-files htmlx.zip jobs/extract.py \
-      --input <pages table/parquet path> --output <results root> \
+      --input <pages table/parquet path, or .warc/.warc.gz archives> \
+      --output <results root> \
       [--metrics <metrics root>] [--run-id RID] [--groups 64] \
       [--mode extract|links|text] [--partitions N] \
+      [--input-format auto|parquet|table|warc] \
       [--previous <prior pages parquet>]
 
 Reads the Common-Crawl-style pages table (url, warc_ts, html, text, lang),
@@ -35,6 +37,11 @@ def main():
     ap.add_argument("--groups", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--mode", choices=["extract", "links", "text"], default="extract")
+    ap.add_argument("--input-format", choices=["auto", "parquet", "table", "warc"],
+                    default="auto",
+                    help="input kind; 'warc' reads .warc/.warc.gz archives "
+                         "(htmlx.spark.warc) straight into the pipeline — "
+                         "'auto' also picks warc for *.warc/*.warc.gz paths")
     ap.add_argument("--previous", default=None,
                     help="prior crawl's pages parquet: extract only the delta "
                          "(added/changed canonical URLs) and write the diff "
@@ -49,10 +56,21 @@ def main():
 
     spark = SparkSession.builder.appName("htmlx-extract").getOrCreate()
     run_id = args.run_id or uuid.uuid4().hex[:12]
-    pages = (
-        spark.read.table(args.input) if not args.input.endswith((".parquet", "/")) and "/" not in args.input
-        else spark.read.parquet(args.input)
-    )
+    fmt = args.input_format
+    if fmt == "auto" and args.input.rstrip("/").endswith((".warc", ".warc.gz")):
+        fmt = "warc"
+    if fmt == "warc":
+        from htmlx.spark.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    elif fmt == "table" or (
+        fmt == "auto"
+        and not args.input.endswith((".parquet", "/"))
+        and "/" not in args.input
+    ):
+        pages = spark.read.table(args.input)
+    else:
+        pages = spark.read.parquet(args.input)
 
     out = ParquetTableIO(args.output)
     metrics = ParquetTableIO(args.metrics) if args.metrics else None

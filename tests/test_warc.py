@@ -1,0 +1,160 @@
+"""WARC ingest (htmlx.spark.warc): ISO 28500 record grammar, the
+Common-Crawl one-gzip-member-per-record convention, HTTP envelope
+stripping, and the e2e chain into run_extraction. The WARC bytes are
+synthesized HERE with an independent writer built straight from the
+spec text (warc-1.1 §4: version line, named fields, CRLF CRLF,
+Content-Length octets, CRLF CRLF) — the reader never round-trips its
+own serialization."""
+
+import gzip
+import os
+
+import pytest
+
+from htmlx.spark.session import get_spark
+from htmlx.spark.warc import iter_warc_pages, read_warc
+
+HTML_A = b"<html><head><title>Doc A</title></head><body><article><p>" \
+         b"alpha words in the first test document body</p></article></body></html>"
+HTML_B = b"<html><body><article><p>beta second doc</p></article></body></html>"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-warc-test")
+    yield s
+    s.stop()
+
+
+def _record(wtype: bytes, block: bytes, url: bytes | None = None,
+            date: bytes = b"2017-03-22T17:01:03Z") -> bytes:
+    fields = [
+        b"WARC/1.1",
+        b"WARC-Type: " + wtype,
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000aa>",
+        b"WARC-Date: " + date,
+        b"Content-Length: " + str(len(block)).encode(),
+    ]
+    if url is not None:
+        fields.append(b"WARC-Target-URI: " + url)
+    return b"\r\n".join(fields) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: bytes = b"200 OK",
+          headers: bytes = b"Content-Type: text/html; charset=utf-8") -> bytes:
+    return b"HTTP/1.1 " + status + b"\r\n" + headers + b"\r\n\r\n" + body
+
+
+def _corpus() -> bytes:
+    return b"".join([
+        _record(b"warcinfo", b"software: test\r\n"),
+        _record(b"request", b"GET / HTTP/1.1\r\nHost: a.com\r\n\r\n",
+                url=b"https://a.com/page"),
+        _record(b"response", _http(HTML_A), url=b"https://a.com/page"),
+        _record(b"response", _http(HTML_B, status=b"404 Not Found"),
+                url=b"<https://b.org/missing>",
+                date=b"2019-06-01T00:00:00Z"),
+    ])
+
+
+def test_iter_pages_responses_only_headers_stripped():
+    rows = list(iter_warc_pages("x.warc", _corpus()))
+    assert len(rows) == 2  # warcinfo + request filtered out
+    (url_a, ts_a, body_a, t_a, st_a, ct_a, _), (url_b, ts_b, body_b, t_b, st_b, _, _) = rows
+    assert url_a == "https://a.com/page" and body_a == HTML_A
+    assert t_a == "response" and st_a == 200 and "text/html" in ct_a
+    assert ts_a.isoformat() == "2017-03-22T17:01:03"
+    # angle-bracket WARC-Target-URI form unwrapped; non-200 kept with status
+    assert url_b == "https://b.org/missing" and st_b == 404 and body_b == HTML_B
+
+
+def test_gzip_member_per_record_convention():
+    members = [
+        _record(b"response", _http(HTML_A), url=b"https://a.com/1"),
+        _record(b"response", _http(HTML_B), url=b"https://a.com/2"),
+    ]
+    gz = b"".join(gzip.compress(m) for m in members)
+    rows = list(iter_warc_pages("x.warc.gz", gz))
+    assert [r[0] for r in rows] == ["https://a.com/1", "https://a.com/2"]
+    assert rows[0][2] == HTML_A and rows[1][2] == HTML_B
+
+
+def test_content_encoding_gzip_payload_inflated():
+    body = gzip.compress(HTML_A)
+    rec = _record(
+        b"response",
+        _http(body, headers=b"Content-Type: text/html\r\nContent-Encoding: gzip"),
+        url=b"https://a.com/gz",
+    )
+    rows = list(iter_warc_pages("x.warc", rec))
+    assert rows[0][2] == HTML_A
+
+
+def test_malformed_record_resync_and_truncation():
+    # garbage before a valid record; then a record whose Content-Length
+    # runs past EOF (truncated download) — must not raise, must not
+    # emit the truncated record
+    valid = _record(b"response", _http(HTML_A), url=b"https://a.com/ok")
+    broken_hdr = b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: nope\r\n\r\n"
+    truncated = _record(b"response", _http(HTML_B), url=b"https://a.com/cut")[:-30]
+    rows = list(iter_warc_pages("x.warc", b"junk" + broken_hdr + valid + truncated))
+    assert [r[0] for r in rows] == ["https://a.com/ok"]
+
+
+def test_read_warc_to_extraction_e2e(spark, tmp_path):
+    """The full ingest chain: .warc.gz files on disk -> read_warc ->
+    run_extraction; extracted text must equal extracting the same HTML
+    fed directly as a pages table."""
+    from pyspark.sql import functions as F
+
+    from htmlx.core.extract import Config
+    from htmlx.spark.job import run_extraction
+
+    d = str(tmp_path)
+    members = [
+        _record(b"response", _http(HTML_A), url=b"https://a.com/1"),
+        _record(b"request", b"GET /1 HTTP/1.1\r\n\r\n", url=b"https://a.com/1"),
+        _record(b"response", _http(HTML_B), url=b"https://b.org/2"),
+    ]
+    with open(os.path.join(d, "part-0.warc.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(m) for m in members))
+    with open(os.path.join(d, "part-1.warc"), "wb") as f:
+        f.write(_record(b"response", _http(HTML_A), url=b"https://c.net/3"))
+
+    pages = read_warc(spark, d)
+    assert pages.count() == 3
+    got = {
+        r["url"]: r["text"]
+        for r in run_extraction(pages.select("url", "html"), Config()).collect()
+    }
+    direct = spark.createDataFrame(
+        [("https://a.com/1", bytearray(HTML_A))], "url string, html binary"
+    )
+    want_a = run_extraction(direct, Config()).collect()[0]["text"]
+    assert got["https://a.com/1"] == want_a == got["https://c.net/3"]
+    assert "beta second doc" in got["https://b.org/2"]
+
+
+def test_extract_cli_input_format_warc(spark, tmp_path, monkeypatch):
+    """jobs/extract.py --input-format warc: the real spark-submit entry
+    ingests archives and commits results through the resume machinery."""
+    import sys
+
+    from jobs.extract import main
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    members = [
+        _record(b"response", _http(HTML_A), url=b"https://a.com/1"),
+        _record(b"response", _http(HTML_B), url=b"https://b.org/2"),
+    ]
+    with open(os.path.join(d, "seg-0.warc.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(m) for m in members))
+    out = str(tmp_path / "results")
+    monkeypatch.setattr(sys, "argv", [
+        "extract.py", "--input", d, "--input-format", "warc",
+        "--output", out, "--groups", "2", "--run-id", "warctest",
+    ])
+    main()
+    got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+    assert got == {"https://a.com/1", "https://b.org/2"}
