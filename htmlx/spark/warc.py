@@ -148,9 +148,15 @@ def _split_http_response(block: bytes):
     return status, ctype, body
 
 
-def iter_warc_pages(path: str, content: bytes) -> Iterator[tuple]:
-    """All response-record rows (url, ts, html, type, status, ctype,
-    file) from one archive's bytes — the per-file worker, pure Python."""
+def iter_warc_pages(
+    path: str, content: bytes, record_types: tuple = ("response",)
+) -> Iterator[tuple]:
+    """All wanted-record rows (url, ts, body, type, status, ctype, file)
+    from one archive's bytes — the per-file worker, pure Python.
+    record_types selects WARC-Type values: ('response',) for page
+    archives (HTTP envelope stripped); ('conversion',) for WET
+    extracted-text archives (block used verbatim — warc-1.1 §6.8 stores
+    the derived text directly, no HTTP envelope, status stays NULL)."""
     if path.endswith(".gz"):
         streams: Iterator[bytes] = _gzip_members(content)
     else:
@@ -159,12 +165,15 @@ def iter_warc_pages(path: str, content: bytes) -> Iterator[tuple]:
         for rec in _iter_records(raw):
             h = rec["headers"]
             wtype = h.get("warc-type", "")
-            if wtype != "response":
+            if wtype not in record_types:
                 continue
             url = h.get("warc-target-uri", "")
             if url.startswith("<") and url.endswith(">"):
                 url = url[1:-1]  # warc-1.0 angle-bracket form
-            status, ctype, body = _split_http_response(rec["block"])
+            if wtype == "response":
+                status, ctype, body = _split_http_response(rec["block"])
+            else:
+                status, ctype, body = None, h.get("content-type", ""), rec["block"]
             yield (
                 url,
                 _parse_warc_date(h.get("warc-date", "")),
@@ -176,7 +185,9 @@ def iter_warc_pages(path: str, content: bytes) -> Iterator[tuple]:
             )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, record_types: tuple = ("response",)
+) -> DataFrame:
     """Read .warc/.warc.gz archives under `path` (file, dir, or glob)
     into a pages DataFrame (WARC_PAGES_SCHEMA) of the HTTP *response*
     records — ready for run_extraction / latest_capture / url_filter.
@@ -187,7 +198,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                rows = list(iter_warc_pages(path_, bytes(content)))
+                rows = list(iter_warc_pages(path_, bytes(content), record_types))
                 if rows:
                     yield pd.DataFrame(
                         rows,
@@ -199,3 +210,41 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(gen, WARC_PAGES_SCHEMA)
+
+
+WET_SCHEMA = (
+    "url string, warc_ts timestamp, text string, content_type string, "
+    "wet_file string"
+)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET extracted-text archives (.warc.wet/.warc.wet.gz —
+    Common Crawl's own boilerplate-stripped text, stored as
+    'conversion' records) into (url, warc_ts, text, content_type,
+    wet_file). The natural A/B input for comparing this engine's
+    extraction against the crawl's published text (e.g. join on url,
+    diff token counts). UTF-8 per the WET convention, decoded in the
+    same Python pass that splits records with errors='replace' —
+    Spark's own `decode` raises MALFORMED_CHARACTER_CODING on crawl
+    dirt, which is unacceptable mid-100TB-job."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = [
+                    (url, ts, body.decode("utf-8", "replace"), ctype, path_)
+                    for (url, ts, body, _t, _s, ctype, _f) in iter_warc_pages(
+                        path_, bytes(content), record_types=("conversion",)
+                    )
+                ]
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["url", "warc_ts", "text", "content_type", "wet_file"],
+                    )
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return files.mapInPandas(gen, WET_SCHEMA)

@@ -135,6 +135,28 @@ def test_read_warc_to_extraction_e2e(spark, tmp_path):
     assert "beta second doc" in got["https://b.org/2"]
 
 
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET archives: 'conversion' records hold the crawl's own extracted
+    text verbatim (no HTTP envelope); read_wet surfaces them as a text
+    column, tolerating undecodable bytes."""
+    from htmlx.spark.warc import read_wet
+
+    wet_text = "Extracted text of the page.\nSecond line café.".encode()
+    members = [
+        _record(b"warcinfo", b"software: wet\r\n"),
+        _record(b"conversion", wet_text, url=b"https://a.com/1"),
+        _record(b"conversion", b"ok \xff broken", url=b"https://b.org/2"),
+    ]
+    d = str(tmp_path)
+    with open(os.path.join(d, "seg.warc.wet.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(m) for m in members))
+    got = {r["url"]: r["text"] for r in read_wet(spark, d).collect()}
+    assert got["https://a.com/1"] == wet_text.decode()
+    assert got["https://b.org/2"].startswith("ok ")  # malformed byte tolerated
+    # and the response-reader ignores conversion records entirely
+    assert read_warc(spark, d).count() == 0
+
+
 def test_extract_cli_input_format_warc(spark, tmp_path, monkeypatch):
     """jobs/extract.py --input-format warc: the real spark-submit entry
     ingests archives and commits results through the resume machinery."""
