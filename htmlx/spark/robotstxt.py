@@ -166,6 +166,72 @@ def robots_rules(
     return robots.select(hc, tc).mapInPandas(parse_batch, RULES_SCHEMA)
 
 
+ROBOTS_TABLE_SCHEMA = "host string, robots_txt string, status int"
+
+
+def robots_table_from_pages(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    status_col: str | None = "http_status",
+    ts_col: str | None = "warc_ts",
+) -> DataFrame:
+    """Build the per-host (host, robots_txt, status) table robots_filter
+    consumes, straight from crawl captures of /robots.txt (e.g.
+    warc.read_warc over a robots WARC segment — Common Crawl publishes
+    robots responses as ordinary response records).
+
+    Semantics: host = the shared URL grammar (analytics._host_of);
+    NEWEST capture per host wins (max_by on ts_col when present — the
+    recrawl convention latest_capture uses); body decoded UTF-8
+    errors='replace' in a mapInPandas pass AFTER the per-host collapse,
+    so the Python stage is bounded by host count, never capture count
+    (Spark's strict decode() would raise on crawl dirt). status rides
+    through for robots_filter's RFC 9309 fetch-status policy (5xx
+    fail-closed / 4xx fail-open)."""
+    from pyspark.sql import functions as F
+
+    from .analytics import _host_of
+
+    st = (
+        F.col(status_col).cast("int")
+        if status_col is not None
+        else F.lit(None).cast("int")
+    )
+    ts = F.col(ts_col) if ts_col is not None else F.lit(0)
+    latest = (
+        pages.select(
+            _host_of(url_col).alias("host"),
+            F.col(html_col).alias("__body"),
+            st.alias("__status"),
+            ts.alias("__ts"),
+        )
+        .where(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.max_by(F.struct("__body", "__status"), F.col("__ts")).alias("__r")
+        )
+        .select("host", F.col("__r.__body").alias("__body"), F.col("__r.__status").alias("__status"))
+    )
+
+    def decode_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "robots_txt": [
+                        (bytes(b).decode("utf-8", "replace") if b is not None else "")
+                        for b in pdf["__body"]
+                    ],
+                    "status": pdf["__status"],
+                }
+            )
+
+    return latest.mapInPandas(decode_batch, ROBOTS_TABLE_SCHEMA)
+
+
 def robots_filter(
     docs: DataFrame,
     robots: DataFrame,

@@ -223,6 +223,65 @@ def test_parser_totality_on_garbage():
             robots_allowed(rules, "/some/path")  # matcher total too
 
 
+def test_robots_table_from_warc_captures(spark, tmp_path):
+    """The full crawl seam: robots.txt WARC captures -> read_warc ->
+    robots_table_from_pages (newest capture per host wins, body decoded
+    errors=replace, status carried) -> robots_filter with the RFC 9309
+    fetch-status policy. Covers: recrawl supersedence (old allow, new
+    disallow), a 503 host that must fail CLOSED though its body would
+    allow, and a 404 host that must fail OPEN though its body would
+    block."""
+    import gzip
+    import os
+
+    from htmlx.spark.robotstxt import robots_table_from_pages
+    from htmlx.spark.warc import read_warc
+
+    def record(block, url, date, status=b"200 OK"):
+        http = b"HTTP/1.1 " + status + b"\r\nContent-Type: text/plain\r\n\r\n" + block
+        f = [b"WARC/1.1", b"WARC-Type: response",
+             b"WARC-Record-ID: <urn:uuid:1>", b"WARC-Date: " + date,
+             b"WARC-Target-URI: " + url,
+             b"Content-Length: " + str(len(http)).encode()]
+        return b"\r\n".join(f) + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+    allow_all = b"User-agent: *\nDisallow:\n"
+    block_priv = b"User-agent: *\nDisallow: /private/\n"
+    block_all = b"User-agent: *\nDisallow: /\n"
+    members = [
+        # a.com: older capture allows everything, NEWER one blocks /private/
+        record(allow_all, b"https://a.com/robots.txt", b"2020-01-01T00:00:00Z"),
+        record(block_priv, b"https://A.COM:443/robots.txt", b"2021-06-01T00:00:00Z"),
+        # err.com: 503 — body would allow, policy must fail CLOSED
+        record(allow_all, b"https://err.com/robots.txt",
+               b"2021-01-01T00:00:00Z", status=b"503 Service Unavailable"),
+        # gone.com: 404 — body would block, policy must fail OPEN
+        record(block_all, b"https://gone.com/robots.txt",
+               b"2021-01-01T00:00:00Z", status=b"404 Not Found"),
+    ]
+    d = str(tmp_path / "robotswarc")
+    os.makedirs(d)
+    with open(os.path.join(d, "seg.warc.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(m) for m in members))
+
+    robots = robots_table_from_pages(read_warc(spark, d))
+    tbl = {r["host"]: r for r in robots.collect()}
+    assert set(tbl) == {"a.com", "err.com", "gone.com"}  # shared grammar merged A.COM:443
+    assert "private" in tbl["a.com"]["robots_txt"]  # newest capture won
+    assert tbl["err.com"]["status"] == 503
+
+    docs = spark.createDataFrame(
+        [(0, "https://a.com/private/x"), (1, "https://a.com/ok"),
+         (2, "https://err.com/anything"), (3, "https://gone.com/anything")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in robots_filter(docs, robots, status_col="status").collect()
+    }
+    assert got == {0: False, 1: True, 2: False, 3: True}
+
+
 def test_pipeline_robots_stage(tmp_path):
     """--robots in pipeline mode gates docs before URL filtering."""
     import argparse
