@@ -108,9 +108,36 @@ def _iter_records(raw: bytes) -> Iterator[dict]:
         pos = block_start + clen
 
 
+def _dechunk(body: bytes) -> bytes | None:
+    """Undo HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): hex size
+    line (chunk extensions after ';' ignored), chunk octets, CRLF,
+    terminated by a zero chunk. None when the framing doesn't parse —
+    caller keeps the raw bytes (crawl dirt must degrade, not raise)."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return None
+        size_field = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            return None
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are not page bytes
+        start = nl + 2
+        if start + size > len(body):
+            return None
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+
+
 def _split_http_response(block: bytes):
     """(status:int|None, content_type:str, body:bytes) from an HTTP
-    response block; Content-Encoding gzip/deflate payloads inflated."""
+    response block; chunked transfer framing undone first (WARC stores
+    the raw HTTP message, so Common-Crawl bodies keep their framing),
+    then Content-Encoding gzip/deflate payloads inflated."""
     hdr_end = block.find(_CRLF2)
     if hdr_end < 0 or not block.startswith(b"HTTP/"):
         return None, "", block
@@ -121,7 +148,7 @@ def _split_http_response(block: bytes):
         status = int(parts[1])
     except (IndexError, ValueError):
         status = None
-    ctype, cenc = "", ""
+    ctype, cenc, chunked = "", "", False
     for ln in lines[1:]:
         k, sep, v = ln.partition(":")
         if not sep:
@@ -131,7 +158,13 @@ def _split_http_response(block: bytes):
             ctype = v.strip()
         elif lk == "content-encoding":
             cenc = v.strip().lower()
+        elif lk == "transfer-encoding" and "chunked" in v.lower():
+            chunked = True
     body = block[hdr_end + 4 :]
+    if chunked:
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
     if cenc in ("gzip", "x-gzip"):
         try:
             body = zlib.decompress(body, 31)

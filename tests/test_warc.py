@@ -90,6 +90,46 @@ def test_content_encoding_gzip_payload_inflated():
     assert rows[0][2] == HTML_A
 
 
+def test_chunked_transfer_encoding_dechunked():
+    """WARC stores the raw HTTP message: chunked bodies keep their chunk
+    framing and must be de-chunked (chunk-extension and trailing-CRLF
+    grammar per RFC 9112 §7.1); broken framing degrades to raw bytes."""
+    half = len(HTML_A) // 2
+    chunked = (
+        hex(half)[2:].encode() + b";ext=1\r\n" + HTML_A[:half] + b"\r\n"
+        + hex(len(HTML_A) - half)[2:].encode() + b"\r\n" + HTML_A[half:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    rec = _record(
+        b"response",
+        _http(chunked,
+              headers=b"Content-Type: text/html\r\nTransfer-Encoding: chunked"),
+        url=b"https://a.com/chunked",
+    )
+    rows = list(iter_warc_pages("x.warc", rec))
+    assert rows[0][2] == HTML_A
+    # chunked AND gzip content-encoding: framing undone, then inflated
+    gz = gzip.compress(HTML_B)
+    chunked_gz = hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    rec2 = _record(
+        b"response",
+        _http(chunked_gz,
+              headers=b"Content-Type: text/html\r\n"
+                      b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip"),
+        url=b"https://a.com/chunked-gz",
+    )
+    rows2 = list(iter_warc_pages("x.warc", rec2))
+    assert rows2[0][2] == HTML_B
+    # unparseable framing: raw bytes kept, never raises
+    rec3 = _record(
+        b"response",
+        _http(b"ZZZ not chunked",
+              headers=b"Transfer-Encoding: chunked"),
+        url=b"https://a.com/broken",
+    )
+    assert list(iter_warc_pages("x.warc", rec3))[0][2] == b"ZZZ not chunked"
+
+
 def test_malformed_record_resync_and_truncation():
     # garbage before a valid record; then a record whose Content-Length
     # runs past EOF (truncated download) — must not raise, must not
