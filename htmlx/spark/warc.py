@@ -90,12 +90,16 @@ def _iter_records(raw: bytes) -> Iterator[dict]:
             return
         lines = raw[start:hdr_end].split(b"\r\n")
         headers: dict = {}
+        last_key = None
         for ln in lines[1:]:
+            if ln[:1] in (b" ", b"\t") and last_key is not None:
+                # warc-1.1 §4 allows folded (obs-fold) continuation lines
+                headers[last_key] += " " + ln.strip().decode("latin-1", "replace")
+                continue
             k, sep, v = ln.partition(b":")
             if sep:
-                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
-                    "latin-1", "replace"
-                )
+                last_key = k.strip().lower().decode("latin-1")
+                headers[last_key] = v.strip().decode("latin-1", "replace")
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:

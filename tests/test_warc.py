@@ -90,6 +90,22 @@ def test_content_encoding_gzip_payload_inflated():
     assert rows[0][2] == HTML_A
 
 
+def test_folded_header_continuation_lines():
+    """warc-1.1 §4 permits obs-fold: a field value continued on the next
+    line behind leading whitespace. The folded WARC-Target-URI must
+    reassemble instead of being silently dropped."""
+    block = _http(HTML_A)
+    hdr = (b"WARC/1.1\r\nWARC-Type: response\r\n"
+           b"WARC-Record-ID: <urn:uuid:1>\r\n"
+           b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+           b"WARC-Target-URI: https://a.com/very/\r\n\tlong/path\r\n"
+           b"Content-Length: " + str(len(block)).encode())
+    rec = hdr + b"\r\n\r\n" + block + b"\r\n\r\n"
+    rows = list(iter_warc_pages("x.warc", rec))
+    assert rows[0][0] == "https://a.com/very/ long/path"
+    assert rows[0][2] == HTML_A
+
+
 def test_chunked_transfer_encoding_dechunked():
     """WARC stores the raw HTTP message: chunked bodies keep their chunk
     framing and must be de-chunked (chunk-extension and trailing-CRLF
