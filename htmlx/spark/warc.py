@@ -48,13 +48,17 @@ _CRLF2 = b"\r\n\r\n"
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream member by member (warc.gz:
     one record per member). A member that fails to inflate ends the
-    scan for this file (offsets past a corrupt member are unknowable)."""
+    scan for this file (offsets past a corrupt member are unknowable).
+    The tail is passed as a memoryview slice — a bytes slice here would
+    COPY the remaining archive once per member, turning a 1 GB
+    100k-record Common-Crawl file into ~50 TB of memcpy."""
+    mv = memoryview(data)
     pos = 0
     n = len(data)
     while pos < n:
         d = zlib.decompressobj(31)
         try:
-            out = d.decompress(data[pos:])
+            out = d.decompress(mv[pos:])
         except zlib.error:
             return
         if not d.eof:
