@@ -903,6 +903,15 @@ def dedup_spans_variants(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("__occ"),
     )
+    # When EVERY variant is capped, windows over the loosest cap can be
+    # dropped from the survivor table BEFORE the back-join: the inner
+    # join then never re-shuffles a boilerplate window's 10^8
+    # occurrences (the hot-key motivation of the cap). With any
+    # uncapped variant in the mix the filter must wait until after the
+    # join (per-variant, below) — those occurrences are genuine dup
+    # spans for the uncapped variant.
+    if all(cap is not None for cap in caps.values()):
+        firsts = firsts.where(F.col("__occ") <= max(caps.values()))
     # cap = -1 encodes "uncapped" inside the literal struct array (Spark
     # literals can't be NULL-typed per-field here); occurrence counts are
     # >= 1 so -1 never collides with a real cap
@@ -1006,13 +1015,18 @@ def span_window_stats(
         if max_occurrences is not None
         else F.lit(False)
     )
+    # F.sum over ZERO rows is NULL, not 0 — on an empty corpus the NULLs
+    # would silently vanish inside Spark's concat_ws while DuckDB's '||'
+    # propagates NULL, a latent cross-engine divergence (r7 ADVICE).
     return counts.agg(
         F.count("*").cast("long").alias("n_distinct_windows"),
         F.coalesce(F.max("occ"), F.lit(0)).cast("long").alias(
             "max_window_occurrences"
         ),
-        F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("capped_wkeys"),
-        F.sum(F.when(over, F.col("occ")).otherwise(0))
+        F.coalesce(F.sum(F.when(over, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("capped_wkeys"),
+        F.coalesce(F.sum(F.when(over, F.col("occ")).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("capped_occurrences"),
     )

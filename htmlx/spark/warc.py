@@ -8,14 +8,22 @@ is that ingest step, stdlib-only:
 
   - `.warc.gz`: each record is its own gzip MEMBER (the Common Crawl
     convention, warc-1.1 annex C) — members are split with
-    zlib.decompressobj(31) and `unused_data`, so one corrupt member
-    skips forward instead of poisoning the file.
+    zlib.decompressobj(31) and `unused_data`. A corrupt member is
+    skipped by scanning forward for the next gzip magic
+    (`\\x1f\\x8b\\x08`) and resuming there, so one damaged record does
+    not poison the remaining ~1 GB of a Common-Crawl file; only a
+    TRUNCATED trailing member ends the scan (nothing follows it).
   - record grammar (warc-1.1 §4): `WARC/1.x CRLF`, named fields, CRLF,
     a Content-Length-octets block, CRLF CRLF. Malformed records are
     skipped by re-synchronizing on the next `WARC/` magic.
   - response records carry an HTTP response in the block (§6.3): the
     status line + headers are stripped, `Content-Encoding: gzip/deflate`
     payloads are inflated, and the remaining body is the page html.
+    Encodings with no codec in the runtime (`br`, `zstd` unless the
+    optional libs are importable) and payloads that fail to inflate are
+    kept as raw bytes with a NAMED degradation in the `warc_error`
+    column — crawl dirt must degrade visibly, never decay into
+    downstream `invalid_html` noise or kill a 100 TB job.
 
 100 TB plan: `spark.read.format("binaryFile")` gives one row per
 archive; gzip archives are non-splittable, so parallelism = file count
@@ -37,21 +45,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 #: Output schema: the engine's pages-table core (url, warc_ts, html)
 #: plus the WARC/HTTP envelope fields a curation pipeline filters on.
+#: warc_error is the named-degradation channel: NULL for clean records,
+#: else a ';'-joined list of markers (content_encoding_unavailable:br,
+#: content_encoding_corrupt:gzip, chunked_framing_invalid,
+#: archive_codec_unavailable:zstd) — content is kept raw where possible.
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, warc_type string, "
-    "http_status int, content_type string, warc_file string"
+    "http_status int, content_type string, warc_file string, "
+    "warc_error string"
 )
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b\x08"
 
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a multi-member gzip stream member by member (warc.gz:
-    one record per member). A member that fails to inflate ends the
-    scan for this file (offsets past a corrupt member are unknowable).
-    The tail is passed as a memoryview slice — a bytes slice here would
-    COPY the remaining archive once per member, turning a 1 GB
-    100k-record Common-Crawl file into ~50 TB of memcpy."""
+    one record per member). A member that fails to inflate is SKIPPED
+    by scanning forward for the next gzip magic and resuming there
+    (Common-Crawl files do contain damaged members; before r8 the first
+    one ended the scan and lost the rest of the archive). A member cut
+    off at EOF ends the scan — nothing can follow it. False magic hits
+    inside a corrupt member's compressed bytes just fail the next
+    inflate attempt and the scan moves on. The tail is passed as a
+    memoryview slice — a bytes slice here would COPY the remaining
+    archive once per member, turning a 1 GB 100k-record Common-Crawl
+    file into ~50 TB of memcpy."""
     mv = memoryview(data)
     pos = 0
     n = len(data)
@@ -60,9 +79,13 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         try:
             out = d.decompress(mv[pos:])
         except zlib.error:
-            return
+            nxt = data.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt  # re-sync on the next member's magic
+            continue
         if not d.eof:
-            return  # truncated trailing member
+            return  # truncated trailing member (consumed all input)
         yield out
         unused = len(d.unused_data)
         if unused == 0:
@@ -141,14 +164,58 @@ def _dechunk(body: bytes) -> bytes | None:
         pos = start + size + 2  # skip the chunk's trailing CRLF
 
 
+def _brotli_decompress(body: bytes) -> bytes | None:
+    """Inflate a brotli payload when a codec is importable (brotli /
+    brotlicffi are NOT baked into this runtime — the import-try is the
+    degradation gate, not an expected path)."""
+    try:
+        import brotli  # type: ignore
+    except ImportError:
+        try:
+            import brotlicffi as brotli  # type: ignore
+        except ImportError:
+            return None
+    try:
+        return brotli.decompress(body)
+    except Exception:
+        raise zlib.error("brotli payload corrupt")
+
+
+def _zstd_decompress(body: bytes) -> bytes | None:
+    """Inflate a zstd payload when a codec is importable (zstandard /
+    stdlib compression.zstd, Python >= 3.14 — neither is in this
+    runtime; same degradation gate as brotli)."""
+    try:
+        from compression import zstd  # type: ignore
+
+        return zstd.decompress(body)
+    except ImportError:
+        pass
+    except Exception:
+        raise zlib.error("zstd payload corrupt")
+    try:
+        import zstandard  # type: ignore
+    except ImportError:
+        return None
+    try:
+        return zstandard.ZstdDecompressor().decompress(
+            body, max_output_size=1 << 30
+        )
+    except Exception:
+        raise zlib.error("zstd payload corrupt")
+
+
 def _split_http_response(block: bytes):
-    """(status:int|None, content_type:str, body:bytes) from an HTTP
-    response block; chunked transfer framing undone first (WARC stores
-    the raw HTTP message, so Common-Crawl bodies keep their framing),
-    then Content-Encoding gzip/deflate payloads inflated."""
+    """(status:int|None, content_type:str, body:bytes, error:str|None)
+    from an HTTP response block; chunked transfer framing undone first
+    (WARC stores the raw HTTP message, so Common-Crawl bodies keep
+    their framing), then Content-Encoding payloads inflated. Anything
+    that cannot be decoded keeps its raw bytes and gets a NAMED marker
+    in `error` (';'-joined when several apply): crawl dirt must degrade
+    visibly, not raise mid-100TB-job or decay into invalid_html."""
     hdr_end = block.find(_CRLF2)
     if hdr_end < 0 or not block.startswith(b"HTTP/"):
-        return None, "", block
+        return None, "", block, None
     head = block[:hdr_end].decode("latin-1", "replace")
     lines = head.split("\r\n")
     parts = lines[0].split(None, 2)
@@ -169,15 +236,18 @@ def _split_http_response(block: bytes):
         elif lk == "transfer-encoding" and "chunked" in v.lower():
             chunked = True
     body = block[hdr_end + 4 :]
+    errors: list[str] = []
     if chunked:
         dechunked = _dechunk(body)
         if dechunked is not None:
             body = dechunked
+        else:
+            errors.append("chunked_framing_invalid")
     if cenc in ("gzip", "x-gzip"):
         try:
             body = zlib.decompress(body, 31)
         except zlib.error:
-            pass  # keep raw bytes; extraction will degrade explicitly
+            errors.append("content_encoding_corrupt:gzip")
     elif cenc == "deflate":
         try:
             body = zlib.decompress(body)
@@ -185,21 +255,47 @@ def _split_http_response(block: bytes):
             try:
                 body = zlib.decompress(body, -15)  # raw-deflate servers
             except zlib.error:
-                pass
-    return status, ctype, body
+                errors.append("content_encoding_corrupt:deflate")
+    elif cenc in ("br", "zstd"):
+        decode = _brotli_decompress if cenc == "br" else _zstd_decompress
+        try:
+            out = decode(body)
+        except zlib.error:
+            out, errors = body, errors + [f"content_encoding_corrupt:{cenc}"]
+        if out is None:
+            errors.append(f"content_encoding_unavailable:{cenc}")
+        else:
+            body = out
+    elif cenc not in ("", "identity"):
+        errors.append(f"content_encoding_unavailable:{cenc}")
+    return status, ctype, body, ";".join(errors) or None
 
 
 def iter_warc_pages(
     path: str, content: bytes, record_types: tuple = ("response",)
 ) -> Iterator[tuple]:
-    """All wanted-record rows (url, ts, body, type, status, ctype, file)
-    from one archive's bytes — the per-file worker, pure Python.
+    """All wanted-record rows (url, ts, body, type, status, ctype, file,
+    error) from one archive's bytes — the per-file worker, pure Python.
     record_types selects WARC-Type values: ('response',) for page
     archives (HTTP envelope stripped); ('conversion',) for WET
     extracted-text archives (block used verbatim — warc-1.1 §6.8 stores
-    the derived text directly, no HTTP envelope, status stays NULL)."""
-    if path.endswith(".gz"):
-        streams: Iterator[bytes] = _gzip_members(content)
+    the derived text directly, no HTTP envelope, status stays NULL).
+    A `.warc.zst` archive with no zstd codec in the runtime (the case
+    here) yields ONE degradation row (html NULL,
+    warc_error='archive_codec_unavailable:zstd') instead of raising —
+    the 100 TB job keeps going and the loss is named, not silent."""
+    if path.endswith(".zst"):
+        try:
+            inflated = _zstd_decompress(content)
+            marker = "archive_codec_unavailable:zstd"
+        except zlib.error:
+            inflated, marker = None, "archive_corrupt:zstd"
+        if inflated is None:
+            yield ("", None, None, "archive", None, "", path, marker)
+            return
+        streams: Iterator[bytes] = iter((inflated,))
+    elif path.endswith(".gz"):
+        streams = _gzip_members(content)
     else:
         streams = iter((content,))
     for raw in streams:
@@ -212,9 +308,11 @@ def iter_warc_pages(
             if url.startswith("<") and url.endswith(">"):
                 url = url[1:-1]  # warc-1.0 angle-bracket form
             if wtype == "response":
-                status, ctype, body = _split_http_response(rec["block"])
+                status, ctype, body, err = _split_http_response(rec["block"])
             else:
-                status, ctype, body = None, h.get("content-type", ""), rec["block"]
+                status, ctype, body, err = (
+                    None, h.get("content-type", ""), rec["block"], None,
+                )
             yield (
                 url,
                 _parse_warc_date(h.get("warc-date", "")),
@@ -223,6 +321,7 @@ def iter_warc_pages(
                 status,
                 ctype or h.get("content-type", ""),
                 path,
+                err,
             )
 
 
@@ -246,6 +345,7 @@ def read_warc(
                         columns=[
                             "url", "warc_ts", "html", "warc_type",
                             "http_status", "content_type", "warc_file",
+                            "warc_error",
                         ],
                     )
 
@@ -277,7 +377,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             for path_, content in zip(pdf["path"], pdf["content"]):
                 rows = [
                     (url, ts, body.decode("utf-8", "replace"), ctype, path_)
-                    for (url, ts, body, _t, _s, ctype, _f) in iter_warc_pages(
+                    for (url, ts, body, _t, _s, ctype, _f, _e) in iter_warc_pages(
                         path_, bytes(content), record_types=("conversion",)
                     )
                 ]

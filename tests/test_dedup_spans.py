@@ -236,6 +236,38 @@ def test_variants_one_pass_matches_separate_calls(spark):
     assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_span_window_stats_empty_corpus_zeros(spark):
+    """F.sum over zero rows is NULL — on an empty corpus the capped_*
+    columns must still come back 0 (Spark's concat_ws skips NULLs while
+    SQL '||' propagates them: a silent cross-engine divergence if this
+    ever regressed — r7 ADVICE finding)."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    got = span_window_stats(df, w=W, max_occurrences=5, hash_basis="md5").collect()[0]
+    assert got["n_distinct_windows"] == 0
+    assert got["max_window_occurrences"] == 0
+    assert got["capped_wkeys"] == 0 and got["capped_occurrences"] == 0
+
+
+def test_all_capped_variants_prefilter_matches_separate_calls(spark):
+    """When EVERY variant is capped, survivors over the loosest cap are
+    dropped BEFORE the back-join (the hot-key perf contract, r7 ADVICE);
+    results must still match per-cap dedup_spans exactly."""
+    docs = _cap_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    both = dedup_spans_variants(
+        df, w=W, hash_basis="md5", caps={"tight": 3, "loose": 10}
+    )
+    rows = {(r["variant"], r["doc_id"]): r for r in both.collect()}
+    for v, cap in (("tight", 3), ("loose", 10)):
+        want = _run_capped(spark, docs, cap=cap)
+        for d, _ in docs:
+            assert rows[(v, d)]["cleaned_text"] == want[d]["cleaned_text"], (v, d)
+            assert rows[(v, d)]["tokens_removed"] == want[d]["tokens_removed"]
+    # the pre-join survivor filter on __occ is present in the optimized plan
+    plan = both._jdf.queryExecution().optimizedPlan().toString()
+    assert "__occ" in plan
+
+
 def test_capped_plan_stays_jvm_side(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = (

@@ -60,7 +60,9 @@ def _corpus() -> bytes:
 def test_iter_pages_responses_only_headers_stripped():
     rows = list(iter_warc_pages("x.warc", _corpus()))
     assert len(rows) == 2  # warcinfo + request filtered out
-    (url_a, ts_a, body_a, t_a, st_a, ct_a, _), (url_b, ts_b, body_b, t_b, st_b, _, _) = rows
+    (url_a, ts_a, body_a, t_a, st_a, ct_a, _, err_a), \
+        (url_b, ts_b, body_b, t_b, st_b, _, _, err_b) = rows
+    assert err_a is None and err_b is None  # clean records: no degradation
     assert url_a == "https://a.com/page" and body_a == HTML_A
     assert t_a == "response" and st_a == 200 and "text/html" in ct_a
     assert ts_a.isoformat() == "2017-03-22T17:01:03"
@@ -143,7 +145,68 @@ def test_chunked_transfer_encoding_dechunked():
               headers=b"Transfer-Encoding: chunked"),
         url=b"https://a.com/broken",
     )
-    assert list(iter_warc_pages("x.warc", rec3))[0][2] == b"ZZZ not chunked"
+    row3 = list(iter_warc_pages("x.warc", rec3))[0]
+    assert row3[2] == b"ZZZ not chunked"
+    assert row3[7] == "chunked_framing_invalid"  # named, not silent
+
+
+def test_corrupt_gzip_member_resync_recovers_tail():
+    """A damaged gzip member mid-archive must not lose the rest of the
+    file: the reader scans forward for the next gzip magic and resumes
+    (Common-Crawl archives do ship damaged members; r7 ended the scan
+    and dropped the remaining ~1 GB)."""
+    recs = [
+        _record(b"response", _http(HTML_A), url=b"https://a.com/1"),
+        _record(b"response", _http(HTML_B), url=b"https://a.com/2"),
+        _record(b"response", _http(HTML_A), url=b"https://a.com/3"),
+    ]
+    good = [gzip.compress(m) for m in recs]
+    # corrupt the SECOND member's deflate stream (keep its 10-byte gzip
+    # header intact so the damage is mid-member, the harder case)
+    bad = good[1][:12] + bytes(b ^ 0xFF for b in good[1][12:20]) + good[1][20:]
+    gz = good[0] + bad + good[2]
+    rows = list(iter_warc_pages("x.warc.gz", gz))
+    assert [r[0] for r in rows] == ["https://a.com/1", "https://a.com/3"]
+    # a truncated TRAILING member still just ends the scan
+    gz2 = good[0] + good[1][:25]
+    assert [r[0] for r in iter_warc_pages("x.warc.gz", gz2)] == ["https://a.com/1"]
+
+
+def test_brotli_and_zstd_content_encoding_named_degradation():
+    """No brotli/zstd codec ships in this runtime: the payload must be
+    kept raw with a NAMED warc_error marker instead of decaying into
+    invalid_html downstream (the degradation contract)."""
+    fake_br = b"\x8b\x03\x80brotli-ish bytes"
+    for enc, url in ((b"br", b"https://a.com/br"), (b"zstd", b"https://a.com/zst")):
+        rec = _record(
+            b"response",
+            _http(fake_br,
+                  headers=b"Content-Type: text/html\r\nContent-Encoding: " + enc),
+            url=url,
+        )
+        row = list(iter_warc_pages("x.warc", rec))[0]
+        assert row[2] == fake_br  # content kept raw
+        assert row[7] == "content_encoding_unavailable:" + enc.decode()
+    # corrupt gzip payload: same contract, corrupt-flavored marker
+    rec = _record(
+        b"response",
+        _http(b"\x1f\x8bnot really gzip",
+              headers=b"Content-Encoding: gzip"),
+        url=b"https://a.com/badgz",
+    )
+    row = list(iter_warc_pages("x.warc", rec))[0]
+    assert row[2] == b"\x1f\x8bnot really gzip"
+    assert row[7] == "content_encoding_corrupt:gzip"
+
+
+def test_warc_zst_archive_named_degradation():
+    """.warc.zst (newer crawls) with no zstd codec in the runtime: one
+    degradation row per archive, html NULL, loss named — never raises."""
+    rows = list(iter_warc_pages("x.warc.zst", b"\x28\xb5\x2f\xfdzstd frame-ish"))
+    assert len(rows) == 1
+    url, ts, html, wtype, status, _, f, err = rows[0]
+    assert html is None and wtype == "archive"
+    assert err == "archive_codec_unavailable:zstd"
 
 
 def test_malformed_record_resync_and_truncation():
