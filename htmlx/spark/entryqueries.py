@@ -10,12 +10,14 @@ symbolically. Column names and types are aligned on both sides (BIGINT/long).
 
 from __future__ import annotations
 
+import gzip
+import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.extract import Config, markdown_config
-from . import analytics, relational
+from . import analytics, relational, warc
 from .job import run_all_links, run_extraction
 from .pages import PAGE_TEMPLATES, URL_SQL, pages_from_documents
 
@@ -2555,6 +2557,113 @@ FROM documents GROUP BY 1
 """
 
 
+_WARC_FIXTURE_DIR = "/tmp/htmlx_warc_oracle_v1"
+
+
+def _warc_fix_body(i: int) -> bytes:
+    """Decoded page body for fixture record i — ASCII-only so the DuckDB
+    oracle can replay md5/strlen over a VARCHAR twin."""
+    if i == 23:
+        return b"br-payload-23"  # kept RAW (no br codec in the runtime)
+    return b"<!doctype html><p>warc page %d %s</p>" % (i, b"x" * i)
+
+
+def _warc_fix_http(i: int) -> bytes:
+    """HTTP response block for record i, cycling the wire encodings
+    read_warc must undo: i%4 = 0 plain / 1 gzip / 2 chunked / 3 chunked
+    OVER gzip; i==23 is Content-Encoding: br (no codec in the runtime —
+    body kept raw + named warc_error, pinning the degradation contract
+    on the oracle). Status 404 when i%6==5, else 200."""
+    body = _warc_fix_body(i)
+    status = b"404 Not Found" if i % 6 == 5 else b"200 OK"
+    hdrs = [b"Content-Type: text/html; charset=utf-8"]
+    if i == 23:
+        payload = body
+        hdrs.append(b"Content-Encoding: br")
+    elif i % 4 == 1:
+        payload = gzip.compress(body)
+        hdrs.append(b"Content-Encoding: gzip")
+    elif i % 4 in (2, 3):
+        inner = body
+        if i % 4 == 3:
+            inner = gzip.compress(body)
+            hdrs.append(b"Content-Encoding: gzip")
+        hdrs.append(b"Transfer-Encoding: chunked")
+        h = len(inner) // 2
+        payload = (
+            hex(h)[2:].encode() + b";x=1\r\n" + inner[:h] + b"\r\n"
+            + hex(len(inner) - h)[2:].encode() + b"\r\n" + inner[h:]
+            + b"\r\n0\r\n\r\n"
+        )
+    else:
+        payload = body
+    return b"HTTP/1.1 " + status + b"\r\n" + b"\r\n".join(hdrs) + b"\r\n\r\n" + payload
+
+
+def _warc_fix_record(i: int) -> bytes:
+    http = _warc_fix_http(i)
+    hdr = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:%08d>\r\n"
+        b"WARC-Target-URI: https://warc%d.example.org/page/%d\r\n"
+        b"WARC-Date: 2024-01-01T00:00:%02dZ\r\n"
+        b"Content-Length: %d" % (i, i % 5, i, i, len(http))
+    )
+    return hdr + b"\r\n\r\n" + http + b"\r\n\r\n"
+
+
+def _warc_fix_aux(wtype: bytes, block: bytes) -> bytes:
+    """A non-response record (warcinfo / request) read_warc must skip."""
+    return (
+        b"WARC/1.1\r\nWARC-Type: " + wtype
+        + b"\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "
+        + str(len(block)).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+    )
+
+
+def synth_warc_fixture(dirpath: str = _WARC_FIXTURE_DIR) -> str:
+    """Write the deterministic 24-record WARC fixture set the host_stats
+    'warc' level reads back through the REAL ingest path (binaryFile ->
+    gzip member split -> record grammar -> HTTP envelope decode):
+
+      w0.warc.gz  records 0..7, one gzip member each, plus a warcinfo
+                  member that must be filtered out;
+      w1.warc.gz  records 8..15 with a CORRUPT gzip member and a
+                  request-record member in the middle — the magic-scan
+                  re-sync and the type filter are both on the oracle;
+      w2.warc     records 16..23 uncompressed (the plain container path).
+
+    Bodies/urls/dates/statuses are pure functions of the record index so
+    the DuckDB oracle replays the EXPECTED decoded rows from
+    generate_series — no parquet twin, no filesystem coupling. Writes
+    are atomic (tmp + os.replace) and leftover '_tmp_*' files are
+    invisible to Spark's file source, so concurrent query runs are safe."""
+    os.makedirs(dirpath, exist_ok=True)
+
+    def write(name: str, data: bytes) -> None:
+        tmp = os.path.join(dirpath, f"_tmp_{os.getpid()}_{name}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(dirpath, name))
+
+    gz = gzip.compress
+    w0 = gz(_warc_fix_aux(b"warcinfo", b"software: htmlx-fixture\r\n")) + b"".join(
+        gz(_warc_fix_record(i)) for i in range(0, 8)
+    )
+    corrupt = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03corrupt-deflate-junk"
+    req = _warc_fix_aux(b"request", b"GET / HTTP/1.1\r\nHost: warc0.example.org\r\n\r\n")
+    w1 = (
+        b"".join(gz(_warc_fix_record(i)) for i in range(8, 12))
+        + corrupt + gz(req)
+        + b"".join(gz(_warc_fix_record(i)) for i in range(12, 16))
+    )
+    w2 = b"".join(_warc_fix_record(i) for i in range(16, 24))
+    write("w0.warc.gz", w0)
+    write("w1.warc.gz", w1)
+    write("w2.warc", w2)
+    return dirpath
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host crawl accounting (the batch twin of the streaming host
     counters) MERGED with URL-canonicalization recrawl dedup into one
@@ -2643,7 +2752,21 @@ def q_host_stats(spark, sf_dir):
     real parse->rule-join->regexp->longest-match machinery
     (robotstxt.robots_filter with status_col); the oracle derives the
     verdicts independently from doc_id%7 / doc_id%4.
-    key=allowed|blocked, n_docs=count, total_chars=sum(doc_id)."""
+    key=allowed|blocked, n_docs=count, total_chars=sum(doc_id).
+
+    level='warc' (r8): the WARC ingest front-end on the oracle. A
+    deterministic 24-record fixture set (synth_warc_fixture: two
+    .warc.gz with per-record gzip members — one with a corrupt member
+    mid-file the magic-scan re-sync must skip — plus one plain .warc;
+    warcinfo/request records to filter; bodies cycling plain/gzip/
+    chunked/chunked+gzip wire encodings; one brotli record that must
+    degrade NAMED with its raw bytes kept) is read back through the
+    REAL read_warc path. key=url|formatted warc_ts|md5(decoded body)|
+    warc_error, n_docs=http_status, total_chars=body byte length; the
+    oracle replays the expected decoded rows from generate_series —
+    any slip in member splitting, record grammar, date parsing,
+    envelope stripping, dechunking, inflation, or the degradation
+    contract flips the hash."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -2879,6 +3002,18 @@ def q_host_stats(spark, sf_dir):
         )
         .select(F.lit("robotstxt").alias("level"), "key", "n_docs", "total_chars")
     )
+    warc_level = warc.read_warc(spark, synth_warc_fixture()).select(
+        F.lit("warc").alias("level"),
+        F.concat_ws(
+            "|",
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.md5("html"),
+            F.coalesce("warc_error", F.lit("")),
+        ).alias("key"),
+        F.col("http_status").cast("long").alias("n_docs"),
+        F.length("html").cast("long").alias("total_chars"),
+    )
     return (
         host_level.unionByName(canon_level)
         .unionByName(filt_level)
@@ -2887,6 +3022,7 @@ def q_host_stats(spark, sf_dir):
         .unionByName(snap_level)
         .unionByName(robots_level)
         .unionByName(rbtxt_level)
+        .unionByName(warc_level)
     )
 
 
@@ -3041,6 +3177,21 @@ SELECT 'robotstxt', CASE WHEN doc_id % 7 = 5 THEN 'blocked'  -- 5xx fail-closed
                          WHEN doc_id % 4 = 0 THEN 'blocked' ELSE 'allowed' END,
        CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
 FROM documents GROUP BY 2
+UNION ALL
+SELECT 'warc',
+       'https://warc' || CAST(i % 5 AS VARCHAR) || '.example.org/page/'
+         || CAST(i AS VARCHAR)
+         || '|2024-01-01 00:00:' || lpad(CAST(i AS VARCHAR), 2, '0')
+         || '|' || md5(body) || '|' || err,
+       CAST(CASE WHEN i % 6 = 5 THEN 404 ELSE 200 END AS BIGINT),
+       CAST(strlen(body) AS BIGINT)
+FROM (
+  SELECT i,
+         CASE WHEN i = 23 THEN 'br-payload-23'
+              ELSE '<!doctype html><p>warc page ' || CAST(i AS VARCHAR) || ' '
+                   || repeat('x', i) || '</p>' END AS body,
+         CASE WHEN i = 23 THEN 'content_encoding_unavailable:br' ELSE '' END AS err
+  FROM (SELECT unnest(generate_series(0, 23)) AS i))
 """
 
 

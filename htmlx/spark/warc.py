@@ -85,7 +85,15 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
             pos = nxt  # re-sync on the next member's magic
             continue
         if not d.eof:
-            return  # truncated trailing member (consumed all input)
+            # consumed all input without finishing the member: a
+            # truncated TRAILING member (nothing to recover), unless a
+            # later member's magic exists — then this member was corrupt
+            # in a way zlib tolerated, and the scan re-syncs like above
+            nxt = data.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         yield out
         unused = len(d.unused_data)
         if unused == 0:

@@ -209,6 +209,28 @@ def test_warc_zst_archive_named_degradation():
     assert err == "archive_codec_unavailable:zstd"
 
 
+def test_oracle_fixture_set_round_trips(tmp_path):
+    """The driver-row fixture set (host_stats 'warc' level): 24 records
+    across two .warc.gz (one with a corrupt member + a request record
+    mid-file) and one plain .warc must all come back decoded, with only
+    the brotli record carrying a degradation marker."""
+    from htmlx.spark.entryqueries import _warc_fix_body, synth_warc_fixture
+
+    d = synth_warc_fixture(str(tmp_path))
+    rows = []
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), "rb") as f:
+            rows += list(iter_warc_pages(name, f.read()))
+    assert len(rows) == 24  # warcinfo/request filtered, corrupt member skipped
+    by_url = {r[0]: r for r in rows}
+    for i in range(24):
+        r = by_url[f"https://warc{i % 5}.example.org/page/{i}"]
+        assert r[2] == _warc_fix_body(i), i
+        assert r[4] == (404 if i % 6 == 5 else 200)
+        assert r[1].isoformat() == f"2024-01-01T00:00:{i:02d}"
+        assert r[7] == ("content_encoding_unavailable:br" if i == 23 else None)
+
+
 def test_malformed_record_resync_and_truncation():
     # garbage before a valid record; then a record whose Content-Length
     # runs past EOF (truncated download) — must not raise, must not
