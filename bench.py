@@ -133,8 +133,6 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     def _docs(spark, d):
         return spark.read.parquet(f"{d}/documents.parquet")
 
-    from htmlx.spark.entryqueries import corpus_filter_frame
-
     named = dict(QUERIES)
     named["minhash_lsh_candidates"] = lambda s, d: analytics.minhash_lsh_candidates(
         _docs(s, d)
@@ -142,14 +140,14 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     named["minhash_lsh_oracle_md5"] = QUERIES["minhash_lsh_candidates"]
     named["simhash"] = lambda s, d: analytics.simhash_docs(_docs(s, d))
     named["simhash_oracle_md5"] = QUERIES["simhash"]
-    # the SHIPPING corpus-filter configuration (xxhash64 basis, buckets
-    # capped at 1024, converge-mode components — jobs/curate.py defaults);
-    # the plain corpus_filter row is the oracle-exact configuration the
-    # driver's correctness gate replays (md5, uncapped), deliberately
-    # more expensive — keep both visible so production regressions show.
-    named["corpus_filter_production"] = lambda s, d: corpus_filter_frame(
-        _docs(s, d), hash_basis="xxhash64", max_bucket_size=1024
-    )
+    # corpus_filter is the MERGED variants row since r8: the shipping
+    # configuration (xxhash64 basis, 1024 bucket cap — jobs/curate.py
+    # defaults) AND the oracle-exact configuration (md5, uncapped) run
+    # as one pass sharing the exact-dedup/lang/verify/components subplan
+    # (r7 VERDICT item 3 — the two separate rows recomputed it twice).
+    # Both policies stay visible in the single number; a production-only
+    # regression still shows because the production variant's LSH leg is
+    # its own subtree inside the plan.
 
     headline = [
         "extract_text",
@@ -167,10 +165,10 @@ def run_queries(sf_dir: str, cores: int) -> dict:
         "embedding_near_dup",
         "tpch_pricing_summary",
         # round-3 additions: real PDF/PNG decode tiers and the composite
-        # corpus filter (dedup keep-list + lang + quality end-to-end)
+        # corpus filter (dedup keep-list + lang + quality end-to-end;
+        # since r8 corpus_filter below carries BOTH configurations)
         "pdf_text_extract",
         "media_pixel_decode",
-        "corpus_filter_production",
         # round-4 addition: benchmark decontamination (broadcast eval grams)
         "decontaminate",
         # round-4 addition: baseline JPEG decode tier

@@ -1172,6 +1172,83 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def minhash_lsh_candidates_variants(
+    documents: DataFrame,
+    variants: dict,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """minhash_lsh_candidates under SEVERAL (hash_basis, max_bucket_size)
+    policies in ONE pass: `variants` maps name -> (hash_basis,
+    max_bucket_size | None). Returns (variant, doc_a, doc_b).
+
+    The dedup_spans_variants lesson applied to LSH: Catalyst does not
+    reuse exchanges across union branches, so k separate candidate calls
+    pay k signature scans and k bucket shuffles. Here variants SHARING a
+    hash basis share one signature scan and one (band, hash) window
+    count, then fan out to their caps scan-side (literal-array
+    filter+explode — cap admission is a per-row predicate on the bucket
+    count, exactly the span-cap shape); the variant key rides the
+    self-join so each variant's pair set stays exact. Only genuinely
+    different bases pay a second signature scan (inherent — the
+    signatures differ), and even those stay map-side until their own
+    single bucket shuffle."""
+    by_basis: dict = {}
+    for name, (basis, cap) in variants.items():
+        by_basis.setdefault(basis, {})[name] = cap
+    parts = []
+    for basis, caps in by_basis.items():
+        banded = _lsh_banded(documents, num_hashes, bands, shingle_k, basis)
+        w = Window.partitionBy("band_id", "band_hash")
+        counted = banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        vlist = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("v"),
+                    F.lit(-1 if c is None else int(c)).alias("cap"),
+                )
+                for n, c in caps.items()
+            ]
+        )
+        tagged = counted.select(
+            "doc_id",
+            "band_id",
+            "band_hash",
+            F.explode(
+                F.filter(
+                    vlist,
+                    lambda s: (s["cap"] < 0) | (F.col("__bn") <= s["cap"]),
+                )
+            ).alias("vs"),
+        ).select(F.col("vs.v").alias("variant"), "doc_id", "band_id", "band_hash")
+        # identical subtrees on both join sides -> ReuseExchange: the
+        # windowed+exploded bucket set shuffles ONCE per basis
+        pairs = (
+            tagged.alias("a")
+            .join(
+                tagged.alias("b"),
+                on=[
+                    F.col("a.variant") == F.col("b.variant"),
+                    F.col("a.band_id") == F.col("b.band_id"),
+                    F.col("a.band_hash") == F.col("b.band_hash"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .select(
+                F.col("a.variant").alias("variant"),
+                F.col("a.doc_id").cast("long").alias("doc_a"),
+                F.col("b.doc_id").cast("long").alias("doc_b"),
+            )
+            .distinct()
+        )
+        parts.append(pairs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _band_hash_expr(b: int, rows: int, hash_basis: str) -> str:
     """Per-band bucket key over a signature slice — a cheap bigint shuffle
     key. xxhash64 hashes the int array directly (no string building); the
@@ -1987,6 +2064,7 @@ def near_dup_components(
     pairs: DataFrame,
     max_iters: int = 5,
     until_converged: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Connected components over verified near-dup pairs -> the dedup
     KEEP-LIST: every doc labeled with the minimum doc_id of its component
@@ -2003,10 +2081,19 @@ def near_dup_components(
     joins in only at the end. until_converged=True instead iterates until a
     round changes nothing (one scalar count() action per round — an
     aggregate, not a data collect), the production mode when the diameter
-    is unknown."""
+    is unknown.
+
+    group_col (r8): run SEVERAL independent component problems in ONE
+    iteration chain — pairs and documents both carry the group column
+    (e.g. a policy-variant tag) and every join/aggregate is additionally
+    keyed by it. k variants' propagation rounds collapse from k
+    blocking per-round count() actions to one chain over the k×-volume
+    keyed edge set (the corpus_filter_variants shape); convergence is
+    reached when EVERY group's labels stop changing."""
+    g = [group_col] if group_col else []
     sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        *g, F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(*g, F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     # Persist the edge set: every propagation round joins against it, and
     # without a materialization Spark would re-derive the FULL upstream
     # pipeline (LSH + Jaccard verification) once per round. The verified
@@ -2016,28 +2103,42 @@ def near_dup_components(
     # only docs that appear in an edge can change label; singletons join
     # back at the end (keeps every iteration's working set = edge endpoints)
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
+        sym.select(*g, F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
     for _ in range(max_iters):
         prop = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
+            sym.alias("e")
+            .join(
+                labels.alias("l"),
+                [F.col("e.dst") == F.col("l.doc_id")]
+                + [F.col(f"e.{c}") == F.col(f"l.{c}") for c in g],
+            )
+            .groupBy(*[F.col(f"e.{c}") for c in g], F.col("e.src").alias("src"))
+            .agg(F.min(F.col("l.label")).alias("nl"))
         )
         new_labels = (
-            labels.join(prop, labels.doc_id == prop.src, "left")
+            labels.alias("l")
+            .join(
+                prop.alias("p"),
+                [F.col("l.doc_id") == F.col("p.src")]
+                + [F.col(f"l.{c}") == F.col(f"p.{c}") for c in g],
+                "left",
+            )
             .select(
-                "doc_id",
-                F.least("label", F.coalesce("nl", "label")).alias("label"),
+                *[F.col(f"l.{c}") for c in g],
+                F.col("l.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l.label"), F.coalesce(F.col("p.nl"), F.col("l.label"))
+                ).alias("label"),
             )
         )
         if until_converged:
             new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
+                .join(labels.alias("o"), ["doc_id"] + g)
                 .where(F.col("n.label") != F.col("o.label"))
                 .count()
             )
@@ -2058,6 +2159,21 @@ def near_dup_components(
         labels = labels.persist()
         labels.count()
     sym.unpersist()
+    if g:
+        # documents must carry the group column (one row per group x doc);
+        # name-based join coalesces the keys, no ambiguity
+        return (
+            documents.select(*g, F.col("doc_id").cast("long").alias("doc_id"))
+            .join(labels, g + ["doc_id"], "left")
+            .select(
+                *g,
+                "doc_id",
+                F.coalesce("label", "doc_id").cast("long").alias("keep_doc_id"),
+            )
+            .withColumn(
+                "is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("boolean")
+            )
+        )
     return (
         documents.select(F.col("doc_id").cast("long").alias("doc_id"))
         .join(labels.withColumnRenamed("doc_id", "ldoc"), F.col("doc_id") == F.col("ldoc"), "left")

@@ -2494,16 +2494,86 @@ def corpus_filter_frame(docs, hash_basis: str, max_bucket_size):
     ).withColumn("keep", (F.col("reason") == "").cast("boolean"))
 
 
+def corpus_filter_variants_frame(docs, variants: dict):
+    """The composite training-corpus filter under SEVERAL (hash_basis,
+    max_bucket_size) policies in ONE pass — the dedup_spans_variants
+    pattern applied to the heaviest bench pair (r7 VERDICT item 3: the
+    separate corpus_filter + corpus_filter_production queries recomputed
+    the full exact-dedup/lang-ID/verify/components subplan twice).
+
+    Shared once across all variants: the base scan, exact dedup (one md5
+    shuffle), lang-ID (scan-side), the Jaccard verification (computed
+    over the DISTINCT union of all variants' candidate pairs — the
+    shingle-set join is the expensive step and a pair's jaccard does not
+    depend on which variant surfaced it), and the label-propagation
+    iteration chain (variant-keyed via near_dup_components group_col —
+    one blocking count() per round for ALL variants instead of one per
+    variant per round). Per-variant: the LSH candidate generation
+    (basis-sharing inside minhash_lsh_candidates_variants) and the final
+    reason fan-out. Returns (variant, doc_id, reason, keep)."""
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("n_chars"),
+    )
+    exact = analytics.dedup_exact(docs).select(
+        "text_md5", F.col("keep_doc_id").alias("exact_keep")
+    )
+    lang = analytics.lang_id_docs(docs)
+    pairs = analytics.minhash_lsh_candidates_variants(docs, variants)
+    distinct_pairs = pairs.select("doc_a", "doc_b").distinct()
+    jac = (
+        analytics.ngram_jaccard_pairs(docs, distinct_pairs)
+        .where(F.col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    verified = pairs.join(jac, ["doc_a", "doc_b"])
+    docs_v = docs.select(
+        F.explode(F.array(*[F.lit(v) for v in variants])).alias("variant"),
+        "doc_id",
+    )
+    comp = analytics.near_dup_components(
+        docs_v, verified, max_iters=50, until_converged=True, group_col="variant"
+    ).select("variant", "doc_id", F.col("is_dup").alias("near_dup"))
+    # no broadcast hints: every side here is corpus-sized at scale (see
+    # corpus_filter_frame) — shuffle joins on uniform keys (md5 / doc_id)
+    joined = base.join(exact, "text_md5").join(comp, "doc_id").join(lang, "doc_id")
+    reason = (
+        F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("exact_dup"))
+        .when(F.col("near_dup"), F.lit("near_dup"))
+        .when(F.col("n_chars") < 100, F.lit("low_quality"))
+        .when(F.col("pred_lang") == "und", F.lit("und_lang"))
+        .otherwise(F.lit(""))
+    )
+    return joined.select(
+        "variant", "doc_id", reason.alias("reason")
+    ).withColumn("keep", (F.col("reason") == "").cast("boolean"))
+
+
 def q_corpus_filter(spark, sf_dir):
     """The composite training-corpus filter — the end-to-end decision a
     100 TB data pipeline actually ships: every doc keeps or drops with a
     precedence-ordered reason (exact_dup > near_dup > low_quality >
     und_lang). Composes the already-verified building blocks (md5 dedup,
     LSH->Jaccard->components keep-list, lang-ID, quality length gate); the
-    oracle composes the same pieces' SQL as nested CTEs. Oracle-exact
-    configuration: md5 basis, uncapped buckets."""
-    return corpus_filter_frame(
-        _docs(spark, sf_dir), hash_basis="md5", max_bucket_size=None
+    oracle composes the same pieces' SQL as nested CTEs.
+
+    Since r8 this is the MERGED variants row: variant='oracle' is the
+    exact DuckDB-replicable configuration (md5 basis, uncapped buckets);
+    variant='production' is the shipping configuration (xxhash64 basis,
+    buckets capped at 1024 — jobs/curate.py defaults), both in one pass.
+    The oracle replays ONE computation cross-joined to both variant
+    tags: legitimate because the VERIFIED pair sets coincide across
+    bases on this corpus (near-dup pairs here are >=0.9-Jaccard, whose
+    all-band LSH miss probability is ~2e-4 per pair per basis —
+    equivalence pinned deterministically by tests/test_hash_basis.py
+    and by this row's own hash at every SF) and the 1024 bucket cap
+    cannot bind below 1025 near-identical docs (lsh_bucket_stats row
+    reports dropped_buckets=0 on this corpus). A real basis/cap
+    divergence would flip the production rows' hash."""
+    return corpus_filter_variants_frame(
+        _docs(spark, sf_dir),
+        {"oracle": ("md5", None), "production": ("xxhash64", 1024)},
     )
 
 
@@ -2515,7 +2585,7 @@ exact AS (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ekeep,
          len(text) AS n_chars
   FROM documents)
-SELECT doc_id, reason, reason = '' AS keep FROM (
+SELECT v.variant, doc_id, reason, reason = '' AS keep FROM (
   SELECT CAST(e.doc_id AS BIGINT) AS doc_id,
          CASE WHEN e.doc_id <> e.ekeep THEN 'exact_dup'
               WHEN c.is_dup THEN 'near_dup'
@@ -2525,6 +2595,7 @@ SELECT doc_id, reason, reason = '' AS keep FROM (
   FROM exact e
   JOIN comp c ON c.doc_id = e.doc_id
   JOIN langp l ON l.doc_id = e.doc_id)
+CROSS JOIN (SELECT unnest(['oracle', 'production']) AS variant) v
 """
 
 

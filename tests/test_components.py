@@ -59,3 +59,58 @@ def test_keep_list_consistency_against_corpus(spark):
     for r in verified.collect():
         assert keep[r.doc_a] == keep[r.doc_b]
     assert sum(1 for d, k in keep.items() if d != k) > 0  # injected dups exist
+
+
+def test_group_col_runs_independent_problems_in_one_chain(spark):
+    """group_col (r8): two different edge sets keyed by a variant tag
+    must produce exactly the per-variant results of separate calls —
+    labels must NOT leak across groups even when the same doc_id has
+    different components in each."""
+    edges_a = [(1, 2), (2, 3), (5, 6)]
+    edges_b = [(3, 4)]  # doc 3 is a dup of 1's component in A, of 3..4 in B
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    tagged = spark.createDataFrame(
+        [("a", x, y) for x, y in edges_a] + [("b", x, y) for x, y in edges_b],
+        "variant string, doc_a long, doc_b long",
+    )
+    docs_v = docs.select(
+        F.explode(F.array(F.lit("a"), F.lit("b"))).alias("variant"), "doc_id"
+    )
+    got = {
+        (r.variant, r.doc_id): (r.keep_doc_id, r.is_dup)
+        for r in near_dup_components(
+            docs_v, tagged, max_iters=50, until_converged=True, group_col="variant"
+        ).collect()
+    }
+    assert len(got) == 14
+    for v, edges in (("a", edges_a), ("b", edges_b)):
+        want = _run(spark, 7, edges, max_iters=50, until_converged=True)
+        for i in range(7):
+            assert got[(v, i)] == want[i], (v, i)
+
+
+def test_corpus_filter_variants_matches_separate_frames(spark):
+    """The merged corpus_filter variants row must agree per-variant with
+    the single-config corpus_filter_frame it replaced (r7 VERDICT item 3
+    — one shared subplan instead of two full recomputations)."""
+    from htmlx.spark.entryqueries import (
+        corpus_filter_frame,
+        corpus_filter_variants_frame,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merged = corpus_filter_variants_frame(
+        docs, {"oracle": ("md5", None), "production": ("xxhash64", 1024)}
+    )
+    got = {
+        (r.variant, r.doc_id): (r.reason, r.keep) for r in merged.collect()
+    }
+    for v, (basis, cap) in (
+        ("oracle", ("md5", None)),
+        ("production", ("xxhash64", 1024)),
+    ):
+        want = {
+            r.doc_id: (r.reason, r.keep)
+            for r in corpus_filter_frame(docs, basis, cap).collect()
+        }
+        assert {d: got[(v, d)] for d in want} == want, v

@@ -113,8 +113,11 @@ def test_driver_queries_use_md5_basis_and_production_defaults_xxhash64():
             tail = src[call.end(): call.end() + 400].split("\n\n")[0]
             assert ('hash_basis="md5"' in tail or "hash_basis=hash_basis" in tail), (
                 f"driver call to {call.group(1)} must pass hash_basis='md5'")
-    # and the parametrized builder's driver wrapper pins md5
-    assert 'hash_basis="md5"' in inspect.getsource(entryqueries.q_corpus_filter)
+    # and the parametrized builder's driver wrapper pins md5 for the
+    # DuckDB-replicable 'oracle' variant (the 'production' variant ships
+    # xxhash64 deliberately — its oracle leg rests on the basis
+    # equivalence this module pins, see q_corpus_filter's docstring)
+    assert '{"oracle": ("md5", None)' in inspect.getsource(entryqueries.q_corpus_filter)
     # and no oracle can reference xxhash64 (DuckDB has no such function)
     from __spark_entry__ import oracle_sql
     for name, sql in oracle_sql().items():
