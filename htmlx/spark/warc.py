@@ -334,11 +334,12 @@ def iter_warc_pages(
 
 
 def read_warc(
-    spark: SparkSession, path: str, record_types: tuple = ("response",)
+    spark: SparkSession, path, record_types: tuple = ("response",)
 ) -> DataFrame:
-    """Read .warc/.warc.gz archives under `path` (file, dir, or glob)
-    into a pages DataFrame (WARC_PAGES_SCHEMA) of the HTTP *response*
-    records — ready for run_extraction / latest_capture / url_filter.
+    """Read .warc/.warc.gz archives under `path` (file, dir, glob, or a
+    LIST of paths — e.g. the cdx_archive_pruning selection) into a pages
+    DataFrame (WARC_PAGES_SCHEMA) of the HTTP *response* records — ready
+    for run_extraction / latest_capture / url_filter.
     One archive = one binaryFile row = one Python task."""
 
     def gen(batches):
@@ -359,6 +360,88 @@ def read_warc(
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(gen, WARC_PAGES_SCHEMA)
+
+
+#: Parsed CDXJ index row: everything a pruning join needs to decide
+#: which archives (and which byte ranges, on a range-capable reader)
+#: contain wanted records.
+CDX_SCHEMA = (
+    "surt string, warc_ts timestamp, url string, mime string, status int, "
+    "digest string, length long, offset long, filename string"
+)
+
+_CDXJ_JSON_SCHEMA = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Common-Crawl-style CDXJ capture index (the `cc-index`
+    text files: one line per capture, `SURT-key timestamp14 {json}`)
+    into CDX_SCHEMA. 100 TB plan: real Common-Crawl jobs prune by
+    url/host/status BEFORE touching archive bytes — a snapshot's index
+    is ~200 GB of text vs ~100 TB of WARC, so a keep-list join against
+    this table followed by cdx_archive_pruning cuts the archive scan to
+    the files (at byte granularity: the (filename, offset, length)
+    triples) that actually contain wanted records.
+
+    Entirely JVM-side: text scan -> one split -> from_json -> casts
+    (zero Python; .gz index files are non-splittable per file, matching
+    the published ~300-file sharding; plain text splits freely).
+    Malformed lines (bad json, missing url/filename) are dropped —
+    an INDEX row carries no content, so degradation means falling back
+    to reading the archive itself."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), " ", 3)
+    # try_element_at: a malformed line may split into fewer than 3 parts
+    # (element_at would throw mid-scan); NULL json then drops the row
+    js = F.from_json(F.try_element_at(parts, F.lit(3)), _CDXJ_JSON_SCHEMA)
+    return (
+        lines.select(
+            F.try_element_at(parts, F.lit(1)).alias("surt"),
+            F.try_to_timestamp(
+                F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
+            ).alias("warc_ts"),
+            js.alias("j"),
+        )
+        .where(F.col("j").isNotNull() & F.col("j.url").isNotNull()
+               & F.col("j.filename").isNotNull())
+        .select(
+            "surt",
+            "warc_ts",
+            F.col("j.url").alias("url"),
+            F.col("j.mime").alias("mime"),
+            F.col("j.status").cast("int").alias("status"),
+            F.col("j.digest").alias("digest"),
+            F.col("j.length").cast("long").alias("length"),
+            F.col("j.offset").cast("long").alias("offset"),
+            F.col("j.filename").alias("filename"),
+        )
+    )
+
+
+def cdx_archive_pruning(cdx: DataFrame, keep_urls: DataFrame) -> DataFrame:
+    """Join a url keep-list against a CDX index and return the archive
+    files worth reading: (filename, n_records, bytes_selected). The
+    downstream read then loads ONLY those archives (read_warc over the
+    explicit file list) and record-filters by url — file-level pruning
+    today, and the byte ranges for a range-read fetcher are one groupBy
+    away from the same join. keep_urls needs a `url` column; the join
+    key is uniform (url), no broadcast hint — at scale both sides are
+    large and AQE picks the build side."""
+    from pyspark.sql import functions as F
+
+    return (
+        cdx.join(keep_urls.select("url").distinct(), "url")
+        .groupBy("filename")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("length").cast("long").alias("bytes_selected"),
+        )
+    )
 
 
 WET_SCHEMA = (

@@ -205,15 +205,47 @@ def run_pipeline(spark, docs, args) -> dict:
     executed = []
 
     # robots.txt compliance runs FIRST when a robots table is supplied
-    # (it needs no text scan and is a legal gate, not a quality one)
-    if getattr(args, "robots", None) and "url" in docs.columns:
-        from htmlx.spark.robotstxt import robots_filter
+    # (it needs no text scan and is a legal gate, not a quality one).
+    # With --robots-from-pages (and no explicit --robots) the rule table
+    # is derived from the crawl's OWN /robots.txt captures inside the
+    # input table (r7 VERDICT item 5) — the fetch-status fail-closed
+    # policy included, since robots_table_from_pages carries the capture
+    # status through.
+    derive_robots = (
+        getattr(args, "robots_from_pages", False)
+        and not getattr(args, "robots", None)
+        and "html" in docs.columns
+    )
+    if (getattr(args, "robots", None) or derive_robots) and "url" in docs.columns:
+        from htmlx.spark.robotstxt import robots_filter, robots_table_from_pages
 
         def robots_keep():
-            rb = spark.read.parquet(args.robots)
+            if derive_robots:
+                path = F.coalesce(
+                    F.nullif(
+                        F.regexp_extract(
+                            F.col("url"),
+                            r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)",
+                            1,
+                        ),
+                        F.lit(""),
+                    ),
+                    F.lit("/"),
+                )
+                caps = docs.where(path == "/robots.txt")
+                rb = robots_table_from_pages(
+                    caps,
+                    status_col="http_status" if "http_status" in docs.columns else None,
+                    ts_col="warc_ts" if "warc_ts" in docs.columns else None,
+                )
+            else:
+                rb = spark.read.parquet(args.robots)
             return (
                 robots_filter(
-                    cur, rb, user_agent=getattr(args, "user_agent", "*")
+                    cur,
+                    rb,
+                    user_agent=getattr(args, "user_agent", "*"),
+                    status_col="status" if derive_robots else None,
                 )
                 .where("robots_allowed")
                 .select("doc_id")
@@ -411,6 +443,12 @@ def main():
                     help="count intra-host links too (anchorstats mode)")
     ap.add_argument("--robots", default=None,
                     help="per-host robots.txt parquet (host, robots_txt) for robotsfilter mode")
+    ap.add_argument("--robots-from-pages", action="store_true",
+                    help="pipeline mode: derive the robots rule table from the "
+                         "crawl's own /robots.txt captures inside the input "
+                         "table (needs url+html columns; honors http_status "
+                         "fail-closed policy and warc_ts latest-capture when "
+                         "present) instead of a separate --robots table")
     ap.add_argument("--user-agent", default="*",
                     help="product token for robots.txt group selection (robotsfilter)")
     ap.add_argument("--old-input", default=None,

@@ -6,7 +6,8 @@
       [--metrics <metrics root>] [--run-id RID] [--groups 64] \
       [--mode extract|links|text] [--partitions N] \
       [--input-format auto|parquet|table|warc] \
-      [--previous <prior pages parquet>]
+      [--previous <prior pages parquet>] \
+      [--cdx <cdxj index> --cdx-urls <url keep-list parquet>]
 
 Reads the Common-Crawl-style pages table (url, warc_ts, html, text, lang),
 runs the extraction engine with checkpointed resume (url-hash groups; each
@@ -46,6 +47,13 @@ def main():
                     help="prior crawl's pages parquet: extract only the delta "
                          "(added/changed canonical URLs) and write the diff "
                          "classification to <output>/_snapshot_diff.parquet")
+    ap.add_argument("--cdx", default=None,
+                    help="CDXJ capture index (cc-index text files) for warc "
+                         "input: prune the archive scan to files containing "
+                         "wanted records BEFORE reading archive bytes")
+    ap.add_argument("--cdx-urls", default=None,
+                    help="parquet with a url column — the keep-list joined "
+                         "against --cdx; required with --cdx")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,7 +70,39 @@ def main():
     if fmt == "warc":
         from htmlx.spark.warc import read_warc
 
-        pages = read_warc(spark, args.input)
+        if args.cdx:
+            # Common-Crawl-style pruning: never read 100 TB of archives
+            # when the (tiny-by-comparison) capture index can name the
+            # files that contain wanted records. File list collects to
+            # the driver — it is a FILE LISTING (~72k entries per crawl
+            # snapshot), the same structure any file source builds.
+            from htmlx.spark.warc import cdx_archive_pruning, read_cdx
+
+            if not args.cdx_urls:
+                sys.exit("--cdx requires --cdx-urls (parquet with a url column)")
+            keep_urls = spark.read.parquet(args.cdx_urls)
+            cdx = read_cdx(spark, args.cdx)
+            selected = [
+                r["filename"]
+                for r in cdx_archive_pruning(cdx, keep_urls)
+                .select("filename")
+                .collect()
+            ]
+            root = args.input.rstrip("/")
+            paths = [
+                f if f.startswith(("/", "file:", "hdfs:", "s3:")) else f"{root}/{f}"
+                for f in selected
+            ]
+            if not paths:
+                sys.exit("cdx pruning selected zero archives for the keep-list")
+            # file-level pruning + record-level url filter (a range-read
+            # fetcher would use the cdx offsets; binaryFile reads whole
+            # selected files)
+            pages = read_warc(spark, paths).join(
+                keep_urls.select("url").distinct(), "url", "left_semi"
+            )
+        else:
+            pages = read_warc(spark, args.input)
     elif fmt == "table" or (
         fmt == "auto"
         and not args.input.endswith((".parquet", "/"))

@@ -244,3 +244,47 @@ def test_pipeline_hosttmpl_stage_unmasks_exact_dups(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "out" / "audit.parquet")).collect()}
     assert audit["hosttmpl"].docs_dropped == 0
     assert audit["exact_dedup"].docs_dropped == 1
+
+
+def test_pipeline_robots_from_pages_gates_extraction(spark, tmp_path):
+    """--robots-from-pages (r7 VERDICT item 5): the robots rule table is
+    derived from /robots.txt captures INSIDE the input pages table —
+    status fail-closed policy included — and gates the pipeline; resume
+    leaves the manifest byte-identical."""
+    from jobs.curate import run_pipeline
+
+    def page(i, url, text, html=b"", status=200):
+        return (i, url, text, bytearray(html), status, i)
+
+    rb_h1 = b"User-agent: *\nDisallow: /blocked/\n"
+    rb_h3 = b"User-agent: *\nAllow: /\n"  # 503 capture: must fail CLOSED
+    rows = [
+        # robots captures (the crawl's own /robots.txt responses)
+        page(100, "https://h1.example.com/robots.txt", "robots capture", rb_h1),
+        page(101, "https://h3.example.com/robots.txt", "robots capture", rb_h3,
+             status=503),
+        # corpus docs
+        page(1, "https://h1.example.com/blocked/a", "alpha words one " * 10),
+        page(2, "https://h1.example.com/ok/b", "beta words two " * 10),
+        page(3, "https://h2.example.com/c", "gamma words three " * 10),  # no robots
+        page(4, "https://h3.example.com/open/d", "delta words four " * 10),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, url string, text string, html binary, "
+        "http_status int, warc_ts long",
+    )
+    args = _pipeline_args(tmp_path, robots_from_pages=True)
+    manifest = run_pipeline(spark, docs, args)
+    done = manifest["completed"]
+    assert done["robots"]["docs_in"] == 6
+    # dropped: doc 1 (Disallow /blocked/), doc 4 (503 host fail-closed)
+    surv = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "out" / "stage_robots.parquet")).collect()}
+    assert 1 not in surv and 4 not in surv
+    assert {2, 3} <= surv
+    # resume: manifest byte-identical, no stage recomputed
+    mpath = tmp_path / "out" / "_pipeline_manifest.json"
+    before = mpath.read_text()
+    run_pipeline(spark, docs, args)
+    assert mpath.read_text() == before

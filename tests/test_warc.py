@@ -321,3 +321,97 @@ def test_extract_cli_input_format_warc(spark, tmp_path, monkeypatch):
     main()
     got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
     assert got == {"https://a.com/1", "https://b.org/2"}
+
+
+CDXJ_LINE = (
+    '{surt} {ts} {{"url": "{url}", "mime": "text/html", "status": "200", '
+    '"digest": "sha1:AAAA", "length": "{length}", "offset": "{offset}", '
+    '"filename": "{filename}"}}'
+)
+
+
+def test_read_cdx_parses_cdxj(spark, tmp_path):
+    """CDXJ capture-index lines (cc-index format: SURT, timestamp14,
+    json) parse JVM-side into typed columns; malformed lines drop."""
+    import gzip as _gz
+
+    from htmlx.spark.warc import read_cdx
+
+    lines = [
+        CDXJ_LINE.format(surt="com,a)/1", ts="20240102030405",
+                         url="https://a.com/1", length="523", offset="0",
+                         filename="segments/w0.warc.gz"),
+        CDXJ_LINE.format(surt="org,b)/2", ts="20230601000000",
+                         url="https://b.org/2", length="100", offset="523",
+                         filename="segments/w1.warc.gz"),
+        "com,broken)/x 20240101000000 {not json at all",
+        CDXJ_LINE.format(surt="net,c)/1", ts="not-a-timestamp",
+                         url="https://c.net/1", length="7", offset="9",
+                         filename="segments/w2.warc.gz"),  # bad ts -> NULL ts, row kept
+        "short-line",
+    ]
+    d = tmp_path / "cdx"
+    d.mkdir()
+    with _gz.open(d / "cdx-00000.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    rows = {r["url"]: r for r in read_cdx(spark, str(d)).collect()}
+    assert set(rows) == {"https://a.com/1", "https://b.org/2", "https://c.net/1"}
+    assert rows["https://c.net/1"]["warc_ts"] is None
+    r = rows["https://a.com/1"]
+    assert r["surt"] == "com,a)/1"
+    assert r["warc_ts"].isoformat() == "2024-01-02T03:04:05"
+    assert (r["status"], r["length"], r["offset"]) == (200, 523, 0)
+    assert r["filename"] == "segments/w0.warc.gz"
+
+
+def test_cdx_pruned_extract_cli(spark, tmp_path, monkeypatch):
+    """--cdx/--cdx-urls on jobs/extract.py: archive files are pruned by
+    the index BEFORE any archive byte is read (a keep-list url living
+    only in an UNINDEXED archive must not appear — proof the file was
+    never opened), and indexed-but-unwanted records are filtered."""
+    import sys
+
+    from jobs.extract import main
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    recs = {
+        "w0.warc.gz": [(b"https://a.com/1", HTML_A), (b"https://a.com/2", HTML_B)],
+        "w1.warc.gz": [(b"https://b.org/1", HTML_A)],
+        "w2.warc.gz": [(b"https://c.net/1", HTML_B)],  # NOT in the index
+    }
+    for name, rs in recs.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"".join(
+                gzip.compress(_record(b"response", _http(body), url=u))
+                for u, body in rs))
+    cdx_lines = [
+        CDXJ_LINE.format(surt="com,a)/1", ts="20240101000000",
+                         url="https://a.com/1", length="1", offset="0",
+                         filename="w0.warc.gz"),
+        CDXJ_LINE.format(surt="com,a)/2", ts="20240101000000",
+                         url="https://a.com/2", length="1", offset="1",
+                         filename="w0.warc.gz"),
+        CDXJ_LINE.format(surt="org,b)/1", ts="20240101000000",
+                         url="https://b.org/1", length="1", offset="0",
+                         filename="w1.warc.gz"),
+    ]
+    cdx = str(tmp_path / "index.cdxj")
+    with open(cdx, "w") as f:
+        f.write("\n".join(cdx_lines) + "\n")
+    keep = str(tmp_path / "keep.parquet")
+    spark.createDataFrame(
+        [("https://a.com/1",), ("https://c.net/1",)], "url string"
+    ).write.parquet(keep)
+    out = str(tmp_path / "results")
+    monkeypatch.setattr(sys, "argv", [
+        "extract.py", "--input", d, "--input-format", "warc",
+        "--cdx", cdx, "--cdx-urls", keep,
+        "--output", out, "--groups", "2", "--run-id", "cdxtest",
+    ])
+    main()
+    got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+    # a.com/1: indexed + wanted -> extracted. a.com/2 / b.org/1: indexed,
+    # unwanted -> record/file filtered. c.net/1: wanted but unindexed ->
+    # its archive was never read.
+    assert got == {"https://a.com/1"}
