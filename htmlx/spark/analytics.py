@@ -2504,3 +2504,108 @@ def pack_sequences(
     return sized.groupBy("pack_bucket").applyInPandas(
         pack, "doc_id long, pack_bucket long, pack_bin long, pack_offset long"
     )
+
+
+WET_AB_SCHEMA = (
+    "url string, engine_chars long, wet_chars long, "
+    "length_ratio double, char_f1 double"
+)
+
+
+def wet_ab_compare(
+    results: DataFrame,
+    wet: DataFrame,
+    text_col: str = "text",
+    wet_text_col: str = "text",
+) -> DataFrame:
+    """Per-url A/B between THIS engine's extracted text and the crawl's
+    published WET text (warc.read_wet) — the comparator that keeps the
+    WET ingest from being write-only (r7 VERDICT item 7). One row per
+    url in EITHER side (full outer join — coverage gaps are findings,
+    not join losses):
+
+      engine_chars / wet_chars  UTF-8 CHARACTER counts (NULL side -> 0)
+      length_ratio              engine_chars / wet_chars (NULL when the
+                                WET side is missing/empty — a ratio
+                                against nothing is not 0)
+      char_f1                   character-multiset F1 (SQuAD-style but
+                                chars: overlap = sum over chars of
+                                min(count_e, count_w); P = overlap/|e|,
+                                R = overlap/|w|, F1 = 2PR/(P+R)); 0.0
+                                when either side is missing/empty,
+                                1.0 only for identical multisets.
+
+    The multiset intersection runs in mapInPandas (collections.Counter
+    — O(chars) per row; no JVM primitive computes per-row frequency
+    maps without exploding the corpus to one row per char, which would
+    shuffle 100 TB to compare it). This is a diagnostic/QA report, not
+    a curation hot path; volume is one pass over the joined texts."""
+    joined = (
+        results.select(F.col("url"), F.col(text_col).alias("__e"))
+        .join(
+            wet.select(F.col("url"), F.col(wet_text_col).alias("__w")),
+            "url",
+            "full_outer",
+        )
+    )
+
+    def compare(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, e, w in zip(pdf["url"], pdf["__e"], pdf["__w"]):
+                e = e if isinstance(e, str) else None
+                w = w if isinstance(w, str) else None
+                ne, nw = len(e or ""), len(w or "")
+                ratio = (ne / nw) if nw else None
+                if ne and nw:
+                    overlap = sum((Counter(e) & Counter(w)).values())
+                    p, r = overlap / ne, overlap / nw
+                    f1 = (2 * p * r / (p + r)) if (p + r) else 0.0
+                else:
+                    f1 = 0.0
+                rows.append((url, ne, nw, ratio, f1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "engine_chars", "wet_chars", "length_ratio", "char_f1",
+                ],
+            )
+
+    return joined.mapInPandas(compare, WET_AB_SCHEMA)
+
+
+def wet_ab_report(
+    results: DataFrame,
+    wet: DataFrame,
+    text_col: str = "text",
+    wet_text_col: str = "text",
+) -> DataFrame:
+    """One-row distribution summary of wet_ab_compare: coverage (urls on
+    both sides / engine-only / wet-only) and the char-F1 + length-ratio
+    distribution (mean, p10/p50/p90) over urls present on BOTH sides.
+    The per-url frame is the drill-down; this is the run report a crawl
+    A/B dashboard ingests."""
+    cmp = wet_ab_compare(results, wet, text_col, wet_text_col)
+    both = (F.col("engine_chars") > 0) & (F.col("wet_chars") > 0)
+    f1 = F.when(both, F.col("char_f1"))
+    lr = F.when(both, F.col("length_ratio"))
+    return cmp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(both.cast("long")).cast("long").alias("n_both"),
+        F.sum((F.col("wet_chars") == 0).cast("long")).cast("long").alias(
+            "n_engine_only"
+        ),
+        F.sum((F.col("engine_chars") == 0).cast("long")).cast("long").alias(
+            "n_wet_only"
+        ),
+        F.avg(f1).alias("char_f1_mean"),
+        F.percentile(f1, F.lit(0.1)).alias("char_f1_p10"),
+        F.percentile(f1, F.lit(0.5)).alias("char_f1_p50"),
+        F.percentile(f1, F.lit(0.9)).alias("char_f1_p90"),
+        F.percentile(lr, F.lit(0.5)).alias("length_ratio_p50"),
+        F.percentile(lr, F.lit(0.9)).alias("length_ratio_p90"),
+    )

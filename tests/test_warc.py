@@ -415,3 +415,50 @@ def test_cdx_pruned_extract_cli(spark, tmp_path, monkeypatch):
     # unwanted -> record/file filtered. c.net/1: wanted but unindexed ->
     # its archive was never read.
     assert got == {"https://a.com/1"}
+
+
+def test_wet_ab_compare_and_report(spark, tmp_path):
+    """WET A/B comparator (the read_wet consumer): hand-computed char-F1
+    and length-ratio per url, coverage gaps surfaced via the full outer
+    join, distribution report aggregates only both-side urls. The WET
+    side goes through the REAL read_wet path (conversion records in a
+    .warc.wet.gz on disk)."""
+    from htmlx.spark.analytics import wet_ab_compare, wet_ab_report
+
+    d = str(tmp_path / "wet")
+    os.makedirs(d)
+    wet_recs = [
+        _record(b"conversion", "alpha beta gamma".encode(), url=b"https://a.com/1"),
+        _record(b"conversion", b"abd", url=b"https://a.com/2"),
+        _record(b"conversion", b"wet only text", url=b"https://a.com/3"),
+    ]
+    with open(os.path.join(d, "seg.warc.wet.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(r) for r in wet_recs))
+    from htmlx.spark.warc import read_wet
+
+    wet = read_wet(spark, d)
+    engine = spark.createDataFrame(
+        [
+            ("https://a.com/1", "alpha beta gamma"),  # identical -> f1 = 1
+            ("https://a.com/2", "abc"),               # abc vs abd -> f1 = 2/3
+            ("https://a.com/4", "engine only"),       # engine-only url
+        ],
+        "url string, text string",
+    )
+    rows = {r["url"]: r for r in wet_ab_compare(engine, wet).collect()}
+    assert len(rows) == 4
+    r1 = rows["https://a.com/1"]
+    assert r1["char_f1"] == pytest.approx(1.0) and r1["length_ratio"] == pytest.approx(1.0)
+    r2 = rows["https://a.com/2"]
+    assert r2["char_f1"] == pytest.approx(2 / 3)  # overlap 2: 'a','b'
+    assert r2["engine_chars"] == 3 and r2["wet_chars"] == 3
+    r3 = rows["https://a.com/3"]  # wet-only: f1 0, ratio 0/13
+    assert r3["engine_chars"] == 0 and r3["char_f1"] == 0.0
+    assert r3["length_ratio"] == pytest.approx(0.0)
+    r4 = rows["https://a.com/4"]  # engine-only: no wet denominator
+    assert r4["wet_chars"] == 0 and r4["length_ratio"] is None
+    rep = wet_ab_report(engine, wet).collect()[0]
+    assert rep["n_urls"] == 4 and rep["n_both"] == 2
+    assert rep["n_engine_only"] == 1 and rep["n_wet_only"] == 1
+    assert rep["char_f1_p50"] == pytest.approx((1.0 + 2 / 3) / 2)
+    assert rep["char_f1_mean"] == pytest.approx((1.0 + 2 / 3) / 2)
