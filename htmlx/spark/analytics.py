@@ -427,6 +427,32 @@ def _host_of(url_col):
     return _strip_any_port(_hostport_of(u))
 
 
+def surt_col(url_col: str = "url"):
+    """SURT sort key (Sort-friendly URI Reordering Transform — the
+    Internet Archive / Common-Crawl cc-index key format) as one Catalyst
+    expression: `com,example)/path?query`. Built ON the shared URL
+    grammar (_hostport_of/_strip_any_port) so the index's authority
+    parse agrees with every host-keyed operator by construction; the
+    SURT-specific refinements on top are documented public convention,
+    not new grammar: userinfo@ is dropped (SURT is a sort key, not a
+    fetch identity — unlike _host_of, where credentials name a
+    different fetch), a leading `www.` label is dropped and host labels
+    reverse comma-joined (the cc-index canonicalization), scheme and
+    fragment are dropped, an empty path becomes '/'. Ports are stripped
+    with the grammar's own rule. NULL (not '') for relative URLs — a
+    sort key for an unknown authority would collide real ones."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = _strip_any_port(_hostport_of(u))
+    host = F.regexp_replace(host, "^[^@]*@", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    return F.when(host == "", F.lit(None)).otherwise(
+        F.concat(revhost, F.lit(")"), pathq)
+    )
+
+
 def link_graph(
     results: DataFrame,
     url_col: str = "url",

@@ -37,6 +37,8 @@ memory (the same requirement any WARC reader has).
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import zlib
 from datetime import datetime, timezone
 from typing import Iterator
@@ -59,18 +61,20 @@ _CRLF2 = b"\r\n\r\n"
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
-def _gzip_members(data: bytes) -> Iterator[bytes]:
+def _gzip_member_spans(data: bytes) -> Iterator[tuple]:
     """Decompress a multi-member gzip stream member by member (warc.gz:
-    one record per member). A member that fails to inflate is SKIPPED
-    by scanning forward for the next gzip magic and resuming there
-    (Common-Crawl files do contain damaged members; before r8 the first
-    one ended the scan and lost the rest of the archive). A member cut
-    off at EOF ends the scan — nothing can follow it. False magic hits
-    inside a corrupt member's compressed bytes just fail the next
-    inflate attempt and the scan moves on. The tail is passed as a
-    memoryview slice — a bytes slice here would COPY the remaining
-    archive once per member, turning a 1 GB 100k-record Common-Crawl
-    file into ~50 TB of memcpy."""
+    one record per member), yielding (offset, compressed_length,
+    inflated_bytes) — the byte span is what a CDX index records so a
+    later reader can range-GET exactly one record out of a ~1 GB
+    archive. A member that fails to inflate is SKIPPED by scanning
+    forward for the next gzip magic and resuming there (Common-Crawl
+    files do contain damaged members; before r8 the first one ended the
+    scan and lost the rest of the archive). A member cut off at EOF ends
+    the scan — nothing can follow it. False magic hits inside a corrupt
+    member's compressed bytes just fail the next inflate attempt and the
+    scan moves on. The tail is passed as a memoryview slice — a bytes
+    slice here would COPY the remaining archive once per member, turning
+    a 1 GB 100k-record Common-Crawl file into ~50 TB of memcpy."""
     mv = memoryview(data)
     pos = 0
     n = len(data)
@@ -94,11 +98,17 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
                 return
             pos = nxt
             continue
-        yield out
-        unused = len(d.unused_data)
-        if unused == 0:
+        end = n - len(d.unused_data)
+        yield pos, end - pos, out
+        if end == n:
             return
-        pos = n - unused
+        pos = end
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Member payloads only — see _gzip_member_spans for the contract."""
+    for _, _, out in _gzip_member_spans(data):
+        yield out
 
 
 def _parse_warc_date(s: str):
@@ -112,8 +122,11 @@ def _parse_warc_date(s: str):
 
 
 def _iter_records(raw: bytes) -> Iterator[dict]:
-    """Yield {headers: dict, block: bytes} per WARC record in a raw
-    (already-decompressed) stream, re-syncing on 'WARC/' after damage."""
+    """Yield {headers: dict, block: bytes, span: (start, end)} per WARC
+    record in a raw (already-decompressed) stream, re-syncing on 'WARC/'
+    after damage. `span` is the record's byte range within THIS stream
+    (trailing CRLF CRLF included when present) — for an uncompressed
+    .warc it doubles as the file-level CDX offset/length."""
     pos = 0
     n = len(raw)
     while pos < n:
@@ -143,7 +156,14 @@ def _iter_records(raw: bytes) -> Iterator[dict]:
         block_start = hdr_end + 4
         if block_start + clen > n:
             return  # truncated record at EOF
-        yield {"headers": headers, "block": raw[block_start : block_start + clen]}
+        end = block_start + clen
+        if raw[end : end + 4] == _CRLF2:
+            end += 4  # warc-1.1 §4: two CRLFs close the record
+        yield {
+            "headers": headers,
+            "block": raw[block_start : block_start + clen],
+            "span": (start, end),
+        }
         pos = block_start + clen
 
 
@@ -308,29 +328,44 @@ def iter_warc_pages(
         streams = iter((content,))
     for raw in streams:
         for rec in _iter_records(raw):
-            h = rec["headers"]
-            wtype = h.get("warc-type", "")
-            if wtype not in record_types:
-                continue
-            url = h.get("warc-target-uri", "")
-            if url.startswith("<") and url.endswith(">"):
-                url = url[1:-1]  # warc-1.0 angle-bracket form
-            if wtype == "response":
-                status, ctype, body, err = _split_http_response(rec["block"])
-            else:
-                status, ctype, body, err = (
-                    None, h.get("content-type", ""), rec["block"], None,
-                )
-            yield (
-                url,
-                _parse_warc_date(h.get("warc-date", "")),
-                body,
-                wtype,
-                status,
-                ctype or h.get("content-type", ""),
-                path,
-                err,
-            )
+            row = _page_row(path, rec, record_types)
+            if row is not None:
+                yield row
+
+
+def _record_url(headers: dict) -> str:
+    """WARC-Target-URI, unwrapping the warc-1.0 angle-bracket form."""
+    url = headers.get("warc-target-uri", "")
+    if url.startswith("<") and url.endswith(">"):
+        return url[1:-1]
+    return url
+
+
+def _page_row(path: str, rec: dict, record_types: tuple):
+    """One WARC record -> a WARC_PAGES_SCHEMA tuple (None when the
+    record's type is not wanted) — shared by the full-archive scan
+    (iter_warc_pages) and the CDX range reader (read_warc_ranges) so
+    both paths produce byte-identical rows by construction."""
+    h = rec["headers"]
+    wtype = h.get("warc-type", "")
+    if wtype not in record_types:
+        return None
+    if wtype == "response":
+        status, ctype, body, err = _split_http_response(rec["block"])
+    else:
+        status, ctype, body, err = (
+            None, h.get("content-type", ""), rec["block"], None,
+        )
+    return (
+        _record_url(h),
+        _parse_warc_date(h.get("warc-date", "")),
+        body,
+        wtype,
+        status,
+        ctype or h.get("content-type", ""),
+        path,
+        err,
+    )
 
 
 def read_warc(
@@ -442,6 +477,233 @@ def cdx_archive_pruning(cdx: DataFrame, keep_urls: DataFrame) -> DataFrame:
             F.sum("length").cast("long").alias("bytes_selected"),
         )
     )
+
+
+def cdx_record_pruning(cdx: DataFrame, keep_urls: DataFrame) -> DataFrame:
+    """Byte-granularity sibling of cdx_archive_pruning: the distinct
+    (filename, offset, length) spans whose records match the url
+    keep-list — exactly what read_warc_ranges consumes. At record
+    granularity a 100 TB crawl read collapses to the keep-list's own
+    byte volume (Common-Crawl members average ~15 KB compressed)."""
+    from pyspark.sql import functions as F
+
+    return (
+        cdx.join(keep_urls.select("url").distinct(), "url")
+        .select("filename", "offset", "length")
+        .where(F.col("offset").isNotNull() & F.col("length").isNotNull())
+        .distinct()
+    )
+
+
+def _http_status_mime(block: bytes):
+    """(status:int|None, cleaned_mime:str, payload:bytes) from an HTTP
+    response block WITHOUT body decoding — the index builder must not
+    pay the inflation cost of a full read (CC's own indexer doesn't).
+    The payload is the message body AS STORED (warc-1.1 §2.3's payload
+    for digesting); mime is the media type alone, parameters dropped
+    (the cc-index convention)."""
+    hdr_end = block.find(_CRLF2)
+    if hdr_end < 0 or not block.startswith(b"HTTP/"):
+        return None, "", block
+    head = block[:hdr_end].decode("latin-1", "replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    mime = ""
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(":")
+        if sep and k.strip().lower() == "content-type":
+            mime = v.split(";")[0].strip().lower()
+    return status, mime, block[hdr_end + 4 :]
+
+
+def _payload_digest(headers: dict, payload: bytes) -> str:
+    """Base32 sha1 of the stored payload (the cc-index digest value).
+    A writer-supplied WARC-Payload-Digest header wins — recomputing
+    cannot beat the value captured at crawl time (warc-1.1 §5.9), and
+    trusting it keeps indexing O(header) for pre-digested archives."""
+    given = headers.get("warc-payload-digest", "")
+    if given:
+        return given.partition(":")[2] or given
+    return base64.b32encode(hashlib.sha1(payload).digest()).decode("ascii")
+
+
+def iter_warc_index(
+    path: str, content: bytes, record_types: tuple = ("response",)
+) -> Iterator[tuple]:
+    """CDX rows (url, warc_ts, mime, status, digest, length, offset,
+    filename) for one archive's bytes — the indexing worker. Offsets and
+    lengths are the gzip MEMBER spans for .warc.gz (each independently
+    inflatable, so a range read recovers the record) and the record
+    spans for a plain .warc. A corrupt member is skipped exactly as the
+    page reader skips it (same splitter), so index and read agree on
+    which records exist. `.warc.zst` archives are not indexable without
+    the codec (frame offsets would be needed) — no rows, same
+    degradation the reader names."""
+    if path.endswith(".zst"):
+        return
+    if path.endswith(".gz"):
+        spans: Iterator[tuple] = _gzip_member_spans(content)
+    else:
+        spans = iter(((None, None, content),))
+    for m_off, m_len, raw in spans:
+        for rec in _iter_records(raw):
+            h = rec["headers"]
+            if h.get("warc-type", "") not in record_types:
+                continue
+            block = rec["block"]
+            if h.get("warc-type") == "response":
+                status, mime, payload = _http_status_mime(block)
+            else:
+                status, mime, payload = None, h.get("content-type", ""), block
+            if m_off is None:  # plain .warc: the record span IS the range
+                off, ln = rec["span"][0], rec["span"][1] - rec["span"][0]
+            else:
+                off, ln = m_off, m_len
+            yield (
+                _record_url(h),
+                _parse_warc_date(h.get("warc-date", "")),
+                mime,
+                status,
+                _payload_digest(h, payload),
+                ln,
+                off,
+                path,
+            )
+
+
+#: iter_warc_index's output: CDX_SCHEMA minus surt (derived JVM-side).
+_CDX_BUILD_SCHEMA = (
+    "url string, warc_ts timestamp, mime string, status int, "
+    "digest string, length long, offset long, filename string"
+)
+
+
+def cdx_from_warc(
+    spark: SparkSession, path, record_types: tuple = ("response",)
+) -> DataFrame:
+    """Build a CDX capture index (CDX_SCHEMA) from .warc/.warc.gz
+    archives — the complement of read_cdx, for crawls that don't ship
+    one: index once (one cheap header-only pass, no payload inflation),
+    then every downstream job prunes by url/host/status before touching
+    archive bytes. Same binaryFile one-archive-one-task layout as
+    read_warc; the SURT sort key is derived scan-side from the shared
+    URL grammar (analytics.surt_col) so index joins and host-keyed
+    operators agree on authority parsing by construction."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = list(iter_warc_index(path_, bytes(content), record_types))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "url", "warc_ts", "mime", "status",
+                            "digest", "length", "offset", "filename",
+                        ],
+                    )
+
+    from htmlx.spark.analytics import surt_col
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    idx = files.mapInPandas(gen, _CDX_BUILD_SCHEMA)
+    return idx.select(
+        surt_col("url").alias("surt"),
+        "warc_ts", "url", "mime", "status", "digest",
+        "length", "offset", "filename",
+    )
+
+
+def write_cdxj(cdx: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Serialize a CDX frame to CDXJ text (`SURT ts14 {json}` — the
+    cc-index line format read_cdx parses), entirely JVM-side. Numeric
+    json fields are written as strings per the cc-index convention;
+    a NULL surt/timestamp falls back to '-' / a zero ts14 so the
+    3-field line shape never collapses (concat_ws skips NULLs)."""
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(
+        " ",
+        F.coalesce(F.col("surt"), F.lit("-")),
+        F.coalesce(
+            F.date_format("warc_ts", "yyyyMMddHHmmss"), F.lit("00000000000000")
+        ),
+        F.to_json(
+            F.struct(
+                F.col("url"),
+                F.col("mime"),
+                F.col("status").cast("string").alias("status"),
+                F.col("digest"),
+                F.col("length").cast("string").alias("length"),
+                F.col("offset").cast("string").alias("offset"),
+                F.col("filename"),
+            )
+        ),
+    )
+    cdx.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def read_warc_ranges(
+    spark: SparkSession, ranges: DataFrame, record_types: tuple = ("response",)
+) -> DataFrame:
+    """Read ONLY the (filename, offset, length) spans of a
+    cdx_record_pruning selection into a pages DataFrame
+    (WARC_PAGES_SCHEMA) — the record-granularity endgame of CDX pruning:
+    at 100 TB the bytes read collapse from the crawl's size to the
+    keep-list's size. Spans are repartitioned by filename and read in
+    offset order, so each task seek-reads one file sequentially (on an
+    object store this per-span read is a range GET — the same access
+    pattern the public cc-pyspark/warcio fetchers use). A span of a
+    .warc.gz file must cover whole gzip members (cdx_from_warc /
+    Common-Crawl indexes guarantee that); rows come out of the same
+    record-to-row builder as the full scan, so both paths agree
+    byte-for-byte."""
+
+    def gen(batches):
+        import pandas as pd
+
+        fh, cur = None, None
+        for pdf in batches:
+            rows = []
+            for fn, off, ln in zip(pdf["filename"], pdf["offset"], pdf["length"]):
+                local = fn[5:] if fn.startswith("file:") else fn
+                if local != cur:
+                    if fh is not None:
+                        fh.close()
+                    fh, cur = open(local, "rb"), local
+                fh.seek(int(off))
+                chunk = fh.read(int(ln))
+                if cur.endswith(".gz"):
+                    raws: Iterator[bytes] = _gzip_members(chunk)
+                else:
+                    raws = iter((chunk,))
+                for raw in raws:
+                    for rec in _iter_records(raw):
+                        row = _page_row(fn, rec, record_types)
+                        if row is not None:
+                            rows.append(row)
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "url", "warc_ts", "html", "warc_type",
+                        "http_status", "content_type", "warc_file",
+                        "warc_error",
+                    ],
+                )
+        if fh is not None:
+            fh.close()
+
+    spans = ranges.repartition("filename").sortWithinPartitions(
+        "filename", "offset"
+    )
+    return spans.mapInPandas(gen, WARC_PAGES_SCHEMA)
 
 
 WET_SCHEMA = (

@@ -7,7 +7,7 @@
       [--mode extract|links|text] [--partitions N] \
       [--input-format auto|parquet|table|warc] \
       [--previous <prior pages parquet>] \
-      [--cdx <cdxj index> --cdx-urls <url keep-list parquet>]
+      [--cdx <cdxj index> --cdx-urls <url keep-list parquet> [--cdx-ranges]]
 
 Reads the Common-Crawl-style pages table (url, warc_ts, html, text, lang),
 runs the extraction engine with checkpointed resume (url-hash groups; each
@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--cdx-urls", default=None,
                     help="parquet with a url column — the keep-list joined "
                          "against --cdx; required with --cdx")
+    ap.add_argument("--cdx-ranges", action="store_true",
+                    help="with --cdx: read ONLY the selected records' byte "
+                         "ranges (cdx offset/length spans) instead of whole "
+                         "pruned archives — record-granularity reads, the "
+                         "bytes touched collapse to the keep-list's size")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -82,25 +87,43 @@ def main():
                 sys.exit("--cdx requires --cdx-urls (parquet with a url column)")
             keep_urls = spark.read.parquet(args.cdx_urls)
             cdx = read_cdx(spark, args.cdx)
-            selected = [
-                r["filename"]
-                for r in cdx_archive_pruning(cdx, keep_urls)
-                .select("filename")
-                .collect()
-            ]
             root = args.input.rstrip("/")
-            paths = [
-                f if f.startswith(("/", "file:", "hdfs:", "s3:")) else f"{root}/{f}"
-                for f in selected
-            ]
-            if not paths:
-                sys.exit("cdx pruning selected zero archives for the keep-list")
-            # file-level pruning + record-level url filter (a range-read
-            # fetcher would use the cdx offsets; binaryFile reads whole
-            # selected files)
-            pages = read_warc(spark, paths).join(
-                keep_urls.select("url").distinct(), "url", "left_semi"
-            )
+            if args.cdx_ranges:
+                # record-granularity: seek-read ONLY the selected spans
+                # (one sequential pass per file per task); a member can
+                # hold several records, so the url filter still applies
+                from pyspark.sql import functions as F
+                from htmlx.spark.warc import cdx_record_pruning, read_warc_ranges
+
+                spans = cdx_record_pruning(cdx, keep_urls).withColumn(
+                    "filename",
+                    F.when(
+                        F.col("filename").rlike("^(/|file:|hdfs:|s3:)"),
+                        F.col("filename"),
+                    ).otherwise(F.concat(F.lit(root + "/"), F.col("filename"))),
+                )
+                pages = read_warc_ranges(spark, spans).join(
+                    keep_urls.select("url").distinct(), "url", "left_semi"
+                )
+            else:
+                selected = [
+                    r["filename"]
+                    for r in cdx_archive_pruning(cdx, keep_urls)
+                    .select("filename")
+                    .collect()
+                ]
+                paths = [
+                    f if f.startswith(("/", "file:", "hdfs:", "s3:"))
+                    else f"{root}/{f}"
+                    for f in selected
+                ]
+                if not paths:
+                    sys.exit("cdx pruning selected zero archives for the keep-list")
+                # file-level pruning + record-level url filter (binaryFile
+                # reads whole selected files; --cdx-ranges reads spans)
+                pages = read_warc(spark, paths).join(
+                    keep_urls.select("url").distinct(), "url", "left_semi"
+                )
         else:
             pages = read_warc(spark, args.input)
     elif fmt == "table" or (

@@ -462,3 +462,201 @@ def test_wet_ab_compare_and_report(spark, tmp_path):
     assert rep["n_engine_only"] == 1 and rep["n_wet_only"] == 1
     assert rep["char_f1_p50"] == pytest.approx((1.0 + 2 / 3) / 2)
     assert rep["char_f1_mean"] == pytest.approx((1.0 + 2 / 3) / 2)
+
+
+# ---- CDX building (cdx_from_warc / write_cdxj) + range reads ----
+
+
+def _b32sha1(b: bytes) -> str:
+    import base64
+    import hashlib
+
+    return base64.b32encode(hashlib.sha1(b).digest()).decode()
+
+
+def test_gzip_member_spans_are_range_readable():
+    """Member (offset, length) spans are exact: slicing the archive at a
+    span and gunzipping it yields that member alone — the property a CDX
+    range fetcher depends on. Expected offsets come from the test
+    writer's OWN per-blob lengths, not the splitter."""
+    from htmlx.spark.warc import _gzip_member_spans
+
+    blobs = [
+        gzip.compress(_record(b"response", _http(HTML_A), url=b"https://a.com/1")),
+        gzip.compress(_record(b"request", b"GET / HTTP/1.1\r\n\r\n",
+                              url=b"https://a.com/1")),
+        gzip.compress(_record(b"response", _http(HTML_B), url=b"https://b.org/2")),
+    ]
+    data = b"".join(blobs)
+    spans = list(_gzip_member_spans(data))
+    assert len(spans) == 3
+    expect_off = [0, len(blobs[0]), len(blobs[0]) + len(blobs[1])]
+    for (off, ln, out), blob, eo in zip(spans, blobs, expect_off):
+        assert (off, ln) == (eo, len(blob))
+        assert gzip.decompress(data[off : off + ln]) == out
+
+
+def test_cdx_from_warc_and_cdxj_roundtrip(spark, tmp_path):
+    """Index .warc.gz + plain .warc archives: offsets/lengths match the
+    writer's own blob arithmetic, digests are sha1-base32 of the stored
+    payload, chaff records don't index; then the full CDXJ round trip
+    (write_cdxj -> read_cdx) preserves every column."""
+    from htmlx.spark.warc import cdx_from_warc, read_cdx, write_cdxj
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    blobs = [
+        gzip.compress(_record(b"response", _http(HTML_A), url=b"https://a.com/1")),
+        gzip.compress(_record(b"request", b"GET / HTTP/1.1\r\n\r\n",
+                              url=b"https://a.com/1")),
+        gzip.compress(_record(b"response", _http(HTML_B, status=b"404 Not Found"),
+                              url=b"https://www.b.org/2",
+                              date=b"2019-06-01T00:00:00Z")),
+    ]
+    (d / "w0.warc.gz").write_bytes(b"".join(blobs))
+    plain = _record(b"response", _http(HTML_B), url=b"https://c.net/x")
+    (d / "w1.warc").write_bytes(plain)
+
+    rows = {r["url"]: r for r in cdx_from_warc(spark, str(d)).collect()}
+    assert set(rows) == {"https://a.com/1", "https://www.b.org/2", "https://c.net/x"}
+    a = rows["https://a.com/1"]
+    assert (a["offset"], a["length"]) == (0, len(blobs[0]))
+    assert a["status"] == 200 and a["mime"] == "text/html"
+    assert a["digest"] == _b32sha1(HTML_A)
+    assert a["surt"] == "com,a)/1"
+    assert a["warc_ts"].isoformat() == "2017-03-22T17:01:03"
+    b = rows["https://www.b.org/2"]
+    assert (b["offset"], b["length"]) == (len(blobs[0]) + len(blobs[1]), len(blobs[2]))
+    assert b["status"] == 404 and b["surt"] == "org,b)/2"  # www. dropped
+    c = rows["https://c.net/x"]
+    assert (c["offset"], c["length"]) == (0, len(plain))
+    assert c["digest"] == _b32sha1(HTML_B)
+    assert c["filename"].endswith("w1.warc")
+
+    out = str(tmp_path / "index")
+    write_cdxj(cdx_from_warc(spark, str(d)), out)
+    back = {r["url"]: r for r in read_cdx(spark, out).collect()}
+    assert set(back) == set(rows)
+    for url, r in rows.items():
+        for col in ("surt", "warc_ts", "mime", "status", "digest",
+                    "length", "offset", "filename"):
+            assert back[url][col] == r[col], (url, col)
+
+
+def test_surt_col_shared_grammar_pins(spark):
+    """SURT derivation agrees with the shared URL grammar and the
+    documented cc-index refinements (www-strip, userinfo-drop,
+    label reversal, fragment drop, '/' default path)."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.analytics import surt_col
+
+    cases = [
+        ("https://www.Example.COM:443/Path?q=1#frag", "com,example)/Path?q=1"),
+        ("http://user:pw@sub.example.org/", "org,example,sub)/"),
+        ("https://example.net", "net,example)/"),
+        ("ftp://Host.TLD/a/b", "tld,host)/a/b"),
+        ("relative/x", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in df.select(surt_col("url").alias("s")).collect()]
+    assert got == [s for _, s in cases]
+
+
+def test_cdx_range_reads_match_full_scan(spark, tmp_path):
+    """read_warc_ranges over cdx_record_pruning spans returns the SAME
+    rows the full-archive scan returns for the kept urls — record-level
+    pruning loses nothing and invents nothing."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.warc import (
+        cdx_from_warc, cdx_record_pruning, read_warc, read_warc_ranges,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    bodies = {f"https://s{i}.com/p": HTML_A.replace(b"alpha", b"doc%d" % i)
+              for i in range(6)}
+    urls = sorted(bodies)
+    for w, chunk in enumerate([urls[:3], urls[3:]]):
+        (d / f"w{w}.warc.gz").write_bytes(b"".join(
+            gzip.compress(_record(b"response", _http(bodies[u]), url=u.encode()))
+            for u in chunk))
+    cdx = cdx_from_warc(spark, str(d))
+    keep = spark.createDataFrame([(urls[1],), (urls[4],)], "url string")
+
+    def key(df):
+        return sorted(
+            df.select("url", F.md5("html").alias("h"), "http_status",
+                      "content_type", "warc_ts").collect()
+        )
+
+    ranged = read_warc_ranges(spark, cdx_record_pruning(cdx, keep))
+    full = read_warc(spark, str(d)).join(keep, "url", "left_semi")
+    assert key(ranged) == key(full)
+    assert {r["url"] for r in ranged.select("url").collect()} == {urls[1], urls[4]}
+
+
+def test_cdx_index_skips_corrupt_member_offsets_hold(spark, tmp_path):
+    """A corrupt mid-archive member neither indexes nor shifts later
+    offsets: the record after the damage range-reads correctly from its
+    indexed span (index and reader share the re-sync splitter)."""
+    from htmlx.spark.warc import cdx_from_warc, read_warc_ranges
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    good0 = gzip.compress(_record(b"response", _http(HTML_A), url=b"https://a.com/1"))
+    bad = bytearray(gzip.compress(_record(b"response", _http(HTML_B),
+                                          url=b"https://dead.com/x")))
+    bad[12:40] = b"\x00" * 28  # corrupt the deflate stream mid-member
+    good2 = gzip.compress(_record(b"response", _http(HTML_B), url=b"https://c.net/3"))
+    (d / "w0.warc.gz").write_bytes(good0 + bytes(bad) + good2)
+
+    rows = {r["url"]: r for r in cdx_from_warc(spark, str(d)).collect()}
+    assert set(rows) == {"https://a.com/1", "https://c.net/3"}
+    c = rows["https://c.net/3"]
+    assert (c["offset"], c["length"]) == (len(good0) + len(bad), len(good2))
+    spans = spark.createDataFrame(
+        [(c["filename"], c["offset"], c["length"])],
+        "filename string, offset long, length long",
+    )
+    got = read_warc_ranges(spark, spans).collect()
+    assert len(got) == 1 and got[0]["url"] == "https://c.net/3"
+    assert bytes(got[0]["html"]) == HTML_B
+
+
+def test_extract_cli_cdx_ranges(spark, tmp_path, monkeypatch):
+    """--cdx-ranges end-to-end over a SELF-BUILT index: archives ->
+    cdx_from_warc -> write_cdxj -> extract CLI range-reads only the
+    keep-list's spans (full lifecycle: index once, prune every job)."""
+    import sys
+
+    from jobs.extract import main
+    from htmlx.spark.warc import cdx_from_warc, write_cdxj
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    recs = {
+        "w0.warc.gz": [(b"https://a.com/1", HTML_A), (b"https://a.com/2", HTML_B)],
+        "w1.warc.gz": [(b"https://b.org/1", HTML_B)],
+    }
+    for name, rs in recs.items():
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"".join(
+                gzip.compress(_record(b"response", _http(body), url=u))
+                for u, body in rs))
+    idx = str(tmp_path / "index")
+    write_cdxj(cdx_from_warc(spark, d), idx)
+    keep = str(tmp_path / "keep.parquet")
+    spark.createDataFrame([("https://a.com/1",)], "url string").write.parquet(keep)
+    out = str(tmp_path / "results")
+    monkeypatch.setattr(sys, "argv", [
+        "extract.py", "--input", d, "--input-format", "warc",
+        "--cdx", idx, "--cdx-urls", keep, "--cdx-ranges",
+        "--output", out, "--groups", "2", "--run-id", "cdxranges",
+    ])
+    main()
+    res = spark.read.parquet(out)
+    assert {r["url"] for r in res.select("url").collect()} == {"https://a.com/1"}
+    assert res.where("title = 'Doc A'").count() == 1
