@@ -2520,7 +2520,15 @@ def corpus_filter_variants_frame(docs, variants: dict):
         "text_md5", F.col("keep_doc_id").alias("exact_keep")
     )
     lang = analytics.lang_id_docs(docs)
-    pairs = analytics.minhash_lsh_candidates_variants(docs, variants)
+    # The candidate pair set is referenced TWICE in the DAG (under the
+    # distinct->Jaccard verify and in the variant-tag re-join below);
+    # without a materialization both hash bases' signature scans run
+    # twice when the components chain first executes. The pair table is
+    # tiny (near-dup candidates only), so persisting it is safe at any
+    # scale — measured at sf0.1: 10.9 s -> 9.8 s warm, 22.8 -> 13.1 cold
+    # (3/3 rounds faster; exchange reuse recovered only part of the
+    # duplication on its own).
+    pairs = analytics.minhash_lsh_candidates_variants(docs, variants).persist()
     distinct_pairs = pairs.select("doc_a", "doc_b").distinct()
     jac = (
         analytics.ngram_jaccard_pairs(docs, distinct_pairs)
