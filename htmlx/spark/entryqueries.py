@@ -2845,7 +2845,19 @@ def q_host_stats(spark, sf_dir):
     oracle replays the expected decoded rows from generate_series —
     any slip in member splitting, record grammar, date parsing,
     envelope stripping, dechunking, inflation, or the degradation
-    contract flips the hash."""
+    contract flips the hash.
+
+    level='warcidx' (r8): cdx_from_warc over the SAME fixture set —
+    the index builder on the oracle. surt (shared-grammar label
+    reversal), url, ts, cleaned mime, and status replay exactly from
+    generate_series; byte offsets are zlib-dependent so the oracle
+    pins their invariants instead: every span positive and
+    non-overlapping in offset order (span_ok must print 'true'), and
+    offset order must equal record-index order within each container
+    (row_number rank = i mod 8). The corrupt member and the
+    warcinfo/request chaff must not index (row count 24). sha1-b32
+    digests have no DuckDB twin; they're pinned by pytest
+    (test_cdx_from_warc_and_cdxj_roundtrip)."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -3093,6 +3105,39 @@ def q_host_stats(spark, sf_dir):
         F.col("http_status").cast("long").alias("n_docs"),
         F.length("html").cast("long").alias("total_chars"),
     )
+    from pyspark.sql import Window
+
+    # warcidx (r8): the index builder over the same fixture set. Byte
+    # offsets are zlib-dependent (not SQL-replayable), so the oracle
+    # pins their INVARIANTS instead: spans are positive, non-overlapping
+    # in offset order (span_ok, window lag), and offset order equals
+    # record-index order within each file (row_number rank = i mod 8 —
+    # the fixture writes 8 records per container in index order).
+    # surt/url/ts/mime/status replay exactly from generate_series.
+    iw = Window.partitionBy("filename").orderBy("offset")
+    span_ok = (
+        (F.col("offset") >= 0)
+        & (F.col("length") > 0)
+        & (
+            F.col("offset")
+            >= F.coalesce(
+                F.lag(F.col("offset") + F.col("length")).over(iw), F.lit(0)
+            )
+        )
+    )
+    warcidx_level = warc.cdx_from_warc(spark, synth_warc_fixture()).select(
+        F.lit("warcidx").alias("level"),
+        F.concat_ws(
+            "|",
+            F.coalesce("surt", F.lit("")),
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"),
+            "mime",
+            span_ok.cast("string"),
+        ).alias("key"),
+        F.col("status").cast("long").alias("n_docs"),
+        (F.row_number().over(iw) - 1).cast("long").alias("total_chars"),
+    )
     return (
         host_level.unionByName(canon_level)
         .unionByName(filt_level)
@@ -3102,6 +3147,7 @@ def q_host_stats(spark, sf_dir):
         .unionByName(robots_level)
         .unionByName(rbtxt_level)
         .unionByName(warc_level)
+        .unionByName(warcidx_level)
     )
 
 
@@ -3271,6 +3317,17 @@ FROM (
                    || repeat('x', i) || '</p>' END AS body,
          CASE WHEN i = 23 THEN 'content_encoding_unavailable:br' ELSE '' END AS err
   FROM (SELECT unnest(generate_series(0, 23)) AS i))
+UNION ALL
+SELECT 'warcidx',
+       'org,example,warc' || CAST(i % 5 AS VARCHAR) || ')/page/'
+         || CAST(i AS VARCHAR)
+         || '|https://warc' || CAST(i % 5 AS VARCHAR) || '.example.org/page/'
+         || CAST(i AS VARCHAR)
+         || '|2024-01-01 00:00:' || lpad(CAST(i AS VARCHAR), 2, '0')
+         || '|text/html|true',
+       CAST(CASE WHEN i % 6 = 5 THEN 404 ELSE 200 END AS BIGINT),
+       CAST(i % 8 AS BIGINT)
+FROM (SELECT unnest(generate_series(0, 23)) AS i)
 """
 
 
