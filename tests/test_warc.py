@@ -660,3 +660,28 @@ def test_extract_cli_cdx_ranges(spark, tmp_path, monkeypatch):
     res = spark.read.parquet(out)
     assert {r["url"] for r in res.select("url").collect()} == {"https://a.com/1"}
     assert res.where("title = 'Doc A'").count() == 1
+
+
+def test_cdx_cli_builds_index(spark, tmp_path, monkeypatch, capsys):
+    """jobs/cdx.py: archives in, CDXJ index out, summary from the
+    written index itself."""
+    import sys
+
+    from jobs.cdx import main
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    for w in range(2):
+        with open(os.path.join(d, f"w{w}.warc.gz"), "wb") as f:
+            f.write(b"".join(
+                gzip.compress(_record(b"response", _http(HTML_A),
+                                      url=b"https://s%d.com/%d" % (w, i)))
+                for i in range(3)))
+    out = str(tmp_path / "index")
+    monkeypatch.setattr(sys, "argv",
+                        ["cdx.py", "--input", d, "--output", out])
+    main()
+    assert "indexed 6 records from 2 archives" in capsys.readouterr().out
+    from htmlx.spark.warc import read_cdx
+
+    assert read_cdx(spark, out).count() == 6
