@@ -1031,10 +1031,24 @@ def span_window_stats(
     drops — the 'no silent caps' companion, mirroring lsh_bucket_stats.
     One row: (n_distinct_windows, max_window_occurrences, capped_wkeys,
     capped_occurrences); the capped_* columns are 0 when max_occurrences
-    is None. Built on the same _span_windows subtree as dedup_spans so a
-    plan running both reuses the exploded-window exchange."""
-    counts = _span_windows(documents, w, hash_basis).groupBy("wkey").agg(
-        F.count(F.lit(1)).alias("occ")
+    is None.
+
+    The per-wkey aggregate below is deliberately IDENTICAL to
+    dedup_spans_variants' survivor aggregate (min(struct) + count, in
+    that order) even though stats only needs the count: exchange reuse
+    keys on the canonicalized subtree, and partial aggregation runs
+    map-side BEFORE the exchange, so a count-only aggregate here would
+    ship different buffers and recompute the whole posexplode window
+    chain when a plan runs both (measured r8 at sf0.1: the driver's
+    span+spancap+spanstats union dropped 6.0 -> 4.5 s once aligned —
+    the stats pass became a reused stage instead of a second scan)."""
+    counts = (
+        _span_windows(documents, w, hash_basis)
+        .groupBy("wkey")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("occ"),
+        )
     )
     over = (
         (F.col("occ") > max_occurrences)
