@@ -740,6 +740,146 @@ def meta_robots(
     )
 
 
+def _xml_unescape(col):
+    """Undo the five predefined XML entities (the escaping the sitemap
+    protocol REQUIRES for loc values — sitemaps.org/protocol.html
+    'Entity escaping'). &amp; last, so '&amp;lt;' round-trips to '&lt;'
+    and not '<' (standard unescape ordering)."""
+    out = col
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+#: sitemaps.org limits: <= 50,000 entries and <= 50 MB uncompressed per
+#: sitemap file; a <loc> must be < 2,048 characters.
+SITEMAP_MAX_ENTRIES = 50000
+SITEMAP_MAX_BYTES = 50 * 1024 * 1024
+SITEMAP_LOC_MAX_CHARS = 2048
+
+
+def sitemap_entries(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    same_host_only: bool = True,
+    max_entries: int = SITEMAP_MAX_ENTRIES,
+    max_bytes: int = SITEMAP_MAX_BYTES,
+) -> DataFrame:
+    """Parse sitemap XML captures (sitemaps.org protocol) out of a pages
+    table into crawl-frontier entries — the discovery step between
+    robots.txt compliance and fetch scheduling: a <urlset> yields
+    kind='url' rows (the site's own listing of crawlable URLs, with
+    optional <lastmod> for recrawl prioritization) and a <sitemapindex>
+    yields kind='sitemap' rows (sub-sitemaps to fetch next). Non-sitemap
+    captures yield nothing, so the input can be the raw pages table.
+
+    Protocol rules enforced: the five predefined XML entities are
+    unescaped in <loc>; entries past the spec's 50,000-per-file cap and
+    bytes past 50 MB are ignored (array slice / bounded substring —
+    caps are the spec's own, not silent); a <loc> of >= 2,048 chars is
+    dropped; and with same_host_only (the spec's cross-submission
+    default — a sitemap may only list URLs of its own host unless
+    robots.txt cross-submits) entries whose host differs from the
+    sitemap capture's host are dropped, using the shared URL grammar
+    (_host_of) on both sides.
+
+    Returns (host, sitemap_url, kind, loc, lastmod). 100 TB plan: pure
+    Catalyst regexp over a bounded prefix of the binary column +
+    explode — zero Python, zero shuffle; the frontier anti-join
+    downstream is the only exchange."""
+    body = F.substring(F.col(html_col).cast("string"), 1, max_bytes)
+
+    def block_entries(container_re, block_re):
+        blocks = F.slice(
+            F.regexp_extract_all(body, F.lit(block_re), 0), 1, max_entries
+        )
+        ent = F.transform(
+            blocks,
+            lambda b: F.struct(
+                _xml_unescape(
+                    F.regexp_extract(b, r"(?is)<loc\s*>\s*(.*?)\s*</loc>", 1)
+                ).alias("loc"),
+                F.nullif(
+                    F.regexp_extract(
+                        b, r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod>", 1
+                    ),
+                    F.lit(""),
+                ).alias("lastmod"),
+            ),
+        )
+        return F.when(body.rlike(container_re), ent)
+
+    entries = F.coalesce(
+        block_entries(
+            r"(?is)<\s*sitemapindex[\s>]",
+            r"(?is)<sitemap[\s>].*?</sitemap\s*>",
+        ),
+        block_entries(r"(?is)<\s*urlset[\s>]", r"(?is)<url[\s>].*?</url\s*>"),
+    )
+    kind = F.when(
+        body.rlike(r"(?is)<\s*sitemapindex[\s>]"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    out = (
+        pages.select(
+            _host_of(url_col).alias("host"),
+            F.col(url_col).alias("sitemap_url"),
+            kind.alias("kind"),
+            F.explode(entries).alias("e"),
+        )
+        .select(
+            "host", "sitemap_url", "kind",
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod").alias("lastmod"),
+        )
+        .where(
+            (F.col("loc") != "")
+            & (F.length("loc") < SITEMAP_LOC_MAX_CHARS)
+        )
+    )
+    if same_host_only:
+        out = out.where(_host_of(F.col("loc")) == F.col("host"))
+    return out
+
+
+def sitemap_urls_from_robots(
+    robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+) -> DataFrame:
+    """Sitemap discovery from robots.txt captures: the `Sitemap:` field
+    (sitemaps.org 'Sitemap location' / RFC 9309 §2.2.4 other records —
+    group-independent, so it matches ANYWHERE in the file,
+    case-insensitive key, absolute URL value). Input is the per-host
+    robots table robots_table_from_pages builds; output (host,
+    sitemap_url) seeds the sitemap fetch list. Zero Python, zero
+    shuffle."""
+    urls = F.regexp_extract_all(
+        F.col(robots_col), F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), 1
+    )
+    return robots.select(
+        F.col(host_col).alias("host"), F.explode(urls).alias("sitemap_url")
+    )
+
+
+def sitemap_frontier(
+    entries: DataFrame, pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """The uncrawled frontier: sitemap-listed page URLs (kind='url')
+    not yet captured in the pages table — what a recrawl scheduler
+    fetches next. One distinct + one left-anti join on url (uniform
+    key); lastmod rides along (max per url when sitemaps disagree)."""
+    listed = (
+        entries.where(F.col("kind") == "url")
+        .groupBy(F.col("loc").alias("url"))
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
+    return listed.join(
+        pages.select(F.col(url_col).alias("url")).distinct(), "url", "left_anti"
+    )
+
+
 def char_trigram_perplexity(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2857,7 +2857,16 @@ def q_host_stats(spark, sf_dir):
     (row_number rank = i mod 8). The corrupt member and the
     warcinfo/request chaff must not index (row count 24). sha1-b32
     digests have no DuckDB twin; they're pinned by pytest
-    (test_cdx_from_warc_and_cdxj_roundtrip)."""
+    (test_cdx_from_warc_and_cdxj_roundtrip).
+
+    level='sitemap' (r8): crawl-frontier construction (sitemaps.org
+    protocol). doc_id%4 synthesizes one capture class each — urlset
+    with lastmod + entity-escaped entries, sitemapindex, a urlset whose
+    foreign-host entry the cross-submission default must drop, and a
+    non-sitemap page that parses to nothing. Spark runs the real
+    bounded-regexp XML parse over raw bytes (analytics.sitemap_entries);
+    the oracle derives survivors independently from doc_id%4.
+    key=kind|loc|lastmod, n_docs=count, total_chars=strlen(loc)."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -3105,6 +3114,63 @@ def q_host_stats(spark, sf_dir):
         F.col("http_status").cast("long").alias("n_docs"),
         F.length("html").cast("long").alias("total_chars"),
     )
+    # sitemap (r8): crawl-frontier construction. doc_id%4 synthesizes
+    # one sitemap-capture variant per class — a urlset with a lastmod
+    # entry and an entity-escaped (&amp;) entry; a sitemapindex; a
+    # urlset whose FOREIGN-host entry the cross-submission default must
+    # drop (keeping the own-host one); and a non-sitemap page that must
+    # parse to nothing. Spark runs the real bounded-regexp XML parse
+    # (analytics.sitemap_entries) over synthesized raw bytes; the
+    # oracle derives the surviving entries independently from doc_id%4.
+    # key=kind|loc|lastmod, n_docs=count, total_chars=strlen(loc).
+    sk = (d % 10).cast("long").cast("string")
+    sds = d.cast("long").cast("string")
+    sm_host = F.concat(F.lit("https://h"), sk, F.lit(".example.com"))
+    sm_xml = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<urlset><url><loc>"), sm_host, F.lit("/sm/"), sds,
+                F.lit("/1</loc><lastmod>2024-05-01</lastmod></url>"),
+                F.lit("<url><loc> "), sm_host, F.lit("/sm/"), sds,
+                F.lit("/2?a=1&amp;b=2 </loc></url></urlset>"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>"), sm_host,
+                F.lit("/sub/"), sds,
+                F.lit(".xml</loc></sitemap></sitemapindex>"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("<urlset><url><loc>https://foreign.example.net/x/"),
+                sds, F.lit("</loc></url><url><loc>"), sm_host,
+                F.lit("/keep/"), sds, F.lit("</loc></url></urlset>"),
+            ),
+        )
+        .otherwise(F.lit("<html><body>not a sitemap</body></html>"))
+    )
+    sm_pages = docs.select(
+        F.concat(sm_host, F.lit("/sitemap"), sds, F.lit(".xml")).alias("url"),
+        F.encode(sm_xml, "utf-8").alias("html"),
+    )
+    sitemap_level = (
+        analytics.sitemap_entries(sm_pages)
+        .groupBy(
+            F.concat_ws(
+                "|", "kind", "loc", F.coalesce("lastmod", F.lit(""))
+            ).alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("loc")).cast("long").alias("total_chars"),
+        )
+        .select(F.lit("sitemap").alias("level"), "key", "n_docs", "total_chars")
+    )
     from pyspark.sql import Window
 
     # warcidx (r8): the index builder over the same fixture set. Byte
@@ -3148,6 +3214,7 @@ def q_host_stats(spark, sf_dir):
         .unionByName(rbtxt_level)
         .unionByName(warc_level)
         .unionByName(warcidx_level)
+        .unionByName(sitemap_level)
     )
 
 
@@ -3328,6 +3395,32 @@ SELECT 'warcidx',
        CAST(CASE WHEN i % 6 = 5 THEN 404 ELSE 200 END AS BIGINT),
        CAST(i % 8 AS BIGINT)
 FROM (SELECT unnest(generate_series(0, 23)) AS i)
+UNION ALL
+SELECT 'sitemap', key, CAST(count(*) AS BIGINT),
+       CAST(sum(strlen(loc)) AS BIGINT)
+FROM (
+  SELECT CASE kind WHEN 'sitemap'
+           THEN 'sitemap|' || loc || '|'
+           ELSE 'url|' || loc || '|' || lastmod END AS key, loc
+  FROM (
+    SELECT u.kind, u.loc, u.lastmod FROM documents d, LATERAL (
+      SELECT * FROM (VALUES
+        ('url',
+         'https://h' || CAST(d.doc_id % 10 AS VARCHAR) || '.example.com/sm/'
+           || CAST(d.doc_id AS VARCHAR) || '/1',
+         '2024-05-01', 0),
+        ('url',
+         'https://h' || CAST(d.doc_id % 10 AS VARCHAR) || '.example.com/sm/'
+           || CAST(d.doc_id AS VARCHAR) || '/2?a=1&b=2', '', 0),
+        ('sitemap',
+         'https://h' || CAST(d.doc_id % 10 AS VARCHAR) || '.example.com/sub/'
+           || CAST(d.doc_id AS VARCHAR) || '.xml', '', 1),
+        ('url',
+         'https://h' || CAST(d.doc_id % 10 AS VARCHAR) || '.example.com/keep/'
+           || CAST(d.doc_id AS VARCHAR), '', 2)
+      ) AS v(kind, loc, lastmod, m)
+      WHERE d.doc_id % 4 = v.m) u))
+GROUP BY 2
 """
 
 
