@@ -778,3 +778,92 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(gen, WET_SCHEMA)
+
+
+def _wet_record(url: str, ts, text: str) -> bytes:
+    """One warc-1.1 §6.8 'conversion' record holding extracted text —
+    the record shape read_wet ingests. Deterministic: the record id is
+    uuid5 of (url, ts) so identical inputs publish identical bytes
+    (reproducibility is a publishing contract, not an accident)."""
+    import uuid
+
+    body = text.encode("utf-8")
+    ts_s = (ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            if ts is not None else "1970-01-01T00:00:00Z")
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}|{ts_s}")
+    hdr = (
+        "WARC/1.1\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts_s}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii", "replace")
+    return hdr + body + b"\r\n\r\n"
+
+
+def write_wet(
+    results: DataFrame,
+    out_dir: str,
+    n_files: int = 16,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Publish extracted text as WET archives (.warc.wet.gz, one gzip
+    MEMBER per record — the Common-Crawl convention read_wet and every
+    other WET consumer splits on) — the publishing end of the archive
+    lifecycle this module ingests. Each task writes ONE archive
+    atomically (tmp + os.replace inside out_dir, the io.py commit seam:
+    a crashed task leaves only a '_tmp_*' file that file sources never
+    see) named wet-{partition:05d}.warc.wet.gz.
+
+    Deterministic by construction: rows hash-partition on url
+    (repartition(n, url)) and sort by url within the file, gzip members
+    are written with mtime=0, and record ids are uuid5 of (url, date) —
+    re-publishing the same extraction yields byte-identical archives.
+
+    Returns the (wet_file, n_records, n_bytes) manifest frame; callers
+    act on it (it is the job's output). 100 TB plan: n_files sized to
+    ~1 GB archives like the crawls themselves ship; one task = one file
+    = one sequential gzip write, no shuffle after the repartition."""
+    import gzip as _gzip
+
+    cols = [url_col, text_col] + ([ts_col] if ts_col else [])
+    rows = results.select(*cols).repartition(n_files, url_col)
+
+    def gen(batches):
+        import os
+        import uuid as _uuid
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                url = getattr(r, url_col)
+                ts = getattr(r, ts_col) if ts_col else None
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                recs.append((url, _wet_record(url, ts, getattr(r, text_col))))
+        if recs:
+            recs.sort(key=lambda t: t[0])
+            data = b"".join(
+                _gzip.compress(rec, mtime=0) for _, rec in recs
+            )
+            final = os.path.join(out_dir, f"wet-{part:05d}.warc.wet.gz")
+            tmp = os.path.join(out_dir, f"_tmp_{_uuid.uuid4().hex}")
+            os.makedirs(out_dir, exist_ok=True)
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, final)
+            yield pd.DataFrame(
+                [(final, len(recs), len(data))],
+                columns=["wet_file", "n_records", "n_bytes"],
+            )
+
+    return rows.mapInPandas(
+        gen, "wet_file string, n_records long, n_bytes long"
+    )

@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--cdx-urls", default=None,
                     help="parquet with a url column — the keep-list joined "
                          "against --cdx; required with --cdx")
+    ap.add_argument("--wet-output", default=None,
+                    help="also publish the extracted text as WET archives "
+                         "(.warc.wet.gz, conversion records) to this dir — "
+                         "the crawl ecosystem's derived-text format "
+                         "(htmlx.spark.warc.write_wet)")
     ap.add_argument("--cdx-ranges", action="store_true",
                     help="with --cdx: read ONLY the selected records' byte "
                          "ranges (cdx offset/length spans) instead of whole "
@@ -203,6 +208,23 @@ def main():
             num_groups=args.groups, config=config,
             partitions_per_group=args.partitions, audit_out=audit,
         )
+        if args.wet_output:
+            # publish the run's extracted text as WET conversion
+            # archives (the crawl ecosystem's derived-text format) —
+            # read back from the COMMITTED results so a resume-completed
+            # run publishes the full table, not just this run's delta
+            from pyspark.sql import functions as F
+
+            from htmlx.spark.warc import write_wet
+
+            results = out.read(spark).where(F.col("error") == "")
+            man = write_wet(
+                results, args.wet_output, n_files=args.groups
+            ).agg(
+                F.sum("n_records").alias("r"), F.sum("n_bytes").alias("b")
+            ).collect()[0]
+            print(f"wet: {man['r']} records, {man['b']} bytes "
+                  f"-> {args.wet_output}")
     print(f"run_id={run_id} done")
 
 

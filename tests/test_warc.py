@@ -728,3 +728,67 @@ def test_read_warc_stream_batch_equivalence(spark, tmp_path):
              .select("url", F.md5("html").alias("h"), "http_status", "warc_ts")
              .collect())
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_write_wet_roundtrip_and_determinism(spark, tmp_path):
+    """write_wet publishes extraction text as member-per-record WET
+    archives that read_wet ingests back verbatim; re-publishing the
+    same frame yields byte-identical files (mtime=0 gzip, uuid5 record
+    ids, url-sorted members)."""
+    import datetime as _dt
+
+    from htmlx.spark.warc import _gzip_members, read_wet, write_wet
+
+    rows = [
+        (f"https://s{i % 3}.com/p/{i}", f"extracted text {i}\nline two {i}",
+         _dt.datetime(2024, 3, 1, 0, 0, i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, warc_ts timestamp")
+    out1, out2 = str(tmp_path / "wet1"), str(tmp_path / "wet2")
+    man = write_wet(df, out1, n_files=3, ts_col="warc_ts").collect()
+    assert sum(r["n_records"] for r in man) == 10
+    back = {r["url"]: (r["text"], r["warc_ts"])
+            for r in read_wet(spark, out1).collect()}
+    assert back == {u: (t, ts) for u, t, ts in rows}
+    # one gzip member per record (the convention every WET splitter cuts on)
+    for r in man:
+        with open(r["wet_file"], "rb") as f:
+            assert len(list(_gzip_members(f.read()))) == r["n_records"]
+    write_wet(df, out2, n_files=3, ts_col="warc_ts").collect()
+    for r in man:
+        name = os.path.basename(r["wet_file"])
+        with open(r["wet_file"], "rb") as a, open(
+            os.path.join(out2, name), "rb"
+        ) as b:
+            assert a.read() == b.read(), name
+
+
+def test_extract_cli_wet_output(spark, tmp_path, monkeypatch):
+    """--wet-output: the extraction CLI publishes its committed results
+    as WET archives whose text read_wet returns verbatim — the full
+    lifecycle WARC in, WET out."""
+    import sys
+
+    from jobs.extract import main
+    from htmlx.spark.warc import read_wet
+
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    with open(os.path.join(d, "w0.warc.gz"), "wb") as f:
+        f.write(b"".join(
+            gzip.compress(_record(b"response", _http(body), url=u))
+            for u, body in [(b"https://a.com/1", HTML_A),
+                            (b"https://b.org/2", HTML_B)]))
+    out = str(tmp_path / "results")
+    wet = str(tmp_path / "wet")
+    monkeypatch.setattr(sys, "argv", [
+        "extract.py", "--input", d, "--input-format", "warc",
+        "--output", out, "--wet-output", wet,
+        "--groups", "2", "--run-id", "wetpub",
+    ])
+    main()
+    results = {r["url"]: r["text"]
+               for r in spark.read.parquet(out).select("url", "text").collect()}
+    published = {r["url"]: r["text"] for r in read_wet(spark, wet).collect()}
+    assert published == results and len(published) == 2
