@@ -867,3 +867,47 @@ def write_wet(
     return rows.mapInPandas(
         gen, "wet_file string, n_records long, n_bytes long"
     )
+
+
+def cdx_snapshot_delta(cdx_old: DataFrame, cdx_new: DataFrame) -> DataFrame:
+    """Classify a recrawl against the prior crawl WITHOUT reading any
+    archive bytes: latest capture per url on each side (max_by warc_ts,
+    digest tie-break for determinism), then a full-outer digest compare
+    -> status in added / changed / unchanged / removed. This is
+    snapshot_diff's semantics lifted to INDEX granularity — two ~200 GB
+    cc-index tables instead of two ~100 TB page crawls — so the
+    incremental keep-list (added+changed urls) exists before any WARC
+    byte is touched; feed it to cdx_record_pruning on the NEW index and
+    the job reads only the delta's spans. Caveat (inherent to payload
+    digests, Common Crawl's included): the digest hashes the STORED
+    payload, so a server toggling Content-Encoding between crawls reads
+    as 'changed' even when the decoded body is identical — a false
+    re-extract, never a missed change. Returns (url, status, digest_old,
+    digest_new, filename, offset, length) with the NEW capture's span
+    for added/changed rows. One uniform-key (url) shuffle per side."""
+    from pyspark.sql import functions as F
+
+    def latest(cdx, tag):
+        c = F.max_by(
+            F.struct("digest", "filename", "offset", "length"),
+            F.struct("warc_ts", "digest"),
+        ).alias("c")
+        return cdx.groupBy("url").agg(c).select(
+            "url", F.col("c.digest").alias(f"digest_{tag}"),
+            *(
+                [F.col(f"c.{x}").alias(x) for x in ("filename", "offset", "length")]
+                if tag == "new" else []
+            ),
+        )
+
+    o, n = latest(cdx_old, "old"), latest(cdx_new, "new")
+    status = (
+        F.when(F.col("digest_old").isNull(), F.lit("added"))
+        .when(F.col("digest_new").isNull(), F.lit("removed"))
+        .when(F.col("digest_old") != F.col("digest_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url", status.alias("status"), "digest_old", "digest_new",
+        "filename", "offset", "length",
+    )

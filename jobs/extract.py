@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--cdx-urls", default=None,
                     help="parquet with a url column — the keep-list joined "
                          "against --cdx; required with --cdx")
+    ap.add_argument("--cdx-previous", default=None,
+                    help="the PRIOR crawl's CDXJ index: extract only urls "
+                         "whose latest-capture digest is new or changed vs "
+                         "it (cdx_snapshot_delta — incremental recrawl "
+                         "decided at index cost, before any archive byte)")
     ap.add_argument("--wet-output", default=None,
                     help="also publish the extracted text as WET archives "
                          "(.warc.wet.gz, conversion records) to this dir — "
@@ -88,10 +93,25 @@ def main():
             # snapshot), the same structure any file source builds.
             from htmlx.spark.warc import cdx_archive_pruning, read_cdx
 
-            if not args.cdx_urls:
-                sys.exit("--cdx requires --cdx-urls (parquet with a url column)")
-            keep_urls = spark.read.parquet(args.cdx_urls)
+            if bool(args.cdx_urls) == bool(args.cdx_previous):
+                sys.exit("--cdx requires exactly one of --cdx-urls "
+                         "(explicit keep-list) or --cdx-previous "
+                         "(incremental delta vs the prior crawl's index)")
             cdx = read_cdx(spark, args.cdx)
+            if args.cdx_previous:
+                # incremental recrawl at INDEX cost: diff the two crawl
+                # indexes (no archive bytes read) and extract only the
+                # added/changed captures
+                from pyspark.sql import functions as F
+                from htmlx.spark.warc import cdx_snapshot_delta
+
+                keep_urls = (
+                    cdx_snapshot_delta(read_cdx(spark, args.cdx_previous), cdx)
+                    .where(F.col("status").isin("added", "changed"))
+                    .select("url")
+                )
+            else:
+                keep_urls = spark.read.parquet(args.cdx_urls)
             root = args.input.rstrip("/")
             if args.cdx_ranges:
                 # record-granularity: seek-read ONLY the selected spans

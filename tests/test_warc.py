@@ -792,3 +792,79 @@ def test_extract_cli_wet_output(spark, tmp_path, monkeypatch):
                for r in spark.read.parquet(out).select("url", "text").collect()}
     published = {r["url"]: r["text"] for r in read_wet(spark, wet).collect()}
     assert published == results and len(published) == 2
+
+
+def test_cdx_snapshot_delta_classification(spark):
+    """Index-granularity recrawl diff: latest capture per side, digest
+    compare -> added/changed/unchanged/removed; the NEW capture's span
+    rides along for the pruned read."""
+    from htmlx.spark.warc import cdx_snapshot_delta
+
+    schema = ("url string, warc_ts timestamp, digest string, "
+              "filename string, offset long, length long")
+    import datetime as _dt
+
+    t1, t2 = _dt.datetime(2024, 1, 1), _dt.datetime(2024, 6, 1)
+    old = spark.createDataFrame([
+        ("https://a.com/same", t1, "D1", "old0.warc.gz", 0, 10),
+        ("https://a.com/chg", t1, "D2", "old0.warc.gz", 10, 10),
+        ("https://a.com/chg", t2, "D3", "old1.warc.gz", 0, 10),  # latest wins
+        ("https://a.com/gone", t1, "D4", "old0.warc.gz", 20, 10),
+    ], schema)
+    new = spark.createDataFrame([
+        ("https://a.com/same", t2, "D1", "new0.warc.gz", 0, 10),
+        ("https://a.com/chg", t2, "D9", "new0.warc.gz", 10, 10),
+        ("https://a.com/new", t2, "D5", "new1.warc.gz", 0, 10),
+    ], schema)
+    got = {r["url"]: r for r in cdx_snapshot_delta(old, new).collect()}
+    assert {u: r["status"] for u, r in got.items()} == {
+        "https://a.com/same": "unchanged",
+        "https://a.com/chg": "changed",   # vs D3, the LATEST old capture
+        "https://a.com/gone": "removed",
+        "https://a.com/new": "added",
+    }
+    assert got["https://a.com/chg"]["digest_old"] == "D3"
+    assert got["https://a.com/new"]["filename"] == "new1.warc.gz"
+    assert got["https://a.com/gone"]["filename"] is None
+
+
+def test_extract_cli_cdx_previous_incremental(spark, tmp_path, monkeypatch):
+    """--cdx-previous e2e: two crawls indexed with cdx_from_warc; the
+    extraction reads ONLY the added+changed captures' spans (the
+    unchanged page never re-extracts, the removed page never appears)."""
+    import sys
+
+    from jobs.extract import main
+    from htmlx.spark.warc import cdx_from_warc, write_cdxj
+
+    def crawl(name, pages):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        with open(os.path.join(d, f"{name}.warc.gz"), "wb") as f:
+            f.write(b"".join(
+                gzip.compress(_record(b"response", _http(body), url=u))
+                for u, body in pages))
+        return d
+
+    old_dir = crawl("old", [
+        (b"https://a.com/same", HTML_A),
+        (b"https://a.com/chg", HTML_A),
+        (b"https://a.com/gone", HTML_B),
+    ])
+    new_dir = crawl("new", [
+        (b"https://a.com/same", HTML_A),
+        (b"https://a.com/chg", HTML_B),   # changed content
+        (b"https://a.com/new", HTML_B),   # added
+    ])
+    idx_old, idx_new = str(tmp_path / "i_old"), str(tmp_path / "i_new")
+    write_cdxj(cdx_from_warc(spark, old_dir), idx_old)
+    write_cdxj(cdx_from_warc(spark, new_dir), idx_new)
+    out = str(tmp_path / "results")
+    monkeypatch.setattr(sys, "argv", [
+        "extract.py", "--input", new_dir, "--input-format", "warc",
+        "--cdx", idx_new, "--cdx-previous", idx_old, "--cdx-ranges",
+        "--output", out, "--groups", "2", "--run-id", "incr",
+    ])
+    main()
+    got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+    assert got == {"https://a.com/chg", "https://a.com/new"}
