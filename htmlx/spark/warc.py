@@ -341,6 +341,27 @@ def _record_url(headers: dict) -> str:
     return url
 
 
+def _block_digest_error(headers: dict, block: bytes) -> str | None:
+    """Verify a writer-supplied WARC-Block-Digest (warc-1.1 §5.8) over
+    the stored block — the read-time integrity check a crawl QA pass
+    wants: silent bit-rot between crawl and processing becomes a NAMED
+    degradation instead of quietly-wrong page bytes. Only sha1 (the
+    convention) is checked; other algorithms pass through unverified
+    (verifying nothing is better than failing everything). Base32 is
+    the convention's encoding; hex is tolerated (some writers emit
+    it)."""
+    given = headers.get("warc-block-digest", "")
+    algo, _, value = given.partition(":")
+    if algo.strip().lower() != "sha1" or not value:
+        return None
+    digest = hashlib.sha1(block).digest()
+    v = value.strip()
+    want32 = base64.b32encode(digest).decode("ascii")
+    if v.upper().rstrip("=") in (want32.rstrip("="), digest.hex().upper()):
+        return None
+    return "block_digest_mismatch"
+
+
 def _page_row(path: str, rec: dict, record_types: tuple):
     """One WARC record -> a WARC_PAGES_SCHEMA tuple (None when the
     record's type is not wanted) — shared by the full-archive scan
@@ -356,6 +377,9 @@ def _page_row(path: str, rec: dict, record_types: tuple):
         status, ctype, body, err = (
             None, h.get("content-type", ""), rec["block"], None,
         )
+    bderr = _block_digest_error(h, rec["block"])
+    if bderr:
+        err = f"{err};{bderr}" if err else bderr
     return (
         _record_url(h),
         _parse_warc_date(h.get("warc-date", "")),

@@ -868,3 +868,34 @@ def test_extract_cli_cdx_previous_incremental(spark, tmp_path, monkeypatch):
     main()
     got = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
     assert got == {"https://a.com/chg", "https://a.com/new"}
+
+
+def test_block_digest_verification():
+    """A writer-supplied WARC-Block-Digest is verified on read: a
+    matching sha1 (base32 per convention, hex tolerated) passes clean,
+    a mismatch becomes the NAMED block_digest_mismatch degradation with
+    the bytes still delivered, and non-sha1 algorithms pass through
+    unverified."""
+    import base64
+    import hashlib
+
+    block = _http(HTML_A)
+    good32 = base64.b32encode(hashlib.sha1(block).digest()).decode()
+
+    def rec_with(digest_field):
+        hdr = (b"WARC/1.1\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://a.com/d\r\n"
+               b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+               b"WARC-Block-Digest: " + digest_field + b"\r\n"
+               b"Content-Length: " + str(len(block)).encode())
+        return hdr + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+    ok = list(iter_warc_pages("x.warc", rec_with(b"sha1:" + good32.encode())))
+    assert ok[0][7] is None and ok[0][2] == HTML_A
+    okhex = list(iter_warc_pages(
+        "x.warc", rec_with(b"sha1:" + hashlib.sha1(block).hexdigest().encode())))
+    assert okhex[0][7] is None
+    bad = list(iter_warc_pages("x.warc", rec_with(b"sha1:" + b"A" * 32)))
+    assert bad[0][7] == "block_digest_mismatch" and bad[0][2] == HTML_A
+    other = list(iter_warc_pages("x.warc", rec_with(b"md5:ABCDEF")))
+    assert other[0][7] is None  # unverified, not failed
