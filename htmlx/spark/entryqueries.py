@@ -2866,7 +2866,22 @@ def q_host_stats(spark, sf_dir):
     non-sitemap page that parses to nothing. Spark runs the real
     bounded-regexp XML parse over raw bytes (analytics.sitemap_entries);
     the oracle derives survivors independently from doc_id%4.
-    key=kind|loc|lastmod, n_docs=count, total_chars=strlen(loc)."""
+    key=kind|loc|lastmod, n_docs=count, total_chars=strlen(loc).
+
+    level='cdxdelta' (r8): incremental recrawl at index cost. doc_id%5
+    synthesizes added/changed/removed/unchanged plus the
+    latest-capture trap (two old captures where only the NEWEST digest
+    matches — an any-capture compare would misclassify); Spark runs the
+    real cdx_snapshot_delta (max_by + full-outer digest compare), the
+    oracle derives classes from the modular conditions.
+
+    level='wetpub' (r8): WET publishing round trip — a deterministic
+    24-doc frame goes through the REAL write_wet (member-per-record
+    .warc.wet.gz into /tmp/htmlx_wetpub_oracle_v1, byte-deterministic
+    so concurrent runs converge) and back through read_wet; the oracle
+    replays url/ts/md5(text)/byte-length from generate_series. Any slip
+    in record serialization, member framing, or the read path flips
+    the hash."""
     docs = _docs(spark, sf_dir)
     url = F.expr(
         "concat('https://', source, '.example.com/doc/', CAST(doc_id AS STRING))"
@@ -3171,6 +3186,92 @@ def q_host_stats(spark, sf_dir):
         )
         .select(F.lit("sitemap").alias("level"), "key", "n_docs", "total_chars")
     )
+    # cdxdelta (r8): incremental-recrawl classification at index cost.
+    # doc_id%5 synthesizes one class per value — 0 unchanged / 1 changed
+    # / 2 unchanged-but-only-via-the-LATEST-old-capture (two old
+    # captures; a naive any-capture compare would misclassify) /
+    # 3 removed / 4 added. Both indexes are pure Catalyst functions of
+    # doc_id; Spark runs the real max_by + full-outer digest compare
+    # (warc.cdx_snapshot_delta), the oracle derives the classes from the
+    # modular conditions. key=url|status|digests|filename,
+    # n_docs=count, total_chars=new capture length (-1 when none).
+    m5d = d % 5
+    cdx_url = F.concat(F.lit("https://cdx.example.com/p/"), sds)
+    dig = F.concat(F.lit("D"), sds)
+    old_rows = docs.select(
+        cdx_url.alias("url"), F.timestamp_seconds(F.lit(2)).alias("warc_ts"),
+        dig.alias("digest"),
+        F.concat(F.lit("old-"), sds).alias("filename"),
+        d.cast("long").alias("offset"), F.lit(10).cast("long").alias("length"),
+    ).where(m5d != 4)
+    old_extra = docs.select(
+        cdx_url.alias("url"), F.timestamp_seconds(F.lit(1)).alias("warc_ts"),
+        F.concat(F.lit("A"), sds).alias("digest"),
+        F.concat(F.lit("oldA-"), sds).alias("filename"),
+        d.cast("long").alias("offset"), F.lit(10).cast("long").alias("length"),
+    ).where(m5d == 2)
+    new_rows = docs.select(
+        cdx_url.alias("url"), F.timestamp_seconds(F.lit(3)).alias("warc_ts"),
+        F.when(m5d == 1, F.concat(F.lit("X"), sds)).otherwise(dig).alias("digest"),
+        F.concat(F.lit("new-"), sds).alias("filename"),
+        d.cast("long").alias("offset"), F.lit(11).cast("long").alias("length"),
+    ).where(m5d != 3)
+    cdxdelta_level = (
+        warc.cdx_snapshot_delta(old_rows.unionByName(old_extra), new_rows)
+        .groupBy(
+            F.concat_ws(
+                "|", "url", "status",
+                F.coalesce("digest_old", F.lit("")),
+                F.coalesce("digest_new", F.lit("")),
+                F.coalesce("filename", F.lit("")),
+            ).alias("key")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("length", F.lit(-1))).cast("long").alias(
+                "total_chars"
+            ),
+        )
+        .select(F.lit("cdxdelta").alias("level"), "key", "n_docs", "total_chars")
+    )
+    # wetpub (r8): the WET publishing round trip through the REAL
+    # write_wet -> read_wet machinery on a deterministic 24-doc frame
+    # (spark.range — SF-independent): member-per-record gzip archives
+    # land in a /tmp fixture dir (atomic tmp+rename; write_wet output
+    # is byte-deterministic so concurrent query runs converge) and the
+    # read-back rows must match the generate_series replay.
+    # key=url|ts|md5(text), n_docs=strlen(text), total_chars=i.
+    wet_src = spark.range(24).select(
+        F.concat(
+            F.lit("https://wet"), (F.col("id") % 3).cast("string"),
+            F.lit(".example.org/t/"), F.col("id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("wet text "), F.col("id").cast("string"), F.lit(" "),
+            F.repeat(F.lit("y"), F.col("id").cast("int")),
+        ).alias("text"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-02-02 00:00:"),
+                F.lpad(F.col("id").cast("string"), 2, "0"),
+            )
+        ).alias("warc_ts"),
+        F.col("id"),
+    )
+    wet_dir = "/tmp/htmlx_wetpub_oracle_v1"
+    warc.write_wet(wet_src, wet_dir, n_files=2, ts_col="warc_ts").collect()
+    wetpub_level = warc.read_wet(spark, wet_dir).select(
+        F.lit("wetpub").alias("level"),
+        F.concat_ws(
+            "|", "url",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss"),
+            F.md5("text"),
+        ).alias("key"),
+        F.length("text").cast("long").alias("n_docs"),
+        F.regexp_extract("url", r"/t/(\d+)$", 1).cast("long").alias(
+            "total_chars"
+        ),
+    )
     from pyspark.sql import Window
 
     # warcidx (r8): the index builder over the same fixture set. Byte
@@ -3215,6 +3316,8 @@ def q_host_stats(spark, sf_dir):
         .unionByName(warc_level)
         .unionByName(warcidx_level)
         .unionByName(sitemap_level)
+        .unionByName(cdxdelta_level)
+        .unionByName(wetpub_level)
     )
 
 
@@ -3394,6 +3497,30 @@ SELECT 'warcidx',
          || '|text/html|true',
        CAST(CASE WHEN i % 6 = 5 THEN 404 ELSE 200 END AS BIGINT),
        CAST(i % 8 AS BIGINT)
+FROM (SELECT unnest(generate_series(0, 23)) AS i)
+UNION ALL
+SELECT 'cdxdelta',
+       'https://cdx.example.com/p/' || CAST(doc_id AS VARCHAR) || '|'
+         || CASE doc_id % 5 WHEN 1 THEN 'changed' WHEN 3 THEN 'removed'
+                            WHEN 4 THEN 'added' ELSE 'unchanged' END || '|'
+         || CASE WHEN doc_id % 5 = 4 THEN ''
+                 ELSE 'D' || CAST(doc_id AS VARCHAR) END || '|'
+         || CASE WHEN doc_id % 5 = 3 THEN ''
+                 WHEN doc_id % 5 = 1 THEN 'X' || CAST(doc_id AS VARCHAR)
+                 ELSE 'D' || CAST(doc_id AS VARCHAR) END || '|'
+         || CASE WHEN doc_id % 5 = 3 THEN ''
+                 ELSE 'new-' || CAST(doc_id AS VARCHAR) END,
+       CAST(1 AS BIGINT),
+       CAST(CASE WHEN doc_id % 5 = 3 THEN -1 ELSE 11 END AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'wetpub',
+       'https://wet' || CAST(i % 3 AS VARCHAR) || '.example.org/t/'
+         || CAST(i AS VARCHAR)
+         || '|2024-02-02 00:00:' || lpad(CAST(i AS VARCHAR), 2, '0')
+         || '|' || md5('wet text ' || CAST(i AS VARCHAR) || ' ' || repeat('y', i)),
+       CAST(9 + strlen(CAST(i AS VARCHAR)) + 1 + i AS BIGINT),
+       CAST(i AS BIGINT)
 FROM (SELECT unnest(generate_series(0, 23)) AS i)
 UNION ALL
 SELECT 'sitemap', key, CAST(count(*) AS BIGINT),
