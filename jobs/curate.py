@@ -108,8 +108,9 @@ Modes:
               The blocklist broadcasts; the corpus is a pure scan.
   pipeline    the staged end-to-end job a real corpus run is: urlfilter
               (when the input has a url column; --blocklist honored) ->
-              quality -> exact dedup -> near-dup -> decontaminate (when
-              --eval-input given) -> tempsample (opt-in via --temp;
+              quality -> exact dedup -> near-dup -> spandedup (opt-in
+              via --spandedup; Lee-2022 substring spans, annotation
+              stage) -> decontaminate (when --eval-input given) -> tempsample (opt-in via --temp;
               rates derive from the CLEANED counts) -> split -> pack,
               each stage materialized under --output with per-stage
               counts in audit.parquet and ONE resume manifest
@@ -351,6 +352,41 @@ def run_pipeline(spark, docs, args) -> dict:
     cur = survivors(keep)
     executed.append("near_dedup")
 
+    # exact substring-SPAN dedup (Lee 2022) AFTER the doc-level dedups
+    # (whole-doc dups are already gone, so the span pass only pays for
+    # partial overlaps) and BEFORE decontamination (eval 13-grams must
+    # be checked against the text that will actually ship). Annotation
+    # stage like hosttmpl: rewrites text, drops nothing; the thin
+    # (doc_id, cleaned_text) override folds into base so every later
+    # stage and the final output see the span-deduped text.
+    if getattr(args, "spandedup_stage", False):
+
+        def span_build():
+            return (
+                analytics.dedup_spans(
+                    cur,
+                    w=getattr(args, "span_window", 15),
+                    hash_basis=args.hash_basis,
+                    max_occurrences=getattr(args, "span_max_occurrences", None),
+                )
+                .where(F.col("tokens_removed") > 0)
+                .select("doc_id", "cleaned_text", "tokens_removed")
+            )
+
+        ov, n_cur = stage("spandedup", span_build, n_cur, annotation=True)
+        span_override = ov.select("doc_id", "cleaned_text")
+
+        def _apply_span(df):
+            return (
+                df.join(span_override, "doc_id", "left")
+                .withColumn("text", F.coalesce("cleaned_text", "text"))
+                .drop("cleaned_text")
+            )
+
+        base = _apply_span(base)
+        cur = _apply_span(cur)
+        executed.append("spandedup")
+
     if args.eval_input:
         ev = spark.read.parquet(args.eval_input)
         keep, n_cur = stage(
@@ -437,6 +473,10 @@ def main():
                     help="enable the temperature-rebalancing stage in pipeline mode")
     ap.add_argument("--hosttmpl", action="store_true",
                     help="enable the per-host template-line removal stage in pipeline mode")
+    ap.add_argument("--spandedup", dest="spandedup_stage", action="store_true",
+                    help="enable the exact substring-span dedup stage in "
+                         "pipeline mode (annotation stage after the doc-level "
+                         "dedups; --span-window/--span-max-occurrences apply)")
     ap.add_argument("--hamming", type=int, default=3,
                     help="near-dup Hamming bound (imagededup mode)")
     ap.add_argument("--intra-host", action="store_true",

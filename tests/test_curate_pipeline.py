@@ -288,3 +288,44 @@ def test_pipeline_robots_from_pages_gates_extraction(spark, tmp_path):
     before = mpath.read_text()
     run_pipeline(spark, docs, args)
     assert mpath.read_text() == before
+
+
+def test_pipeline_spandedup_stage_rewrites_text(spark, tmp_path):
+    """--spandedup inserts the Lee-2022 substring-span annotation stage
+    after the doc-level dedups: a >=w-token run shared by two otherwise
+    distinct docs is removed from the later one, drops nothing, and the
+    cleaned text (not the original) flows into later stages — pinned by
+    decontaminating against an eval 13-gram that lives ONLY inside the
+    removed span (contaminated before the stage, clean after it)."""
+    from jobs.curate import run_pipeline
+
+    span = " ".join(f"shared{i}" for i in range(20))
+    head1 = " ".join(f"alpha{i}" for i in range(16))
+    tail2 = " ".join(f"tailword{i}" for i in range(16))
+    rows = [
+        (1, head1 + " " + span, 0),
+        (2, span + " " + tail2, 0),
+        (3, " ".join(f"other{i}" for i in range(30)), 0),
+    ]
+    docs = _docs(spark, rows)
+    ev = spark.createDataFrame(
+        [(" ".join(f"shared{i}" for i in range(4, 17)),)], "text string"
+    )
+    evp = str(tmp_path / "eval.parquet")
+    ev.write.parquet(evp)
+    args = _pipeline_args(tmp_path, spandedup_stage=True, span_window=15,
+                          eval_input=evp)
+    manifest = run_pipeline(spark, docs, args)
+    done = manifest["completed"]
+    assert done["spandedup"]["docs_in"] == 3
+    assert done["spandedup"]["docs_out"] == 3   # annotation: drops nothing
+    assert done["spandedup"]["docs_touched"] == 1  # doc 2 loses its copy
+    cleaned = {r["doc_id"]: r["cleaned_text"] for r in spark.read.parquet(
+        str(tmp_path / "out" / "stage_spandedup.parquet")).collect()}
+    assert set(cleaned) == {2}
+    assert "shared0" not in cleaned[2] and "tailword3" in cleaned[2]
+    # the eval 13-gram lived only inside the removed span: doc 2 must
+    # now PASS decontamination while doc 1 (the kept first occurrence)
+    # is dropped by it
+    assert done["decontaminate"]["docs_in"] == 3
+    assert done["decontaminate"]["docs_out"] == 2
