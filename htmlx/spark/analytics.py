@@ -880,8 +880,40 @@ def sitemap_frontier(
     )
 
 
+def _char_trigrams(docs: DataFrame, text_col: str, id_col: str | None):
+    """(__id?, __t) exploded character trigrams — shared by training
+    and scoring so both sides tokenize identically by construction."""
+    t = F.col(text_col)
+    cols = ([F.col(id_col).cast("long").alias("__id")] if id_col else []) + [
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - 2),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        ).alias("__t")
+    ]
+    return docs.where(F.length(t) >= 3).select(*cols)
+
+
+def train_char_trigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train the character-trigram reference model on a corpus slice:
+    one (trigram, count) row per distinct trigram. Write it once and
+    score every later batch against it (char_trigram_perplexity's
+    `model=`) — the CCNet shape, where the LM is a FIXED reference
+    artifact, not retrained per scoring run. One uniform-key hash-agg
+    with map-side combine; ~1e6-1e7 rows at web scale."""
+    return (
+        _char_trigrams(docs, text_col, None)
+        .groupBy(F.col("__t").alias("trigram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
 def char_trigram_perplexity(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-self-perplexity quality scoring — the third CCNet pillar
     (Wenzek 2020 §4.3 scores documents with a pre-trained KenLM 5-gram
@@ -902,35 +934,42 @@ def char_trigram_perplexity(
     map-side combine), score join keyed by trigram (the model is one
     row per DISTINCT trigram, ~1e6-1e7 at web scale — AQE broadcasts
     when it fits), per-doc mean (doc_id-keyed). N and V are scalar
-    broadcast aggregates. Zero Python. For repeated scoring runs,
-    persist the model table once and reuse. Cross-engine parity: the
+    broadcast aggregates. Zero Python. Cross-engine parity: the
     2dp round sits ~1e9 float-sum-noise-widths from any boundary and
-    log2 of a rational is never exactly on one."""
-    t = F.col(text_col)
-    tri = docs.where(F.length(t) >= 3).select(
-        F.col(id_col).cast("long").alias("__id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - 2),
-                lambda i: t.substr(i, F.lit(3)),
-            )
-        ).alias("__t"),
-    )
-    model = tri.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    log2 of a rational is never exactly on one.
+
+    `model` (r8): score against a PRE-TRAINED (trigram, count) table
+    (train_char_trigram output, typically loaded from parquet) instead
+    of retraining on the scoring batch — the CCNet train-once /
+    score-many shape. Trigrams unseen by the model take the add-one
+    floor P = 1/(N+V) (left join, count coalesced to 0); with
+    model=None (self-scoring) every trigram is seen and the left join
+    degenerates to the original inner-join semantics, so oracle parity
+    is unchanged by construction."""
+    tri = _char_trigrams(docs, text_col, id_col)
+    if model is None:
+        m = tri.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    else:
+        m = model.select(
+            F.col("trigram").alias("__t"), F.col("count").alias("__c")
+        )
     scal = F.broadcast(
-        model.agg(
+        m.agg(
             F.sum("__c").cast("double").alias("__n"),
             F.count(F.lit(1)).cast("double").alias("__v"),
         )
     )
     scored = (
-        tri.join(model, "__t")
+        tri.join(m, "__t", "left")
         .crossJoin(scal)
         .select(
             "__id",
-            (-F.log2((F.col("__c") + 1.0) / (F.col("__n") + F.col("__v")))).alias(
-                "__bits"
-            ),
+            (
+                -F.log2(
+                    (F.coalesce(F.col("__c"), F.lit(0)) + 1.0)
+                    / (F.col("__n") + F.col("__v"))
+                )
+            ).alias("__bits"),
         )
         .groupBy("__id")
         .agg(F.round(F.avg("__bits"), 2).cast("double").alias("tri_bits"))

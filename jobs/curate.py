@@ -479,6 +479,13 @@ def main():
                          "dedups; --span-window/--span-max-occurrences apply)")
     ap.add_argument("--hamming", type=int, default=3,
                     help="near-dup Hamming bound (imagededup mode)")
+    ap.add_argument("--perplexity-model", default=None,
+                    help="perplexity mode: score against this saved "
+                         "(trigram, count) model parquet instead of "
+                         "retraining on the scoring corpus")
+    ap.add_argument("--perplexity-model-out", default=None,
+                    help="perplexity mode: persist the model trained on "
+                         "this corpus for later score-only runs")
     ap.add_argument("--intra-host", action="store_true",
                     help="count intra-host links too (anchorstats mode)")
     ap.add_argument("--robots", default=None,
@@ -564,7 +571,20 @@ def main():
     if args.mode == "quality":
         out = analytics.c4_gopher_quality(docs)
     elif args.mode == "perplexity":
-        out = analytics.char_trigram_perplexity(docs)
+        # train-once / score-many (the CCNet shape): --perplexity-model
+        # scores against a saved reference model; --perplexity-model-out
+        # additionally persists the model trained on THIS corpus
+        model = (
+            spark.read.parquet(args.perplexity_model)
+            if getattr(args, "perplexity_model", None)
+            else None
+        )
+        if getattr(args, "perplexity_model_out", None):
+            trained = analytics.train_char_trigram(docs)
+            trained.write.mode("overwrite").parquet(args.perplexity_model_out)
+            if model is None:
+                model = spark.read.parquet(args.perplexity_model_out)
+        out = analytics.char_trigram_perplexity(docs, model=model)
     elif args.mode == "exactdedup":
         out = analytics.dedup_exact(
             docs, keep_by=args.keep_by, descending=args.keep_desc,

@@ -64,3 +64,38 @@ def test_plan_no_python(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan  # the scalar side is broadcast
+
+
+def test_pretrained_model_score_many(spark, tmp_path):
+    """train_char_trigram -> parquet -> score-only run: scoring the
+    training corpus against its own saved model equals inline
+    self-scoring (the left join degenerates to inner), and a doc whose
+    trigrams the model never saw scores exactly the add-one floor
+    -log2(1/(N+V)) for every trigram."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from htmlx.spark import analytics
+
+    docs = spark.createDataFrame(
+        [(1, "abcabcab"), (2, "xyzxyzxy"), (3, "abcxyzab")],
+        "doc_id long, text string",
+    )
+    model = analytics.train_char_trigram(docs)
+    mp = str(tmp_path / "trigram_model.parquet")
+    model.write.parquet(mp)
+    loaded = spark.read.parquet(mp)
+    inline = {r["doc_id"]: r["tri_bits"]
+              for r in analytics.char_trigram_perplexity(docs).collect()}
+    scored = {r["doc_id"]: r["tri_bits"]
+              for r in analytics.char_trigram_perplexity(
+                  docs, model=loaded).collect()}
+    assert scored == inline
+    # unseen text: every trigram takes the floor P = 1/(N+V)
+    n = sum(r["count"] for r in model.collect())
+    v = model.count()
+    floor_bits = round(-math.log2(1.0 / (n + v)), 2)
+    unseen = spark.createDataFrame([(9, "QQQQQ")], "doc_id long, text string")
+    got = analytics.char_trigram_perplexity(unseen, model=loaded).collect()
+    assert got[0]["tri_bits"] == floor_bits
