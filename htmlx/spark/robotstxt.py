@@ -44,14 +44,20 @@ from pyspark.sql.types import (
 )
 
 
-def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
-    """Parse robots.txt and return the rule list [(pattern, allow), ...]
-    of the group governing `user_agent` (exact case-insensitive token
-    match preferred over the `*` group; same-agent groups merged).
-    Empty-value rules are dropped per the RFC. Lines that are not
-    `field: value` (or are comments) are ignored."""
-    ua = user_agent.lower()
-    groups: dict[str, list[tuple[str, bool]]] = {}
+def _robots_groups(text: str) -> tuple[dict, dict]:
+    """ONE robots.txt group state machine for every consumer: returns
+    (rules_by_agent, delay_by_agent). Same-agent groups merge; rules
+    with empty values drop per the RFC; lines that are not
+    `field: value` (or are comments) are ignored. Crawl-delay is
+    NON-standard (RFC 9309 doesn't define it) but universally honored;
+    it is recorded for the groups open at its line — like de-facto
+    parsers treat it — with the FIRST valid value per agent winning and
+    invalid/negative values ignored. Like sitemap/unknown fields it
+    does not end a group header (§2.2.4 keeps other records outside the
+    group grammar, so a User-agent line after it still joins the open
+    group — the pre-r8 behavior, unchanged)."""
+    rules: dict[str, list[tuple[str, bool]]] = {}
+    delays: dict[str, float] = {}
     current_agents: list[str] = []
     in_group_header = False
     for raw in text.splitlines():
@@ -69,20 +75,54 @@ def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
                 current_agents = [agent]
                 in_group_header = True
             for a in current_agents:
-                groups.setdefault(a, [])
+                rules.setdefault(a, [])
         elif field in ("allow", "disallow"):
             in_group_header = False
             if not current_agents or not value:
                 continue  # rule before any group, or empty value: no-op
             for a in current_agents:
-                groups.setdefault(a, []).append((value, field == "allow"))
+                rules.setdefault(a, []).append((value, field == "allow"))
+        elif field == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay < 0:
+                continue
+            for a in current_agents:
+                delays.setdefault(a, delay)
         else:
-            # sitemap/crawl-delay/unknown fields do not end a group header
-            # per RFC 9309 §2.2.4 (other records are outside groups)
+            # sitemap/unknown fields do not end a group header per
+            # RFC 9309 §2.2.4 (other records are outside groups)
             continue
-    if ua in groups:
-        return groups[ua]
-    return groups.get("*", [])
+    return rules, delays
+
+
+def parse_robots(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse robots.txt and return the rule list [(pattern, allow), ...]
+    of the group governing `user_agent` (exact case-insensitive token
+    match preferred over the `*` group; same-agent groups merged)."""
+    ua = user_agent.lower()
+    rules, _ = _robots_groups(text)
+    if ua in rules:
+        return rules[ua]
+    return rules.get("*", [])
+
+
+def crawl_delay_for(text: str, user_agent: str = "*") -> float | None:
+    """The Crawl-delay governing `user_agent`, with the SAME group
+    selection parse_robots applies: the exact-token group wins over the
+    `*` group, and when the agent's own group exists but sets no delay,
+    the answer is None (our matched group requests no delay — the `*`
+    group does not govern us), mirroring how the rule list ignores `*`
+    once an exact group matches."""
+    ua = user_agent.lower()
+    rules, delays = _robots_groups(text)
+    if ua in delays:
+        return delays[ua]
+    if ua in rules:
+        return None
+    return delays.get("*")
 
 
 def pattern_to_regex(pattern: str) -> str:
@@ -164,6 +204,74 @@ def robots_rules(
             yield pd.DataFrame(rows, columns=cols)
 
     return robots.select(hc, tc).mapInPandas(parse_batch, RULES_SCHEMA)
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-host Crawl-delay table (host, crawl_delay) for `user_agent`
+    — the politeness input to fetch scheduling. Hosts requesting no
+    delay emit no rows. Same host-bounded mapInPandas shape as
+    robots_rules; the grammar and group selection are the shared
+    _robots_groups machine, so the delay a scheduler honors and the
+    rules a filter honors come from the SAME group by construction."""
+    import pandas as pd
+
+    hc, tc = host_col, text_col
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, txt in zip(pdf[hc], pdf[tc]):
+                try:
+                    delay = crawl_delay_for(txt or "", user_agent)
+                except Exception:
+                    delay = None  # unparseable: no delay requested
+                if delay is not None:
+                    rows.append({"host": host, "crawl_delay": float(delay)})
+            yield pd.DataFrame(rows, columns=["host", "crawl_delay"])
+
+    return robots.select(hc, tc).mapInPandas(
+        parse_batch, "host string, crawl_delay double"
+    )
+
+
+def host_fetch_quota(
+    urls: DataFrame,
+    delays: DataFrame,
+    window_s: float = 3600.0,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness budget for a fetch frontier: a host whose Crawl-delay
+    is d gets floor(window_s / max(d, default)) fetch slots per
+    scheduling window, assigned deterministically (row_number over urls
+    sorted per host — the same url order every run). Returns the
+    frontier with (host, crawl_delay, fetch_rank, scheduled); callers
+    fetch `scheduled` now and roll the rest into the next window. One
+    host-keyed join (the delay table is one row per host that requests
+    a delay — broadcastable) and one window per host; per-host row
+    counts are crawl frontiers, not corpus volumes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .analytics import _host_of
+
+    d = F.greatest(
+        F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+        F.lit(float(default_delay)),
+    )
+    slots = F.floor(F.lit(float(window_s)) / d).cast("long")
+    w = Window.partitionBy("host").orderBy(url_col)
+    return (
+        urls.withColumn("host", _host_of(url_col))
+        .join(F.broadcast(delays), "host", "left")
+        .withColumn("fetch_rank", F.row_number().over(w).cast("long"))
+        .withColumn("scheduled", F.col("fetch_rank") <= slots)
+    )
 
 
 ROBOTS_TABLE_SCHEMA = "host string, robots_txt string, status int"

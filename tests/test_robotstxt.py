@@ -282,6 +282,80 @@ def test_robots_table_from_warc_captures(spark, tmp_path):
     assert got == {0: False, 1: True, 2: False, 3: True}
 
 
+# ---- Crawl-delay (de-facto field) + politeness quota (r8) ----
+
+
+def test_crawl_delay_group_selection():
+    from htmlx.spark.robotstxt import crawl_delay_for
+
+    txt = ("User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n"
+           "User-agent: fastbot\nCrawl-delay: 0.5\nAllow: /\n\n"
+           "User-agent: quietbot\nDisallow: /y\n")
+    assert crawl_delay_for(txt, "fastbot") == 0.5
+    assert crawl_delay_for(txt, "SomeOther") == 10.0   # falls to *
+    # quietbot HAS its own group with no delay: * does not govern it
+    assert crawl_delay_for(txt, "quietbot") is None
+    assert crawl_delay_for(txt) == 10.0
+    # invalid / negative values are ignored; first valid wins
+    assert crawl_delay_for("User-agent: *\nCrawl-delay: nope\n"
+                           "Crawl-delay: -3\nCrawl-delay: 7\n") == 7.0
+    assert crawl_delay_for("User-agent: *\nDisallow: /\n") is None
+
+
+def test_crawl_delay_does_not_change_rule_parse():
+    """The shared state machine must leave rule semantics untouched:
+    a Crawl-delay between the UA line and the rules neither ends the
+    group header nor becomes a rule."""
+    from htmlx.spark.robotstxt import parse_robots
+
+    txt = ("User-agent: a\nCrawl-delay: 5\nUser-agent: b\n"
+           "Disallow: /x\n")
+    # b joined a's still-open group header (other records don't close it)
+    assert parse_robots(txt, "a") == [("/x", False)]
+    assert parse_robots(txt, "b") == [("/x", False)]
+
+
+def test_robots_crawl_delay_table_and_fetch_quota(spark):
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.robotstxt import host_fetch_quota, robots_crawl_delay
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.com", "User-agent: *\nCrawl-delay: 30\n"),
+            ("fast.com", "User-agent: *\nCrawl-delay: 0.1\n"),
+            ("nodelay.com", "User-agent: *\nDisallow: /private\n"),
+            ("broken.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    delays = robots_crawl_delay(robots)
+    got = {r["host"]: r["crawl_delay"] for r in delays.collect()}
+    assert got == {"slow.com": 30.0, "fast.com": 0.1}
+    urls = spark.createDataFrame(
+        [(f"https://slow.com/p/{i:02d}",) for i in range(5)]
+        + [(f"https://nodelay.com/p/{i:02d}",) for i in range(4)],
+        "url string",
+    )
+    # window 60s: slow.com gets floor(60/30)=2 slots; nodelay.com gets
+    # floor(60/default 1.0)=60 -> all 4 scheduled. Assignment is the
+    # deterministic per-host url order.
+    q = host_fetch_quota(urls, delays, window_s=60.0)
+    sched = {r["url"]: (r["fetch_rank"], r["scheduled"]) for r in q.collect()}
+    slow_scheduled = [u for u, (_, s) in sched.items()
+                      if s and "slow.com" in u]
+    assert sorted(slow_scheduled) == [
+        "https://slow.com/p/00", "https://slow.com/p/01"]
+    assert all(s for u, (_, s) in sched.items() if "nodelay.com" in u)
+    # the fast host: floor(60/max(0.1, default 1.0)) = 60 — the default
+    # is a politeness FLOOR, a site cannot grant more than 1 rps here
+    q2 = {r["url"]: r["scheduled"] for r in host_fetch_quota(
+        spark.createDataFrame([(f"https://fast.com/{i}",) for i in range(3)],
+                              "url string"),
+        delays, window_s=2.0).collect()}
+    assert sum(q2.values()) == 2  # floor(2/1.0) = 2 of 3
+
+
 def test_pipeline_robots_stage(tmp_path):
     """--robots in pipeline mode gates docs before URL filtering."""
     import argparse
