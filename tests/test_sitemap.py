@@ -147,3 +147,64 @@ def test_sitemap_scan_side_plan(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_frontier_planner_cli_e2e(spark, tmp_path, monkeypatch):
+    """jobs/frontier.py: the whole recrawl plan from a crawl's own
+    captures — robots table (5xx fail-closed), sitemap discovery from
+    robots + captured XML, frontier anti-join, RFC compliance filter,
+    Crawl-delay politeness slots — with no side inputs."""
+    import sys
+
+    from jobs.frontier import main
+
+    urlset = (
+        "<urlset>"
+        "<url><loc>https://a.com/p/1</loc></url>"            # crawled
+        "<url><loc>https://a.com/p/2</loc></url>"            # frontier
+        "<url><loc>https://a.com/p/3</loc></url>"            # frontier
+        "<url><loc>https://a.com/private/x</loc></url>"      # robots-blocked
+        "</urlset>"
+    )
+    index = ("<sitemapindex><sitemap><loc>https://a.com/sub.xml</loc>"
+             "</sitemap></sitemapindex>")
+    b_urlset = "<urlset><url><loc>https://b.com/q/1</loc></url></urlset>"
+    rows = [
+        # a.com robots: blocks /private/, 30s delay, names an extra sitemap
+        ("https://a.com/robots.txt", 200,
+         "User-agent: *\nDisallow: /private/\nCrawl-delay: 30\n"
+         "Sitemap: https://a.com/sitemap-extra.xml\n"),
+        # b.com robots fetch failed 503 -> fail-closed, nothing planned
+        ("https://b.com/robots.txt", 503, "User-agent: *\nAllow: /\n"),
+        ("https://a.com/sitemap.xml", 200, urlset),
+        ("https://a.com/sitemap-index.xml", 200, index),
+        ("https://b.com/sitemap.xml", 200, b_urlset),
+        ("https://a.com/p/1", 200, "<html><body>already crawled</body></html>"),
+    ]
+    import datetime as _dt
+
+    pages = spark.createDataFrame(
+        [(u, st, bytearray(x.encode()), _dt.datetime(2024, 1, 1))
+         for u, st, x in rows],
+        "url string, http_status int, html binary, warc_ts timestamp",
+    )
+    inp = str(tmp_path / "pages.parquet")
+    pages.write.parquet(inp)
+    out = str(tmp_path / "plan")
+    monkeypatch.setattr(sys, "argv", [
+        "frontier.py", "--input", inp, "--output", out, "--window", "60",
+    ])
+    main()
+    plan = {r["url"]: r for r in
+            spark.read.parquet(out + "/fetch_plan.parquet").collect()}
+    # /p/1 crawled; /private/x robots-blocked; b.com fail-closed
+    assert set(plan) == {"https://a.com/p/2", "https://a.com/p/3"}
+    for r in plan.values():
+        assert r["crawl_delay"] == 30.0
+    # window 60 / delay 30 -> 2 slots: both scheduled
+    assert all(r["scheduled"] for r in plan.values())
+    sm = {r["url"] for r in spark.read.parquet(
+        out + "/sitemaps_to_fetch.parquet").collect()}
+    # the index-listed sub-sitemap AND the robots-discovered sitemap are
+    # both uncaptured; the captured sitemap.xml files are not re-listed
+    assert sm == {"https://a.com/sub.xml", "https://a.com/sitemap-extra.xml"}
