@@ -1736,7 +1736,10 @@ def embedding_near_dup_ivf(
 
 
 def ivf_assign(
-    embeddings: DataFrame, num_centroids: int = 8, lloyd_iters: int = 1
+    embeddings: DataFrame,
+    num_centroids: int = 8,
+    lloyd_iters: int = 1,
+    centroids: DataFrame | None = None,
 ) -> tuple:
     """IVF bucketing: deterministic seed centroids (smallest xxhash64 of
     vec_id — no RNG, reproducible across runs/parallelism) refined with
@@ -1749,8 +1752,33 @@ def ivf_assign(
     Returns (assigned_df with bucket column, centroids_df). At 100 TB scale
     this replaces the ANN cross join: queries probe nprobe buckets and the
     candidate join keys on bucket id, so the pairwise work shrinks by
-    ~num_centroids/nprobe."""
+    ~num_centroids/nprobe.
+
+    `centroids` (r8): a PRE-TRAINED (centroid_id, cvec) table (this
+    function's own second return, typically persisted to parquet) —
+    skip seeding and Lloyd entirely and just assign, the FAISS shape
+    where the coarse quantizer is a fixed index artifact trained once
+    on a sample and reused by every ingest batch (retraining per batch
+    would put the same vector in different buckets across batches,
+    breaking incremental index maintenance)."""
     norm = _normalized(embeddings)
+    if centroids is not None:
+        cents = centroids.select("centroid_id", "cvec")
+
+        def assign_fixed(vectors: DataFrame) -> DataFrame:
+            scored = vectors.crossJoin(F.broadcast(cents)).select(
+                "vec_id", "nvec", "centroid_id", _dot("nvec", "cvec").alias("sim")
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("sim").desc(), F.col("centroid_id")
+            )
+            return (
+                scored.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") == 1)
+                .select("vec_id", "nvec", F.col("centroid_id").alias("bucket"))
+            )
+
+        return assign_fixed(norm), cents
     seeds = (
         norm.withColumn("__h", F.xxhash64(F.col("vec_id")))
         .orderBy("__h")
@@ -1806,12 +1834,15 @@ def ann_topk_ivf(
     k: int = 5,
     num_centroids: int = 8,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: probe only the nprobe buckets whose
     centroids are nearest each query. Same output contract as ann_topk
     (query_id, neighbor_id, rank); approximate recall traded for a
-    bucket-join instead of a full cross product — the 100 TB path."""
-    assigned, centroids = ivf_assign(embeddings, num_centroids)
+    bucket-join instead of a full cross product — the 100 TB path.
+    Pass `centroids` (a persisted ivf_assign artifact) to skip Lloyd
+    training and query against the fixed index."""
+    assigned, centroids = ivf_assign(embeddings, num_centroids, centroids=centroids)
     queries = assigned.where(F.col("vec_id") < num_queries).select(
         F.col("vec_id").alias("query_id"), F.col("nvec").alias("qvec")
     )
