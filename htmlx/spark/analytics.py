@@ -1875,6 +1875,57 @@ def ann_topk_ivf(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector affine int8 quantization of an embedding column —
+    the storage/shuffle lever for embedding ops at 100 TB: an
+    array<tinyint> plus two doubles is 4-8x smaller than the float
+    vector it encodes, and every exchange in the ANN / near-dup plans
+    (block-pair join, IVF bucket join, index writes) moves that many
+    fewer bytes. q = round((x - min) / scale) - 128 with
+    scale = (max - min) / 255; a constant vector takes scale 0 and
+    round-trips EXACTLY (guarded division). Pure Catalyst transforms,
+    scan-side, zero shuffle. Returns (id, qvec, scale, offset);
+    dequantize_embeddings inverts with worst-case per-element error
+    scale/2 (pinned by test)."""
+    v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    q = F.when(
+        scale == 0.0,
+        F.expr(f"transform({vec_col}, x -> CAST(-128 AS TINYINT))"),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: (F.round((x - mn) / scale).cast("int") - 128).cast(
+                "tinyint"
+            ),
+        )
+    )
+    return embeddings.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        scale.alias("scale"),
+        mn.alias("offset"),
+    )
+
+
+def dequantize_embeddings(
+    quantized: DataFrame, id_col: str = "vec_id", out_col: str = "embedding"
+) -> DataFrame:
+    """Invert quantize_embeddings: x ≈ offset + (q + 128) * scale,
+    emitted as array<double> under `out_col` so the result drops
+    straight into ann_topk / ann_topk_ivf / embedding_near_dup (they
+    normalize internally — quantization error perturbs each dimension
+    by at most scale/2, which the recall test bounds end-to-end)."""
+    deq = F.transform(
+        F.col("qvec"),
+        lambda qv: F.col("offset") + (qv.cast("double") + 128.0) * F.col("scale"),
+    )
+    return quantized.select(F.col(id_col), deq.alias(out_col))
+
+
 def ann_topk(embeddings: DataFrame, num_queries: int = 5, k: int = 5) -> DataFrame:
     """Brute-force cosine top-k: the query set (vec_id < num_queries) is tiny
     and broadcast; ranks tie-break on neighbor id for determinism.

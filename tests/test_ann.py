@@ -157,3 +157,49 @@ def test_ivf_fixed_centroids_reuse(spark, emb, tmp_path):
     # query path accepts the artifact too
     got = analytics.ann_topk_ivf(emb, num_queries=2, k=3, centroids=loaded)
     assert got.count() == 6
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, emb):
+    """Affine int8 quantization: schema really is array<tinyint> (the
+    4-8x shuffle/storage win), per-element reconstruction error is
+    bounded by scale/2, a constant vector round-trips exactly, and
+    brute-force top-k over dequantized vectors keeps high recall vs the
+    float originals."""
+    from pyspark.sql import functions as F
+
+    from htmlx.spark import analytics
+
+    q = analytics.quantize_embeddings(emb)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+    deq = analytics.dequantize_embeddings(q)
+    err = (
+        emb.join(deq.withColumnRenamed("embedding", "approx"), "vec_id")
+        .join(q.select("vec_id", "scale"), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+                    "approx",
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("max_err"),
+            (F.col("scale") / 2 + F.lit(1e-9)).alias("bound"),
+        )
+    )
+    assert err.where(F.col("max_err") > F.col("bound")).count() == 0
+    # constant vector: scale 0 path, exact round trip
+    const = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    back = analytics.dequantize_embeddings(
+        analytics.quantize_embeddings(const)).collect()[0]["embedding"]
+    assert back == [0.5, 0.5, 0.5]
+    # end-to-end recall of exact brute-force top-k under quantization
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in analytics.ann_topk(emb, num_queries=5, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in analytics.ann_topk(deq, num_queries=5, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
