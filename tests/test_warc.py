@@ -899,3 +899,37 @@ def test_block_digest_verification():
     assert bad[0][7] == "block_digest_mismatch" and bad[0][2] == HTML_A
     other = list(iter_warc_pages("x.warc", rec_with(b"md5:ABCDEF")))
     assert other[0][7] is None  # unverified, not failed
+
+
+def test_archive_ops_plan_shapes(spark, tmp_path):
+    """100 TB shape pins for the new archive ops: read_cdx is entirely
+    JVM-side (no Python eval), cdx_snapshot_delta is zero-Python with
+    exactly the two per-side url aggregations + one join, and
+    read_warc_ranges has exactly ONE exchange (the per-file
+    repartition) feeding its single Python stage."""
+    from htmlx.spark.warc import cdx_snapshot_delta, read_cdx, read_warc_ranges
+
+    d = tmp_path / "cdx"
+    d.mkdir()
+    (d / "idx.cdxj").write_text(CDXJ_LINE.format(
+        surt="com,a)/1", ts="20240102030405", url="https://a.com/1",
+        length="5", offset="0", filename="w.warc.gz") + "\n")
+    cdx = read_cdx(spark, str(d))
+    py_markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+
+    plan = cdx._jdf.queryExecution().executedPlan().toString()
+    for m in py_markers:
+        assert m not in plan
+
+    delta = cdx_snapshot_delta(cdx, cdx)
+    dplan = delta._jdf.queryExecution().executedPlan().toString()
+    for m in py_markers:
+        assert m not in dplan
+
+    spans = spark.createDataFrame(
+        [("w.warc.gz", 0, 5)], "filename string, offset long, length long"
+    )
+    rplan = read_warc_ranges(spark, spans)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert rplan.count("Exchange") == 1  # the per-file repartition only
+    assert rplan.count("MapInPandas") == 1
