@@ -42,6 +42,11 @@ Modes:
               Emits (media_id, dhash, keep_media_id, is_dup, error) —
               undecodable rows pass through with their error and are
               never dropped silently.
+  embdedup    embedding-cosine near-dup keep-list over a (vec_id,
+              embedding) table: exact block-pair BLAS pairs >= --threshold
+              (or the IVF-bucketed approximate path via --emb-approx),
+              then the shared label-propagation components; emits
+              (vec_id, keep_vec_id, is_dup).
   audiodedup  perceptual AUDIO dedup, same pipeline over the envelope
               difference hash (audio_ehash via the in-repo WAV/AIFF/AU/
               FLAC decoders): volume- and resample-invariant duplicate
@@ -454,6 +459,7 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
+                 "embdedup",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
                  "snapdiff", "metarobots", "robotsfilter", "linkgraph",
                  "perplexity", "tempsample", "imagededup", "audiodedup",
@@ -479,6 +485,13 @@ def main():
                          "dedups; --span-window/--span-max-occurrences apply)")
     ap.add_argument("--hamming", type=int, default=3,
                     help="near-dup Hamming bound (imagededup mode)")
+    ap.add_argument("--emb-approx", action="store_true",
+                    help="embdedup mode: IVF-bucketed approximate pairing "
+                         "instead of exact block-pair BLAS")
+    ap.add_argument("--emb-centroids", type=int, default=8,
+                    help="embdedup --emb-approx: IVF centroid count "
+                         "(pair work drops ~centroids-fold; recall drops "
+                         "as near pairs straddle cell boundaries)")
     ap.add_argument("--perplexity-model", default=None,
                     help="perplexity mode: score against this saved "
                          "(trigram, count) model parquet instead of "
@@ -654,6 +667,33 @@ def main():
             F.lit(False).alias("is_dup"), "error",
         )
         out = resolved.unionByName(failed)
+    elif args.mode == "embdedup":
+        # embedding-cosine near-dup keep-list over a (vec_id, embedding)
+        # table: exact block-pair BLAS by default, --emb-approx switches
+        # to the IVF-bucketed path (~num_centroids x less pair work,
+        # recall measured in test_ann.py). Same components machinery as
+        # every other near-dup family.
+        if getattr(args, "emb_approx", False):
+            raw_pairs = analytics.embedding_near_dup_ivf(
+                docs, threshold=args.threshold,
+                num_centroids=getattr(args, "emb_centroids", 8),
+            )
+        else:
+            raw_pairs = analytics.embedding_near_dup(
+                docs, threshold=args.threshold
+            )
+        pairs = raw_pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        comp = analytics.near_dup_components(
+            docs.select(F.col("vec_id").cast("long").alias("doc_id")),
+            pairs, max_iters=50, until_converged=True,
+        )
+        out = comp.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("keep_doc_id").alias("keep_vec_id"),
+            "is_dup",
+        )
     elif args.mode == "tempsample":
         out = analytics.temperature_sample(
             docs, group_col=args.group_col, alpha=args.alpha,

@@ -203,3 +203,34 @@ def test_int8_quantization_roundtrip_and_recall(spark, emb):
               for r in analytics.ann_topk(deq, num_queries=5, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_curate_embdedup_cli(spark, tmp_path, monkeypatch):
+    """--mode embdedup e2e over an embeddings parquet: a planted
+    near-identical pair collapses to one keeper (min vec_id), distinct
+    vectors stay; --emb-approx runs the IVF path on the same input."""
+    import sys
+
+    from jobs.curate import main
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    inp = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(inp)
+    for flag in ([], ["--emb-approx", "--emb-centroids", "1"]):
+        out = str(tmp_path / ("out" + str(len(flag))))
+        monkeypatch.setattr(sys, "argv", [
+            "curate.py", "--mode", "embdedup", "--input", inp,
+            "--output", out, "--threshold", "0.95", *flag,
+        ])
+        main()
+        got = {r["vec_id"]: (r["keep_vec_id"], r["is_dup"])
+               for r in spark.read.parquet(out).collect()}
+        assert got == {1: (1, False), 2: (1, True),
+                       3: (3, False), 4: (4, False)}, flag
