@@ -234,3 +234,31 @@ def test_curate_embdedup_cli(spark, tmp_path, monkeypatch):
                for r in spark.read.parquet(out).collect()}
         assert got == {1: (1, False), 2: (1, True),
                        3: (3, False), 4: (4, False)}, flag
+
+
+def test_curate_embdedup_quantized_input(spark, tmp_path, monkeypatch):
+    """embdedup auto-dequantizes an int8-quantized table (qvec/scale/
+    offset, no embedding column): same keep-list as the float input."""
+    import sys
+
+    from jobs.curate import main
+    from htmlx.spark import analytics
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = analytics.quantize_embeddings(emb)
+    inp = str(tmp_path / "qemb.parquet")
+    q.write.parquet(inp)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--mode", "embdedup", "--input", inp,
+        "--output", out, "--threshold", "0.95",
+    ])
+    main()
+    got = {r["vec_id"]: (r["keep_vec_id"], r["is_dup"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (3, False)}

@@ -933,3 +933,36 @@ def test_archive_ops_plan_shapes(spark, tmp_path):
         .executedPlan().toString()
     assert rplan.count("Exchange") == 1  # the per-file repartition only
     assert rplan.count("MapInPandas") == 1
+
+
+def test_wetab_cli_e2e(spark, tmp_path, monkeypatch, capsys):
+    """jobs/wetab.py: results parquet + WET archives in, per-url frame
+    + one-row report out — the A/B comparison as an operational job."""
+    import json
+    import sys
+
+    from jobs.wetab import main
+
+    wet_dir = str(tmp_path / "wet")
+    os.makedirs(wet_dir)
+    recs = [
+        _record(b"conversion", b"alpha beta", url=b"https://a.com/1"),
+        _record(b"conversion", b"wet only text", url=b"https://a.com/2"),
+    ]
+    with open(os.path.join(wet_dir, "x.warc.wet.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(r) for r in recs))
+    res = str(tmp_path / "results.parquet")
+    spark.createDataFrame(
+        [("https://a.com/1", "alpha beta")], "url string, text string"
+    ).write.parquet(res)
+    out = str(tmp_path / "ab")
+    monkeypatch.setattr(sys, "argv", [
+        "wetab.py", "--results", res, "--wet", wet_dir, "--output", out,
+    ])
+    main()
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["n_both"] == 1 and row["n_wet_only"] == 1
+    assert row["char_f1_mean"] == 1.0
+    per = {r["url"]: r["char_f1"] for r in
+           spark.read.parquet(out + "/per_url.parquet").collect()}
+    assert per["https://a.com/1"] == 1.0 and per["https://a.com/2"] == 0.0
