@@ -262,3 +262,18 @@ def test_curate_embdedup_quantized_input(spark, tmp_path, monkeypatch):
     got = {r["vec_id"]: (r["keep_vec_id"], r["is_dup"])
            for r in spark.read.parquet(out).collect()}
     assert got == {1: (1, False), 2: (1, True), 3: (3, False)}
+
+
+def test_quantization_is_scan_side(spark, emb):
+    """quantize/dequantize are pure Catalyst transforms: no Exchange, no
+    Python evaluation — the int8 view is free at scan time."""
+    from htmlx.spark import analytics
+
+    for df in (
+        analytics.quantize_embeddings(emb),
+        analytics.dequantize_embeddings(analytics.quantize_embeddings(emb)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        for m in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert m not in plan
