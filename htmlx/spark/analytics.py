@@ -2327,11 +2327,14 @@ LANG_PROFILES = {
 }
 
 
-def lang_id_docs(documents: DataFrame) -> DataFrame:
+def lang_id_docs(documents: DataFrame, id_cols: tuple = ("doc_id",)) -> DataFrame:
     """Language ID, entirely JVM-side: script regexes + stopword-profile
     argmax as Catalyst expressions (27 languages + 'und'). Replaces the
     round-1 4-language pandas UDF — no Python in the path, and the exact
-    same logic is expressible in DuckDB SQL for the driver oracle."""
+    same logic is expressible in DuckDB SQL for the driver oracle.
+    `id_cols` generalizes the key so the SAME classifier runs at other
+    granularities (lang_mix_docs scores (doc_id, line_no) lines with it
+    — one grammar, not a per-line reimplementation)."""
     text = F.col("text")
     head = F.substring(text, 1, 200)
     toks = F.col("__toks")
@@ -2350,9 +2353,62 @@ def lang_id_docs(documents: DataFrame) -> DataFrame:
         pred = pred.when(head.rlike(pattern), F.lit(lang))
     pred = pred.otherwise(latin)
 
+    keys = [
+        (F.col(c).cast("long") if c == "doc_id" else F.col(c)) for c in id_cols
+    ]
     return (
         documents.withColumn("__toks", F.array_distinct(F.split(F.lower(text), " ")))
-        .select(F.col("doc_id").cast("long"), pred.alias("pred_lang"))
+        .select(*keys, pred.alias("pred_lang"))
+    )
+
+
+def lang_mix_docs(documents: DataFrame, min_line_chars: int = 20) -> DataFrame:
+    """Per-LINE language mixing — the signal that catches code-switched
+    and boilerplate-contaminated pages doc-level lang-ID averages away
+    (a page whose nav/footer is English around a French article scores
+    'fr' doc-level while a third of its lines disagree; multilingual
+    curation routes or drops on exactly this). Lines shorter than
+    min_line_chars are too small for the stopword argmax to mean
+    anything and are excluded (the scored-line count says how much
+    evidence remains).
+
+    Per doc: dominant_line_lang (most common per-line prediction, ties
+    broken by lang string — deterministic), dom_line_cnt, n_scored_lines
+    and n_line_langs, ALL integers/strings — consumers derive the
+    mixing fraction themselves (an int/int ratio rounded to a fixed
+    point is exactly the cross-engine .5-boundary hazard CLAUDE.md
+    documents; integer outputs are parity-exact by construction).
+    Docs with no scorable line keep a row with NULL lang and zero
+    counts. Plan: one explode + the scan-side classifier + two hash
+    aggregations keyed by doc — no Python."""
+    lines = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "text"),
+    ).where(F.length("text") >= min_line_chars)
+    per_line = lang_id_docs(lines, id_cols=("doc_id", "line_no"))
+    counts = per_line.groupBy("doc_id", "pred_lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.max_by(
+            "pred_lang", F.struct(F.col("__c"), F.col("pred_lang"))
+        ).alias("dominant_line_lang"),
+        F.max(F.struct(F.col("__c"), F.col("pred_lang")))["__c"]
+        .cast("long")
+        .alias("dom_line_cnt"),
+        F.sum("__c").cast("long").alias("n_scored_lines"),
+        F.count(F.lit(1)).cast("long").alias("n_line_langs"),
+    )
+    return (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dominant_line_lang",
+            F.coalesce("dom_line_cnt", F.lit(0)).alias("dom_line_cnt"),
+            F.coalesce("n_scored_lines", F.lit(0)).alias("n_scored_lines"),
+            F.coalesce("n_line_langs", F.lit(0)).alias("n_line_langs"),
+        )
     )
 
 
