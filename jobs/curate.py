@@ -87,6 +87,11 @@ Modes:
               excluded (endorsement semantics); --intra-host keeps
               intra-site edges (the shape host_rank wants — pipe this
               output straight into --mode hostrank).
+  langmix     per-line language mixing over (doc_id, text): each line
+              past --min-line-chars classified with the SAME 27-language
+              scan-side classifier as lang-ID; emits dominant_line_lang +
+              dom_line_cnt/n_scored_lines/n_line_langs so multilingual
+              curation can route or drop code-switched pages.
   perplexity  corpus-self-perplexity quality scoring: add-one char
               trigram model trained on the corpus itself, per-doc mean
               bits-per-trigram (tri_bits; high = atypical / garbled /
@@ -459,7 +464,7 @@ def main():
         "--mode",
         choices=["filter", "dedup", "components", "split", "decontaminate",
                  "pii", "pack", "quality", "paradedup", "exactdedup", "spandedup",
-                 "embdedup",
+                 "embdedup", "langmix",
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
                  "snapdiff", "metarobots", "robotsfilter", "linkgraph",
                  "perplexity", "tempsample", "imagededup", "audiodedup",
@@ -492,6 +497,9 @@ def main():
                     help="embdedup --emb-approx: IVF centroid count "
                          "(pair work drops ~centroids-fold; recall drops "
                          "as near pairs straddle cell boundaries)")
+    ap.add_argument("--min-line-chars", type=int, default=20,
+                    help="langmix mode: evidence gate — lines shorter than "
+                         "this many chars are not scored")
     ap.add_argument("--perplexity-model", default=None,
                     help="perplexity mode: score against this saved "
                          "(trigram, count) model parquet instead of "
@@ -583,6 +591,10 @@ def main():
         return
     if args.mode == "quality":
         out = analytics.c4_gopher_quality(docs)
+    elif args.mode == "langmix":
+        out = analytics.lang_mix_docs(
+            docs, min_line_chars=getattr(args, "min_line_chars", 20)
+        )
     elif args.mode == "perplexity":
         # train-once / score-many (the CCNet shape): --perplexity-model
         # scores against a saved reference model; --perplexity-model-out

@@ -85,3 +85,22 @@ def test_lang_mix_plan_zero_python(spark):
         .executedPlan().toString()
     for m in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert m not in plan
+
+
+def test_curate_langmix_cli(spark, tmp_path, monkeypatch):
+    import sys
+
+    from jobs.curate import main
+
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, EN + "\n" + EN + "\n" + FR)], "doc_id long, text string"
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--mode", "langmix", "--input", inp, "--output", out,
+    ])
+    main()
+    r = spark.read.parquet(out).collect()[0]
+    assert r["dominant_line_lang"] == "en"
+    assert (r["dom_line_cnt"], r["n_scored_lines"], r["n_line_langs"]) == (2, 3, 2)
