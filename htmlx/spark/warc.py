@@ -680,12 +680,21 @@ def cdx_from_warc(
     )
 
 
-def write_cdxj(cdx: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_cdxj(
+    cdx: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
     """Serialize a CDX frame to CDXJ text (`SURT ts14 {json}` — the
     cc-index line format read_cdx parses), entirely JVM-side. Numeric
     json fields are written as strings per the cc-index convention;
     a NULL surt/timestamp falls back to '-' / a zero ts14 so the
-    3-field line shape never collapses (concat_ws skips NULLs)."""
+    3-field line shape never collapses (concat_ws skips NULLs).
+    Gzipped by default like the published cc-index shards (a ~200 GB
+    index should not be stored raw; .gz text is non-splittable PER
+    FILE, matching the ~300-shard layout read_cdx documents) —
+    compression=None writes plain text."""
     from pyspark.sql import functions as F
 
     line = F.concat_ws(
@@ -706,7 +715,10 @@ def write_cdxj(cdx: DataFrame, path: str, mode: str = "overwrite") -> None:
             )
         ),
     )
-    cdx.select(line.alias("value")).write.mode(mode).text(path)
+    w = cdx.select(line.alias("value")).write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
 
 
 def read_warc_ranges(

@@ -966,3 +966,19 @@ def test_wetab_cli_e2e(spark, tmp_path, monkeypatch, capsys):
     per = {r["url"]: r["char_f1"] for r in
            spark.read.parquet(out + "/per_url.parquet").collect()}
     assert per["https://a.com/1"] == 1.0 and per["https://a.com/2"] == 0.0
+
+
+def test_write_cdxj_gzipped_by_default(spark, tmp_path):
+    """write_cdxj gzips like the published cc-index shards; read_cdx
+    reads the .gz files transparently and the round trip holds."""
+    from htmlx.spark.warc import cdx_from_warc, read_cdx, write_cdxj
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "w.warc.gz").write_bytes(
+        gzip.compress(_record(b"response", _http(HTML_A), url=b"https://a.com/1")))
+    out = str(tmp_path / "idx")
+    write_cdxj(cdx_from_warc(spark, str(d)), out)
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert files and all(f.endswith(".gz") for f in files)
+    assert read_cdx(spark, out).collect()[0]["url"] == "https://a.com/1"
