@@ -819,6 +819,10 @@ def synth_lines_frame(docs):
     return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
 
 
+_LANGMIX_FR = "le chat est sur le tapis et la vie est une chanson de paris"
+_LANGMIX_DE = "der hund ist im haus und das ist gut so denn es regnet"
+
+
 def q_quality_scores(spark, sf_dir):
     """Quality-signal suite on one merged row (driver caps at 50): the
     base TTR/stopword/length/top-bigram signals over the raw text,
@@ -833,7 +837,16 @@ def q_quality_scores(spark, sf_dir):
     predicate re-scans the synthesized text on both engines, so a
     dialect divergence flips the hash. gopher_pass_full adds the six
     published dup-n-gram gates (<=15/14/13/12/11/10%) on top of the
-    scan-side gopher_pass."""
+    scan-side gopher_pass.
+
+    r8 adds per-LINE language mixing (analytics.lang_mix_docs) over
+    synthesized multilingual text — doc_id%3 gains a French line and
+    %5 a German line, so dominance/line counts genuinely vary; the
+    oracle replays the SAME generated classifier SQL per line
+    (_lang_pred_sql, one source of truth at both granularities) and
+    re-derives dominance with the identical (count, lang) struct-max
+    tie rule. All four new columns are integers/strings — no float
+    rounding surface."""
     docs = _docs(spark, sf_dir)
     base = analytics.quality_scores(docs)
     ext = analytics.c4_gopher_quality(synth_lines_frame(docs))
@@ -855,7 +868,26 @@ def q_quality_scores(spark, sf_dir):
     # exactly on a rounding boundary; float-sum noise is ~1e9x smaller
     # than the 0.005 step)
     tri = analytics.char_trigram_perplexity(docs)
-    joined = base.join(ext, "doc_id").join(dup, "doc_id").join(tri, "doc_id")
+    # r8: per-line language mixing over synthesized multilingual text —
+    # every doc keeps its base (single-line) text, docs with doc_id%3==0
+    # gain a French line and %5==0 a German line, so the mix counts
+    # genuinely vary (1-3 scored lines, 1-3 languages). Spark runs the
+    # real explode->classify->aggregate; the oracle replays the SAME
+    # generated classifier SQL per line (_lang_pred_sql — one source of
+    # truth at both granularities).
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.lit("\n" + _LANGMIX_FR)).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("\n" + _LANGMIX_DE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    mix = analytics.lang_mix_docs(mixed)
+    joined = (
+        base.join(ext, "doc_id").join(dup, "doc_id").join(tri, "doc_id")
+        .join(mix, "doc_id")
+    )
     gates = F.lit(True)
     for n, thr in analytics.GOPHER_DUP_NGRAM_THRESHOLDS.items():
         gates = gates & (F.col(f"dup_{n}gram_char_pct") <= thr)
@@ -981,8 +1013,29 @@ ts AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM tm
 tb AS (SELECT tri.doc_id,
               CAST(round(avg(-log2((tm.c + 1.0) / (ts.n + ts.v))), 2) AS DOUBLE)
               AS tri_bits
-       FROM tri JOIN tm USING (tg), ts GROUP BY tri.doc_id)
+       FROM tri JOIN tm USING (tg), ts GROUP BY tri.doc_id),
+-- per-line language mixing over the synthesized multilingual text
+-- (doc_id%3 gains a French line, %5 a German line); the lmp body is
+-- GENERATED from the same constants as the Spark expression
+-- (_lang_pred_sql, token-spliced after both are defined)
+lmx0 AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '__LMFR__' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '__LMDE__' ELSE '' END AS mtext
+         FROM documents),
+lml0 AS (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM lmx0),
+lml AS (SELECT doc_id, u.i AS line_no, ls[u.i] AS text
+        FROM lml0, unnest(generate_series(1, len(ls))) AS u(i)
+        WHERE length(ls[u.i]) >= 20),
+lmp AS (__LANGMIX_PRED__),
+lmc AS (SELECT doc_id, pred_lang, count(*) AS c FROM lmp GROUP BY 1, 2),
+lma AS (SELECT doc_id, max(struct_pack(c := c, l := pred_lang)) AS mm,
+               sum(c) AS ns, count(*) AS nl
+        FROM lmc GROUP BY 1)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       (lma.mm).l AS dominant_line_lang,
+       CAST(coalesce((lma.mm).c, 0) AS BIGINT) AS dom_line_cnt,
+       CAST(coalesce(lma.ns, 0) AS BIGINT) AS n_scored_lines,
+       CAST(coalesce(lma.nl, 0) AS BIGINT) AS n_line_langs,
        CAST(floor(len(list_distinct(t)) * 100 / len(t)) AS BIGINT) AS ttr_pct,
        CAST(floor(len(list_filter(t, x -> x IN ('the','a','of','and','in'))) * 100 / len(t)) AS BIGINT) AS stopword_pct,
        CAST(floor(length(text) * 10 / len(t)) AS BIGINT) AS mean_token_len_x10,
@@ -1023,6 +1076,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
         AND rpct.dup_9gram_char_pct <= 11 AND rpct.dup_10gram_char_pct <= 10) AS gopher_pass_full,
        tb.tri_bits AS tri_bits
 FROM a5 JOIN rpct USING (doc_id) LEFT JOIN tb USING (doc_id)
+     LEFT JOIN lma USING (doc_id)
 """
 
 
@@ -3845,9 +3899,13 @@ def q_lang_id(spark, sf_dir):
     return analytics.lang_id_docs(_docs(spark, sf_dir))
 
 
-def _lang_id_oracle() -> str:
-    """DuckDB replica of the lang-ID spec, generated from the SAME profile
-    constants the Spark expression is built from (single source of truth)."""
+def _lang_pred_sql(src: str, keys: str) -> str:
+    """DuckDB replica of the lang-ID spec over an arbitrary relation
+    `src` with columns ({keys}, text), generated from the SAME profile
+    constants the Spark expression is built from (single source of
+    truth) — the doc-level lang_id oracle and the per-LINE lang-mix
+    replay both instantiate this, exactly as lang_id_docs serves both
+    granularities Spark-side."""
     profiles = analytics.LANG_PROFILES
     score_exprs = ",\n       ".join(
         f"len(list_intersect(tk, [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
@@ -3864,18 +3922,36 @@ def _lang_id_oracle() -> str:
         for lang, pat in analytics.LANG_SCRIPTS
     )
     return f"""
-WITH base AS (
-  SELECT doc_id, text, substr(text, 1, 200) AS head,
-         list_distinct(string_split(lower(text), ' ')) AS tk
-  FROM documents),
-scored AS (
-  SELECT doc_id, text, head,
-       {score_exprs}
-  FROM base)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
+SELECT {keys},
   CASE WHEN text IS NULL OR text = '' THEN 'und' {scripts} ELSE {latin} END AS pred_lang
-FROM (SELECT *, {m_expr} AS m FROM scored)
+FROM (SELECT *, {m_expr} AS m FROM (
+  SELECT {keys}, text, head,
+       {score_exprs}
+  FROM (
+    SELECT {keys}, text, substr(text, 1, 200) AS head,
+           list_distinct(string_split(lower(text), ' ')) AS tk
+    FROM {src})))
 """
+
+
+def _lang_id_oracle() -> str:
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, pred_lang FROM ("
+        + _lang_pred_sql("documents", "doc_id")
+        + ")"
+    )
+
+
+# Splice the GENERATED per-line classifier into the quality oracle's
+# lang-mix CTEs (O_QUALITY_SCORES is defined before _lang_pred_sql;
+# token replacement keeps the SQL literal free of brace-format hazards
+# — the quality SQL contains '{code}' and struct literals)
+O_QUALITY_SCORES = (
+    O_QUALITY_SCORES
+    .replace("__LANGMIX_PRED__", _lang_pred_sql("lml", "doc_id, line_no"))
+    .replace("__LMFR__", _LANGMIX_FR)
+    .replace("__LMDE__", _LANGMIX_DE)
+)
 
 
 O_LANG_ID = _lang_id_oracle()
