@@ -438,15 +438,25 @@ def surt_col(url_col: str = "url"):
     fetch identity — unlike _host_of, where credentials name a
     different fetch), a leading `www.` label is dropped and host labels
     reverse comma-joined (the cc-index canonicalization), scheme and
-    fragment are dropped, an empty path becomes '/'. Ports are stripped
-    with the grammar's own rule. NULL (not '') for relative URLs — a
-    sort key for an unknown authority would collide real ones."""
+    fragment are dropped, an empty path becomes '/', and the path/query
+    portion is LOWERCASED like published cc-index urlkeys (r9: without
+    this a join against a real Common-Crawl index on surt mismatches
+    any mixed-case path). Ports are stripped with the grammar's own
+    rule. NULL (not '') for relative URLs — a sort key for an unknown
+    authority would collide real ones. Remaining gap vs the full IA
+    canonicalizer, documented not hidden: query parameters keep their
+    original ORDER (cc-index sorts them), so a surt built here matches
+    a real index row only when the URL's params were already sorted —
+    within self-built indexes (cdx_from_warc) keys are always
+    consistent."""
     u = F.col(url_col) if isinstance(url_col, str) else url_col
     host = _strip_any_port(_hostport_of(u))
     host = F.regexp_replace(host, "^[^@]*@", "")
     host = F.regexp_replace(host, r"^www\.", "")
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    pathq = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    pathq = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    )
     pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
     return F.when(host == "", F.lit(None)).otherwise(
         F.concat(revhost, F.lit(")"), pathq)

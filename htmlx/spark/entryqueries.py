@@ -2548,6 +2548,11 @@ def corpus_filter_frame(docs, hash_basis: str, max_bucket_size):
     ).withColumn("keep", (F.col("reason") == "").cast("boolean"))
 
 
+#: previous invocation's persisted LSH pair set — evicted on the next
+#: call so repeated corpus_filter runs in one session cache O(1) frames
+_CF_PAIRS_CACHE = None
+
+
 def corpus_filter_variants_frame(docs, variants: dict):
     """The composite training-corpus filter under SEVERAL (hash_basis,
     max_bucket_size) policies in ONE pass — the dedup_spans_variants
@@ -2581,8 +2586,19 @@ def corpus_filter_variants_frame(docs, variants: dict):
     # tiny (near-dup candidates only), so persisting it is safe at any
     # scale — measured at sf0.1: 10.9 s -> 9.8 s warm, 22.8 -> 13.1 cold
     # (3/3 rounds faster; exchange reuse recovered only part of the
-    # duplication on its own).
+    # duplication on its own). The cache cannot be unpersisted inside
+    # this (lazy) builder, so accumulation across repeated invocations
+    # in one driver session (bench loops, sweeps) is bounded to ONE
+    # cached frame: each call evicts the previous call's pair set
+    # (r8 advice — the leak was unbounded before).
+    global _CF_PAIRS_CACHE
+    if _CF_PAIRS_CACHE is not None:
+        try:
+            _CF_PAIRS_CACHE.unpersist(blocking=False)
+        except Exception:
+            pass
     pairs = analytics.minhash_lsh_candidates_variants(docs, variants).persist()
+    _CF_PAIRS_CACHE = pairs
     distinct_pairs = pairs.select("doc_a", "doc_b").distinct()
     jac = (
         analytics.ngram_jaccard_pairs(docs, distinct_pairs)
@@ -2693,11 +2709,36 @@ FROM documents GROUP BY 1
 _WARC_FIXTURE_DIR = "/tmp/htmlx_warc_oracle_v1"
 
 
+def _br_codec_available() -> bool:
+    """True when a brotli codec is importable in this runtime — the
+    SAME gate warc._brotli_decompress uses, so the oracle's expected
+    marker for fixture record 23 tracks what read_warc actually does:
+    no codec -> body kept raw + content_encoding_unavailable:br; codec
+    present -> the (deliberately non-brotli) payload fails to inflate,
+    body kept raw + content_encoding_corrupt:br. Body bytes are
+    identical in both states; only the marker flips, so gating the
+    marker makes the row deterministic in EITHER environment instead
+    of silently coupled to worker site-packages (r8 advice)."""
+    import importlib.util
+
+    return any(
+        importlib.util.find_spec(m) is not None
+        for m in ("brotli", "brotlicffi")
+    )
+
+
+_BR_ORACLE_ERR = (
+    "content_encoding_corrupt:br"
+    if _br_codec_available()
+    else "content_encoding_unavailable:br"
+)
+
+
 def _warc_fix_body(i: int) -> bytes:
     """Decoded page body for fixture record i — ASCII-only so the DuckDB
     oracle can replay md5/strlen over a VARCHAR twin."""
     if i == 23:
-        return b"br-payload-23"  # kept RAW (no br codec in the runtime)
+        return b"br-payload-23"  # kept RAW either way (see _BR_ORACLE_ERR)
     return b"<!doctype html><p>warc page %d %s</p>" % (i, b"x" * i)
 
 
@@ -3539,7 +3580,7 @@ FROM (
          CASE WHEN i = 23 THEN 'br-payload-23'
               ELSE '<!doctype html><p>warc page ' || CAST(i AS VARCHAR) || ' '
                    || repeat('x', i) || '</p>' END AS body,
-         CASE WHEN i = 23 THEN 'content_encoding_unavailable:br' ELSE '' END AS err
+         CASE WHEN i = 23 THEN '{_BR_ORACLE_ERR}' ELSE '' END AS err
   FROM (SELECT unnest(generate_series(0, 23)) AS i))
 UNION ALL
 SELECT 'warcidx',

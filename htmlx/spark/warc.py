@@ -192,6 +192,32 @@ def _dechunk(body: bytes) -> bytes | None:
         pos = start + size + 2  # skip the chunk's trailing CRLF
 
 
+def _open_span_source(fn: str):
+    """Binary reader for a CDX span filename. Local paths and
+    file:/file:// URIs use the builtin opener; any other scheme routes
+    through fsspec (its seek+read on object stores issues range GETs —
+    exactly the access pattern read_warc_ranges wants). No fsspec in
+    the runtime -> a NAMED error instead of FileNotFoundError on an
+    's3://...' path."""
+    if "://" not in fn and not fn.startswith("file:"):
+        return open(fn, "rb")
+    scheme = fn.split(":", 1)[0].lower()
+    if scheme == "file":
+        local = fn[5:]
+        if local.startswith("//"):  # file://host/path -> strip authority
+            local = local[local.index("/", 2):] if "/" in local[2:] else local[2:]
+        return open(local, "rb")
+    try:
+        import fsspec  # type: ignore
+    except ImportError:
+        raise NotImplementedError(
+            f"read_warc_ranges: filename scheme '{scheme}:' needs fsspec "
+            "on the workers (not in this runtime); pass local/file: paths "
+            "or install fsspec + the filesystem driver"
+        )
+    return fsspec.open(fn, "rb").open()
+
+
 def _brotli_decompress(body: bytes) -> bytes | None:
     """Inflate a brotli payload when a codec is importable (brotli /
     brotlicffi are NOT baked into this runtime — the import-try is the
@@ -735,7 +761,15 @@ def read_warc_ranges(
     .warc.gz file must cover whole gzip members (cdx_from_warc /
     Common-Crawl indexes guarantee that); rows come out of the same
     record-to-row builder as the full scan, so both paths agree
-    byte-for-byte."""
+    byte-for-byte.
+
+    Filename schemes: local paths and file:/file:// URIs open with the
+    builtin opener; any other scheme (s3://, hdfs://, gs://, https://)
+    routes through fsspec when it is importable on the workers — the
+    same per-span seek+read becomes a range GET. With no fsspec in the
+    runtime a remote filename raises a NAMED error up front instead of
+    a misleading FileNotFoundError (the r8-advice failure mode where
+    jobs/extract.py --cdx-ranges passed hdfs:/s3: filenames through)."""
 
     def gen(batches):
         import pandas as pd
@@ -744,11 +778,10 @@ def read_warc_ranges(
         for pdf in batches:
             rows = []
             for fn, off, ln in zip(pdf["filename"], pdf["offset"], pdf["length"]):
-                local = fn[5:] if fn.startswith("file:") else fn
-                if local != cur:
+                if fn != cur:
                     if fh is not None:
                         fh.close()
-                    fh, cur = open(local, "rb"), local
+                    fh, cur = _open_span_source(fn), fn
                 fh.seek(int(off))
                 chunk = fh.read(int(ln))
                 if cur.endswith(".gz"):
@@ -866,8 +899,18 @@ def write_wet(
     = one sequential gzip write, no shuffle after the repartition."""
     import gzip as _gzip
 
+    from pyspark.sql import functions as F
+
     cols = [url_col, text_col] + ([ts_col] if ts_col else [])
-    rows = results.select(*cols).repartition(n_files, url_col)
+    # Null url/text rows are dropped JVM-side BEFORE partitioning: a
+    # null url has no fetch identity to publish under and a null text
+    # would TypeError mid-write; dropping before repartition keeps the
+    # per-file record sets (and so the bytes) deterministic.
+    rows = (
+        results.select(*cols)
+        .where(F.col(url_col).isNotNull() & F.col(text_col).isNotNull())
+        .repartition(n_files, url_col)
+    )
 
     def gen(batches):
         import os
@@ -882,10 +925,15 @@ def write_wet(
             for r in pdf.itertuples(index=False):
                 url = getattr(r, url_col)
                 ts = getattr(r, ts_col) if ts_col else None
+                if ts is not None and pd.isna(ts):
+                    ts = None  # a NULL timestamp arrives as pandas NaT
                 ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
                 recs.append((url, _wet_record(url, ts, getattr(r, text_col))))
         if recs:
-            recs.sort(key=lambda t: t[0])
+            # sort on (url, record bytes): duplicate urls (two captures
+            # published together) would otherwise order by arrival and
+            # break the byte-determinism contract
+            recs.sort(key=lambda t: (t[0], t[1]))
             data = b"".join(
                 _gzip.compress(rec, mtime=0) for _, rec in recs
             )

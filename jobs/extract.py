@@ -238,8 +238,18 @@ def main():
             from htmlx.spark.warc import write_wet
 
             results = out.read(spark).where(F.col("error") == "")
+            # RESULT_SCHEMA carries no timestamp; recover each url's
+            # latest capture time from the pages frame so published
+            # WET records carry real WARC-Date headers, not epoch 0
+            ts_col = None
+            if "warc_ts" in pages.columns:
+                results = results.join(
+                    pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts")),
+                    "url", "left",
+                )
+                ts_col = "warc_ts"
             man = write_wet(
-                results, args.wet_output, n_files=args.groups
+                results, args.wet_output, n_files=args.groups, ts_col=ts_col
             ).agg(
                 F.sum("n_records").alias("r"), F.sum("n_bytes").alias("b")
             ).collect()[0]

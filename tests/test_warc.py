@@ -552,7 +552,8 @@ def test_surt_col_shared_grammar_pins(spark):
     from htmlx.spark.analytics import surt_col
 
     cases = [
-        ("https://www.Example.COM:443/Path?q=1#frag", "com,example)/Path?q=1"),
+        # path/query lowercased like published cc-index urlkeys (r9)
+        ("https://www.Example.COM:443/Path?Q=1#frag", "com,example)/path?q=1"),
         ("http://user:pw@sub.example.org/", "org,example,sub)/"),
         ("https://example.net", "net,example)/"),
         ("ftp://Host.TLD/a/b", "tld,host)/a/b"),
@@ -762,6 +763,65 @@ def test_write_wet_roundtrip_and_determinism(spark, tmp_path):
             os.path.join(out2, name), "rb"
         ) as b:
             assert a.read() == b.read(), name
+
+
+def test_write_wet_dirty_rows(spark, tmp_path):
+    """r9 (r8 advice): write_wet stays byte-deterministic under
+    duplicate urls (sort key is (url, record bytes), not url alone),
+    DROPS null-url/null-text rows instead of raising, and a NULL
+    warc_ts (pandas NaT on the worker) publishes the epoch default
+    instead of crashing strftime."""
+    import datetime as _dt
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from htmlx.spark.warc import read_wet, write_wet
+
+    rows = [
+        ("https://a.com/x", "text one", _dt.datetime(2024, 3, 1)),
+        ("https://a.com/x", "text two (dup url)", _dt.datetime(2024, 3, 2)),
+        ("https://b.com/y", "text three", None),  # NULL ts -> NaT path
+        (None, "null url", _dt.datetime(2024, 3, 1)),
+        ("https://c.com/z", None, _dt.datetime(2024, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, warc_ts timestamp")
+    blobs = []
+    for tag, order in (("f", F.col("url")), ("r", F.desc("text"))):
+        d = str(tmp_path / f"wet_{tag}")
+        man = write_wet(df.orderBy(order).repartition(3), d, n_files=2,
+                        ts_col="warc_ts").collect()
+        assert sum(r["n_records"] for r in man) == 3  # nulls dropped
+        blobs.append(b"".join(
+            open(p, "rb").read() for p in sorted(_glob.glob(d + "/*.gz"))
+        ))
+    assert blobs[0] == blobs[1]
+    back = {(r["url"], r["text"]): r["warc_ts"]
+            for r in read_wet(spark, str(tmp_path / "wet_f")).collect()}
+    assert back[("https://b.com/y", "text three")].year == 1970
+
+
+def test_read_warc_ranges_remote_scheme_named_error(spark, tmp_path):
+    """r9 (r8 advice): a remote-scheme span filename without fsspec in
+    the runtime raises a NAMED NotImplementedError citing fsspec, not a
+    misleading FileNotFoundError."""
+    import pytest
+
+    from htmlx.spark.warc import read_warc_ranges
+
+    pytest.importorskip("pyspark")
+    try:
+        import fsspec  # noqa: F401
+
+        pytest.skip("fsspec present: remote opener would engage")
+    except ImportError:
+        pass
+    spans = spark.createDataFrame(
+        [("s3://bucket/x.warc.gz", 0, 10)], "filename string, offset long, length long"
+    )
+    with pytest.raises(Exception) as ei:
+        read_warc_ranges(spark, spans).collect()
+    assert "fsspec" in str(ei.value) and "s3" in str(ei.value)
 
 
 def test_extract_cli_wet_output(spark, tmp_path, monkeypatch):
