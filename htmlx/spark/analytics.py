@@ -2573,6 +2573,217 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---- corpus-trained BPE (Sennrich 2016 "Neural Machine Translation of
+# Rare Words with Subword Units"; GPT-2-style Ġ space marker) ----------------
+#
+# The trainer follows the published recipe exactly: pre-tokenize, count
+# word frequencies, then iteratively merge the most frequent adjacent
+# symbol pair (ties broken by pair lexicographic order so training is
+# fully deterministic). Scale shape is the one real tokenizer trainers
+# use: the CORPUS pass is one distributed word-count shuffle; the merge
+# loop then runs on the (bounded, max_vocab-capped) word-frequency
+# table on the driver — vocabulary size, not corpus size, is the loop's
+# input, so 100 TB costs the same loop as 100 MB. The merges table is a
+# persisted model artifact (the train_char_trigram shape): train once,
+# encode every later batch against it.
+#
+# ENCODING is expressible scan-side with zero Python: a word is encoded
+# as its symbols joined by a DOUBLED \x1e separator, and one literal
+# replace('\x1e a \x1e\x1e b \x1e' -> '\x1e ab \x1e') is then EXACTLY
+# one greedy left-to-right non-overlapping BPE merge (the doubled
+# separator donates one \x1e to each side of a match, so adjacent
+# matches don't fight over a shared boundary — verified against a pure
+# Python reference including the a==b overlap case). Applying the M
+# trained merges in rank order is therefore a chain of M literal
+# replaces inside whole-stage codegen — and DuckDB's replace() has the
+# same left-to-right semantics, which is what makes the driver oracle
+# able to replay BOTH training (recursive CTE over the word-frequency
+# table) and encoding character-for-character.
+BPE_SYMSEP = "\x1e"  # doubled between symbols inside an encoded word
+BPE_WORDSEP = "\x1d"  # between pretokens in the whole-doc encoding
+BPE_PAIRSEP = "\x1f"  # (left, right) pair-key / merges serialization
+BPE_SPACE_MARK = "Ġ"  # 'Ġ': GPT-2's printable stand-in for ' '
+
+
+def bpe_pretokens_col(text_col: str = "text"):
+    """Array column of BPE pretokens: control separators stripped,
+    BPE_PRETOKEN_PATTERN applied, leading spaces mapped to Ġ. The
+    Python twin is _bpe_pretokens_py — keep them identical."""
+    cleaned = F.translate(
+        F.col(text_col), BPE_WORDSEP + BPE_SYMSEP + BPE_PAIRSEP, ""
+    )
+    toks = F.regexp_extract_all(cleaned, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return F.transform(
+        toks, lambda t: F.replace(t, F.lit(" "), F.lit(BPE_SPACE_MARK))
+    )
+
+
+def _bpe_pretokens_py(text: str) -> list:
+    import re
+
+    cleaned = text.translate(
+        {ord(BPE_WORDSEP): None, ord(BPE_SYMSEP): None, ord(BPE_PAIRSEP): None}
+    )
+    return [
+        t.replace(" ", BPE_SPACE_MARK)
+        for t in re.findall(BPE_PRETOKEN_PATTERN, cleaned)
+    ]
+
+
+def bpe_merge_step(syms, a: str, b: str):
+    """One greedy left-to-right non-overlapping merge of pair (a, b) —
+    the pure-Python reference the replace-chain is pinned against."""
+    out, i = [], 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_apply_merges(word: str, merges) -> list:
+    """Encode one pretoken: apply trained merges in rank order. Rank
+    order equals iterate-lowest-rank (the GPT-2 encoder loop) because
+    training can only ever rank a composite pair AFTER the merges that
+    built its symbols."""
+    syms = list(word)
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        syms = bpe_merge_step(syms, a, b)
+    return syms
+
+
+def train_bpe_merges(word_freqs, num_merges: int):
+    """Driver-side merge loop over a (word, freq) list: repeatedly count
+    adjacent symbol pairs weighted by word frequency and merge the most
+    frequent (ties -> lexicographically smallest 'a\\x1fb' key, which
+    matches tuple order because \\x1f sorts below every text char).
+    Deterministic replay target for the DuckDB recursive-CTE oracle."""
+    from collections import Counter
+
+    corpus = [(list(w), int(f)) for w, f in word_freqs]
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for syms, f in corpus:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        best = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + BPE_PAIRSEP + kv[0][1])
+        )[0]
+        merges.append(best)
+        corpus = [(bpe_merge_step(s, *best), f) for s, f in corpus]
+    return merges
+
+
+def train_bpe(
+    documents: DataFrame,
+    num_merges: int = 1000,
+    max_vocab: int = 1_000_000,
+    text_col: str = "text",
+):
+    """Train BPE on a corpus: ONE distributed word-count shuffle, then
+    the merge loop on the top-max_vocab word-frequency table (ordered
+    count desc, word asc — a total order, so the cap is deterministic).
+    The driver collect is bounded by max_vocab, never corpus size —
+    the standard tokenizer-training shape. Returns the merges list;
+    persist with bpe_merges_df(...).write.parquet(...)."""
+    wf = (
+        documents.select(F.explode(bpe_pretokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("word").asc())
+        .limit(max_vocab)
+    )
+    rows = wf.collect()
+    return train_bpe_merges([(r["word"], r["f"]) for r in rows], num_merges)
+
+
+def bpe_merges_df(spark, merges) -> DataFrame:
+    """Merges list -> persisted model table (rank, left, right)."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+def load_bpe_merges(spark, path: str):
+    """Read a persisted merges table back into rank order."""
+    return [
+        (r["left"], r["right"])
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
+def bpe_encode_counts(
+    documents: DataFrame,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "replace",
+) -> DataFrame:
+    """Exact per-document BPE token counts under a trained merges list.
+
+    method='replace' (default): the whole document becomes ONE string —
+    pretokens joined by \\x1d, each pretoken's chars joined by doubled
+    \\x1e — and the M merges apply as M literal replaces, all inside
+    whole-stage codegen (zero Python, zero shuffle). The count falls
+    out of separator arithmetic: each encoded word of n symbols holds
+    2(n+1) \\x1e chars, so n_total = (#\\x1e)/2 - #words. Right choice
+    for model-artifact-sized merge lists (the driver oracle's shape).
+
+    method='pandas': one mapInPandas pass with a per-batch distinct-word
+    cache — the production path when M is tokenizer-sized (32k) and a
+    32k-deep replace chain would be absurd. Both methods are pinned
+    equal in tests/test_bpe.py."""
+    if not isinstance(merges, list):
+        merges = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    out_id = F.col(id_col).cast("long").alias(id_col)
+    if method == "pandas":
+        import pandas as pd
+
+        src = documents.select(F.col(id_col).cast("long"), F.col(text_col))
+
+        def count_batches(batches):
+            cache = {}
+            for pdf in batches:
+                counts = []
+                for text in pdf[text_col]:
+                    n = 0
+                    for w in _bpe_pretokens_py(text or ""):
+                        if w not in cache:
+                            cache[w] = len(bpe_apply_merges(w, merges))
+                        n += cache[w]
+                    counts.append(n)
+                yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_real": counts})
+
+        return src.mapInPandas(count_batches, f"{id_col} long, n_bpe_real long")
+
+    ss = BPE_SYMSEP + BPE_SYMSEP
+    toks = bpe_pretokens_col(text_col)
+    words = F.transform(
+        toks,
+        lambda t: F.concat(F.lit(ss), F.regexp_replace(t, "(.)", "$1" + ss)),
+    )
+    s = F.array_join(words, BPE_WORDSEP)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(BPE_SYMSEP + a + ss + b + BPE_SYMSEP),
+            F.lit(BPE_SYMSEP + a + b + BPE_SYMSEP),
+        )
+    n_sep = F.length(s) - F.length(F.replace(s, F.lit(BPE_SYMSEP), F.lit("")))
+    n_real = ((n_sep - F.size(toks) * 2) / 2).cast("long")
+    return documents.select(out_id, n_real.alias("n_bpe_real"))
+
+
 def hash_split(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -2825,7 +3036,10 @@ def mojibake_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def pack_sequences(
-    documents: DataFrame, seq_len: int = 512, num_buckets: int = 8
+    documents: DataFrame,
+    seq_len: int = 512,
+    num_buckets: int = 8,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy no-split NEXT-FIT sequence packing (the pretraining
     batch-prep op): docs fill fixed-capacity token bins in doc_id order;
@@ -2837,14 +3051,25 @@ def pack_sequences(
     independent units (doc_id % num_buckets) packed in parallel with
     applyInPandas — at 100 TB num_buckets scales to O(cores) and the only
     corpus shuffle is the bucket repartition of (doc_id, n_tokens) pairs,
-    never the text. Returns (doc_id, pack_bucket, pack_bin, pack_offset)."""
+    never the text. Returns (doc_id, pack_bucket, pack_bin, pack_offset).
+
+    `counts`: optional (doc_id, n_tokens) frame — pack on EXACT token
+    counts (e.g. bpe_encode_counts under a trained merges table) instead
+    of the whitespace proxy, so bins match what a training run sees."""
     import pandas as pd
 
-    sized = documents.select(
-        F.col("doc_id").cast("long"),
-        (F.col("doc_id") % num_buckets).cast("long").alias("pack_bucket"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-    )
+    if counts is not None:
+        sized = counts.select(
+            F.col("doc_id").cast("long"),
+            (F.col("doc_id") % num_buckets).cast("long").alias("pack_bucket"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    else:
+        sized = documents.select(
+            F.col("doc_id").cast("long"),
+            (F.col("doc_id") % num_buckets).cast("long").alias("pack_bucket"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")

@@ -741,19 +741,47 @@ def q_token_stats(spark, sf_dir):
     """Whitespace AND BPE-ish pre-tokenizer counting, one scan-side
     projection, PLUS greedy next-fit sequence packing
     (analytics.pack_sequences: doc_id-ordered bins of 512 whitespace
-    tokens across 8 parallel buckets) — three token-accounting surfaces merged into one
-    driver row (the driver's correctness artifact records at most 50
-    queries, observed round 3). The oracle replays the packing with a
-    recursive CTE, so one wrong bin boundary flips the hash."""
+    tokens across 8 parallel buckets), PLUS (r9) a CORPUS-TRAINED BPE
+    level: analytics.train_bpe learns 16 merges on this very corpus
+    (one word-count shuffle + the bounded driver merge loop), the
+    replace-chain encoder counts exact subword tokens per doc entirely
+    inside whole-stage codegen, and a second packing runs on those REAL
+    counts (seq_len 128) — the token-accounting surfaces merged into
+    one driver row (the driver's correctness artifact records at most
+    50 queries, observed round 3). The oracle replays packing with a
+    recursive CTE AND replays BPE training itself (recursive CTE over
+    the word-frequency table, identical tie-breaks) plus the
+    merge-by-merge encode, so one wrong merge choice, one wrong greedy
+    boundary, or one wrong bin flips the hash."""
     docs = _docs(spark, sf_dir)
     stats = analytics.token_stats(docs, include_bpe=True)
     packed = analytics.pack_sequences(docs, seq_len=512, num_buckets=8)
-    return stats.join(
-        packed.select("doc_id", "pack_bucket", "pack_bin", "pack_offset"), "doc_id"
+    merges = analytics.train_bpe(docs, num_merges=16, max_vocab=100_000)
+    real = analytics.bpe_encode_counts(docs, merges)
+    packed_real = analytics.pack_sequences(
+        docs,
+        seq_len=128,
+        num_buckets=8,
+        counts=real.withColumnRenamed("n_bpe_real", "n_tokens"),
+    )
+    return (
+        stats.join(
+            packed.select("doc_id", "pack_bucket", "pack_bin", "pack_offset"),
+            "doc_id",
+        )
+        .join(real, "doc_id")
+        .join(
+            packed_real.select(
+                "doc_id",
+                F.col("pack_bin").alias("pack_bin_bpe"),
+                F.col("pack_offset").alias("pack_offset_bpe"),
+            ),
+            "doc_id",
+        )
     )
 
 
-O_TOKEN_STATS = """
+O_TOKEN_STATS = r"""
 WITH RECURSIVE sized AS (
   SELECT doc_id, doc_id % 8 AS bucket, len(string_split(text, ' ')) AS n,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
@@ -765,7 +793,96 @@ packed AS (
   SELECT d.bucket, d.rn, d.doc_id, d.n,
          CASE WHEN p.fill + d.n <= 512 THEN p.bin ELSE p.bin + 1 END,
          CASE WHEN p.fill + d.n <= 512 THEN p.fill + d.n ELSE d.n END
-  FROM packed p JOIN sized d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+  FROM packed p JOIN sized d ON d.bucket = p.bucket AND d.rn = p.rn + 1),
+-- corpus-trained BPE replay. Pretokens: control separators stripped,
+-- BPE pattern, ' ' -> 'Ġ'. A word is its symbols joined by DOUBLED
+-- chr(30); one replace() = one exact greedy left-to-right merge.
+wfreq AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT replace(unnest(regexp_extract_all(
+             replace(replace(replace(text, chr(29), ''), chr(30), ''), chr(31), ''),
+             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')), ' ', 'Ġ') AS word
+    FROM documents)
+  GROUP BY word ORDER BY f DESC, word LIMIT 100000),
+-- trainer: state is ONE row carrying the whole (bounded) word-freq
+-- corpus; each step picks the max-count pair (ties -> smallest
+-- 'a<US>b' key, = tuple order since chr(31) sorts below text chars)
+-- and merges it everywhere. Mirrors analytics.train_bpe_merges.
+bpe(i, merges, corpus) AS (
+  SELECT 0, CAST([] AS VARCHAR[]),
+         list(struct_pack(w := chr(30)||chr(30)||
+                regexp_replace(word, '(.)', '\1'||chr(30)||chr(30), 'g'),
+              f := f) ORDER BY word)
+  FROM wfreq
+  UNION ALL
+  SELECT s.i + 1,
+         list_append(s.merges, s.best.p),
+         list_transform(s.corpus, x -> struct_pack(
+           w := replace(x.w,
+                chr(30)||replace(s.best.p, chr(31), chr(30)||chr(30))||chr(30),
+                chr(30)||replace(s.best.p, chr(31), '')||chr(30)),
+           f := x.f))
+  FROM (
+    SELECT i, merges, corpus,
+      list_sort(list_transform(
+        list_distinct(list_transform(pwf, x -> x.p)),
+        d -> struct_pack(
+          negc := -list_aggregate(list_transform(list_filter(pwf, x -> x.p = d), x -> x.f), 'sum'),
+          p := d)))[1] AS best,
+      pwf
+    FROM (
+      SELECT i, merges, corpus,
+        flatten(list_transform(corpus, x ->
+          list_transform(range(1, len(string_split(x.w, chr(30)||chr(30))) - 2),
+            j -> struct_pack(
+              p := string_split(x.w, chr(30)||chr(30))[j+1] || chr(31) ||
+                   string_split(x.w, chr(30)||chr(30))[j+2],
+              f := x.f))
+        )) AS pwf
+      FROM bpe WHERE i < 16
+    )
+  ) s
+  WHERE len(s.pwf) > 0),
+fm AS (SELECT merges FROM bpe ORDER BY i DESC LIMIT 1),
+-- encode: whole doc as one string (words joined by chr(29), symbols by
+-- doubled chr(30)); apply the trained merges in rank order
+pret AS (
+  SELECT doc_id,
+    list_transform(regexp_extract_all(
+        replace(replace(replace(text, chr(29), ''), chr(30), ''), chr(31), ''),
+        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'),
+      t -> replace(t, ' ', 'Ġ')) AS toks
+  FROM documents),
+docenc(r, doc_id, s, nw) AS (
+  SELECT 0, doc_id,
+         array_to_string(list_transform(toks, t -> chr(30)||chr(30)||
+           regexp_replace(t, '(.)', '\1'||chr(30)||chr(30), 'g')), chr(29)),
+         len(toks)
+  FROM pret
+  UNION ALL
+  SELECT e.r + 1, e.doc_id,
+         replace(e.s,
+           chr(30)||replace(m.merges[e.r+1], chr(31), chr(30)||chr(30))||chr(30),
+           chr(30)||replace(m.merges[e.r+1], chr(31), '')||chr(30)),
+         e.nw
+  FROM docenc e, fm m WHERE e.r < len(m.merges)),
+-- each encoded word of n symbols holds 2(n+1) chr(30)s
+realc AS (
+  SELECT e.doc_id,
+         CAST(((length(e.s) - length(replace(e.s, chr(30), ''))) - 2 * e.nw) / 2 AS BIGINT) AS n_bpe_real
+  FROM docenc e, fm m WHERE e.r = len(m.merges)),
+rsized AS (
+  SELECT doc_id, doc_id % 8 AS bucket, n_bpe_real AS n,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM realc),
+rpacked AS (
+  SELECT bucket, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+  FROM rsized WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n,
+         CASE WHEN p.fill + d.n <= 128 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.n <= 128 THEN p.fill + d.n ELSE d.n END
+  FROM rpacked p JOIN rsized d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
 SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        CAST(len(string_split(t.text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(t.text, ' '))) AS BIGINT) AS n_distinct_tokens,
@@ -774,8 +891,14 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
        CAST(floor(length(t.text) * 10 / len(regexp_extract_all(t.text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))) AS BIGINT) AS chars_per_token_x10,
        CAST(p.bucket AS BIGINT) AS pack_bucket,
        CAST(p.bin AS BIGINT) AS pack_bin,
-       CAST(p.fill - p.n AS BIGINT) AS pack_offset
-FROM documents t JOIN packed p ON p.doc_id = t.doc_id
+       CAST(p.fill - p.n AS BIGINT) AS pack_offset,
+       CAST(rc.n_bpe_real AS BIGINT) AS n_bpe_real,
+       CAST(rp.bin AS BIGINT) AS pack_bin_bpe,
+       CAST(rp.fill - rp.n AS BIGINT) AS pack_offset_bpe
+FROM documents t
+JOIN packed p ON p.doc_id = t.doc_id
+JOIN realc rc ON rc.doc_id = t.doc_id
+JOIN rpacked rp ON rp.doc_id = t.doc_id
 """
 
 

@@ -1,0 +1,174 @@
+"""Corpus-trained BPE: deterministic trainer, replace-chain == pandas ==
+pure-Python encode parity, merge-semantics pins (incl. the a==b overlap
+case the doubled-separator trick must get right), model persistence,
+and a zero-Python plan assertion for the scan-side encode path.
+
+The trainer is the Sennrich 2016 recipe; nothing here derives from the
+reference repo (it has no tokenizer — token accounting there is
+whitespace word counts, internal/extractor.go countWords)."""
+
+import pytest
+
+from htmlx.spark import analytics as A
+from htmlx.spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cores=4, app_name="htmlx-bpe-test")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# ---- pure-Python semantics ----
+
+
+def test_merge_step_greedy_nonoverlapping():
+    assert A.bpe_merge_step(list("abab"), "a", "b") == ["ab", "ab"]
+    assert A.bpe_merge_step(list("aaa"), "a", "a") == ["aa", "a"]
+    assert A.bpe_merge_step(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert A.bpe_merge_step(list("xab"), "a", "b") == ["x", "ab"]
+    assert A.bpe_merge_step(["ab", "a", "b"], "a", "b") == ["ab", "ab"]
+
+
+def test_trainer_toy_corpus():
+    # Sennrich's classic example family: 'es' then 'est' dominate.
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = A.train_bpe_merges(wf, 4)
+    assert merges[:2] == [("e", "s"), ("es", "t")]
+    # determinism: same input -> same merges
+    assert merges == A.train_bpe_merges(wf, 4)
+
+
+def test_trainer_tie_break_lexicographic():
+    # both pairs occur exactly once -> smallest (a, b) wins
+    wf = [("ba", 1), ("cd", 1)]
+    assert A.train_bpe_merges(wf, 1) == [("b", "a")]
+
+
+def test_trainer_stops_when_no_pairs():
+    wf = [("a", 3), ("b", 2)]
+    assert A.train_bpe_merges(wf, 10) == []
+
+
+def test_apply_merges_roundtrip_concat():
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("lowest", 4)]
+    merges = A.train_bpe_merges(wf, 8)
+    for w in ("lowest", "newest", "wider", "unseen", "x"):
+        syms = A.bpe_apply_merges(w, merges)
+        assert "".join(syms) == w
+
+
+def test_pretokens_py_space_marker():
+    toks = A._bpe_pretokens_py("the cat, 42 sat")
+    assert toks == ["the", "Ġcat", ",", "Ġ42", "Ġsat"]
+    # control separators stripped before pretokenization
+    assert A._bpe_pretokens_py("a\x1d\x1e\x1fb") == ["ab"]
+
+
+# ---- Spark parity ----
+
+
+def _ref_counts(rows, merges):
+    out = {}
+    for r in rows:
+        n = 0
+        for w in A._bpe_pretokens_py(r["text"] or ""):
+            n += len(A.bpe_apply_merges(w, merges))
+        out[r["doc_id"]] = n
+    return out
+
+
+def test_encode_replace_chain_matches_python(spark, docs):
+    merges = A.train_bpe(docs, num_merges=16)
+    assert len(merges) == 16
+    got = {
+        r["doc_id"]: r["n_bpe_real"]
+        for r in A.bpe_encode_counts(docs, merges).collect()
+    }
+    want = _ref_counts(docs.select("doc_id", "text").collect(), merges)
+    assert got == want
+    # merges genuinely compress: strictly fewer symbols than characters
+    chars = {r["doc_id"]: len(r["text"]) for r in docs.select("doc_id", "text").collect()}
+    assert sum(got.values()) < sum(v for v in chars.values())
+
+
+def test_encode_pandas_matches_replace_chain(spark, docs):
+    merges = A.train_bpe(docs, num_merges=12)
+    a = {
+        r["doc_id"]: r["n_bpe_real"]
+        for r in A.bpe_encode_counts(docs, merges, method="replace").collect()
+    }
+    b = {
+        r["doc_id"]: r["n_bpe_real"]
+        for r in A.bpe_encode_counts(docs, merges, method="pandas").collect()
+    }
+    assert a == b
+
+
+def test_encode_replace_chain_is_jvm_only(spark, docs):
+    merges = A.train_bpe(docs, num_merges=8)
+    plan = A.bpe_encode_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "EvalPython" not in plan
+    assert "Exchange" not in plan  # scan-side projection, zero shuffle
+
+
+def test_spark_replace_semantics_match_greedy(spark):
+    # the whole oracle story rests on replace() being left-to-right
+    # non-overlapping with the doubled separator donating boundaries
+    from pyspark.sql import functions as F
+
+    ss = A.BPE_SYMSEP * 2
+    cases = [("abab", "a", "b"), ("aaa", "a", "a"), ("aaaa", "a", "a"), ("ababab", "a", "b")]
+    one = spark.range(1)
+    for w, a, b in cases:
+        enc = ss + ss.join(list(w)) + ss
+        got = (
+            one.select(
+                F.replace(
+                    F.lit(enc),
+                    F.lit(A.BPE_SYMSEP + a + ss + b + A.BPE_SYMSEP),
+                    F.lit(A.BPE_SYMSEP + a + b + A.BPE_SYMSEP),
+                ).alias("r")
+            )
+            .collect()[0]["r"]
+        )
+        want = ss + ss.join(A.bpe_merge_step(list(w), a, b)) + ss
+        assert got == want, (w, a, b)
+
+
+def test_merges_df_roundtrip(spark, docs, tmp_path):
+    merges = A.train_bpe(docs, num_merges=6)
+    path = str(tmp_path / "merges.parquet")
+    A.bpe_merges_df(spark, merges).write.parquet(path)
+    assert A.load_bpe_merges(spark, path) == merges
+
+
+def test_pack_sequences_with_real_counts(spark, docs):
+    from pyspark.sql import functions as F
+
+    merges = A.train_bpe(docs, num_merges=8)
+    real = A.bpe_encode_counts(docs, merges).withColumnRenamed("n_bpe_real", "n_tokens")
+    packed = A.pack_sequences(docs, seq_len=64, num_buckets=4, counts=real).collect()
+    counts = {r["doc_id"]: r["n_tokens"] for r in real.collect()}
+    # replay next-fit per bucket
+    by_bucket = {}
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        by_bucket.setdefault(r["pack_bucket"], []).append(r)
+    for bucket, rows in by_bucket.items():
+        bin_id, fill, first = 0, 0, True
+        for r in rows:
+            n = counts[r["doc_id"]]
+            if not first and fill + n > 64:
+                bin_id += 1
+                fill = 0
+            first = False
+            assert (r["pack_bin"], r["pack_offset"]) == (bin_id, fill), r
+            fill += n
