@@ -23,7 +23,13 @@ Modes:
   pii         redact emails/IPv4s/long digit runs to typed tokens with
               per-kind counts (clean_text column).
   pack        next-fit sequence packing into --seq-len token bins,
-              parallel across --pack-buckets hash buckets.
+              parallel across --pack-buckets hash buckets; with
+              --bpe-model (or inline --bpe-train N) bins pack on EXACT
+              BPE-encoded token counts instead of the whitespace proxy.
+  bpetrain    train --bpe-train merges on the input corpus (Sennrich
+              2016 recipe, deterministic ties) and write the merges
+              table to --bpe-model-out — the train-once model artifact
+              every later pack/encode run scores against.
   quality     published C4 + Gopher rule suites per document over real
               newline-split lines (gopher_pass / c4_pass columns plus
               every sub-signal) — scan-side, zero shuffle.
@@ -147,6 +153,30 @@ PIPELINE_STAGES = (
     "urlfilter", "quality", "exact_dedup", "near_dedup", "decontaminate",
     "tempsample", "split", "pack",
 )
+
+
+def _bpe_token_counts(spark, docs, args):
+    """(doc_id, n_tokens) under a trained BPE merges table, or None when
+    no BPE flag is set (pack then bins on the whitespace proxy). The
+    replace-chain encoder is the right plan for model-artifact-sized
+    merge lists; past 64 merges the cached mapInPandas encoder wins."""
+    from htmlx.spark import analytics
+
+    merges = None
+    if getattr(args, "bpe_model", None):
+        merges = analytics.load_bpe_merges(spark, args.bpe_model)
+    elif getattr(args, "bpe_train", 0):
+        merges = analytics.train_bpe(docs, num_merges=args.bpe_train)
+        if getattr(args, "bpe_model_out", None):
+            analytics.bpe_merges_df(spark, merges).write.mode(
+                "overwrite"
+            ).parquet(args.bpe_model_out)
+    if not merges:
+        return None
+    method = "replace" if len(merges) <= 64 else "pandas"
+    return analytics.bpe_encode_counts(docs, merges, method=method).withColumnRenamed(
+        "n_bpe_real", "n_tokens"
+    )
 
 
 def run_pipeline(spark, docs, args) -> dict:
@@ -436,7 +466,10 @@ def run_pipeline(spark, docs, args) -> dict:
     _, n_packed = stage(
         "pack",
         lambda: analytics.pack_sequences(
-            train, seq_len=args.seq_len, num_buckets=args.pack_buckets
+            train,
+            seq_len=args.seq_len,
+            num_buckets=args.pack_buckets,
+            counts=_bpe_token_counts(spark, train, args),
         ),
         n_cur,
     )
@@ -468,7 +501,7 @@ def main():
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
                  "snapdiff", "metarobots", "robotsfilter", "linkgraph",
                  "perplexity", "tempsample", "imagededup", "audiodedup",
-                 "pipeline"],
+                 "bpetrain", "pipeline"],
         default="filter",
     )
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
@@ -533,6 +566,17 @@ def main():
                     help="hostrank power-iteration rounds")
     ap.add_argument("--seq-len", type=int, default=2048, help="token bin size (pack mode)")
     ap.add_argument("--pack-buckets", type=int, default=256, help="parallel packing units (pack mode)")
+    ap.add_argument("--bpe-model", default=None,
+                    help="trained BPE merges parquet (rank/left/right); pack "
+                         "bins on EXACT encoded token counts instead of the "
+                         "whitespace proxy (pack mode / pipeline pack stage)")
+    ap.add_argument("--bpe-train", type=int, default=0,
+                    help="train this many BPE merges on the input corpus "
+                         "(bpetrain mode, or inline for pack when no "
+                         "--bpe-model is given)")
+    ap.add_argument("--bpe-model-out", default=None,
+                    help="write the trained merges table here (bpetrain "
+                         "mode, or alongside inline --bpe-train)")
     ap.add_argument("--threshold", type=float, default=0.9, help="Jaccard verify threshold")
     ap.add_argument("--min-chars", type=int, default=100)
     ap.add_argument("--hash-basis", choices=["xxhash64", "md5"], default="xxhash64")
@@ -759,8 +803,16 @@ def main():
         out = analytics.pii_scrub(docs)
     elif args.mode == "pack":
         out = analytics.pack_sequences(
-            docs, seq_len=args.seq_len, num_buckets=args.pack_buckets
+            docs,
+            seq_len=args.seq_len,
+            num_buckets=args.pack_buckets,
+            counts=_bpe_token_counts(spark, docs, args),
         )
+    elif args.mode == "bpetrain":
+        merges = analytics.train_bpe(docs, num_merges=args.bpe_train or 1000)
+        out = analytics.bpe_merges_df(spark, merges)
+        if args.bpe_model_out:
+            out.write.mode("overwrite").parquet(args.bpe_model_out)
     elif args.mode == "components":
         pairs = spark.read.parquet(args.pairs)
         out = keep_list(pairs)

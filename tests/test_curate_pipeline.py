@@ -329,3 +329,48 @@ def test_pipeline_spandedup_stage_rewrites_text(spark, tmp_path):
     # is dropped by it
     assert done["decontaminate"]["docs_in"] == 3
     assert done["decontaminate"]["docs_out"] == 2
+
+
+def test_pipeline_pack_on_trained_bpe_counts(spark, tmp_path):
+    """--bpe-train N in the pipeline: the pack stage bins on EXACT
+    encoded counts (replayed here with the pure-Python encoder), and
+    --bpe-model-out persists the merges table for train-once reuse."""
+    from jobs.curate import run_pipeline
+    from htmlx.spark import analytics as A
+
+    rows = [
+        (i, ("lowest newest widest " * (2 + i % 3)).strip(), 0)
+        for i in range(1, 7)
+    ]
+    docs = _docs(spark, rows)
+    model_out = str(tmp_path / "merges.parquet")
+    args = _pipeline_args(
+        tmp_path, bpe_train=8, bpe_model_out=model_out, seq_len=16, pack_buckets=1
+    )
+    run_pipeline(spark, docs, args)
+
+    merges = A.load_bpe_merges(spark, model_out)
+    assert len(merges) == 8
+    packed = sorted(
+        spark.read.parquet(str(tmp_path / "out" / "stage_pack.parquet")).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # replay: counts from the pure-Python encoder over pipeline survivors
+    kept = {r["doc_id"] for r in packed}
+    texts = {r[0]: r[1] for r in rows if r[0] in kept}
+    counts = {
+        d: sum(len(A.bpe_apply_merges(w, merges)) for w in A._bpe_pretokens_py(t))
+        for d, t in texts.items()
+    }
+    bin_id, fill, first = 0, 0, True
+    for r in packed:
+        n = counts[r["doc_id"]]
+        if not first and fill + n > 16:
+            bin_id += 1
+            fill = 0
+        first = False
+        assert (r["pack_bin"], r["pack_offset"]) == (bin_id, fill), r
+        fill += n
+    # real counts differ from the whitespace proxy, so the packing must too
+    ws = {d: len(t.split(" ")) for d, t in texts.items()}
+    assert ws != counts
