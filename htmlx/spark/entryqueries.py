@@ -1667,18 +1667,108 @@ def q_media_frame_features(spark, sf_dir):
             "n2",
         )
     )
+    # level='imgtext' (r9): (image, caption, quality) PAIR construction
+    # over the SAME decoded gradient set (pix=hashes — one decode pass).
+    # Captions synthesized per doc_id exercise the alt->title fallback
+    # and every caption gate; dedup runs the real banded-Hamming +
+    # connected-components machinery over the three hash classes, so
+    # the keepers (min gate-passing doc per component; the zero class
+    # alone, feff merged into ones at Hamming 1) fall out of the
+    # pipeline, while the oracle recomputes them from the same modular
+    # arithmetic. k folds caption, replayed language, reason, and the
+    # pinned dhash constant per row.
+    from .multimodal import image_text_pairs
+
+    d = F.col("doc_id")
+    alt = (
+        F.when(d % 29 == 0, F.lit(""))
+        .when(d % 19 == 0, F.repeat(F.lit("very "), 120))
+        .when(d % 7 == 0, F.lit("tiny"))
+        .when(d % 13 == 0, F.lit(_LANGMIX_FR))
+        .when(d % 5 == 0, F.lit(""))
+        .otherwise(F.lit("a nice photo of the sea"))
+    )
+    title = F.when(
+        (d % 29 != 0) & (d % 19 != 0) & (d % 7 != 0) & (d % 13 != 0) & (d % 5 == 0),
+        F.lit("a calm photo of the lake"),
+    ).otherwise(F.lit(""))
+    imgs = docs.select(
+        d.cast("long").alias("page_id"),
+        d.cast("long").alias("media_id"),
+        F.concat(
+            F.lit("https://h"),
+            (d % 50).cast("string"),
+            F.lit(".example/img"),
+            d.cast("string"),
+            F.lit(".bmp"),
+        ).alias("src"),
+        alt.alias("alt"),
+        title.alias("title"),
+    )
+    itp = image_text_pairs(imgs, pix=hashes)
+    imgtext_level = itp.select(
+        F.lit("imgtext").alias("level"),
+        F.col("media_id"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.coalesce(F.col("caption"), F.lit("")),
+                F.col("caption_lang"),
+                F.col("reason"),
+                F.lpad(F.lower(F.hex("dhash")), 16, "0"),
+            )
+        ).alias("k"),
+        F.col("caption_bytes").cast("long").alias("n1"),
+        F.col("keep").cast("long").alias("n2"),
+    )
     return (
         feat_level.unionByName(dhash_level)
         .unionByName(pair_level)
         .unionByName(ehash_level)
         .unionByName(epair_level)
+        .unionByName(imgtext_level)
     )
 
 
 O_MEDIA_FRAME_FEATURES = f"""
 WITH p AS (SELECT doc_id, {_MEDIA_PAYLOAD_HEX} AS h FROM documents),
 b AS (SELECT doc_id, h, CAST(length(h) / 2 AS BIGINT) AS byte_len FROM p),
-e AS (SELECT *, [substr(h, 2 * i - 1, 2) FOR i IN generate_series(1, CAST(byte_len AS INTEGER))] AS pairs FROM b)
+e AS (SELECT *, [substr(h, 2 * i - 1, 2) FOR i IN generate_series(1, CAST(byte_len AS INTEGER))] AS pairs FROM b),
+-- imgtext level: caption synthesis (alt->title fallback pre-collapsed),
+-- pinned dhash constants, component = zero class alone / feff+ones
+-- merged at Hamming 1 (the pair structure the dhashpair level pins)
+icaps AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 29 = 0 THEN NULL
+         WHEN doc_id % 19 = 0 THEN trim(repeat('very ', 120))
+         WHEN doc_id % 7 = 0 THEN 'tiny'
+         WHEN doc_id % 13 = 0 THEN '__LMFR__'
+         WHEN doc_id % 5 = 0 THEN 'a calm photo of the lake'
+         ELSE 'a nice photo of the sea' END AS caption,
+    CASE WHEN doc_id % 2 = 1 THEN '0000000000000000'
+         WHEN doc_id % 12 = 0 THEN 'feffffffffffffff'
+         ELSE 'ffffffffffffffff' END AS dh,
+    CASE WHEN doc_id % 2 = 1 THEN 'z' ELSE 'm' END AS comp
+  FROM documents),
+icapt AS (SELECT doc_id, caption AS text FROM icaps),
+ilang AS (SELECT doc_id, pred_lang FROM (__IMGTEXT_LANG__)),
+ikeep AS (
+  SELECT comp, min(c.doc_id) AS keeper
+  FROM icaps c JOIN ilang l ON l.doc_id = c.doc_id
+  WHERE c.caption IS NOT NULL AND strlen(c.caption) >= 5
+        AND strlen(c.caption) <= 512 AND l.pred_lang = 'en'
+  GROUP BY comp),
+irows AS (
+  SELECT c.doc_id, c.caption, l.pred_lang, c.dh,
+         CASE WHEN c.caption IS NULL THEN 'no_caption'
+              WHEN strlen(c.caption) < 5 THEN 'caption_too_short'
+              WHEN strlen(c.caption) > 512 THEN 'caption_too_long'
+              WHEN l.pred_lang <> 'en' THEN 'caption_lang'
+              WHEN c.doc_id <> k.keeper THEN 'near_dup_image'
+              ELSE '' END AS reason
+  FROM icaps c
+  JOIN ilang l ON l.doc_id = c.doc_id
+  JOIN ikeep k ON k.comp = c.comp)
 SELECT 'features' AS level, CAST(doc_id AS BIGINT) AS media_id,
   md5(md5(h) || '|'
       || md5(substr(h, 2 * ((0 * (byte_len - 16)) // 3) + 1, 32)) || '|'
@@ -1708,6 +1798,12 @@ SELECT 'ehash', -1,
 FROM documents GROUP BY 3
 UNION ALL
 SELECT 'ehashpair', -1, 'fffffffffffffffe:ffffffffffffffff', 1, 1
+UNION ALL
+SELECT 'imgtext', CAST(doc_id AS BIGINT),
+       md5(coalesce(caption, '') || ':' || pred_lang || ':' || reason || ':' || dh),
+       CAST(coalesce(strlen(caption), 0) AS BIGINT),
+       CAST((reason = '') AS BIGINT)
+FROM irows
 """
 
 
@@ -4115,6 +4211,13 @@ O_QUALITY_SCORES = (
     .replace("__LANGMIX_PRED__", _lang_pred_sql("lml", "doc_id, line_no"))
     .replace("__LMFR__", _LANGMIX_FR)
     .replace("__LMDE__", _LANGMIX_DE)
+)
+
+# Same splice for the imgtext level's caption-language replay
+O_MEDIA_FRAME_FEATURES = (
+    O_MEDIA_FRAME_FEATURES
+    .replace("__IMGTEXT_LANG__", _lang_pred_sql("icapt", "doc_id"))
+    .replace("__LMFR__", _LANGMIX_FR)
 )
 
 

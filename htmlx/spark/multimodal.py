@@ -1224,6 +1224,156 @@ def dhash_near_dup(
     return pairs
 
 
+# precedence-ordered drop reasons for image-text pair construction —
+# the corpus_filter convention: the FIRST failing gate names the row
+IMAGE_TEXT_REASONS = (
+    "no_caption",
+    "caption_too_short",
+    "caption_too_long",
+    "caption_lang",
+    "missing_media",
+    "decode_error",
+    "image_too_small",
+    "near_dup_image",
+)
+
+
+def image_text_pairs(
+    images: DataFrame,
+    media: DataFrame | None = None,
+    min_caption_bytes: int = 5,
+    max_caption_bytes: int = 512,
+    min_dim: int = 8,
+    max_hamming: int = 3,
+    allow_langs: tuple = ("en",),
+    pix: DataFrame | None = None,
+) -> DataFrame:
+    """(image, caption, quality) training-pair construction — the step
+    that turns the extraction stack's two halves (images arrays with
+    alt/title text, reference extract.go:1044-1089; decoded pixels) into
+    a multimodal dataset:
+
+      images: (page_id, media_id, src, alt, title) — the exploded
+              extraction `images` array joined to fetched media ids
+      media:  (media_id, payload binary) — fetched image bytes
+
+    Pipeline: caption = alt, falling back to title (trimmed; empty is
+    no caption); caption gates are UTF-8 BYTE lengths (the repo-wide cap
+    convention) plus the shared JVM language classifier
+    (analytics.lang_id_docs — same grammar as doc/line granularity);
+    pixels decode ONCE via extract_image_dhash (dims + dHash + typed
+    degradation in one pass); near-dup images dedup by exact-dHash
+    buckets (keeper = min media_id) merged through banded-Hamming pairs
+    and connected components over bucket REPRESENTATIVES, so the
+    component keeper is the global min media_id. Dedup runs over the
+    pool that passed every earlier gate (the corpus_filter shape: a
+    quality-dropped image never shadows a keepable duplicate).
+
+    Returns one row per input image: (page_id, media_id, src, caption,
+    caption_bytes, caption_lang, width, height, dhash, keep, reason) —
+    reason is the FIRST failing gate per IMAGE_TEXT_REASONS, '' when
+    kept.
+
+    `pix`: optionally pass a precomputed extract_image_dhash frame
+    (media_id, dhash, width, height, error) instead of `media` — the
+    one-decode-pass reuse when a dhash table already exists upstream.
+
+    100 TB shape: caption gates + lang are scan-side Catalyst; one
+    Python decode pass bounded by media count; dedup joins are keyed by
+    dhash/band (never all-pairs); components iterate over the tiny
+    representative-pair edge set, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from .analytics import lang_id_docs, near_dup_components
+
+    caption = F.coalesce(
+        F.nullif(F.trim(F.col("alt")), F.lit("")),
+        F.nullif(F.trim(F.col("title")), F.lit("")),
+    )
+    caps = images.select(
+        F.col("page_id").cast("long").alias("page_id"),
+        F.col("media_id").cast("long").alias("media_id"),
+        "src",
+        caption.alias("caption"),
+    )
+    lang = lang_id_docs(
+        caps.select("page_id", "media_id", F.col("caption").alias("text")),
+        id_cols=("page_id", "media_id"),
+    ).withColumnRenamed("pred_lang", "caption_lang")
+    caps = caps.join(lang, ["page_id", "media_id"])
+
+    if pix is None:
+        pix = extract_image_dhash(media)
+    pix = pix.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "dhash",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("error").alias("__decode_error"),
+    )
+    rows = caps.join(pix, "media_id", "left")
+
+    cb = F.coalesce(F.octet_length("caption"), F.lit(0))
+    gate = (
+        F.when(F.col("caption").isNull(), F.lit("no_caption"))
+        .when(cb < min_caption_bytes, F.lit("caption_too_short"))
+        .when(cb > max_caption_bytes, F.lit("caption_too_long"))
+        .when(
+            ~F.col("caption_lang").isin(*allow_langs), F.lit("caption_lang")
+        )
+        .when(F.col("dhash").isNull(), F.lit("missing_media"))
+        .when(
+            F.col("__decode_error") == "image_too_small",
+            F.lit("image_too_small"),
+        )
+        .when(F.col("__decode_error") != "", F.lit("decode_error"))
+        .when(
+            (F.col("width") < min_dim) | (F.col("height") < min_dim),
+            F.lit("image_too_small"),
+        )
+    )
+    rows = rows.withColumn("__gate", gate)
+
+    # dedup over the gate-surviving pool, at MEDIA granularity
+    pool = (
+        rows.where(F.col("__gate").isNull())
+        .select("media_id", "dhash")
+        .distinct()
+    )
+    reps = pool.groupBy("dhash").agg(F.min("media_id").alias("media_id"))
+    pairs = dhash_near_dup(reps, max_hamming=max_hamming).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = near_dup_components(
+        reps.select(F.col("media_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("media_id"), "keep_doc_id")
+    keepers = reps.join(comp, "media_id").select(
+        "dhash", F.col("keep_doc_id").alias("__keep_media_id")
+    )
+    rows = rows.join(keepers, "dhash", "left")
+
+    reason = F.coalesce(
+        F.col("__gate"),
+        F.when(
+            F.col("media_id") != F.col("__keep_media_id"),
+            F.lit("near_dup_image"),
+        ).otherwise(F.lit("")),
+    )
+    return rows.select(
+        "page_id",
+        "media_id",
+        "src",
+        "caption",
+        cb.alias("caption_bytes"),
+        "caption_lang",
+        "width",
+        "height",
+        "dhash",
+        reason.alias("reason"),
+        (reason == "").alias("keep"),
+    )
+
+
 def audio_ehash(rate: int, channels: int, samples) -> int:
     """Perceptual envelope difference hash (eHash) of decoded PCM — the
     audio analogue of image_dhash's convention, deterministic INTEGER

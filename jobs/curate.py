@@ -30,6 +30,11 @@ Modes:
               2016 recipe, deterministic ties) and write the merges
               table to --bpe-model-out — the train-once model artifact
               every later pack/encode run scores against.
+  imgtext     (image, caption, quality) training-pair construction:
+              --input = exploded images table (page_id, media_id, src,
+              alt, title), --media-input = fetched (media_id, payload)
+              bytes; caption fallback + UTF-8-byte/lang gates, one-pass
+              decode, dHash near-dup keepers, precedence reason column.
   quality     published C4 + Gopher rule suites per document over real
               newline-split lines (gopher_pass / c4_pass columns plus
               every sub-signal) — scan-side, zero shuffle.
@@ -501,9 +506,17 @@ def main():
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
                  "snapdiff", "metarobots", "robotsfilter", "linkgraph",
                  "perplexity", "tempsample", "imagededup", "audiodedup",
-                 "bpetrain", "pipeline"],
+                 "bpetrain", "imgtext", "pipeline"],
         default="filter",
     )
+    ap.add_argument("--media-input", default=None,
+                    help="(media_id, payload) parquet (imgtext mode)")
+    ap.add_argument("--min-caption-bytes", type=int, default=5,
+                    help="UTF-8 byte floor for captions (imgtext mode)")
+    ap.add_argument("--max-caption-bytes", type=int, default=512,
+                    help="UTF-8 byte cap for captions (imgtext mode)")
+    ap.add_argument("--allow-langs", default="en",
+                    help="comma-separated caption languages to keep (imgtext mode)")
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
     ap.add_argument("--blocklist", default=None,
                     help="host blocklist text file (urlfilter mode; optional)")
@@ -723,6 +736,21 @@ def main():
             F.lit(False).alias("is_dup"), "error",
         )
         out = resolved.unionByName(failed)
+    elif args.mode == "imgtext":
+        # (image, caption, quality) training-pair construction: --input
+        # is the exploded images table (page_id, media_id, src, alt,
+        # title), --media-input the fetched (media_id, payload) bytes
+        from htmlx.spark.multimodal import image_text_pairs
+
+        media = spark.read.parquet(args.media_input)
+        out = image_text_pairs(
+            docs,
+            media,
+            min_caption_bytes=args.min_caption_bytes,
+            max_caption_bytes=args.max_caption_bytes,
+            max_hamming=args.hamming,
+            allow_langs=tuple(args.allow_langs.split(",")),
+        )
     elif args.mode == "embdedup":
         # embedding-cosine near-dup keep-list over a (vec_id, embedding)
         # table: exact block-pair BLAS by default, --emb-approx switches
