@@ -245,16 +245,23 @@ def host_fetch_quota(
     window_s: float = 3600.0,
     default_delay: float = 1.0,
     url_col: str = "url",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Politeness budget for a fetch frontier: a host whose Crawl-delay
     is d gets floor(window_s / max(d, default)) fetch slots per
     scheduling window, assigned deterministically (row_number over urls
-    sorted per host — the same url order every run). Returns the
-    frontier with (host, crawl_delay, fetch_rank, scheduled); callers
-    fetch `scheduled` now and roll the rest into the next window. One
-    host-keyed join (the delay table is one row per host that requests
-    a delay — broadcastable) and one window per host; per-host row
-    counts are crawl frontiers, not corpus volumes."""
+    sorted per host — the same url order every run; with priority_col,
+    sorted by (priority, url) so urgent rows take the early slots).
+    Returns the frontier with (host, crawl_delay, fetch_rank, scheduled,
+    fetch_window): `scheduled` marks this window's quota and
+    fetch_window assigns EVERY url its politeness window — window k
+    holds at most `slots` urls of the host, so the plan is executable
+    as-is, one window per fetch round. A host whose delay exceeds the
+    window (slots=0) still drains at one url per window (never starves),
+    with scheduled=false signalling the quota overrun. One host-keyed
+    join (the delay table is one row per host that requests a delay —
+    broadcastable) and one window per host; per-host row counts are
+    crawl frontiers, not corpus volumes."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -265,12 +272,18 @@ def host_fetch_quota(
         F.lit(float(default_delay)),
     )
     slots = F.floor(F.lit(float(window_s)) / d).cast("long")
-    w = Window.partitionBy("host").orderBy(url_col)
+    order = ([priority_col] if priority_col else []) + [url_col]
+    w = Window.partitionBy("host").orderBy(*order)
     return (
         urls.withColumn("host", _host_of(url_col))
         .join(F.broadcast(delays), "host", "left")
         .withColumn("fetch_rank", F.row_number().over(w).cast("long"))
         .withColumn("scheduled", F.col("fetch_rank") <= slots)
+        .withColumn(
+            "fetch_window",
+            F.floor((F.col("fetch_rank") - 1) / F.greatest(slots, F.lit(1)))
+            .cast("long"),
+        )
     )
 
 

@@ -64,6 +64,13 @@ def main():
                          "(.warc.wet.gz, conversion records) to this dir — "
                          "the crawl ecosystem's derived-text format "
                          "(htmlx.spark.warc.write_wet)")
+    ap.add_argument("--fetch-plan", default=None,
+                    help="fetch_plan.parquet from jobs/frontier.py: "
+                         "process ONLY urls assigned to --fetch-window "
+                         "(Crawl-delay politeness enforced per round)")
+    ap.add_argument("--fetch-window", type=int, default=0,
+                    help="which politeness window of --fetch-plan to "
+                         "execute (default 0, the first)")
     ap.add_argument("--cdx-ranges", action="store_true",
                     help="with --cdx: read ONLY the selected records' byte "
                          "ranges (cdx offset/length spans) instead of whole "
@@ -217,6 +224,22 @@ def main():
         )
         pages = pages.join(kept_urls, "url")
         print(f"incremental: {counts} -> extracting only added+changed")
+
+    if args.fetch_plan:
+        # execute the recrawl planner's politeness schedule as-is: keep
+        # only this --fetch-window's urls (jobs/frontier.py assigns every
+        # url a window so a host never exceeds its Crawl-delay quota per
+        # round). The plan is frontier-sized; the join is one left_semi
+        # on the unique url string.
+        from pyspark.sql import functions as F
+
+        plan = spark.read.parquet(args.fetch_plan)
+        window_urls = plan.where(
+            F.col("fetch_window") == args.fetch_window
+        ).select("url")
+        pages = pages.join(window_urls.distinct(), "url", "left_semi")
+        print(f"fetch-plan: window {args.fetch_window} -> "
+              f"{window_urls.count()} planned urls")
 
     if args.mode == "links":
         result = run_all_links(pages, Config(), run_id, args.partitions)

@@ -208,3 +208,131 @@ def test_frontier_planner_cli_e2e(spark, tmp_path, monkeypatch):
     # the index-listed sub-sitemap AND the robots-discovered sitemap are
     # both uncaptured; the captured sitemap.xml files are not re-listed
     assert sm == {"https://a.com/sub.xml", "https://a.com/sitemap-extra.xml"}
+
+
+def test_frontier_cdx_delta_and_politeness_windows(spark, tmp_path, monkeypatch):
+    """--cdx-previous/--cdx-current: the recrawl decision happens at
+    INDEX cost (cdx_snapshot_delta) and folds into the plan with
+    priorities (0 site-listed-uncrawled, 1 changed, 2 added);
+    unchanged/removed are never planned. fetch_window then assigns
+    every url a politeness window: Crawl-delay 10 / window 30 -> 3
+    slots, so no window holds more than 3 of the host's urls — and
+    jobs/extract.py --fetch-plan executes exactly one window."""
+    import datetime as _dt
+    import sys
+
+    from jobs.frontier import main as frontier_main
+    from htmlx.spark.warc import write_cdxj
+
+    urlset = (
+        "<urlset>"
+        "<url><loc>https://a.com/p/2</loc></url>"
+        "<url><loc>https://a.com/p/3</loc></url>"
+        "</urlset>"
+    )
+    rows = [
+        ("https://a.com/robots.txt", 200,
+         "User-agent: *\nAllow: /\nCrawl-delay: 10\n"),
+        ("https://a.com/sitemap.xml", 200, urlset),
+    ]
+    pages = spark.createDataFrame(
+        [(u, st, bytearray(x.encode()), _dt.datetime(2024, 1, 1))
+         for u, st, x in rows],
+        "url string, http_status int, html binary, warc_ts timestamp",
+    )
+    inp = str(tmp_path / "pages.parquet")
+    pages.write.parquet(inp)
+
+    def cdx(rows_):
+        return spark.createDataFrame(
+            [(None, _dt.datetime(2024, 1, 1, 0, 0, i), u,
+              "text/html", 200, dg, 100, 0, "f.warc.gz")
+             for i, (u, dg) in enumerate(rows_)],
+            "surt string, warc_ts timestamp, url string, mime string, "
+            "status int, digest string, length long, offset long, filename string",
+        )
+
+    old = cdx([("https://a.com/c/1", "AAA"), ("https://a.com/c/2", "BBB"),
+               ("https://a.com/c/5", "EEE"), ("https://a.com/c/4", "DDD")])
+    new = cdx([("https://a.com/c/1", "AAA"),          # unchanged
+               ("https://a.com/c/2", "B22"),          # changed
+               ("https://a.com/c/5", "E55"),          # changed
+               ("https://a.com/c/3", "CCC")])         # added
+    op, np_ = str(tmp_path / "cdx_old"), str(tmp_path / "cdx_new")
+    write_cdxj(old, op, compression=None)
+    write_cdxj(new, np_, compression=None)
+
+    out = str(tmp_path / "plan")
+    monkeypatch.setattr(sys, "argv", [
+        "frontier.py", "--input", inp, "--output", out, "--window", "30",
+        "--cdx-previous", op, "--cdx-current", np_,
+    ])
+    frontier_main()
+    plan = {r["url"]: r for r in
+            spark.read.parquet(out + "/fetch_plan.parquet").collect()}
+    # unchanged c/1 and removed c/4 never planned
+    assert set(plan) == {
+        "https://a.com/p/2", "https://a.com/p/3",
+        "https://a.com/c/2", "https://a.com/c/5", "https://a.com/c/3",
+    }
+    assert plan["https://a.com/p/2"]["priority"] == 0
+    assert plan["https://a.com/c/2"]["priority"] == 1
+    assert plan["https://a.com/c/3"]["priority"] == 2
+    assert plan["https://a.com/c/2"]["plan_source"] == "changed"
+    # (priority, url) order: p/2, p/3, c/2, c/5, c/3 -> slots 3
+    assert plan["https://a.com/p/2"]["fetch_window"] == 0
+    assert plan["https://a.com/p/3"]["fetch_window"] == 0
+    assert plan["https://a.com/c/2"]["fetch_window"] == 0
+    assert plan["https://a.com/c/5"]["fetch_window"] == 1
+    assert plan["https://a.com/c/3"]["fetch_window"] == 1
+    assert {u for u, r in plan.items() if r["scheduled"]} == {
+        "https://a.com/p/2", "https://a.com/p/3", "https://a.com/c/2"}
+    # no window exceeds the host's 3-slot quota
+    from collections import Counter
+    per_window = Counter(r["fetch_window"] for r in plan.values())
+    assert all(n <= 3 for n in per_window.values())
+
+    # --- extract executes exactly one politeness window ---
+    import jobs.extract as je
+
+    body = ("<html><head><title>T</title></head><body><article><h1>T</h1>"
+            "<p>window body words for scoring here</p></article></body></html>")
+    crawl = spark.createDataFrame(
+        [(u, bytearray(body.encode())) for u in sorted(plan)],
+        "url string, html binary",
+    )
+    cinp = str(tmp_path / "crawl.parquet")
+    crawl.write.parquet(cinp)
+    xout = str(tmp_path / "xout")
+    monkeypatch.setattr(sys, "argv", [
+        "extract.py", "--input", cinp, "--output", xout,
+        "--fetch-plan", out + "/fetch_plan.parquet", "--fetch-window", "1",
+        "--run-id", "w1", "--groups", "4",
+    ])
+    je.main()
+    got = {r["url"] for r in spark.read.parquet(xout + "/data").collect()}
+    assert got == {"https://a.com/c/5", "https://a.com/c/3"}
+
+
+def test_host_fetch_quota_windows_and_starvation_guard(spark):
+    from htmlx.spark.robotstxt import host_fetch_quota
+
+    urls = spark.createDataFrame(
+        [(f"https://s.com/{i:02d}",) for i in range(7)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("s.com", 10.0)], "host string, crawl_delay double"
+    )
+    q = {r["url"]: r for r in
+         host_fetch_quota(urls, delays, window_s=30.0).collect()}
+    # 3 slots: windows 0,0,0,1,1,1,2
+    wins = [q[f"https://s.com/{i:02d}"]["fetch_window"] for i in range(7)]
+    assert wins == [0, 0, 0, 1, 1, 1, 2]
+    # delay > window: slots 0 -> nothing 'scheduled', but the host still
+    # drains one url per window (no starvation)
+    q2 = {r["url"]: r for r in host_fetch_quota(
+        urls, spark.createDataFrame([("s.com", 120.0)],
+                                    "host string, crawl_delay double"),
+        window_s=30.0).collect()}
+    assert not any(r["scheduled"] for r in q2.values())
+    assert sorted(r["fetch_window"] for r in q2.values()) == list(range(7))
