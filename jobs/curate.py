@@ -484,10 +484,38 @@ def run_pipeline(spark, docs, args) -> dict:
     for i, name in enumerate(executed):
         info = manifest["completed"][name]
         rows.append(
-            (i, name, info["docs_in"], info["docs_in"] - info["docs_out"], info["docs_out"])
+            (i, name, info["docs_in"], info["docs_in"] - info["docs_out"],
+             info["docs_out"], None)
+        )
+    if getattr(args, "wet_ab", None):
+        # extraction-quality drift monitored WHERE curation runs: compare
+        # the input corpus text against the crawl's published WET text
+        # and land the coverage/F1 report row in the same audit table the
+        # stage drops use (full one-row report parquet alongside).
+        # docs_in = urls compared, docs_out = urls present on both sides.
+        from htmlx.spark.warc import read_wet
+
+        if "url" not in docs.columns:
+            raise ValueError("--wet-ab needs a url column on the input table")
+        rep = analytics.wet_ab_report(
+            docs.select("url", "text"), read_wet(spark, args.wet_ab)
+        )
+        rep.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "wet_ab_report.parquet")
+        )
+        r = rep.collect()[0].asDict()
+        note = json.dumps(
+            {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()},
+            sort_keys=True,
+        )
+        rows.append(
+            (len(rows), "wet_ab", r["n_urls"], r["n_urls"] - r["n_both"],
+             r["n_both"], note)
         )
     audit = spark.createDataFrame(
-        rows, "stage_idx int, stage string, docs_in long, docs_dropped long, docs_out long"
+        rows,
+        "stage_idx int, stage string, docs_in long, docs_dropped long, "
+        "docs_out long, note string",
     )
     audit.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "audit.parquet"))
     return manifest
@@ -517,6 +545,11 @@ def main():
                     help="UTF-8 byte cap for captions (imgtext mode)")
     ap.add_argument("--allow-langs", default="en",
                     help="comma-separated caption languages to keep (imgtext mode)")
+    ap.add_argument("--wet-ab", default=None,
+                    help="pipeline mode: .warc.wet(.gz) dir to A/B the input "
+                         "text against (warc.read_wet); the coverage/char-F1 "
+                         "report row lands in audit.parquet as stage 'wet_ab' "
+                         "with the full one-row report at wet_ab_report.parquet")
     ap.add_argument("--eval-input", default=None, help="eval-set parquet (decontaminate mode)")
     ap.add_argument("--blocklist", default=None,
                     help="host blocklist text file (urlfilter mode; optional)")

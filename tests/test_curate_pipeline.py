@@ -374,3 +374,57 @@ def test_pipeline_pack_on_trained_bpe_counts(spark, tmp_path):
     # real counts differ from the whitespace proxy, so the packing must too
     ws = {d: len(t.split(" ")) for d, t in texts.items()}
     assert ws != counts
+
+
+def test_pipeline_wet_ab_report_row_in_audit(spark, tmp_path):
+    """--wet-ab: the extraction-vs-WET comparison runs where curation
+    runs — report row (coverage + char-F1) lands in audit.parquet as
+    stage 'wet_ab', full one-row report parquet alongside. WET side is
+    a REAL write_wet/read_wet round trip: two urls match exactly, one
+    diverges, one is wet-only, one engine-only."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jobs.curate import run_pipeline
+    from htmlx.spark.warc import write_wet
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta words " * 6, 0, "https://w.com/1"),
+            (2, "one two three four five six " * 6, 0, "https://w.com/2"),
+            (3, "completely different words here now " * 6, 0, "https://w.com/3"),
+            (4, "engine only page body words here " * 6, 0, "https://w.com/4"),
+        ],
+        "doc_id long, text string, prio long, url string",
+    )
+    # WET truth: 1 and 2 identical, 3 diverges, 5 wet-only
+    wet_src = docs.where("doc_id in (1, 2)").select("url", "text").unionByName(
+        spark.createDataFrame(
+            [("https://w.com/3", "the crawl published something else entirely"),
+             ("https://w.com/5", "wet only record body")],
+            "url string, text string",
+        )
+    )
+    wet_dir = str(tmp_path / "wet")
+    write_wet(wet_src, wet_dir, n_files=1).collect()  # lazy manifest frame
+
+    args = _pipeline_args(tmp_path, wet_ab=wet_dir)
+    run_pipeline(spark, docs, args)
+
+    audit = {r["stage"]: r for r in spark.read.parquet(
+        str(tmp_path / "out" / "audit.parquet")).collect()}
+    assert "wet_ab" in audit
+    row = audit["wet_ab"]
+    # 5 urls total across both sides, 3 on both (1, 2, 3)
+    assert row["docs_in"] == 5 and row["docs_out"] == 3
+    note = _json.loads(row["note"])
+    assert note["n_both"] == 3 and note["n_engine_only"] == 1
+    assert note["n_wet_only"] == 1
+    # two perfect matches + one divergent -> mean F1 strictly inside (x, 1)
+    assert 0.3 < note["char_f1_mean"] < 1.0
+    assert note["char_f1_p90"] == 1.0
+    # ordinary stage rows carry a null note
+    assert audit["pack"]["note"] is None
+    rep = spark.read.parquet(str(tmp_path / "out" / "wet_ab_report.parquet")).collect()
+    assert len(rep) == 1 and rep[0]["n_urls"] == 5
