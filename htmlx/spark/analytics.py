@@ -2649,12 +2649,41 @@ def bpe_apply_merges(word: str, merges) -> list:
     """Encode one pretoken: apply trained merges in rank order. Rank
     order equals iterate-lowest-rank (the GPT-2 encoder loop) because
     training can only ever rank a composite pair AFTER the merges that
-    built its symbols."""
+    built its symbols. Reference implementation — O(M * len) per word;
+    the production encoder is bpe_encode_word (rank-dict loop, cost
+    scales with the word, not the merges table; pinned equal in
+    test_bpe.py)."""
     syms = list(word)
     for a, b in merges:
         if len(syms) < 2:
             break
         syms = bpe_merge_step(syms, a, b)
+    return syms
+
+
+def bpe_ranks(merges) -> dict:
+    """merges list -> {(a, b): rank} lookup for bpe_encode_word."""
+    return {pair: i for i, pair in enumerate(merges)}
+
+
+def bpe_encode_word(word: str, ranks: dict, merges) -> list:
+    """Production single-word encoder: repeatedly merge the LOWEST-rank
+    adjacent pair present (greedy left-to-right within that rank) until
+    none applies — the GPT-2 encoder loop. Equivalent to rank-order
+    application (bpe_apply_merges) by the training-order property
+    (composite pairs always rank after their components), but costs
+    O(len * merges_applied) instead of O(M * len): with a 32k-merge
+    tokenizer that is the difference between an encoder and a stall."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        syms = bpe_merge_step(syms, *merges[best])
     return syms
 
 
@@ -2706,6 +2735,85 @@ def train_bpe(
     return train_bpe_merges([(r["word"], r["f"]) for r in rows], num_merges)
 
 
+def train_bpe_full(
+    documents: DataFrame,
+    num_merges: int = 1000,
+    max_vocab: int = 1_000_000,
+    text_col: str = "text",
+):
+    """train_bpe plus the training ALPHABET (sorted distinct characters
+    of the capped word-frequency table) — together they define the
+    id space bpe_vocab/bpe_encode_ids use. Same single corpus pass."""
+    wf = (
+        documents.select(F.explode(bpe_pretokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("word").asc())
+        .limit(max_vocab)
+    )
+    rows = [(r["word"], r["f"]) for r in wf.collect()]
+    alphabet = sorted({c for w, _ in rows for c in w})
+    return train_bpe_merges(rows, num_merges), alphabet
+
+
+def bpe_vocab(merges, alphabet) -> dict:
+    """Deterministic symbol -> id table: the sorted training alphabet
+    takes ids 0..A-1, merge k's composite symbol takes A+k (the
+    standard BPE vocab layout). The UNK id is len(vocab) by convention
+    (bpe_encode_ids maps characters outside the alphabet to it)."""
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    base = len(vocab)
+    for k, (a, b) in enumerate(merges):
+        vocab[a + b] = base + k
+    return vocab
+
+
+def bpe_encode_ids(
+    documents: DataFrame,
+    merges,
+    alphabet,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-ID sequences per document — what a training run
+    actually consumes (pack_sequences' counts tell it where bins end;
+    this is the bin CONTENT). One mapInPandas pass with the rank-dict
+    encoder and a per-batch distinct-word cache; characters outside the
+    training alphabet take the UNK id (len(vocab)). Returns
+    (id_col, token_ids array<int>, n_tokens)."""
+    import pandas as pd
+
+    if not isinstance(merges, list):
+        merges = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    vocab = bpe_vocab(merges, alphabet)
+    unk = len(vocab)
+    ranks = bpe_ranks(merges)
+    src = documents.select(F.col(id_col).cast("long"), F.col(text_col))
+
+    def encode_batches(batches):
+        cache = {}
+        for pdf in batches:
+            out_ids, out_n = [], []
+            for text in pdf[text_col]:
+                ids = []
+                for w in _bpe_pretokens_py(text or ""):
+                    if w not in cache:
+                        cache[w] = [
+                            vocab.get(s, unk)
+                            for s in bpe_encode_word(w, ranks, merges)
+                        ]
+                    ids.extend(cache[w])
+                out_ids.append(ids)
+                out_n.append(len(ids))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "token_ids": out_ids, "n_tokens": out_n}
+            )
+
+    return src.mapInPandas(
+        encode_batches, f"{id_col} long, token_ids array<int>, n_tokens long"
+    )
+
+
 def bpe_merges_df(spark, merges) -> DataFrame:
     """Merges list -> persisted model table (rank, left, right)."""
     return spark.createDataFrame(
@@ -2720,6 +2828,43 @@ def load_bpe_merges(spark, path: str):
         (r["left"], r["right"])
         for r in spark.read.parquet(path).orderBy("rank").collect()
     ]
+
+
+def save_bpe_model(spark, path: str, merges, alphabet) -> None:
+    """Persist the full tokenizer model: <path>/merges.parquet (rank,
+    left, right) + <path>/alphabet.parquet (id, char) — everything
+    bpe_vocab/bpe_encode_ids need, the train-once artifact layout."""
+    bpe_merges_df(spark, merges).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/merges.parquet"
+    )
+    spark.createDataFrame(
+        list(enumerate(alphabet)), "id long, char string"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/alphabet.parquet")
+
+
+def load_bpe_model(spark, path: str):
+    """(merges, alphabet) from save_bpe_model's layout; a bare merges
+    parquet (no alphabet.parquet sibling) loads as (merges, None) for
+    count-only use."""
+    import os
+
+    root = path.rstrip("/")
+    # model-dir layout first: <root>/merges.parquet wins even when the
+    # dir itself is NAMED merges.parquet
+    if os.path.isdir(os.path.join(root, "merges.parquet")):
+        mpath = os.path.join(root, "merges.parquet")
+    elif root.endswith("merges.parquet"):
+        mpath = root
+    else:
+        return load_bpe_merges(spark, root), None
+    merges = load_bpe_merges(spark, mpath)
+    apath = os.path.join(os.path.dirname(mpath) or ".", "alphabet.parquet")
+    if os.path.isdir(apath):
+        alphabet = [
+            r["char"] for r in spark.read.parquet(apath).orderBy("id").collect()
+        ]
+        return merges, alphabet
+    return merges, None
 
 
 def bpe_encode_counts(
@@ -2749,6 +2894,7 @@ def bpe_encode_counts(
     if method == "pandas":
         import pandas as pd
 
+        ranks = bpe_ranks(merges)
         src = documents.select(F.col(id_col).cast("long"), F.col(text_col))
 
         def count_batches(batches):
@@ -2759,7 +2905,7 @@ def bpe_encode_counts(
                     n = 0
                     for w in _bpe_pretokens_py(text or ""):
                         if w not in cache:
-                            cache[w] = len(bpe_apply_merges(w, merges))
+                            cache[w] = len(bpe_encode_word(w, ranks, merges))
                         n += cache[w]
                     counts.append(n)
                 yield pd.DataFrame({id_col: pdf[id_col], "n_bpe_real": counts})

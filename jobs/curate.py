@@ -27,9 +27,14 @@ Modes:
               --bpe-model (or inline --bpe-train N) bins pack on EXACT
               BPE-encoded token counts instead of the whitespace proxy.
   bpetrain    train --bpe-train merges on the input corpus (Sennrich
-              2016 recipe, deterministic ties) and write the merges
-              table to --bpe-model-out — the train-once model artifact
-              every later pack/encode run scores against.
+              2016 recipe, deterministic ties) and write the full model
+              (merges + alphabet tables) to --bpe-model-out — the
+              train-once artifact every later pack/encode run uses.
+  bpeencode   exact token-ID sequences per document under a persisted
+              --bpe-model (rank-dict encoder, per-batch word cache):
+              (doc_id, token_ids, n_tokens) — the bin CONTENT a
+              training run consumes, pack_sequences' counts decide
+              where the bins end.
   imgtext     (image, caption, quality) training-pair construction:
               --input = exploded images table (page_id, media_id, src,
               alt, title), --media-input = fetched (media_id, payload)
@@ -169,13 +174,11 @@ def _bpe_token_counts(spark, docs, args):
 
     merges = None
     if getattr(args, "bpe_model", None):
-        merges = analytics.load_bpe_merges(spark, args.bpe_model)
+        merges, _ = analytics.load_bpe_model(spark, args.bpe_model)
     elif getattr(args, "bpe_train", 0):
-        merges = analytics.train_bpe(docs, num_merges=args.bpe_train)
+        merges, alphabet = analytics.train_bpe_full(docs, num_merges=args.bpe_train)
         if getattr(args, "bpe_model_out", None):
-            analytics.bpe_merges_df(spark, merges).write.mode(
-                "overwrite"
-            ).parquet(args.bpe_model_out)
+            analytics.save_bpe_model(spark, args.bpe_model_out, merges, alphabet)
     if not merges:
         return None
     method = "replace" if len(merges) <= 64 else "pandas"
@@ -534,7 +537,7 @@ def main():
                  "urlfilter", "hostrank", "anchorstats", "hosttmpl",
                  "snapdiff", "metarobots", "robotsfilter", "linkgraph",
                  "perplexity", "tempsample", "imagededup", "audiodedup",
-                 "bpetrain", "imgtext", "pipeline"],
+                 "bpetrain", "bpeencode", "imgtext", "pipeline"],
         default="filter",
     )
     ap.add_argument("--media-input", default=None,
@@ -870,10 +873,20 @@ def main():
             counts=_bpe_token_counts(spark, docs, args),
         )
     elif args.mode == "bpetrain":
-        merges = analytics.train_bpe(docs, num_merges=args.bpe_train or 1000)
+        merges, alphabet = analytics.train_bpe_full(
+            docs, num_merges=args.bpe_train or 1000
+        )
         out = analytics.bpe_merges_df(spark, merges)
         if args.bpe_model_out:
-            out.write.mode("overwrite").parquet(args.bpe_model_out)
+            analytics.save_bpe_model(spark, args.bpe_model_out, merges, alphabet)
+    elif args.mode == "bpeencode":
+        # exact token-ID sequences (what a training run consumes) under a
+        # persisted model; requires the full model layout (alphabet too)
+        merges, alphabet = analytics.load_bpe_model(spark, args.bpe_model)
+        if alphabet is None:
+            sys.exit("--mode bpeencode needs a full model dir "
+                     "(merges.parquet + alphabet.parquet; see bpetrain)")
+        out = analytics.bpe_encode_ids(docs, merges, alphabet)
     elif args.mode == "components":
         pairs = spark.read.parquet(args.pairs)
         out = keep_list(pairs)

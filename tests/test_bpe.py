@@ -172,3 +172,68 @@ def test_pack_sequences_with_real_counts(spark, docs):
             first = False
             assert (r["pack_bin"], r["pack_offset"]) == (bin_id, fill), r
             fill += n
+
+
+# ---- production encoder + token ids ----
+
+
+def test_rank_dict_encoder_equals_rank_order_application():
+    """bpe_encode_word (iterate-lowest-rank, the GPT-2 loop) must equal
+    bpe_apply_merges (apply in rank order) — the training-order property
+    guarantees it; pin it over a trained table AND unseen words."""
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+          ("lowest", 4), ("newer", 3), ("wider", 2)]
+    merges = A.train_bpe_merges(wf, 20)
+    ranks = A.bpe_ranks(merges)
+    for w in ("lowest", "newest", "wider", "lowness", "wes", "x", "", "ee"):
+        assert A.bpe_encode_word(w, ranks, merges) == A.bpe_apply_merges(w, merges), w
+
+
+def test_encode_word_cost_shape():
+    """The rank-dict loop must not iterate the merges table: a huge
+    table of irrelevant merges costs nothing."""
+    import time
+
+    merges = [(f"q{i}", f"z{i}") for i in range(50_000)] + [("a", "b")]
+    ranks = A.bpe_ranks(merges)
+    t0 = time.perf_counter()
+    out = A.bpe_encode_word("abab", ranks, merges)
+    dt = time.perf_counter() - t0
+    assert out == ["ab", "ab"]
+    assert dt < 0.05  # O(len * applied), not O(M * len)
+
+
+def test_encode_ids_roundtrip_and_counts(spark, docs):
+    merges, alphabet = A.train_bpe_full(docs, num_merges=12)
+    vocab = A.bpe_vocab(merges, alphabet)
+    rev = {i: s for s, i in vocab.items()}
+    ids_df = A.bpe_encode_ids(docs, merges, alphabet)
+    counts = {
+        r["doc_id"]: r["n_bpe_real"]
+        for r in A.bpe_encode_counts(docs, merges).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    rows = ids_df.collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["n_tokens"] == counts[r["doc_id"]] == len(r["token_ids"])
+        # ids decode back to the pretokenized text exactly
+        decoded = "".join(rev[i] for i in r["token_ids"])
+        want = "".join(A._bpe_pretokens_py(texts[r["doc_id"]]))
+        assert decoded == want
+    # vocab layout: alphabet then merges
+    assert len(vocab) == len(alphabet) + len(merges)
+    assert all(vocab[a + b] >= len(alphabet) for a, b in merges)
+
+
+def test_encode_ids_unknown_chars_take_unk(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "low Ω low")], "doc_id long, text string"
+    )
+    train = docs.where("doc_id = 1")
+    merges, alphabet = A.train_bpe_full(train, num_merges=4)
+    assert "Ω" not in alphabet
+    unk = len(A.bpe_vocab(merges, alphabet))
+    out = {r["doc_id"]: r["token_ids"]
+           for r in A.bpe_encode_ids(docs, merges, alphabet).collect()}
+    assert unk in out[2] and unk not in out[1]

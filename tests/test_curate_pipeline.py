@@ -349,8 +349,8 @@ def test_pipeline_pack_on_trained_bpe_counts(spark, tmp_path):
     )
     run_pipeline(spark, docs, args)
 
-    merges = A.load_bpe_merges(spark, model_out)
-    assert len(merges) == 8
+    merges, alphabet = A.load_bpe_model(spark, model_out)
+    assert len(merges) == 8 and alphabet  # full model artifact persisted
     packed = sorted(
         spark.read.parquet(str(tmp_path / "out" / "stage_pack.parquet")).collect(),
         key=lambda r: r["doc_id"],
