@@ -2605,29 +2605,66 @@ BPE_PAIRSEP = "\x1f"  # (left, right) pair-key / merges serialization
 BPE_SPACE_MARK = "Ġ"  # 'Ġ': GPT-2's printable stand-in for ' '
 
 
-def bpe_pretokens_col(text_col: str = "text"):
+def bpe_pretokens_col(text_col: str = "text", mark_spaces: bool = True):
     """Array column of BPE pretokens: control separators stripped,
     BPE_PRETOKEN_PATTERN applied, leading spaces mapped to Ġ. The
-    Python twin is _bpe_pretokens_py — keep them identical."""
+    Python twin is _bpe_pretokens_py — keep them identical.
+    mark_spaces=False yields RAW tokens (the byte-level path maps the
+    space BYTE through the GPT-2 table instead — Ġ-marking first would
+    double-encode it)."""
     cleaned = F.translate(
         F.col(text_col), BPE_WORDSEP + BPE_SYMSEP + BPE_PAIRSEP, ""
     )
     toks = F.regexp_extract_all(cleaned, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    if not mark_spaces:
+        return toks
     return F.transform(
         toks, lambda t: F.replace(t, F.lit(" "), F.lit(BPE_SPACE_MARK))
     )
 
 
-def _bpe_pretokens_py(text: str) -> list:
+def _bytes_to_unicode() -> dict:
+    """GPT-2's published byte<->unicode table (Radford 2019, encoder.py
+    bytes_to_unicode — public domain recipe): printable latin-1 bytes map
+    to themselves, every other byte b maps to chr(256 + i) in first-gap
+    order. Byte 0x20 lands on 'Ġ' (chr(288)) — which is where the
+    codepoint-level path's space marker convention comes from. Bijective,
+    so byte-level tokens decode back to exact bytes."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = _bytes_to_unicode()
+_U2B = {c: b for b, c in _B2U.items()}
+
+
+def bpe_byte_alphabet() -> list:
+    """The fixed 256-symbol byte-level alphabet in BYTE order (id ==
+    byte value under bpe_vocab) — byte-level models never need UNK."""
+    return [_B2U[b] for b in range(256)]
+
+
+def _bpe_pretokens_py(text: str, byte_level: bool = False) -> list:
     import re
 
     cleaned = text.translate(
         {ord(BPE_WORDSEP): None, ord(BPE_SYMSEP): None, ord(BPE_PAIRSEP): None}
     )
-    return [
-        t.replace(" ", BPE_SPACE_MARK)
-        for t in re.findall(BPE_PRETOKEN_PATTERN, cleaned)
-    ]
+    toks = re.findall(BPE_PRETOKEN_PATTERN, cleaned)
+    if byte_level:
+        return ["".join(_B2U[b] for b in t.encode("utf-8")) for t in toks]
+    return [t.replace(" ", BPE_SPACE_MARK) for t in toks]
 
 
 def bpe_merge_step(syms, a: str, b: str):
@@ -2712,27 +2749,52 @@ def train_bpe_merges(word_freqs, num_merges: int):
     return merges
 
 
+def _bpe_word_freqs(documents, max_vocab, text_col, byte_level):
+    """Shared word-frequency collection: ONE distributed word-count
+    shuffle over JVM-extracted pretokens (the grouping key is the RAW
+    token for byte_level — the byte mapping is injective, so mapping
+    driver-side after the collect counts identically), capped by a total
+    order (count desc, word asc). Bounded by max_vocab, never corpus
+    size."""
+    wf = (
+        documents.select(
+            F.explode(
+                bpe_pretokens_col(text_col, mark_spaces=not byte_level)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("word").asc())
+        .limit(max_vocab)
+    )
+    rows = [(r["word"], r["f"]) for r in wf.collect()]
+    if byte_level:
+        rows = [
+            ("".join(_B2U[b] for b in w.encode("utf-8")), f) for w, f in rows
+        ]
+    return rows
+
+
 def train_bpe(
     documents: DataFrame,
     num_merges: int = 1000,
     max_vocab: int = 1_000_000,
     text_col: str = "text",
+    byte_level: bool = False,
 ):
     """Train BPE on a corpus: ONE distributed word-count shuffle, then
     the merge loop on the top-max_vocab word-frequency table (ordered
     count desc, word asc — a total order, so the cap is deterministic).
     The driver collect is bounded by max_vocab, never corpus size —
     the standard tokenizer-training shape. Returns the merges list;
-    persist with bpe_merges_df(...).write.parquet(...)."""
-    wf = (
-        documents.select(F.explode(bpe_pretokens_col(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .orderBy(F.col("f").desc(), F.col("word").asc())
-        .limit(max_vocab)
-    )
-    rows = wf.collect()
-    return train_bpe_merges([(r["word"], r["f"]) for r in rows], num_merges)
+    persist with bpe_merges_df(...).write.parquet(...).
+
+    byte_level=True trains over UTF-8 BYTES mapped through the GPT-2
+    byte<->unicode table: fixed 256-symbol base alphabet, no UNK ever,
+    CJK/emoji handled without alphabet blowup — the published design
+    for web-scale multilingual corpora."""
+    rows = _bpe_word_freqs(documents, max_vocab, text_col, byte_level)
+    return train_bpe_merges(rows, num_merges)
 
 
 def train_bpe_full(
@@ -2740,19 +2802,18 @@ def train_bpe_full(
     num_merges: int = 1000,
     max_vocab: int = 1_000_000,
     text_col: str = "text",
+    byte_level: bool = False,
 ):
-    """train_bpe plus the training ALPHABET (sorted distinct characters
-    of the capped word-frequency table) — together they define the
-    id space bpe_vocab/bpe_encode_ids use. Same single corpus pass."""
-    wf = (
-        documents.select(F.explode(bpe_pretokens_col(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .orderBy(F.col("f").desc(), F.col("word").asc())
-        .limit(max_vocab)
+    """train_bpe plus the training ALPHABET — sorted distinct characters
+    of the capped word-frequency table, or the fixed byte alphabet in
+    byte order when byte_level — together they define the id space
+    bpe_vocab/bpe_encode_ids use. Same single corpus pass."""
+    rows = _bpe_word_freqs(documents, max_vocab, text_col, byte_level)
+    alphabet = (
+        bpe_byte_alphabet()
+        if byte_level
+        else sorted({c for w, _ in rows for c in w})
     )
-    rows = [(r["word"], r["f"]) for r in wf.collect()]
-    alphabet = sorted({c for w, _ in rows for c in w})
     return train_bpe_merges(rows, num_merges), alphabet
 
 
@@ -2774,17 +2835,22 @@ def bpe_encode_ids(
     alphabet,
     id_col: str = "doc_id",
     text_col: str = "text",
+    byte_level: bool | None = None,
 ) -> DataFrame:
     """Exact token-ID sequences per document — what a training run
     actually consumes (pack_sequences' counts tell it where bins end;
     this is the bin CONTENT). One mapInPandas pass with the rank-dict
     encoder and a per-batch distinct-word cache; characters outside the
-    training alphabet take the UNK id (len(vocab)). Returns
-    (id_col, token_ids array<int>, n_tokens)."""
+    training alphabet take the UNK id (len(vocab)) — impossible by
+    construction on the byte-level path. byte_level=None auto-detects
+    from the alphabet (the fixed 256-char byte table IS the marker).
+    Returns (id_col, token_ids array<int>, n_tokens)."""
     import pandas as pd
 
     if not isinstance(merges, list):
         merges = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+    if byte_level is None:
+        byte_level = list(alphabet) == bpe_byte_alphabet()
     vocab = bpe_vocab(merges, alphabet)
     unk = len(vocab)
     ranks = bpe_ranks(merges)
@@ -2796,7 +2862,7 @@ def bpe_encode_ids(
             out_ids, out_n = [], []
             for text in pdf[text_col]:
                 ids = []
-                for w in _bpe_pretokens_py(text or ""):
+                for w in _bpe_pretokens_py(text or "", byte_level=byte_level):
                     if w not in cache:
                         cache[w] = [
                             vocab.get(s, unk)
@@ -2873,8 +2939,11 @@ def bpe_encode_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "replace",
+    byte_level: bool = False,
 ) -> DataFrame:
     """Exact per-document BPE token counts under a trained merges list.
+    byte_level=True counts under a byte-level model (pandas path only —
+    the scan-side replace chain is codepoint-level).
 
     method='replace' (default): the whole document becomes ONE string —
     pretokens joined by \\x1d, each pretoken's chars joined by doubled
@@ -2891,6 +2960,11 @@ def bpe_encode_counts(
     if not isinstance(merges, list):
         merges = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
     out_id = F.col(id_col).cast("long").alias(id_col)
+    if byte_level and method != "pandas":
+        raise ValueError(
+            "byte_level encoding needs method='pandas' — the scan-side "
+            "replace chain operates on codepoint symbols"
+        )
     if method == "pandas":
         import pandas as pd
 
@@ -2903,7 +2977,7 @@ def bpe_encode_counts(
                 counts = []
                 for text in pdf[text_col]:
                     n = 0
-                    for w in _bpe_pretokens_py(text or ""):
+                    for w in _bpe_pretokens_py(text or "", byte_level=byte_level):
                         if w not in cache:
                             cache[w] = len(bpe_encode_word(w, ranks, merges))
                         n += cache[w]

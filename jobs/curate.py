@@ -172,19 +172,24 @@ def _bpe_token_counts(spark, docs, args):
     merge lists; past 64 merges the cached mapInPandas encoder wins."""
     from htmlx.spark import analytics
 
+    byte_level = bool(getattr(args, "bpe_byte_level", False))
     merges = None
     if getattr(args, "bpe_model", None):
-        merges, _ = analytics.load_bpe_model(spark, args.bpe_model)
+        merges, alphabet = analytics.load_bpe_model(spark, args.bpe_model)
+        if alphabet is not None:
+            byte_level = list(alphabet) == analytics.bpe_byte_alphabet()
     elif getattr(args, "bpe_train", 0):
-        merges, alphabet = analytics.train_bpe_full(docs, num_merges=args.bpe_train)
+        merges, alphabet = analytics.train_bpe_full(
+            docs, num_merges=args.bpe_train, byte_level=byte_level
+        )
         if getattr(args, "bpe_model_out", None):
             analytics.save_bpe_model(spark, args.bpe_model_out, merges, alphabet)
     if not merges:
         return None
-    method = "replace" if len(merges) <= 64 else "pandas"
-    return analytics.bpe_encode_counts(docs, merges, method=method).withColumnRenamed(
-        "n_bpe_real", "n_tokens"
-    )
+    method = "pandas" if (byte_level or len(merges) > 64) else "replace"
+    return analytics.bpe_encode_counts(
+        docs, merges, method=method, byte_level=byte_level
+    ).withColumnRenamed("n_bpe_real", "n_tokens")
 
 
 def run_pipeline(spark, docs, args) -> dict:
@@ -623,6 +628,11 @@ def main():
                     help="train this many BPE merges on the input corpus "
                          "(bpetrain mode, or inline for pack when no "
                          "--bpe-model is given)")
+    ap.add_argument("--bpe-byte-level", action="store_true",
+                    help="train/encode over UTF-8 BYTES via the GPT-2 "
+                         "byte table: fixed 256-symbol alphabet, no UNK, "
+                         "multilingual-safe (bpetrain/pack; bpeencode "
+                         "auto-detects from the model alphabet)")
     ap.add_argument("--bpe-model-out", default=None,
                     help="write the trained merges table here (bpetrain "
                          "mode, or alongside inline --bpe-train)")
@@ -874,7 +884,8 @@ def main():
         )
     elif args.mode == "bpetrain":
         merges, alphabet = analytics.train_bpe_full(
-            docs, num_merges=args.bpe_train or 1000
+            docs, num_merges=args.bpe_train or 1000,
+            byte_level=args.bpe_byte_level,
         )
         out = analytics.bpe_merges_df(spark, merges)
         if args.bpe_model_out:

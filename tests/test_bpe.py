@@ -237,3 +237,58 @@ def test_encode_ids_unknown_chars_take_unk(spark):
     out = {r["doc_id"]: r["token_ids"]
            for r in A.bpe_encode_ids(docs, merges, alphabet).collect()}
     assert unk in out[2] and unk not in out[1]
+
+
+# ---- byte-level BPE (GPT-2 byte table) ----
+
+
+def test_byte_table_is_the_published_bijection():
+    b2u = A._bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    # printable latin-1 maps to itself; space lands on Ġ (the marker
+    # the codepoint path borrowed); newline on Ċ
+    assert b2u[ord("a")] == "a" and b2u[0xFF] == "ÿ"
+    assert b2u[0x20] == "Ġ" and b2u[0x0A] == "Ċ"
+    assert A.bpe_byte_alphabet()[32] == "Ġ"
+
+
+def test_byte_level_pretokens_roundtrip_unicode():
+    text = "héllo 世界 🎉 ok"
+    toks = A._bpe_pretokens_py(text, byte_level=True)
+    decoded = bytes(A._U2B[c] for t in toks for c in t).decode("utf-8")
+    assert decoded == text.replace("🎉", "🎉")  # exact bytes back
+    assert "".join(toks) != ""  # non-empty mapping
+
+
+def test_byte_level_train_and_ids_no_unk(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower 世界 world"), (2, "héllo 世界 low 🎉 low")],
+        "doc_id long, text string",
+    )
+    merges, alphabet = A.train_bpe_full(docs, num_merges=10, byte_level=True)
+    assert alphabet == A.bpe_byte_alphabet()
+    vocab = A.bpe_vocab(merges, alphabet)
+    unk = len(vocab)
+    rev = {i: s for s, i in vocab.items()}
+    out = {r["doc_id"]: r for r in
+           A.bpe_encode_ids(docs, merges, alphabet).collect()}
+    texts = {1: "low low lower 世界 world", 2: "héllo 世界 low 🎉 low"}
+    for d, r in out.items():
+        assert unk not in r["token_ids"]  # byte-level NEVER UNKs
+        # decode: ids -> symbols -> bytes -> original text
+        syms = "".join(rev[i] for i in r["token_ids"])
+        decoded = bytes(A._U2B[c] for c in syms).decode("utf-8")
+        assert decoded == "".join(
+            t for t in __import__("re").findall(A.BPE_PRETOKEN_PATTERN, texts[d])
+        )
+    # counts agree between the pandas counter and the id path
+    counts = {r["doc_id"]: r["n_bpe_real"] for r in A.bpe_encode_counts(
+        docs, merges, method="pandas", byte_level=True).collect()}
+    assert all(counts[d] == out[d]["n_tokens"] for d in counts)
+
+
+def test_byte_level_replace_chain_raises_named():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="byte_level"):
+        A.bpe_encode_counts(None, [("a", "b")], method="replace", byte_level=True)
