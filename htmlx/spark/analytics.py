@@ -2820,13 +2820,23 @@ def train_bpe_full(
 def bpe_vocab(merges, alphabet) -> dict:
     """Deterministic symbol -> id table: the sorted training alphabet
     takes ids 0..A-1, merge k's composite symbol takes A+k (the
-    standard BPE vocab layout). The UNK id is len(vocab) by convention
-    (bpe_encode_ids maps characters outside the alphabet to it)."""
+    standard BPE vocab layout). Two merges CAN produce the same
+    composite string (both splits of a trigram merged); the first
+    (lowest-rank) id wins and later duplicates keep it, so ids stay a
+    bijection onto symbols. The UNK id is the fixed
+    len(alphabet)+len(merges) (NOT len(dict) — that would alias a real
+    token's id whenever a duplicate composite collapsed the dict;
+    r9 review)."""
     vocab = {c: i for i, c in enumerate(alphabet)}
     base = len(vocab)
     for k, (a, b) in enumerate(merges):
-        vocab[a + b] = base + k
+        vocab.setdefault(a + b, base + k)
     return vocab
+
+
+def bpe_unk_id(merges, alphabet) -> int:
+    """The collision-free UNK id for bpe_vocab's layout."""
+    return len(alphabet) + len(merges)
 
 
 def bpe_encode_ids(
@@ -2852,7 +2862,7 @@ def bpe_encode_ids(
     if byte_level is None:
         byte_level = list(alphabet) == bpe_byte_alphabet()
     vocab = bpe_vocab(merges, alphabet)
-    unk = len(vocab)
+    unk = bpe_unk_id(merges, alphabet)
     ranks = bpe_ranks(merges)
     src = documents.select(F.col(id_col).cast("long"), F.col(text_col))
 
@@ -2912,24 +2922,31 @@ def load_bpe_model(spark, path: str):
     """(merges, alphabet) from save_bpe_model's layout; a bare merges
     parquet (no alphabet.parquet sibling) loads as (merges, None) for
     count-only use."""
-    import os
+    from pyspark.errors import AnalysisException
+
+    def _read(p):
+        # FS-agnostic layout probe: os.path would misjudge hdfs://s3a://
+        # model dirs (r9 review) — let the reader that will be used
+        # anyway decide whether the dataset exists
+        try:
+            return spark.read.parquet(p)
+        except AnalysisException:
+            return None
 
     root = path.rstrip("/")
     # model-dir layout first: <root>/merges.parquet wins even when the
     # dir itself is NAMED merges.parquet
-    if os.path.isdir(os.path.join(root, "merges.parquet")):
-        mpath = os.path.join(root, "merges.parquet")
-    elif root.endswith("merges.parquet"):
-        mpath = root
-    else:
+    mdf = _read(root + "/merges.parquet")
+    if mdf is None and root.endswith("merges.parquet"):
+        mdf = _read(root)
+    if mdf is None:
         return load_bpe_merges(spark, root), None
-    merges = load_bpe_merges(spark, mpath)
-    apath = os.path.join(os.path.dirname(mpath) or ".", "alphabet.parquet")
-    if os.path.isdir(apath):
-        alphabet = [
-            r["char"] for r in spark.read.parquet(apath).orderBy("id").collect()
-        ]
-        return merges, alphabet
+    merges = [(r["left"], r["right"]) for r in mdf.orderBy("rank").collect()]
+    adf = _read(root + "/alphabet.parquet")
+    if adf is None and root.endswith("merges.parquet"):
+        adf = _read(root[: -len("merges.parquet")].rstrip("/") + "/alphabet.parquet")
+    if adf is not None:
+        return merges, [r["char"] for r in adf.orderBy("id").collect()]
     return merges, None
 
 
@@ -2990,7 +3007,10 @@ def bpe_encode_counts(
     toks = bpe_pretokens_col(text_col)
     words = F.transform(
         toks,
-        lambda t: F.concat(F.lit(ss), F.regexp_replace(t, "(.)", "$1" + ss)),
+        # (?s): dot must match line terminators too — \n/\r are legal
+        # symbols (the third pretoken alternative), and Java '.' would
+        # skip them, desyncing the separator arithmetic (r9 review)
+        lambda t: F.concat(F.lit(ss), F.regexp_replace(t, "(?s)(.)", "$1" + ss)),
     )
     s = F.array_join(words, BPE_WORDSEP)
     for a, b in merges:

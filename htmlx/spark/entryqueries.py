@@ -811,7 +811,7 @@ wfreq AS (
 bpe(i, merges, corpus) AS (
   SELECT 0, CAST([] AS VARCHAR[]),
          list(struct_pack(w := chr(30)||chr(30)||
-                regexp_replace(word, '(.)', '\1'||chr(30)||chr(30), 'g'),
+                regexp_replace(word, '(?s)(.)', '\1'||chr(30)||chr(30), 'g'),
               f := f) ORDER BY word)
   FROM wfreq
   UNION ALL
@@ -856,7 +856,7 @@ pret AS (
 docenc(r, doc_id, s, nw) AS (
   SELECT 0, doc_id,
          array_to_string(list_transform(toks, t -> chr(30)||chr(30)||
-           regexp_replace(t, '(.)', '\1'||chr(30)||chr(30), 'g')), chr(29)),
+           regexp_replace(t, '(?s)(.)', '\1'||chr(30)||chr(30), 'g')), chr(29)),
          len(toks)
   FROM pret
   UNION ALL

@@ -257,11 +257,13 @@ def host_fetch_quota(
     fetch_window assigns EVERY url its politeness window — window k
     holds at most `slots` urls of the host, so the plan is executable
     as-is, one window per fetch round. A host whose delay exceeds the
-    window (slots=0) still drains at one url per window (never starves),
-    with scheduled=false signalling the quota overrun. One host-keyed
-    join (the delay table is one row per host that requests a delay —
-    broadcastable) and one window per host; per-host row counts are
-    crawl frontiers, not corpus volumes."""
+    window (slots=0) gets one url every ceil(delay/window) windows —
+    it drains without starving AND without ever beating its declared
+    Crawl-delay (r9 review: one-per-window would fetch a 7200s-delay
+    host every 3600s window); scheduled=false marks the quota overrun.
+    One host-keyed join (the delay table is one row per host that
+    requests a delay — broadcastable) and one window per host; per-host
+    row counts are crawl frontiers, not corpus volumes."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -281,7 +283,13 @@ def host_fetch_quota(
         .withColumn("scheduled", F.col("fetch_rank") <= slots)
         .withColumn(
             "fetch_window",
-            F.floor((F.col("fetch_rank") - 1) / F.greatest(slots, F.lit(1)))
+            F.when(
+                slots > 0, F.floor((F.col("fetch_rank") - 1) / slots)
+            )
+            .otherwise(
+                (F.col("fetch_rank") - 1)
+                * F.ceil(d / F.lit(float(window_s))).cast("long")
+            )
             .cast("long"),
         )
     )

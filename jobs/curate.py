@@ -508,10 +508,14 @@ def run_pipeline(spark, docs, args) -> dict:
         rep = analytics.wet_ab_report(
             docs.select("url", "text"), read_wet(spark, args.wet_ab)
         )
-        rep.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, "wet_ab_report.parquet")
-        )
-        r = rep.collect()[0].asDict()
+        # collect the one-row report FIRST and write the collected row:
+        # write-then-collect would execute the corpus-scale comparison
+        # twice (r9 review)
+        row = rep.collect()[0]
+        spark.createDataFrame([row], rep.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "wet_ab_report.parquet"))
+        r = row.asDict()
         note = json.dumps(
             {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()},
             sort_keys=True,
@@ -788,6 +792,8 @@ def main():
         # title), --media-input the fetched (media_id, payload) bytes
         from htmlx.spark.multimodal import image_text_pairs
 
+        if not args.media_input:
+            sys.exit("--mode imgtext needs --media-input")
         media = spark.read.parquet(args.media_input)
         out = image_text_pairs(
             docs,

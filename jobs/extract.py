@@ -234,12 +234,14 @@ def main():
         from pyspark.sql import functions as F
 
         plan = spark.read.parquet(args.fetch_plan)
-        window_urls = plan.where(
-            F.col("fetch_window") == args.fetch_window
-        ).select("url")
-        pages = pages.join(window_urls.distinct(), "url", "left_semi")
-        print(f"fetch-plan: window {args.fetch_window} -> "
-              f"{window_urls.count()} planned urls")
+        window_urls = (
+            plan.where(F.col("fetch_window") == args.fetch_window)
+            .select("url")
+            .distinct()
+        )
+        pages = pages.join(window_urls, "url", "left_semi")
+        print(f"fetch-plan: executing window {args.fetch_window} "
+              f"of {args.fetch_plan}")
 
     if args.mode == "links":
         result = run_all_links(pages, Config(), run_id, args.partitions)

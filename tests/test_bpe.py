@@ -233,7 +233,7 @@ def test_encode_ids_unknown_chars_take_unk(spark):
     train = docs.where("doc_id = 1")
     merges, alphabet = A.train_bpe_full(train, num_merges=4)
     assert "Ω" not in alphabet
-    unk = len(A.bpe_vocab(merges, alphabet))
+    unk = A.bpe_unk_id(merges, alphabet)
     out = {r["doc_id"]: r["token_ids"]
            for r in A.bpe_encode_ids(docs, merges, alphabet).collect()}
     assert unk in out[2] and unk not in out[1]
@@ -268,7 +268,7 @@ def test_byte_level_train_and_ids_no_unk(spark):
     merges, alphabet = A.train_bpe_full(docs, num_merges=10, byte_level=True)
     assert alphabet == A.bpe_byte_alphabet()
     vocab = A.bpe_vocab(merges, alphabet)
-    unk = len(vocab)
+    unk = A.bpe_unk_id(merges, alphabet)
     rev = {i: s for s, i in vocab.items()}
     out = {r["doc_id"]: r for r in
            A.bpe_encode_ids(docs, merges, alphabet).collect()}
@@ -292,3 +292,35 @@ def test_byte_level_replace_chain_raises_named():
 
     with _pytest.raises(ValueError, match="byte_level"):
         A.bpe_encode_counts(None, [("a", "b")], method="replace", byte_level=True)
+
+
+def test_duplicate_composite_merges_never_alias_unk():
+    """Two merges can build the same composite string (both splits of a
+    trigram); the vocab keeps the lowest-rank id and UNK is the fixed
+    len(alphabet)+len(merges) — len(dict) would alias a real token."""
+    merges = [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+    alphabet = ["a", "b", "c", "z"]
+    vocab = A.bpe_vocab(merges, alphabet)
+    unk = A.bpe_unk_id(merges, alphabet)
+    assert vocab["abc"] == 4 + 2  # first (lowest-rank) composite id wins
+    assert unk == 8 and unk not in vocab.values()
+
+
+def test_replace_chain_handles_line_terminators(spark):
+    """r9 review: plain '.' in the char-split regex skips \\n/\\r, which
+    desyncs the separator arithmetic and makes merges touching newline
+    symbols silently never apply. Pin replace == pandas == pure-Python
+    on multi-line text."""
+    docs = spark.createDataFrame(
+        [(1, "hello world.\nhello world.\n\nbye"),
+         (2, "a\r\nb\r\nc"),
+         (3, "line one\nline two\nline one\n")],
+        "doc_id long, text string",
+    )
+    merges = A.train_bpe(docs, num_merges=8)
+    a = {r["doc_id"]: r["n_bpe_real"]
+         for r in A.bpe_encode_counts(docs, merges, method="replace").collect()}
+    b = {r["doc_id"]: r["n_bpe_real"]
+         for r in A.bpe_encode_counts(docs, merges, method="pandas").collect()}
+    want = _ref_counts(docs.select("doc_id", "text").collect(), merges)
+    assert a == b == want

@@ -329,10 +329,12 @@ def test_host_fetch_quota_windows_and_starvation_guard(spark):
     wins = [q[f"https://s.com/{i:02d}"]["fetch_window"] for i in range(7)]
     assert wins == [0, 0, 0, 1, 1, 1, 2]
     # delay > window: slots 0 -> nothing 'scheduled', but the host still
-    # drains one url per window (no starvation)
+    # drains (no starvation) at a rate that honors the delay
     q2 = {r["url"]: r for r in host_fetch_quota(
         urls, spark.createDataFrame([("s.com", 120.0)],
                                     "host string, crawl_delay double"),
         window_s=30.0).collect()}
     assert not any(r["scheduled"] for r in q2.values())
-    assert sorted(r["fetch_window"] for r in q2.values()) == list(range(7))
+    # delay 120 / window 30 -> one url every ceil(120/30)=4 windows:
+    # draining must never beat the declared Crawl-delay (r9 review)
+    assert sorted(r["fetch_window"] for r in q2.values()) == [0, 4, 8, 12, 16, 20, 24]
