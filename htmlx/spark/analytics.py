@@ -3280,6 +3280,7 @@ def pack_sequences(
     seq_len: int = 512,
     num_buckets: int = 8,
     counts: DataFrame | None = None,
+    eod_tokens: int = 0,
 ) -> DataFrame:
     """Greedy no-split NEXT-FIT sequence packing (the pretraining
     batch-prep op): docs fill fixed-capacity token bins in doc_id order;
@@ -3295,20 +3296,27 @@ def pack_sequences(
 
     `counts`: optional (doc_id, n_tokens) frame — pack on EXACT token
     counts (e.g. bpe_encode_counts under a trained merges table) instead
-    of the whitespace proxy, so bins match what a training run sees."""
+    of the whitespace proxy, so bins match what a training run sees.
+
+    `eod_tokens`: reserve this many separator tokens per document (the
+    <|endofdoc|> convention) — each doc occupies n + eod_tokens of bin
+    capacity, so offsets/boundaries match a run that actually inserts
+    the separators."""
     import pandas as pd
 
     if counts is not None:
         sized = counts.select(
             F.col("doc_id").cast("long"),
             (F.col("doc_id") % num_buckets).cast("long").alias("pack_bucket"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") + eod_tokens).cast("long").alias("n_tokens"),
         )
     else:
         sized = documents.select(
             F.col("doc_id").cast("long"),
             (F.col("doc_id") % num_buckets).cast("long").alias("pack_bucket"),
-            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            (F.size(F.split(F.col("text"), " ")) + eod_tokens)
+            .cast("long")
+            .alias("n_tokens"),
         )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -483,6 +483,7 @@ def run_pipeline(spark, docs, args) -> dict:
             seq_len=args.seq_len,
             num_buckets=args.pack_buckets,
             counts=_bpe_token_counts(spark, train, args),
+            eod_tokens=getattr(args, "eod_tokens", 0),
         ),
         n_cur,
     )
@@ -557,6 +558,9 @@ def main():
                     help="UTF-8 byte cap for captions (imgtext mode)")
     ap.add_argument("--allow-langs", default="en",
                     help="comma-separated caption languages to keep (imgtext mode)")
+    ap.add_argument("--emit-pairs", default=None,
+                    help="imgtext mode: also write the KEPT (caption, payload) "
+                         "training pairs to this parquet path")
     ap.add_argument("--wet-ab", default=None,
                     help="pipeline mode: .warc.wet(.gz) dir to A/B the input "
                          "text against (warc.read_wet); the coverage/char-F1 "
@@ -624,6 +628,9 @@ def main():
                     help="hostrank power-iteration rounds")
     ap.add_argument("--seq-len", type=int, default=2048, help="token bin size (pack mode)")
     ap.add_argument("--pack-buckets", type=int, default=256, help="parallel packing units (pack mode)")
+    ap.add_argument("--eod-tokens", type=int, default=0,
+                    help="separator tokens reserved per document in pack "
+                         "bins (the <|endofdoc|> convention)")
     ap.add_argument("--bpe-model", default=None,
                     help="trained BPE merges parquet (rank/left/right); pack "
                          "bins on EXACT encoded token counts instead of the "
@@ -803,6 +810,16 @@ def main():
             max_hamming=args.hamming,
             allow_langs=tuple(args.allow_langs.split(",")),
         )
+        if args.emit_pairs:
+            # materialize the actual training dataset: kept rows joined
+            # back to their bytes (one keyed join; dropped rows and their
+            # payloads never move)
+            (out.where("keep")
+                .select("page_id", "media_id", "src", "caption",
+                        "caption_lang", "width", "height")
+                .join(media, "media_id")
+                .write.mode("overwrite")
+                .parquet(args.emit_pairs))
     elif args.mode == "embdedup":
         # embedding-cosine near-dup keep-list over a (vec_id, embedding)
         # table: exact block-pair BLAS by default, --emb-approx switches
@@ -887,6 +904,7 @@ def main():
             seq_len=args.seq_len,
             num_buckets=args.pack_buckets,
             counts=_bpe_token_counts(spark, docs, args),
+            eod_tokens=args.eod_tokens,
         )
     elif args.mode == "bpetrain":
         merges, alphabet = analytics.train_bpe_full(

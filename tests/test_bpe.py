@@ -324,3 +324,20 @@ def test_replace_chain_handles_line_terminators(spark):
          for r in A.bpe_encode_counts(docs, merges, method="pandas").collect()}
     want = _ref_counts(docs.select("doc_id", "text").collect(), merges)
     assert a == b == want
+
+
+def test_pack_sequences_eod_reservation(spark):
+    """eod_tokens reserves separator capacity per doc: 4 docs of 10
+    tokens with eod 2 pack as 12-cost items into 32-token bins (2 per
+    bin), not 3 per bin."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(4)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in A.pack_sequences(
+        docs, seq_len=32, num_buckets=1, eod_tokens=2).collect()}
+    assert [rows[i]["pack_bin"] for i in range(4)] == [0, 0, 1, 1]
+    assert [rows[i]["pack_offset"] for i in range(4)] == [0, 12, 0, 12]
+    # default stays the old behavior: 3 fit (30 <= 32)
+    rows0 = {r["doc_id"]: r for r in A.pack_sequences(
+        docs, seq_len=32, num_buckets=1).collect()}
+    assert [rows0[i]["pack_bin"] for i in range(4)] == [0, 0, 0, 1]

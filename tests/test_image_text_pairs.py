@@ -127,3 +127,26 @@ def test_same_media_on_two_pages_keeps_page_granularity(spark):
     rows = out.where(F.col("media_id") == 1).collect()
     assert len(rows) == 2 and all(r["keep"] for r in rows)
     assert {r["page_id"] for r in rows} == {100, 200}
+
+
+def test_imgtext_cli_emit_pairs(spark, tmp_path, monkeypatch):
+    """--emit-pairs writes the KEPT (caption, payload) dataset — dropped
+    rows and their payloads never reach it."""
+    import sys
+
+    import jobs.curate as jc
+
+    images, media = _frames(spark)
+    ip, mp = str(tmp_path / "imgs.parquet"), str(tmp_path / "media.parquet")
+    images.write.parquet(ip)
+    media.write.parquet(mp)
+    pairs_out = str(tmp_path / "pairs.parquet")
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", ip, "--media-input", mp,
+        "--output", str(tmp_path / "out"), "--mode", "imgtext",
+        "--emit-pairs", pairs_out,
+    ])
+    jc.main()
+    rows = {r["media_id"]: r for r in spark.read.parquet(pairs_out).collect()}
+    assert set(rows) == {1, 4}
+    assert rows[1]["caption"] == EN and len(bytes(rows[1]["payload"])) > 50
