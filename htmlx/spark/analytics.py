@@ -2851,14 +2851,15 @@ def bpe_encode_ids(
     actually consumes (pack_sequences' counts tell it where bins end;
     this is the bin CONTENT). One mapInPandas pass with the rank-dict
     encoder and a per-batch distinct-word cache; characters outside the
-    training alphabet take the UNK id (len(vocab)) — impossible by
+    training alphabet take the UNK id (bpe_unk_id — the fixed
+    len(alphabet)+len(merges), NEVER len(vocab)) — impossible by
     construction on the byte-level path. byte_level=None auto-detects
     from the alphabet (the fixed 256-char byte table IS the marker).
     Returns (id_col, token_ids array<int>, n_tokens)."""
     import pandas as pd
 
     if not isinstance(merges, list):
-        merges = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+        merges = _merges_from_df(merges)
     if byte_level is None:
         byte_level = list(alphabet) == bpe_byte_alphabet()
     vocab = bpe_vocab(merges, alphabet)
@@ -2898,12 +2899,15 @@ def bpe_merges_df(spark, merges) -> DataFrame:
     )
 
 
+def _merges_from_df(df) -> list:
+    """Rank-ordered (left, right) list from a merges table frame — the
+    ONE place the model-table layout is interpreted."""
+    return [(r["left"], r["right"]) for r in df.orderBy("rank").collect()]
+
+
 def load_bpe_merges(spark, path: str):
     """Read a persisted merges table back into rank order."""
-    return [
-        (r["left"], r["right"])
-        for r in spark.read.parquet(path).orderBy("rank").collect()
-    ]
+    return _merges_from_df(spark.read.parquet(path))
 
 
 def save_bpe_model(spark, path: str, merges, alphabet) -> None:
@@ -2941,10 +2945,15 @@ def load_bpe_model(spark, path: str):
         mdf = _read(root)
     if mdf is None:
         return load_bpe_merges(spark, root), None
-    merges = [(r["left"], r["right"]) for r in mdf.orderBy("rank").collect()]
+    merges = _merges_from_df(mdf)
     adf = _read(root + "/alphabet.parquet")
     if adf is None and root.endswith("merges.parquet"):
-        adf = _read(root[: -len("merges.parquet")].rstrip("/") + "/alphabet.parquet")
+        import os
+
+        # dirname, NOT suffix slicing: a bare relative 'merges.parquet'
+        # or a '*_merges.parquet' name must probe ITS directory
+        parent = os.path.dirname(root) or "."
+        adf = _read(parent + "/alphabet.parquet")
     if adf is not None:
         return merges, [r["char"] for r in adf.orderBy("id").collect()]
     return merges, None
@@ -2975,7 +2984,7 @@ def bpe_encode_counts(
     32k-deep replace chain would be absurd. Both methods are pinned
     equal in tests/test_bpe.py."""
     if not isinstance(merges, list):
-        merges = [(r["left"], r["right"]) for r in merges.orderBy("rank").collect()]
+        merges = _merges_from_df(merges)
     out_id = F.col(id_col).cast("long").alias(id_col)
     if byte_level and method != "pandas":
         raise ValueError(

@@ -811,15 +811,24 @@ def main():
             allow_langs=tuple(args.allow_langs.split(",")),
         )
         if args.emit_pairs:
-            # materialize the actual training dataset: kept rows joined
-            # back to their bytes (one keyed join; dropped rows and their
-            # payloads never move)
-            (out.where("keep")
-                .select("page_id", "media_id", "src", "caption",
-                        "caption_lang", "width", "height")
-                .join(media, "media_id")
-                .write.mode("overwrite")
-                .parquet(args.emit_pairs))
+            # materialize the training dataset FROM THE WRITTEN OUTPUT:
+            # building it from `out` would re-execute the decode + dedup
+            # pipeline a second time (the wet-ab write-twice class).
+            # Write the annotation table once, read it back for the kept
+            # rows, join payloads once, and return (the common tail write
+            # below must not run — it would overwrite the path it is now
+            # reading from).
+            out.write.mode("overwrite").parquet(args.output)
+            kept = spark.read.parquet(args.output).where("keep")
+            (kept.select("page_id", "media_id", "src", "caption",
+                         "caption_lang", "width", "height")
+                 .join(media, "media_id")
+                 .write.mode("overwrite")
+                 .parquet(args.emit_pairs))
+            print(f"mode={args.mode} rows="
+                  f"{spark.read.parquet(args.output).count()} -> "
+                  f"{args.output} (+pairs -> {args.emit_pairs})")
+            return
     elif args.mode == "embdedup":
         # embedding-cosine near-dup keep-list over a (vec_id, embedding)
         # table: exact block-pair BLAS by default, --emb-approx switches

@@ -14,9 +14,15 @@ quadratically — measuring data fabrication, not scaling.
               stats, shingle overlap ~0 -> dup densities match base)
   embeddings  replicas rotate the vector by `rep` dims (norms and
               value distributions preserved; rotations decorrelate)
-  lineitem /  key-shifted replicas (group cardinalities preserved,
-  events      10x fact rows)
-  dims        region/nation/customer/supplier/part/orders copied
+  lineitem +  key-shifted replicas with the SAME o_orderkey stride, so
+  orders      every sf1 lineitem row still joins its order (an unshifted
+              orders copy would orphan 9/10 of the join — the exact
+              selectivity distortion this tool exists to avoid);
+              o_custkey stays unshifted: dims keep their size and each
+              customer simply carries 10x orders, the TPC-H shape of a
+              bigger corpus over the same customer base
+  events      key-shifted replicas (10x fact rows)
+  dims        region/nation/customer/supplier/part copied
 """
 
 import shutil
@@ -86,9 +92,17 @@ def main():
       FROM read_parquet('{base}/events.parquet'), reps
     ) TO '{out}/events.parquet' (FORMAT PARQUET)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+    con.execute(f"""
+    COPY (
+      WITH reps AS (SELECT unnest(generate_series(0, 9)) AS rep)
+      SELECT o_orderkey + rep * 10000000 AS o_orderkey, o_custkey,
+             o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM read_parquet('{base}/orders.parquet'), reps
+    ) TO '{out}/orders.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
-    for t in ("documents", "embeddings", "lineitem", "events"):
+    for t in ("documents", "embeddings", "lineitem", "orders", "events"):
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
