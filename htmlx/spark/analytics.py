@@ -21,6 +21,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive fan-out for expression-heavy per-row compute
+    (optimization guide §2.2/§2.5 'make partitioning scale-adaptive').
+
+    A tiny corpus — in particular the bench/driver documents table, ONE
+    small parquet file with one row group — arrives as a single input
+    split, which serializes every scan-side expression chain (md5/minhash
+    draws, simhash bit votes, lang-ID regex ladders, shingle builds) onto
+    one core while the rest of the cluster idles (the same input-split
+    lesson the r5 extraction fix addressed; measured r10: simhash 1.6 s ->
+    0.36 s, minhash signatures 2.5 s -> 0.65 s at local[32]/sf0.1).
+
+    When the input already carries at least defaultParallelism partitions
+    — any real at-scale scan — the frame is returned UNTOUCHED: zero
+    added shuffle, so the zero-exchange scale story of the JVM-side
+    operators still holds (plan-pinned with pre-spread inputs in
+    tests/test_plans.py). The round-robin repartition is deterministic
+    under task retry (sortBeforeRepartition is on by default). Streaming
+    frames keep their source partitioning."""
+    if getattr(df, "isStreaming", False):
+        return df
+    # memo: the .rdd partition probe costs a plan->RDD conversion (~0.1 s
+    # of driver time under load); composite builders route the SAME frame
+    # object through several spread-aware helpers, so mark it once
+    if getattr(df, "_htmlx_spread_checked", False):
+        return df
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    out = df.repartition(p) if n < p else df
+    try:
+        out._htmlx_spread_checked = True
+    except Exception:
+        pass
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -1335,16 +1375,20 @@ def minhash_signatures(
         f"i -> concat_ws(' ', slice(__tokens, i, {k}))) END"
     )
     base = F.expr(_minhash_base_expr(hash_basis))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.expr(f"transform(__hm, h -> ({a[j]} * h + {b[j]}) % {MINHASH_PRIME})")
-            )
+    # ONE SQL expression for all draws (r10): the per-draw F.array_min /
+    # F.expr construction cost ~70 py4j round trips per basis of pure
+    # driver latency at build time; the generated tree is identical
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"array_min(transform(__hm, h -> ({a[j]} * h + {b[j]}) % {MINHASH_PRIME}))"
             for j in range(num_hashes)
-        ]
+        )
+        + ")"
     )
     return (
-        documents.withColumn("__tokens", tokens)
+        spread_small_input(documents)
+        .withColumn("__tokens", tokens)
         .withColumn("__shingles", sh)
         .withColumn("__hm", base)
         .withColumn("minhash_sig", sig)
@@ -1500,19 +1544,20 @@ def _lsh_banded(
     with_sig = minhash_signatures(documents, num_hashes, shingle_k, hash_basis).select(
         "doc_id", "minhash_sig"
     )
+    # single-expression band array (r10): same tree, ~30 fewer py4j
+    # round trips per basis at build time
+    band_array = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band_id', {b}, "
+            f"'band_hash', {_band_hash_expr(b, rows, hash_basis)})"
+            for b in range(bands)
+        )
+        + ")"
+    )
     return with_sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.expr(_band_hash_expr(b, rows, hash_basis)).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(band_array).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
@@ -1538,17 +1583,28 @@ def lsh_bucket_stats(
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, candidates: DataFrame, shingle_k: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    candidates: DataFrame,
+    shingle_k: int = 3,
+    carry_cols: tuple = (),
+) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (array_intersect/union —
     JVM-side). Join candidates back to shingle sets; at scale the candidate
-    set is tiny relative to the corpus, so both joins broadcast-build."""
-    sets = documents.select(
+    set is tiny relative to the corpus, so both joins broadcast-build.
+    carry_cols names extra candidate columns (e.g. a policy-variant tag)
+    passed through to the output — verifying TAGGED pairs directly saves
+    the caller a distinct + re-join round trip (the per-pair jaccard does
+    not depend on the tag; the expensive shingle-set joins are the same
+    either way)."""
+    sets = spread_small_input(documents).select(
         F.col("doc_id"), F.array_distinct(shingles_col("text", shingle_k)).alias("sh")
     )
     return (
         candidates.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
         .select(
+            *carry_cols,
             "doc_a",
             "doc_b",
             (
@@ -1604,7 +1660,7 @@ def simhash_docs(documents: DataFrame, hash_basis: str = "xxhash64") -> DataFram
     array accumulating all 60 bit votes — no Python, no shuffle). Replaces
     the round-1 per-character Python FNV loop (~interpreter-rate) with
     whole-stage-codegen expressions."""
-    return documents.select(
+    return spread_small_input(documents).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(simhash_expr(hash_basis)).alias("simhash"),
     )
@@ -1991,7 +2047,7 @@ def token_stats(documents: DataFrame, include_bpe: bool = False) -> DataFrame:
             nb.cast("long").alias("n_bpe_tokens"),
             F.floor(F.length("text") * 10 / nb).cast("long").alias("chars_per_token_x10"),
         ]
-    return documents.select(*cols)
+    return spread_small_input(documents).select(*cols)
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
@@ -2337,14 +2393,14 @@ LANG_PROFILES = {
 }
 
 
-def lang_id_docs(documents: DataFrame, id_cols: tuple = ("doc_id",)) -> DataFrame:
-    """Language ID, entirely JVM-side: script regexes + stopword-profile
-    argmax as Catalyst expressions (27 languages + 'und'). Replaces the
-    round-1 4-language pandas UDF — no Python in the path, and the exact
-    same logic is expressible in DuckDB SQL for the driver oracle.
-    `id_cols` generalizes the key so the SAME classifier runs at other
-    granularities (lang_mix_docs scores (doc_id, line_no) lines with it
-    — one grammar, not a per-line reimplementation)."""
+def with_lang_pred(df: DataFrame, out_col: str = "pred_lang") -> DataFrame:
+    """Append the lang-ID prediction as a COLUMN, keeping every existing
+    column: the classifier is a pure per-row projection, so composite
+    consumers (corpus_filter's base frame) fold it into their own scan
+    instead of paying a corpus-wide doc_id join against lang_id_docs
+    (guide §2.4 — remove shuffles outright). The token array is staged
+    as a real column so the 27 per-language intersects don't re-split
+    the text (same staging lang_id_docs always used)."""
     text = F.col("text")
     head = F.substring(text, 1, 200)
     toks = F.col("__toks")
@@ -2357,19 +2413,29 @@ def lang_id_docs(documents: DataFrame, id_cols: tuple = ("doc_id",)) -> DataFram
     for lang in sorted(LANG_PROFILES):
         latin = latin.when(scores[lang] == m, F.lit(lang))
     latin = latin.otherwise(F.lit("und"))
-
     pred = F.when(text.isNull() | (text == ""), F.lit("und"))
     for lang, pattern in LANG_SCRIPTS:
         pred = pred.when(head.rlike(pattern), F.lit(lang))
     pred = pred.otherwise(latin)
+    return (
+        df.withColumn("__toks", F.array_distinct(F.split(F.lower(text), " ")))
+        .withColumn(out_col, pred)
+        .drop("__toks")
+    )
 
+
+def lang_id_docs(documents: DataFrame, id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Language ID, entirely JVM-side: script regexes + stopword-profile
+    argmax as Catalyst expressions (27 languages + 'und'). Replaces the
+    round-1 4-language pandas UDF — no Python in the path, and the exact
+    same logic is expressible in DuckDB SQL for the driver oracle.
+    `id_cols` generalizes the key so the SAME classifier runs at other
+    granularities (lang_mix_docs scores (doc_id, line_no) lines with it
+    — one grammar, not a per-line reimplementation)."""
     keys = [
         (F.col(c).cast("long") if c == "doc_id" else F.col(c)) for c in id_cols
     ]
-    return (
-        documents.withColumn("__toks", F.array_distinct(F.split(F.lower(text), " ")))
-        .select(*keys, pred.alias("pred_lang"))
-    )
+    return with_lang_pred(spread_small_input(documents)).select(*keys, "pred_lang")
 
 
 def lang_mix_docs(documents: DataFrame, min_line_chars: int = 20) -> DataFrame:
@@ -2458,74 +2524,9 @@ def near_dup_components(
     keyed edge set (the corpus_filter_variants shape); convergence is
     reached when EVERY group's labels stop changing."""
     g = [group_col] if group_col else []
-    sym = pairs.select(
-        *g, F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(*g, F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # Persist the edge set: every propagation round joins against it, and
-    # without a materialization Spark would re-derive the FULL upstream
-    # pipeline (LSH + Jaccard verification) once per round. The verified
-    # edge list is tiny relative to the corpus (near-dup rate), so caching
-    # it is the standard iterative-graph pattern at any scale.
-    sym = sym.persist()
-    # only docs that appear in an edge can change label; singletons join
-    # back at the end (keeps every iteration's working set = edge endpoints)
-    labels = (
-        sym.select(*g, F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+    labels = propagate_min_labels(
+        pairs, g, max_iters=max_iters, until_converged=until_converged
     )
-    for _ in range(max_iters):
-        prop = (
-            sym.alias("e")
-            .join(
-                labels.alias("l"),
-                [F.col("e.dst") == F.col("l.doc_id")]
-                + [F.col(f"e.{c}") == F.col(f"l.{c}") for c in g],
-            )
-            .groupBy(*[F.col(f"e.{c}") for c in g], F.col("e.src").alias("src"))
-            .agg(F.min(F.col("l.label")).alias("nl"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(
-                prop.alias("p"),
-                [F.col("l.doc_id") == F.col("p.src")]
-                + [F.col(f"l.{c}") == F.col(f"p.{c}") for c in g],
-                "left",
-            )
-            .select(
-                *[F.col(f"l.{c}") for c in g],
-                F.col("l.doc_id").alias("doc_id"),
-                F.least(
-                    F.col("l.label"), F.coalesce(F.col("p.nl"), F.col("l.label"))
-                ).alias("label"),
-            )
-        )
-        if until_converged:
-            new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), ["doc_id"] + g)
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            old = labels
-            labels = new_labels
-            if hasattr(old, "unpersist"):
-                old.unpersist()
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
-    # cache-scope discipline: materialize the (tiny) final labels once,
-    # then release the edge cache — otherwise every call leaks sym's
-    # blocks for the session lifetime. What remains cached is the
-    # keep-list itself, bounded by the near-dup edge-endpoint count.
-    # (in until_converged mode the loop already persisted+counted labels)
-    if not until_converged:
-        labels = labels.persist()
-        labels.count()
-    sym.unpersist()
     if g:
         # documents must carry the group column (one row per group x doc);
         # name-based join coalesces the keys, no ambiguity
@@ -2550,6 +2551,119 @@ def near_dup_components(
         )
         .withColumn("is_dup", (F.col("doc_id") != F.col("keep_doc_id")).cast("boolean"))
     )
+
+
+def propagate_min_labels(
+    pairs: DataFrame,
+    g: list,
+    max_iters: int = 5,
+    until_converged: bool = False,
+) -> DataFrame:
+    """The min-label propagation core of near_dup_components, exposed so
+    composite plans (corpus_filter) can join the converged label table
+    ONCE into their own output row instead of going through the
+    documents-shaped wrapper (which re-scans the corpus and adds a second
+    join). Returns (g..., doc_id, label) for EDGE ENDPOINTS only — docs
+    with no edge keep their own id (callers left-join + coalesce).
+    The returned frame is persisted (it is the keep-list; bounded by the
+    near-dup edge-endpoint count)."""
+    sym = pairs.select(
+        *g, F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(*g, F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # Persist the edge set: every propagation round joins against it, and
+    # without a materialization Spark would re-derive the FULL upstream
+    # pipeline (LSH + Jaccard verification) once per round. The verified
+    # edge list is tiny relative to the corpus (near-dup rate), so caching
+    # it is the standard iterative-graph pattern at any scale.
+    sym = sym.persist()
+    # only docs that appear in an edge can change label; singletons join
+    # back at the end (keeps every iteration's working set = edge endpoints)
+    labels = (
+        sym.select(*g, F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    def one_round(cur):
+        prop = (
+            sym.alias("e")
+            .join(
+                cur.alias("l"),
+                [F.col("e.dst") == F.col("l.doc_id")]
+                + [F.col(f"e.{c}") == F.col(f"l.{c}") for c in g],
+            )
+            .groupBy(*[F.col(f"e.{c}") for c in g], F.col("e.src").alias("src"))
+            .agg(F.min(F.col("l.label")).alias("nl"))
+        )
+        # The changed-flag is computable DURING the label update (the new
+        # label differs from the old one iff a propagated neighbor min is
+        # strictly smaller), so convergence detection needs no third join
+        # back to the previous labels — one join and its exchanges saved
+        # per round (r10; the count scans the just-persisted frame in the
+        # same action that materializes it).
+        return (
+            cur.alias("l")
+            .join(
+                prop.alias("p"),
+                [F.col("l.doc_id") == F.col("p.src")]
+                + [F.col(f"l.{c}") == F.col(f"p.{c}") for c in g],
+                "left",
+            )
+            .select(
+                *[F.col(f"l.{c}") for c in g],
+                F.col("l.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("l.label"), F.coalesce(F.col("p.nl"), F.col("l.label"))
+                ).alias("label"),
+                (F.coalesce(F.col("p.nl"), F.col("l.label")) < F.col("l.label")).alias(
+                    "__changed"
+                ),
+            )
+        )
+
+    if until_converged:
+        # Convergence is checked every TWO propagation rounds (r10): the
+        # blocking count() only sees the LAST round's changed-flag, and
+        # "the final round changed nothing" alone already implies the
+        # labels are stable, so pairing rounds halves the blocking
+        # actions on the critical path (near-dup components are dense —
+        # most graphs converge by round 2, paying ONE count instead of
+        # two). The extra propagation executed when convergence lands on
+        # an odd round is lazy transformations over the persisted
+        # previous labels + cached edge set — round overhead, not data
+        # cost. Labels are bit-identical either way.
+        prev_persisted = None
+        done = 0
+        while done < max_iters:
+            span = min(2, max_iters - done)
+            new_labels = one_round(labels)
+            for _ in range(span - 1):
+                new_labels = one_round(new_labels.drop("__changed"))
+            done += span
+            new_labels = new_labels.persist()
+            changed = new_labels.where(F.col("__changed")).count()
+            # unpersist the PERSISTED frame of the previous pair (labels
+            # is a projection over it; unpersisting the projection would
+            # leak the parent's cached blocks)
+            old = prev_persisted
+            prev_persisted = new_labels
+            labels = new_labels.drop("__changed")
+            if old is not None:
+                old.unpersist()
+            if changed == 0:
+                break
+    else:
+        for _ in range(max_iters):
+            labels = one_round(labels).drop("__changed")
+    # cache-scope discipline: materialize the (tiny) final labels once,
+    # then release the edge cache — otherwise every call leaks sym's
+    # blocks for the session lifetime. What remains cached is the
+    # keep-list itself, bounded by the near-dup edge-endpoint count.
+    # (in until_converged mode the loop already persisted+counted labels)
+    if not until_converged:
+        labels = labels.persist()
+        labels.count()
+    sym.unpersist()
+    return labels
 
 
 # BPE-ish pre-tokenizer (GPT-2-style, restricted to the regex subset Java
@@ -2727,25 +2841,73 @@ def bpe_encode_word(word: str, ranks: dict, merges) -> list:
 def train_bpe_merges(word_freqs, num_merges: int):
     """Driver-side merge loop over a (word, freq) list: repeatedly count
     adjacent symbol pairs weighted by word frequency and merge the most
-    frequent (ties -> lexicographically smallest 'a\\x1fb' key, which
-    matches tuple order because \\x1f sorts below every text char).
-    Deterministic replay target for the DuckDB recursive-CTE oracle."""
-    from collections import Counter
+    frequent (ties -> lexicographically smallest 'a\\x1fb' CONCAT key on
+    BOTH engines — NOT tuple order: symbols may legally contain chars
+    below 0x1f such as \\t/\\n, only \\x1d/\\x1e/\\x1f are stripped from
+    pretokens, so tuple comparison would re-order those ties and flip
+    the training-replay oracle; see CLAUDE.md). Deterministic replay
+    target for the DuckDB recursive-CTE oracle.
+
+    r10: incremental formulation (the Sennrich/HF trainer shape). The
+    previous version rebuilt the FULL pair Counter over every word per
+    merge — O(num_merges x corpus symbols), days-impractical at
+    production merge counts. Now: one initial counting pass builds the
+    pair counts plus a pair -> {word ids} index; each merge rewrites
+    ONLY the words that contain the merged pair (subtract their old
+    adjacent-pair counts, apply the greedy left-to-right merge, add the
+    new ones) and the best pair comes from a lazy max-heap keyed exactly
+    like the old argmin — (-count, concat key), stale entries discarded
+    against the live counts on pop. The concat key is injective (symbols
+    never contain \\x1f), so selection is bit-identical to the full
+    rescan (pinned by tests/test_bpe.py equivalence + the token_stats
+    oracle hash)."""
+    import heapq
+    from collections import Counter, defaultdict
 
     corpus = [(list(w), int(f)) for w, f in word_freqs]
+    pc: Counter = Counter()
+    where: dict = defaultdict(set)  # pair -> word ids that (maybe) contain it
+    for wid, (syms, f) in enumerate(corpus):
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += f
+            where[(a, b)].add(wid)
+    heap = [
+        (-c, p[0] + BPE_PAIRSEP + p[1], p) for p, c in pc.items()
+    ]
+    heapq.heapify(heap)
     merges = []
-    for _ in range(num_merges):
-        pc = Counter()
-        for syms, f in corpus:
-            for a, b in zip(syms, syms[1:]):
-                pc[(a, b)] += f
-        if not pc:
-            break
-        best = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + BPE_PAIRSEP + kv[0][1])
-        )[0]
+    while len(merges) < num_merges and heap:
+        negc, _key, best = heap[0]
+        cur = pc.get(best, 0)
+        if cur <= 0 or cur != -negc:
+            heapq.heappop(heap)  # stale entry (count changed since push)
+            continue
         merges.append(best)
-        corpus = [(bpe_merge_step(s, *best), f) for s, f in corpus]
+        touched: set = set()
+        for wid in where.pop(best, ()):
+            syms, f = corpus[wid]
+            # stale index entries are possible (the word was rewritten by
+            # a later merge since this pair was indexed) — verify live
+            if not any(
+                a == best[0] and b == best[1] for a, b in zip(syms, syms[1:])
+            ):
+                continue
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] -= f
+                touched.add((a, b))
+            new_syms = bpe_merge_step(syms, *best)
+            corpus[wid] = (new_syms, f)
+            for a, b in zip(new_syms, new_syms[1:]):
+                pc[(a, b)] += f
+                touched.add((a, b))
+                where[(a, b)].add(wid)
+        for p in touched:
+            c = pc.get(p, 0)
+            if c <= 0:
+                pc.pop(p, None)
+                where.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p[0] + BPE_PAIRSEP + p[1], p))
     return merges
 
 
@@ -2757,7 +2919,7 @@ def _bpe_word_freqs(documents, max_vocab, text_col, byte_level):
     order (count desc, word asc). Bounded by max_vocab, never corpus
     size."""
     wf = (
-        documents.select(
+        spread_small_input(documents).select(
             F.explode(
                 bpe_pretokens_col(text_col, mark_spaces=not byte_level)
             ).alias("word")
@@ -3172,7 +3334,7 @@ def word_ngram_hash_col(n: int, hash_basis: str, text_col: str = "text"):
 
 def _word_ngram_hashes(df: DataFrame, n: int, hash_basis: str):
     """Exploded (doc_id, gram) form of word_ngram_hash_col."""
-    return df.select(
+    return spread_small_input(df).select(
         F.col("doc_id"), F.explode(word_ngram_hash_col(n, hash_basis)).alias("gram")
     )
 

@@ -49,6 +49,24 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(sc.defaultParallelism)
 
 
+def _adaptive(spark: SparkSession, on: bool = True) -> None:
+    """Declare a query family's AQE mode at build time (optimization
+    guide §2.2 'let AQE coalesce small partitions').
+
+    The JVM analytics rows (dedup/LSH/joins/aggregations) opt IN: their
+    static shuffle width (2x cores, session.py) is a constant tuned for
+    neither a 5k-row bench corpus nor a 100 TB cluster, while AQE's
+    runtime coalescing sizes every post-shuffle stage from the observed
+    bytes (measured r10 at sf0.1: dedup_exact 7-10 s -> ~3 s; scale
+    safety: at real volume coalescing is a no-op on already-large
+    partitions and skew-join splitting only helps). The extraction and
+    Python-decode tiers keep AQE OFF (session.py default; the
+    query-stage barrier measurably cost fleet throughput — BASELINE r4)
+    — each builder states its mode idempotently so bench/correctness
+    execution order cannot leak one family's mode into the other."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true" if on else "false")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -216,7 +234,10 @@ FROM documents
 
 def q_extract_all_links(spark, sf_dir):
     pages = pages_from_documents(_docs(spark, sf_dir), "links")
-    r = run_all_links(pages)
+    # salted spread like every other extract row (r10: this was the ONE
+    # extraction row still running its mapInPandas stage on the single
+    # input split — 1 of 32 cores; see _extract / BASELINE r5)
+    r = run_all_links(pages, num_partitions=spark.sparkContext.defaultParallelism)
     return r.select("url", F.posexplode("link_resources").alias("idx", "res")).select(
         "url",
         F.col("idx").cast("long").alias("idx"),
@@ -445,6 +466,12 @@ def q_dedup_exact(spark, sf_dir):
     exists to strip (Wenzek et al. 2020). The oracle rebuilds the same
     chunking and grouping; the planted paragraph must collapse to ONE
     row with keep_doc_id=0 and dup_count = |{d : d%11==0}|."""
+    # NO scale-adaptive fan-out here, deliberately (r10, measured): the
+    # 8 level branches below are independent subtrees that execute
+    # CONCURRENTLY from their own scans; a shared repartition would put
+    # one exchange barrier under all of them and cost ~3.5 s first-run
+    # at sf0.1 (6.5-7.0 s nospread vs 9.3-10.5 s spread, 3/3 fresh
+    # sessions) while at real scan widths it is a no-op anyway
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
     toks = F.split(F.col("text"), " ")
@@ -2730,14 +2757,29 @@ def corpus_filter_frame(docs, hash_basis: str, max_bucket_size):
     The DRIVER query runs it in oracle configuration (md5 basis, uncapped
     buckets — exact, DuckDB-replicable); production runs ship xxhash64 +
     capped buckets (see jobs/curate.py and the corpus_filter_production
-    bench row)."""
-    base = docs.select(
+    bench row).
+
+    r10 shape (guide §2.4 — remove shuffles outright): the exact-dup
+    keeper is a min-window over the SAME md5 digest the base row already
+    computes (one digest shuffle; the former dedup_exact groupBy +
+    join-back paid the digest shuffle AND a corpus-wide join), lang-ID is
+    a scan-side COLUMN of base (it is a pure projection — the former
+    doc_id join shuffled the corpus once more for it), and the converged
+    component labels join in once (edge endpoints only). Two corpus-wide
+    exchanges total (digest window + label join) instead of five."""
+    from pyspark.sql import Window
+
+    docs = analytics.spread_small_input(docs)
+    base = analytics.with_lang_pred(docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+    )).select(
+        "doc_id",
         F.md5("text").alias("text_md5"),
         F.length("text").alias("n_chars"),
-    )
-    exact = analytics.dedup_exact(docs).select(
-        "text_md5", F.col("keep_doc_id").alias("exact_keep")
+        "pred_lang",
+    ).withColumn(
+        "exact_keep", F.min("doc_id").over(Window.partitionBy("text_md5"))
     )
     cands = analytics.minhash_lsh_candidates(
         docs, max_bucket_size=max_bucket_size, hash_basis=hash_basis
@@ -2747,14 +2789,19 @@ def corpus_filter_frame(docs, hash_basis: str, max_bucket_size):
         .where(F.col("jaccard") >= 0.9)
         .select("doc_a", "doc_b")
     )
-    comp = analytics.near_dup_components(
-        docs, verified, max_iters=50, until_converged=True
-    ).select("doc_id", F.col("is_dup").alias("near_dup"))
-    lang = analytics.lang_id_docs(docs)
+    labels = analytics.propagate_min_labels(
+        verified, [], max_iters=50, until_converged=True
+    )
     # no broadcast hints: every side here is corpus-sized at scale (the
-    # exact-dedup table has ~one row per distinct text) — these are
-    # shuffle joins on uniform keys (md5 / doc_id), the right plan at 100 TB
-    joined = base.join(exact, "text_md5").join(comp, "doc_id").join(lang, "doc_id")
+    # label table is bounded by near-dup endpoints but still grows with
+    # the corpus) — shuffle joins on uniform doc_id keys, right at 100 TB
+    joined = base.join(
+        labels.withColumnRenamed("doc_id", "__ldoc"),
+        F.col("doc_id") == F.col("__ldoc"),
+        "left",
+    ).withColumn(
+        "near_dup", F.col("doc_id") != F.coalesce("label", "doc_id")
+    )
     reason = (
         F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("exact_dup"))
         .when(F.col("near_dup"), F.lit("near_dup"))
@@ -2779,62 +2826,84 @@ def corpus_filter_variants_frame(docs, variants: dict):
     separate corpus_filter + corpus_filter_production queries recomputed
     the full exact-dedup/lang-ID/verify/components subplan twice).
 
-    Shared once across all variants: the base scan, exact dedup (one md5
-    shuffle), lang-ID (scan-side), the Jaccard verification (computed
-    over the DISTINCT union of all variants' candidate pairs — the
-    shingle-set join is the expensive step and a pair's jaccard does not
-    depend on which variant surfaced it), and the label-propagation
-    iteration chain (variant-keyed via near_dup_components group_col —
-    one blocking count() per round for ALL variants instead of one per
-    variant per round). Per-variant: the LSH candidate generation
-    (basis-sharing inside minhash_lsh_candidates_variants) and the final
-    reason fan-out. Returns (variant, doc_id, reason, keep)."""
-    base = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    Shared once across all variants: the base scan (which since r10 also
+    carries the lang-ID column and the exact-dup keeper — see below), the
+    Jaccard verification, and the label-propagation iteration chain
+    (variant-keyed via propagate_min_labels — one blocking count() per
+    round for ALL variants instead of one per variant per round).
+    Per-variant: the LSH candidate generation (basis-sharing inside
+    minhash_lsh_candidates_variants) and the final reason fan-out.
+    Returns (variant, doc_id, reason, keep).
+
+    r10 restructure (guide §2.4 — remove shuffles outright; measured and
+    oracle-pinned equivalent):
+    - exact-dup keeper = min(doc_id) window over the SAME text_md5 the
+      base row computes (exactly the oracle's own shape) — the former
+      dedup_exact groupBy + corpus-wide join-back collapses into the one
+      digest exchange.
+    - lang-ID is a scan-side COLUMN of base (pure projection), not a
+      corpus-wide doc_id join.
+    - Jaccard verifies the VARIANT-TAGGED pairs directly
+      (ngram_jaccard_pairs carry_cols): a pair's jaccard does not depend
+      on the tag, and the expensive shingle-set joins are identical
+      either way, so the former distinct() + tag-re-join round trip is
+      gone. Pairs shared by k variants pay k (trivial) array_intersect
+      evaluations instead — bounded by the variant count, never the
+      corpus.
+    - the converged labels join base ONCE on (variant, doc_id); the old
+      comp chain re-scanned docs for the variant fan-out and joined
+      twice."""
+    from pyspark.sql import Window
+
+    # one scale-adaptive fan-out shared by every consumer below (base,
+    # both bases' signature scans, the shingle sets) — no-op at real
+    # scan widths
+    docs = analytics.spread_small_input(docs)
+    base = analytics.with_lang_pred(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select(
+        "doc_id",
         F.md5("text").alias("text_md5"),
         F.length("text").alias("n_chars"),
+        "pred_lang",
+    ).withColumn(
+        "exact_keep", F.min("doc_id").over(Window.partitionBy("text_md5"))
     )
-    exact = analytics.dedup_exact(docs).select(
-        "text_md5", F.col("keep_doc_id").alias("exact_keep")
-    )
-    lang = analytics.lang_id_docs(docs)
-    # The candidate pair set is referenced TWICE in the DAG (under the
-    # distinct->Jaccard verify and in the variant-tag re-join below);
-    # without a materialization both hash bases' signature scans run
-    # twice when the components chain first executes. The pair table is
-    # tiny (near-dup candidates only), so persisting it is safe at any
-    # scale — measured at sf0.1: 10.9 s -> 9.8 s warm, 22.8 -> 13.1 cold
-    # (3/3 rounds faster; exchange reuse recovered only part of the
-    # duplication on its own). The cache cannot be unpersisted inside
-    # this (lazy) builder, so accumulation across repeated invocations
-    # in one driver session (bench loops, sweeps) is bounded to ONE
-    # cached frame: each call evicts the previous call's pair set
-    # (r8 advice — the leak was unbounded before).
+    # The VERIFIED pair set is referenced twice in the DAG (both union
+    # branches of the symmetric edge set inside propagate_min_labels);
+    # without a materialization both hash bases' signature scans and the
+    # Jaccard verification run twice when the components chain first
+    # executes. The verified table is tiny (near-dup pairs only), so
+    # persisting it is safe at any scale. The cache cannot be
+    # unpersisted inside this (lazy) builder, so accumulation across
+    # repeated invocations in one driver session (bench loops, sweeps)
+    # is bounded to ONE cached frame: each call evicts the previous
+    # call's set (r8 advice — the leak was unbounded before).
     global _CF_PAIRS_CACHE
     if _CF_PAIRS_CACHE is not None:
         try:
             _CF_PAIRS_CACHE.unpersist(blocking=False)
         except Exception:
             pass
-    pairs = analytics.minhash_lsh_candidates_variants(docs, variants).persist()
-    _CF_PAIRS_CACHE = pairs
-    distinct_pairs = pairs.select("doc_a", "doc_b").distinct()
-    jac = (
-        analytics.ngram_jaccard_pairs(docs, distinct_pairs)
+    pairs = analytics.minhash_lsh_candidates_variants(docs, variants)
+    verified = (
+        analytics.ngram_jaccard_pairs(docs, pairs, carry_cols=("variant",))
         .where(F.col("jaccard") >= 0.9)
-        .select("doc_a", "doc_b")
+        .select("variant", "doc_a", "doc_b")
+        .persist()
     )
-    verified = pairs.join(jac, ["doc_a", "doc_b"])
-    docs_v = docs.select(
-        F.explode(F.array(*[F.lit(v) for v in variants])).alias("variant"),
-        "doc_id",
+    _CF_PAIRS_CACHE = verified
+    labels = analytics.propagate_min_labels(
+        verified, ["variant"], max_iters=50, until_converged=True
     )
-    comp = analytics.near_dup_components(
-        docs_v, verified, max_iters=50, until_converged=True, group_col="variant"
-    ).select("variant", "doc_id", F.col("is_dup").alias("near_dup"))
+    base_v = base.select(
+        F.explode(F.array(*[F.lit(v) for v in variants])).alias("variant"), "*"
+    )
     # no broadcast hints: every side here is corpus-sized at scale (see
     # corpus_filter_frame) — shuffle joins on uniform keys (md5 / doc_id)
-    joined = base.join(exact, "text_md5").join(comp, "doc_id").join(lang, "doc_id")
+    joined = base_v.join(labels, ["variant", "doc_id"], "left").withColumn(
+        "near_dup", F.col("doc_id") != F.coalesce("label", "doc_id")
+    )
     reason = (
         F.when(F.col("doc_id") != F.col("exact_keep"), F.lit("exact_dup"))
         .when(F.col("near_dup"), F.lit("near_dup"))
@@ -4238,57 +4307,75 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def _with_aqe(fn, on: bool = True):
+    """Bind a query builder to its AQE mode (see _adaptive): the mode is
+    declared at registration so bench/correctness execution ORDER cannot
+    leak one family's mode into the other — every build states its own."""
+
+    def wrapped(spark, sf_dir):
+        _adaptive(spark, on)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+# Extraction + Python-decode tiers keep AQE OFF (the tuned status quo:
+# explicit salted repartition, one python-task wave); JVM analytics rows
+# opt IN for scale-adaptive shuffle coalescing. Rationale in _adaptive.
 QUERIES = {
-    "extract_text": q_extract_text,
-    "extract_links": q_extract_links,
-    "extract_images": q_extract_images,
-    "extract_media": q_extract_media,
-    "extract_boilerplate": q_extract_boilerplate,
-    "extract_tables": q_extract_tables,
-    "extract_markdown": q_extract_markdown,
-    "extract_all_links": q_extract_all_links,
-    "extract_encoding": q_extract_encoding,
-    "extract_entities": q_extract_entities,
-    "extract_nested_boilerplate": q_extract_nested_boilerplate,
-    "extract_colspan_table": q_extract_colspan_table,
-    "extract_deeplist": q_extract_deeplist,
-    "lineage_rollup": q_lineage_rollup,
-    "custom_scorer_extraction": q_custom_scorer,
-    "dedup_exact": q_dedup_exact,
-    "token_stats": q_token_stats,
-    "quality_scores": q_quality_scores,
-    "doc_fingerprints": q_doc_fingerprints,
-    "decontaminate": q_decontaminate,
-    "ann_cosine_topk": q_ann_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "events_hourly_rollup": q_events_hourly,
-    "token_topk": q_token_topk,
-    "user_sessions": q_user_sessions,
-    "events_json_props": q_events_json_props,
-    "tpch_pricing_summary": relational.pricing_summary,
-    "tpch_top_revenue_orders": relational.top_revenue_orders,
-    "tpch_regional_revenue": relational.regional_revenue,
-    "regional_rollup": relational.regional_rollup,
-    "events_distribution_stats": relational.events_distribution_stats,
-    "top_order_per_customer": relational.top_order_per_customer,
-    "media_sniff_metadata": q_media_sniff,
-    "media_frame_features": q_media_frame_features,
-    "pdf_structural_parse": q_pdf_metadata,
-    "pdf_text_extract": q_pdf_text,
-    "media_pixel_decode": q_media_pixel_decode,
-    "jpeg_pixel_decode": q_jpeg_pixel_decode,
-    "minhash_lsh_candidates": q_minhash_lsh,
-    "lsh_bucket_stats": q_lsh_bucket_stats,
-    "near_dup_components": q_near_dup_components,
-    "ngram_jaccard_verify": q_ngram_jaccard,
-    "simhash": q_simhash,
-    "lang_id": q_lang_id,
-    "corpus_filter": q_corpus_filter,
-    "doc_length_percentiles": q_doc_length_percentiles,
-    "host_stats": q_host_stats,
-    "hash_split": q_hash_split,
-    "audio_pcm_decode": q_audio_pcm_decode,
-    "gif_pixel_decode": q_gif_pixel_decode,
+    "extract_text": _with_aqe(q_extract_text, on=False),
+    "extract_links": _with_aqe(q_extract_links, on=False),
+    "extract_images": _with_aqe(q_extract_images, on=False),
+    "extract_media": _with_aqe(q_extract_media, on=False),
+    "extract_boilerplate": _with_aqe(q_extract_boilerplate, on=False),
+    "extract_tables": _with_aqe(q_extract_tables, on=False),
+    "extract_markdown": _with_aqe(q_extract_markdown, on=False),
+    "extract_all_links": _with_aqe(q_extract_all_links, on=False),
+    "extract_encoding": _with_aqe(q_extract_encoding, on=False),
+    "extract_entities": _with_aqe(q_extract_entities, on=False),
+    "extract_nested_boilerplate": _with_aqe(q_extract_nested_boilerplate, on=False),
+    "extract_colspan_table": _with_aqe(q_extract_colspan_table, on=False),
+    "extract_deeplist": _with_aqe(q_extract_deeplist, on=False),
+    "lineage_rollup": _with_aqe(q_lineage_rollup, on=False),
+    "custom_scorer_extraction": _with_aqe(q_custom_scorer, on=False),
+    "dedup_exact": _with_aqe(q_dedup_exact),
+    "token_stats": _with_aqe(q_token_stats),
+    "quality_scores": _with_aqe(q_quality_scores),
+    "doc_fingerprints": _with_aqe(q_doc_fingerprints),
+    "decontaminate": _with_aqe(q_decontaminate),
+    "ann_cosine_topk": _with_aqe(q_ann_topk),
+    "embedding_near_dup": _with_aqe(q_embedding_near_dup),
+    "events_hourly_rollup": _with_aqe(q_events_hourly),
+    "token_topk": _with_aqe(q_token_topk),
+    "user_sessions": _with_aqe(q_user_sessions),
+    "events_json_props": _with_aqe(q_events_json_props),
+    "tpch_pricing_summary": _with_aqe(relational.pricing_summary),
+    "tpch_top_revenue_orders": _with_aqe(relational.top_revenue_orders),
+    "tpch_regional_revenue": _with_aqe(relational.regional_revenue),
+    "regional_rollup": _with_aqe(relational.regional_rollup),
+    "events_distribution_stats": _with_aqe(relational.events_distribution_stats),
+    "top_order_per_customer": _with_aqe(relational.top_order_per_customer),
+    "media_sniff_metadata": _with_aqe(q_media_sniff, on=False),
+    "media_frame_features": _with_aqe(q_media_frame_features, on=False),
+    "pdf_structural_parse": _with_aqe(q_pdf_metadata, on=False),
+    "pdf_text_extract": _with_aqe(q_pdf_text, on=False),
+    "media_pixel_decode": _with_aqe(q_media_pixel_decode, on=False),
+    "jpeg_pixel_decode": _with_aqe(q_jpeg_pixel_decode, on=False),
+    "minhash_lsh_candidates": _with_aqe(q_minhash_lsh),
+    "lsh_bucket_stats": _with_aqe(q_lsh_bucket_stats),
+    "near_dup_components": _with_aqe(q_near_dup_components),
+    "ngram_jaccard_verify": _with_aqe(q_ngram_jaccard),
+    "simhash": _with_aqe(q_simhash),
+    "lang_id": _with_aqe(q_lang_id),
+    "corpus_filter": _with_aqe(q_corpus_filter),
+    "doc_length_percentiles": _with_aqe(q_doc_length_percentiles),
+    "host_stats": _with_aqe(q_host_stats),
+    "hash_split": _with_aqe(q_hash_split),
+    "audio_pcm_decode": _with_aqe(q_audio_pcm_decode, on=False),
+    "gif_pixel_decode": _with_aqe(q_gif_pixel_decode, on=False),
 }
 
 ORACLES = {

@@ -83,10 +83,14 @@ def test_paragraph_dedup_semantics_and_plan(spark):
     assert "BroadcastExchange" not in p
 
 
-def test_token_stats_no_shuffle(docs):
-    # pure per-row projection: zero exchanges
+def test_token_stats_no_shuffle(spark, docs):
+    # pure per-row projection: no KEYED shuffle ever; the only exchange
+    # permitted is the scale-adaptive tiny-input fan-out, which vanishes
+    # on an already-parallel input (spread_small_input, r10)
     p = plan_of(token_stats(docs))
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert plan_of(token_stats(wide)).count("Exchange") == 1
 
 
 def test_lsh_single_shuffle(docs):
@@ -111,23 +115,34 @@ def test_embedding_near_dup_no_cartesian(emb):
     assert "CartesianProduct" not in p
 
 
-def test_simhash_is_jvm_side(docs):
+def test_simhash_is_jvm_side(spark, docs):
     """SimHash must be pure Catalyst expressions: no Python evaluation
-    (the round-1 impl was a per-character Python loop)."""
+    (the round-1 impl was a per-character Python loop). Zero KEYED
+    shuffles; the only exchange permitted is the scale-adaptive
+    round-robin fan-out for tiny inputs (spread_small_input, r10), which
+    vanishes when the input already carries >= parallelism partitions —
+    both properties pinned."""
     from htmlx.spark.analytics import simhash_docs
 
     p = plan_of(simhash_docs(docs))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "MapInPandas" not in p
-    assert "Exchange" not in p  # per-row projection: zero shuffles
+    assert "Exchange hashpartitioning" not in p  # no keyed shuffle, ever
+    # at-scale shape: an already-parallel input gets NO exchange at all
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    p_wide = plan_of(simhash_docs(wide))
+    assert p_wide.count("Exchange") == 1  # only the caller's own repartition
 
 
-def test_lang_id_is_jvm_side(docs):
+def test_lang_id_is_jvm_side(spark, docs):
     from htmlx.spark.analytics import lang_id_docs
 
     p = plan_of(lang_id_docs(docs))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p  # no keyed shuffle, ever
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    p_wide = plan_of(lang_id_docs(wide))
+    assert p_wide.count("Exchange") == 1  # only the caller's own repartition
 
 
 def test_dedup_pages_single_fat_shuffle(docs):
