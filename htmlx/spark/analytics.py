@@ -1754,6 +1754,7 @@ def embedding_near_dup(
 def _normalized(embeddings: DataFrame) -> DataFrame:
     vec_d = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    embeddings = spread_small_input(embeddings)
     return embeddings.select(
         "vec_id", F.expr(
             "transform(embedding, x -> CAST(x AS DOUBLE) / "
@@ -2583,6 +2584,27 @@ def propagate_min_labels(
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
+
+    def first_round():
+        # Round 1 folds THREE operators into one aggregate (r10): the
+        # initial labels are the identity (label(dst) == dst) and every
+        # endpoint appears as src of the symmetrized edge set, so the
+        # endpoint distinct, the edge->label join and the label-update
+        # join all collapse to min(dst) grouped by src. Labels identical
+        # to a one_round over the identity label table.
+        mn = F.min("dst")
+        src = F.col("doc_id")
+        return (
+            sym.groupBy(*g, F.col("src").alias("doc_id"))
+            .agg(mn.alias("__mn"))
+            .select(
+                *g,
+                "doc_id",
+                F.least(F.col("__mn"), src).alias("label"),
+                (F.col("__mn") < src).alias("__changed"),
+            )
+        )
+
     def one_round(cur):
         prop = (
             sym.alias("e")
@@ -2635,7 +2657,7 @@ def propagate_min_labels(
         done = 0
         while done < max_iters:
             span = min(2, max_iters - done)
-            new_labels = one_round(labels)
+            new_labels = first_round() if done == 0 else one_round(labels)
             for _ in range(span - 1):
                 new_labels = one_round(new_labels.drop("__changed"))
             done += span
@@ -2652,8 +2674,10 @@ def propagate_min_labels(
             if changed == 0:
                 break
     else:
-        for _ in range(max_iters):
-            labels = one_round(labels).drop("__changed")
+        for i in range(max_iters):
+            labels = (first_round() if i == 0 else one_round(labels)).drop(
+                "__changed"
+            )
     # cache-scope discipline: materialize the (tiny) final labels once,
     # then release the edge cache — otherwise every call leaks sym's
     # blocks for the session lifetime. What remains cached is the
@@ -3192,7 +3216,7 @@ def bpe_encode_counts(
         )
     n_sep = F.length(s) - F.length(F.replace(s, F.lit(BPE_SYMSEP), F.lit("")))
     n_real = ((n_sep - F.size(toks) * 2) / 2).cast("long")
-    return documents.select(out_id, n_real.alias("n_bpe_real"))
+    return spread_small_input(documents).select(out_id, n_real.alias("n_bpe_real"))
 
 
 def hash_split(
