@@ -207,7 +207,13 @@ def test_encode_replace_chain_is_jvm_only(spark, docs):
     merges = A.train_bpe(docs, num_merges=8)
     plan = A.bpe_encode_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan and "EvalPython" not in plan
-    assert "Exchange" not in plan  # scan-side projection, zero shuffle
+    # scan-side projection: no KEYED shuffle ever; the only exchange
+    # permitted is the scale-adaptive tiny-input fan-out, which vanishes
+    # on an already-parallel input (spread_small_input, r10)
+    assert "Exchange hashpartitioning" not in plan
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    plan_wide = A.bpe_encode_counts(wide, merges)._jdf.queryExecution().executedPlan().toString()
+    assert plan_wide.count("Exchange") == 1  # only the caller's own repartition
 
 
 def test_spark_replace_semantics_match_greedy(spark):
