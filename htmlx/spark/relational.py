@@ -58,13 +58,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: big-fact rollup with map-side partial aggregation —
     the canonical 'scan 100 TB, shuffle only the group cells' query."""
-    from .analytics import spread_small_input
-
-    # the single-file fact table arrives as ONE split at bench SFs, which
-    # would serialize the partial aggregation onto one core; a no-op at
-    # real scan widths (decimal sums are order-independent — CLAUDE.md —
-    # so the round-robin spread cannot move the oracle hash)
-    li = spread_small_input(_t(spark, sf_dir, "lineitem"))
+    # NO spread of the fact scan, deliberately (r10, measured): at bench
+    # SFs the 600k-row lineitem round-robin exchange costs ~0.4-0.7 s on
+    # a FIRST run (1.83-2.13 s nospread vs 2.27-3.10 s spread, 3/3 fresh
+    # sessions) and only pays for itself on warm re-runs; at real scale
+    # the scan is already parallel and the question vanishes. AQE alone
+    # keeps the post-agg exchange right-sized.
+    li = _t(spark, sf_dir, "lineitem")
     disc_price = _disc_price()
     charge = (disc_price * (1 + F.col("l_tax").cast(D2))).cast(D6)
     return (
