@@ -1230,23 +1230,25 @@ def dedup_spans_variants(
         F.explode(F.transform(vlist, lambda s: s["v"])).alias("variant"),
     )
     joined = base.join(per_doc, ["variant", "doc_id"], "left")
-    rm = F.coalesce(F.col("rm"), F.array().cast("array<struct<s:long,e:long>>"))
-    indexed = F.transform(
-        F.col("toks"), lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i"))
+    # single-SQL-string tail (r10): the nested transform/filter/exists/
+    # aggregate lambdas cost ~150 py4j round trips of pure driver build
+    # latency per call; the expression tree is equivalent (same lambdas,
+    # same casts) and the shared survivor-aggregate subtree BELOW this
+    # projection — the exchange-reuse key with span_window_stats — is
+    # untouched
+    rm_sql = "coalesce(rm, CAST(array() AS array<struct<s:bigint,e:bigint>>))"
+    kept_sql = (
+        "filter(transform(toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)), "
+        f"s -> NOT exists({rm_sql}, r -> r.s <= s.i AND s.i < r.e))"
     )
-    kept = F.filter(
-        indexed,
-        lambda s: ~F.exists(rm, lambda r: (r["s"] <= s["i"]) & (s["i"] < r["e"])),
-    )
-    return joined.select(
+    return joined.selectExpr(
         "variant",
         "doc_id",
-        F.greatest(F.size("toks") - w + 1, F.lit(0)).cast("long").alias("n_windows"),
-        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
-        F.aggregate(
-            rm, F.lit(0).cast("long"), lambda acc, r: acc + (r["e"] - r["s"])
-        ).alias("tokens_removed"),
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("cleaned_text"),
+        f"CAST(greatest(size(toks) - {w} + 1, 0) AS BIGINT) AS n_windows",
+        "CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows",
+        f"aggregate({rm_sql}, CAST(0 AS BIGINT), (acc, r) -> acc + (r.e - r.s)) "
+        "AS tokens_removed",
+        f"concat_ws(' ', transform({kept_sql}, s -> s.t)) AS cleaned_text",
     )
 
 
@@ -2394,6 +2396,48 @@ LANG_PROFILES = {
 }
 
 
+_LANG_PRED_SQL: str | None = None
+
+
+def _lang_pred_sql() -> str:
+    """The full classifier ladder as ONE SQL expression string over a
+    staged `__toks` column (r10): building it Column-by-Column cost
+    ~150 py4j round trips of driver latency per query build; the parsed
+    expression tree is identical (same CASE order, same intersect
+    scores, same script regexes — profile words and script classes
+    contain no quotes/backslashes, so plain single-quoted literals are
+    exact). Memoized: the ladder is a pure function of the constant
+    tables."""
+    global _LANG_PRED_SQL
+    if _LANG_PRED_SQL is None:
+        scores = {
+            lang: (
+                "size(array_intersect(__toks, array("
+                + ", ".join(f"'{w}'" for w in words)
+                + ")))"
+            )
+            for lang, words in LANG_PROFILES.items()
+        }
+        m = "greatest(" + ", ".join(scores.values()) + ")"
+        latin = (
+            f"CASE WHEN {m} = 0 THEN 'und' "
+            + " ".join(
+                f"WHEN {scores[lang]} = {m} THEN '{lang}'"
+                for lang in sorted(LANG_PROFILES)
+            )
+            + " ELSE 'und' END"
+        )
+        _LANG_PRED_SQL = (
+            "CASE WHEN text IS NULL OR text = '' THEN 'und' "
+            + " ".join(
+                f"WHEN substring(text, 1, 200) RLIKE '{pattern}' THEN '{lang}'"
+                for lang, pattern in LANG_SCRIPTS
+            )
+            + f" ELSE {latin} END"
+        )
+    return _LANG_PRED_SQL
+
+
 def with_lang_pred(df: DataFrame, out_col: str = "pred_lang") -> DataFrame:
     """Append the lang-ID prediction as a COLUMN, keeping every existing
     column: the classifier is a pure per-row projection, so composite
@@ -2402,25 +2446,11 @@ def with_lang_pred(df: DataFrame, out_col: str = "pred_lang") -> DataFrame:
     (guide §2.4 — remove shuffles outright). The token array is staged
     as a real column so the 27 per-language intersects don't re-split
     the text (same staging lang_id_docs always used)."""
-    text = F.col("text")
-    head = F.substring(text, 1, 200)
-    toks = F.col("__toks")
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_PROFILES.items()
-    }
-    m = F.greatest(*scores.values())
-    latin = F.when(m == 0, F.lit("und"))
-    for lang in sorted(LANG_PROFILES):
-        latin = latin.when(scores[lang] == m, F.lit(lang))
-    latin = latin.otherwise(F.lit("und"))
-    pred = F.when(text.isNull() | (text == ""), F.lit("und"))
-    for lang, pattern in LANG_SCRIPTS:
-        pred = pred.when(head.rlike(pattern), F.lit(lang))
-    pred = pred.otherwise(latin)
     return (
-        df.withColumn("__toks", F.array_distinct(F.split(F.lower(text), " ")))
-        .withColumn(out_col, pred)
+        df.withColumn(
+            "__toks", F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        )
+        .withColumn(out_col, F.expr(_lang_pred_sql()))
         .drop("__toks")
     )
 
